@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Event / time-series analytics (SURVEY.md §2 C) plus JSON
+  * extraction (§2 B #25). All session/funnel logic works on integer
+  * epoch-microseconds (exact on both engines, no float time math).
+  *
+  * Scale notes: every window is partitioned by `user_id` — state per
+  * task is one user's events; the tumbling-window aggregate is a
+  * plain hash aggregate on (hour, event_type). These are the batch
+  * oracles for the Structured Streaming jobs in graft.streaming.
+  */
+object Events {
+
+  private val GapUs = 1800000000L // 30 min session gap, microseconds
+
+  // ---------------------------------------------------------------- json
+  /** JSON field extraction from the `props` payload column. */
+  def qJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .orderBy(col("event_id"))
+
+  private val qJsonSql =
+    """SELECT event_id, cast(props->>'k' as int) AS k_val
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- tumbling
+  /** Hourly tumbling-window counts/sums per event_type — the batch
+    * oracle for streaming.StreamingJobs.tumbling. */
+  def qTumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  private val qTumblingWindowSql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n_events,
+      |  round(cast(sum(cast(value as decimal(18,6))) as double), 2) AS total_value
+      |FROM events GROUP BY hour, event_type
+      |ORDER BY hour, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- sessionize
+  /** Gap-based sessionization: a >30-min silence starts a new
+    * session. lag → flag → running sum = session id; then per-session
+    * rollup. Batch oracle for streaming.StreamingJobs.sessionize. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag(col("us"), 1).over(w) > GapUs, 1L)
+          .when(lag(col("us"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val qSessionizeSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+       |flagged AS (
+       |  SELECT user_id, event_id, us,
+       |    CASE WHEN lag(us) OVER w IS NULL THEN 1
+       |         WHEN us - lag(us) OVER w > $GapUs THEN 1
+       |         ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |sessions AS (
+       |  SELECT user_id, us,
+       |    cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      as bigint) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id, count(*) AS n_events,
+       |  max(us) - min(us) AS duration_us
+       |FROM sessions GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- funnel
+  /** signup→purchase conversion per user, time-ordered. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("first_signup_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("first_purchase_us"))
+      .select(
+        col("user_id"),
+        when(col("first_signup_us").isNotNull, 1L).otherwise(0L).as("did_signup"),
+        when(col("first_purchase_us").isNotNull, 1L).otherwise(0L).as("did_purchase"),
+        when(col("first_purchase_us") > col("first_signup_us"), 1L).otherwise(0L).as("converted"))
+      .orderBy(col("user_id"))
+
+  private val qFunnelSql =
+    """SELECT user_id,
+      |  cast(CASE WHEN first_signup_us IS NOT NULL THEN 1 ELSE 0 END as bigint) AS did_signup,
+      |  cast(CASE WHEN first_purchase_us IS NOT NULL THEN 1 ELSE 0 END as bigint) AS did_purchase,
+      |  cast(CASE WHEN first_purchase_us > first_signup_us THEN 1 ELSE 0 END as bigint) AS converted
+      |FROM (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup_us,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+      |  FROM events GROUP BY user_id)
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_json", qJson _, Some(qJsonSql)),
+    QueryDef("q_tumbling_window", qTumblingWindow _, Some(qTumblingWindowSql)),
+    QueryDef("q_sessionize", qSessionize _, Some(qSessionizeSql)),
+    QueryDef("q_funnel", qFunnel _, Some(qFunnelSql)))
+}

@@ -1,18 +1,25 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
-import graft.Tables
+import graft.{QueryDef, Tables}
 
 /** Relational / OLAP core (SURVEY.md §2 B).
   *
   * Cross-engine determinism rules (SURVEY.md §3): every floating
   * aggregate goes through an exact decimal sum (order-independent
   * across any shuffle/partitioning) and is only then cast to double
-  * and rounded. Engine `avg` is never used — always rounded
-  * sum/count. Every result has a total-order `orderBy` on a unique
-  * key combination so row order matches the DuckDB oracle.
+  * and rounded; engine `avg` is never used; every result carries a
+  * total-order `orderBy` over a unique key set.
+  *
+  * Scale notes (SURVEY.md §4): dimension tables (region, nation,
+  * supplier, part, customer) are broadcast explicitly — at TPC-H
+  * ratios they stay tiny relative to the fact tables, so the joins
+  * below are shuffle-free on the fact side. Fact-side groupBys get
+  * map-side partial aggregation from Catalyst. Top-k uses
+  * orderBy+limit (TakeOrderedAndProject — no global sort).
   */
 object Relational {
 
@@ -20,15 +27,16 @@ object Relational {
   private def dsum(c: Column, scale: Int = 2): Column =
     round(sum(c.cast(DecimalType(18, 6))).cast(DoubleType), scale)
 
-  /** q1_pricing_summary — TPC-H Q1-style multi-aggregate scan.
-    * Reference analogue: the reduce-side aggregation model of
-    * mr/src/worker.rs:124-140 (group values by key, fold) — here the
-    * whole group-fold is one declarative hash aggregate with map-side
-    * partial aggregation, no materialized intermediate files.
-    */
-  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+  private val dsumSql = (e: String, as: String) =>
+    s"round(cast(sum(cast($e as decimal(18,6))) as double), 2) AS $as"
+
+  // ---------------------------------------------------------------- q1
+  /** TPC-H Q1-style multi-aggregate scan. Reference analogue: the
+    * reduce-side group-fold of mr/src/worker.rs:124-140, here one
+    * declarative hash aggregate with map-side combine. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
@@ -36,16 +44,382 @@ object Relational {
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q1Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity", "sum_qty")},
+       |  ${dsumSql("l_extendedprice", "sum_base_price")},
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", "sum_disc_price")},
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= timestamp '1998-09-01'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  /** 3-table join + group + top-10 revenue (TPC-H Q3 shape).
+    * customer is broadcast; orders⋈lineitem shuffles on orderkey. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li   = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
   }
 
-  val q1Sql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  round(cast(sum(cast(l_quantity as decimal(18,6))) as double), 2) AS sum_qty,
-      |  round(cast(sum(cast(l_extendedprice as decimal(18,6))) as double), 2) AS sum_base_price,
-      |  round(cast(sum(cast(l_extendedprice * (1.0 - l_discount) as decimal(18,6))) as double), 2) AS sum_disc_price,
-      |  count(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= timestamp '1998-09-01'
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  private val q3Sql =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", "revenue")}
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < timestamp '1998-03-15'
+       |  AND l_shipdate > timestamp '1998-03-15'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  /** 6-table star join, revenue per nation (TPC-H Q5 shape). All
+    * dims broadcast; only orders⋈lineitem shuffles. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust   = Tables.customer(spark, dir)
+    val supp   = Tables.supplier(spark, dir)
+    val ord    = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li     = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust),
+        col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q5Sql =
+    s"""SELECT n_name,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", "revenue")}
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= timestamp '1996-01-01'
+       |  AND o_orderdate < timestamp '1998-01-01'
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q6
+  /** Tight filter + single-row agg; every predicate reaches the
+    * parquet scan (PushedFilters). */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_discount") >= 0.03 && col("l_discount") <= 0.07)
+      .filter(col("l_quantity") < 24)
+      .agg(
+        dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  private val q6Sql =
+    s"""SELECT ${dsumSql("l_extendedprice * l_discount", "revenue")},
+       |  count(*) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= timestamp '1996-01-01'
+       |  AND l_shipdate < timestamp '1997-01-01'
+       |  AND l_discount >= 0.03 AND l_discount <= 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- topk
+  /** orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    * heaps + driver merge, no global sort even at 100 TB. */
+  def qTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  private val qTopkSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- distinct
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment")).distinct()
+      .orderBy(col("c_mktsegment"))
+
+  private val qDistinctSql =
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+  // ---------------------------------------------------------------- semi join
+  /** EXISTS as left_semi: no row multiplication, broadcastable. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000)
+    Tables.customer(spark, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val qSemiJoinSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- anti join
+  /** NOT EXISTS as left_anti: customers with no high-value order. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private val qAntiJoinSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- outer join
+  /** Left outer preserving customers with zero orders. */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+
+  private val qOuterJoinSql =
+    """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- window rank
+  /** Top-3 orders per customer; window partitioned by a
+    * high-cardinality key so state stays bounded per task. */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val qWindowRankSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- window running
+  /** Running per-user total over event time (decimal-exact). */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("running_value",
+        round(sum(col("value").cast(DecimalType(18, 6))).over(w).cast(DoubleType), 2))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val qWindowRunningSql =
+    """SELECT user_id, event_id,
+      |  round(cast(sum(cast(value as decimal(18,6)))
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double), 2)
+      |    AS running_value
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- rollup
+  /** Hierarchical region→nation rollup over customer balances. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(col("c_acctbal")).as("total_bal"), count(lit(1)).as("n_cust"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  private val qRollupSql =
+    s"""SELECT r_name, n_name,
+       |  ${dsumSql("c_acctbal", "total_bal")},
+       |  count(*) AS n_cust
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- case agg
+  /** Pivot-style conditional aggregation per user. */
+  def qCaseAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"))
+      .orderBy(col("user_id"))
+
+  private val qCaseAggSql =
+    """SELECT user_id,
+      |  cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS n_click,
+      |  cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as bigint) AS n_view,
+      |  cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) as bigint) AS n_purchase,
+      |  cast(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) as bigint) AS n_signup,
+      |  cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) as bigint) AS n_error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- union
+  def qUnion(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val hi = o.filter(col("o_totalprice") > 300000)
+      .select(lit("high").as("bucket"), col("o_totalprice"))
+    val lo = o.filter(col("o_totalprice") < 10000)
+      .select(lit("low").as("bucket"), col("o_totalprice"))
+    hi.unionAll(lo)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("bucket"))
+  }
+
+  private val qUnionSql =
+    s"""SELECT bucket, count(*) AS n, ${dsumSql("o_totalprice", "total")}
+       |FROM (
+       |  SELECT 'high' AS bucket, o_totalprice FROM orders WHERE o_totalprice > 300000
+       |  UNION ALL
+       |  SELECT 'low' AS bucket, o_totalprice FROM orders WHERE o_totalprice < 10000)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- having
+  def qHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") > 30)
+      .orderBy(col("l_partkey"))
+
+  private val qHavingSql =
+    s"""SELECT l_partkey, ${dsumSql("l_quantity", "total_qty")},
+       |  count(*) AS n_lines
+       |FROM lineitem GROUP BY l_partkey
+       |HAVING count(*) > 30 ORDER BY l_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- subquery avg
+  /** Correlated-subquery semantics (price above brand average) as a
+    * window — one shuffle instead of a self-join. */
+  def qSubqueryAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+    Tables.part(spark, dir)
+      .withColumn("brand_avg",
+        sum(col("p_retailprice").cast(DecimalType(18, 6))).over(w)
+          .cast(DoubleType) / count(lit(1)).over(w))
+      .filter(col("p_retailprice") > col("brand_avg"))
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        round(col("brand_avg"), 2).as("brand_avg_price"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val qSubqueryAvgSql =
+    """SELECT p_partkey, p_brand, p_retailprice,
+      |  round(brand_avg, 2) AS brand_avg_price
+      |FROM (
+      |  SELECT p_partkey, p_brand, p_retailprice,
+      |    cast(sum(cast(p_retailprice as decimal(18,6))) OVER (PARTITION BY p_brand) as double)
+      |      / count(*) OVER (PARTITION BY p_brand) AS brand_avg
+      |  FROM part)
+      |WHERE p_retailprice > brand_avg
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- string funcs
+  def qStringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 12).as("name_prefix"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"))
+      .orderBy(col("p_partkey"))
+
+  private val qStringFuncsSql =
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_upper,
+      |  substr(p_name, 1, 12) AS name_prefix,
+      |  concat(p_brand, '|', p_type) AS brand_type,
+      |  length(p_name) AS name_len
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- date funcs
+  def qDateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_year"), col("o_month"))
+
+  private val qDateFuncsSql =
+    s"""SELECT cast(year(o_orderdate) as int) AS o_year,
+       |  cast(month(o_orderdate) as int) AS o_month,
+       |  count(*) AS n_orders, ${dsumSql("o_totalprice", "total")}
+       |FROM orders GROUP BY o_year, o_month
+       |ORDER BY o_year, o_month""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_pricing_summary", q1PricingSummary _, Some(q1Sql)),
+    QueryDef("q3_shipping_priority", q3ShippingPriority _, Some(q3Sql)),
+    QueryDef("q5_local_supplier", q5LocalSupplier _, Some(q5Sql)),
+    QueryDef("q6_forecast_revenue", q6ForecastRevenue _, Some(q6Sql)),
+    QueryDef("q_topk", qTopk _, Some(qTopkSql)),
+    QueryDef("q_distinct", qDistinct _, Some(qDistinctSql)),
+    QueryDef("q_semi_join", qSemiJoin _, Some(qSemiJoinSql)),
+    QueryDef("q_anti_join", qAntiJoin _, Some(qAntiJoinSql)),
+    QueryDef("q_outer_join", qOuterJoin _, Some(qOuterJoinSql)),
+    QueryDef("q_window_rank", qWindowRank _, Some(qWindowRankSql)),
+    QueryDef("q_window_running", qWindowRunning _, Some(qWindowRunningSql)),
+    QueryDef("q_rollup", qRollup _, Some(qRollupSql)),
+    QueryDef("q_case_agg", qCaseAgg _, Some(qCaseAggSql)),
+    QueryDef("q_union", qUnion _, Some(qUnionSql)),
+    QueryDef("q_having", qHaving _, Some(qHavingSql)),
+    QueryDef("q_subquery_avg", qSubqueryAvg _, Some(qSubqueryAvgSql)),
+    QueryDef("q_string_funcs", qStringFuncs _, Some(qStringFuncsSql)),
+    QueryDef("q_date_funcs", qDateFuncs _, Some(qDateFuncsSql)))
 }
