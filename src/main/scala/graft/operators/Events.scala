@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.functions.CrossEngine.{dsum, dsumSql}
 
 /** Event / time-series analytics (SURVEY.md §2 C) plus JSON
   * extraction (§2 B #25). All session/funnel logic works on integer
@@ -41,13 +42,13 @@ object Events {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("total_value"))
+        dsum(col("value")).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
 
   private val qTumblingWindowSql =
     """SELECT date_trunc('hour', ts) AS hour, event_type,
       |  count(*) AS n_events,
-      |  round(cast(sum(cast(value as decimal(18,6))) as double), 2) AS total_value
+      |  cast(round(sum(cast(value as decimal(18,6))), 2) as double) AS total_value
       |FROM events GROUP BY hour, event_type
       |ORDER BY hour, event_type""".stripMargin
 

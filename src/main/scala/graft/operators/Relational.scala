@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.{QueryDef, Tables}
+import graft.functions.CrossEngine.{dsum, dsumSql, rnd, rndSql}
 
 /** Relational / OLAP core (SURVEY.md §2 B).
   *
@@ -22,13 +23,6 @@ import graft.{QueryDef, Tables}
   * orderBy+limit (TakeOrderedAndProject — no global sort).
   */
 object Relational {
-
-  /** Exact, order-independent money sum: decimal in, rounded double out. */
-  private def dsum(c: Column, scale: Int = 2): Column =
-    round(sum(c.cast(DecimalType(18, 6))).cast(DoubleType), scale)
-
-  private val dsumSql = (e: String, as: String) =>
-    s"round(cast(sum(cast($e as decimal(18,6))) as double), 2) AS $as"
 
   // ---------------------------------------------------------------- q1
   /** TPC-H Q1-style multi-aggregate scan. Reference analogue: the
@@ -248,16 +242,16 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, dir)
       .withColumn("running_value",
-        round(sum(col("value").cast(DecimalType(18, 6))).over(w).cast(DoubleType), 2))
+        round(sum(col("value").cast(DecimalType(18, 6))).over(w), 2).cast(DoubleType))
       .select(col("user_id"), col("event_id"), col("running_value"))
       .orderBy(col("user_id"), col("event_id"))
   }
 
   private val qWindowRunningSql =
     """SELECT user_id, event_id,
-      |  round(cast(sum(cast(value as decimal(18,6)))
+      |  cast(round(sum(cast(value as decimal(18,6)))
       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double), 2)
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) as double)
       |    AS running_value
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin
@@ -352,13 +346,13 @@ object Relational {
           .cast(DoubleType) / count(lit(1)).over(w))
       .filter(col("p_retailprice") > col("brand_avg"))
       .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
-        round(col("brand_avg"), 2).as("brand_avg_price"))
+        rnd(col("brand_avg"), 2).as("brand_avg_price"))
       .orderBy(col("p_partkey"))
   }
 
   private val qSubqueryAvgSql =
     """SELECT p_partkey, p_brand, p_retailprice,
-      |  round(brand_avg, 2) AS brand_avg_price
+      |  floor(brand_avg * 1e2 + 0.5) / 1e2 AS brand_avg_price
       |FROM (
       |  SELECT p_partkey, p_brand, p_retailprice,
       |    cast(sum(cast(p_retailprice as decimal(18,6))) OVER (PARTITION BY p_brand) as double)

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.CrossEngine.{rnd, rndSql}
+
+/** Text analysis for LLM-data pipelines (SURVEY.md §2 D), over the
+  * `documents` table. Everything is per-document and embarrassingly
+  * parallel — no shuffle except the final global aggregations — and
+  * built from codegen'd `functions._` higher-order functions (no
+  * Scala UDFs in the hot path).
+  *
+  * Cross-engine parity: tokenization is whitespace-split with empties
+  * dropped; all scores are integer-derived double divisions (exact on
+  * both engines); hashes are md5-based (identical hex cross-engine).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (matches DuckDB
+    * `list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '')`). */
+  private def toks: Column =
+    filter(split(col("text"), "\\s+"), t => t =!= "")
+
+  private val toksSql =
+    "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  // ---------------------------------------------------------------- stats
+  /** Token counting: n_tokens, character/total-token-length stats. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("n_token_chars"),
+        rnd(length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+          / size(col("t")), 4).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  private val textStatsSql =
+    s"""SELECT doc_id,
+       |  cast(len($toksSql) as int) AS n_tokens,
+       |  cast(length(regexp_replace(text, '\\s+', '', 'g')) as int) AS n_token_chars,
+       |  ${rndSql(s"cast(length(regexp_replace(text, '\\s+', '', 'g')) as double) / len($toksSql)", 4)} AS avg_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- quality
+  /** Quality scoring from length / digit / stopword ratios — the
+    * standard cheap pre-filter before expensive pipeline stages. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(col("t"))
+    val nStop = size(filter(col("t"), t => t.isin(Stopwords: _*)))
+    val nDigit = length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))
+    val lenScore = least(length(col("text")).cast("double") / 500.0, lit(1.0))
+    val stopRatio = nStop.cast("double") / nTok
+    val digitRatio = nDigit.cast("double") / length(col("text"))
+    Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .select(
+        col("doc_id"),
+        rnd(stopRatio, 4).as("stopword_ratio"),
+        rnd(digitRatio, 4).as("digit_ratio"),
+        rnd(lenScore * 0.5 + (lit(1.0) - digitRatio) * 0.3 + stopRatio * 0.2, 4)
+          .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textQualitySql = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       |  ${rndSql(s"cast(len(list_filter($toksSql, t -> t IN ($stopList))) as double) / len($toksSql)", 4)} AS stopword_ratio,
+       |  ${rndSql("cast(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) as double) / length(text)", 4)} AS digit_ratio,
+       |  ${rndSql(s"least(cast(length(text) as double) / 500.0, 1.0) * 0.5 + (1.0 - cast(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) as double) / length(text)) * 0.3 + cast(len(list_filter($toksSql, t -> t IN ($stopList))) as double) / len($toksSql) * 0.2", 4)} AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- langid
+  /** Marker-word language heuristic: count hits per language's marker
+    * set, argmax with a fixed precedence for ties. (The container has
+    * no real langid model; the shape — per-doc scoring + argmax — is
+    * the production shape.) */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "fast", "small"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "es" -> Seq("el", "la", "de", "y", "que"))
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val scores = Markers.map { case (lang, words) =>
+      size(filter(col("t"), t => t.isin(words: _*))).as(s"s_$lang")
+    }
+    Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .select(col("doc_id") +: scores: _*)
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_es"), "de")
+          .otherwise("es"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textLangidSql = {
+    val scoreExprs = Markers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"cast(len(list_filter($toksSql, t -> t IN ($list))) as int) AS s_$lang"
+    }.mkString(",\n       |  ")
+    s"""SELECT doc_id, $scoreExprs,
+       |  CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+       |       WHEN s_de >= s_es THEN 'de'
+       |       ELSE 'es' END AS predicted
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- fingerprint
+  /** Document fingerprinting: a position-weighted token hash (exact
+    * bigint arithmetic) plus an md5 content fingerprint — the pair a
+    * dedup pipeline keys on. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), posexplode(toks).as(Seq("pos", "tok")))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum((col("pos") + 1) * (ascii(col("tok")) + length(col("tok"))))
+          .as("positional_fp"),
+        first(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"))
+          .as("content_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textFingerprintSql =
+    s"""SELECT doc_id,
+       |  cast(list_sum(list_transform($toksSql,
+       |    (t, i) -> i * (ascii(t) + length(t)))) as bigint) AS positional_fp,
+       |  cast(concat('0x', substr(md5(text), 1, 15)) as bigint) AS content_fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- ngrams
+  /** Bigram generation + global top-100: lead over per-doc position,
+    * then a count aggregate. */
+  def textNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("bigram", concat(col("tok"), lit(" "), lead(col("tok"), 1).over(w)))
+      .filter(col("bigram").isNotNull)
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(100)
+  }
+
+  private val textNgramsSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok,
+       |    generate_subscripts($toksSql, 1) AS pos
+       |  FROM documents),
+       |bi AS (
+       |  SELECT doc_id,
+       |    tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+       |  FROM toks)
+       |SELECT bigram, count(*) AS n FROM bi
+       |WHERE bigram IS NOT NULL
+       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("text_stats", textStats _, Some(textStatsSql)),
+    QueryDef("text_quality", textQuality _, Some(textQualitySql)),
+    QueryDef("text_langid", textLangid _, Some(textLangidSql)),
+    QueryDef("text_fingerprint", textFingerprint _, Some(textFingerprintSql)),
+    QueryDef("text_ngrams", textNgrams _, Some(textNgramsSql)))
+}
