@@ -8,7 +8,8 @@ object SparkEntry {
 
   /** All oracle-checked operators, aggregated from the modules. */
   def allDefs: Seq[QueryDef] =
-    MrCore.defs ++ Relational.defs ++ Events.defs ++ TextAnalysis.defs
+    MrCore.defs ++ Relational.defs ++ Events.defs ++ TextAnalysis.defs ++
+      Dedup.defs ++ Similarity.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -38,4 +38,13 @@ object CrossEngine {
     val p = s"1e$k"
     s"floor(($e) * $p + 0.5) / $p"
   }
+
+  /** Cross-engine 60-bit integer hash: md5 hex prefix parsed as int.
+    * md5 is the one hash primitive with identical output on both
+    * engines; 15 hex digits keep it inside a signed 64-bit long. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def md5LongSql(e: String): String =
+    s"cast(concat('0x', substr(md5($e), 1, 15)) as bigint)"
 }

@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.CrossEngine.{md5Long, md5LongSql, rnd, rndSql}
+
+/** Deduplication suite for LLM-data pipelines (SURVEY.md §2 E).
+  *
+  * Scale design: the pairwise operators (jaccard, simhash-pairs,
+  * embedding-cosine) are blocked — pairs are only formed inside a
+  * blocking key (lang / label), never globally. The 100 TB path is
+  * `dedup_minhash`: signatures are per-document (linear), and
+  * candidate pairs come from an equi-join on (band, band-hash) — a
+  * plain shuffle join on a compound key, no cross join anywhere.
+  * The blocked pairwise forms double as oracles for the banded one.
+  *
+  * Thresholds are calibrated to the synthetic corpus (tiny shared
+  * vocabulary → high baseline unigram overlap; random embeddings →
+  * cosine within ±0.4): jaccard ≥ 0.8, hamming ≤ 3/16, cosine ≥ 0.3.
+  */
+object Dedup {
+
+  private def toks: Column =
+    filter(split(col("text"), "\\s+"), t => t =!= "")
+
+  private val toksSql =
+    "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+  // ---------------------------------------------------------------- exact
+  /** Exact dedup: group by content hash, keep the smallest doc_id. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("text_md5"))
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY text_md5 ORDER BY text_md5""".stripMargin
+
+  // ---------------------------------------------------------------- jaccard
+  /** Token-set Jaccard ≥ 0.8 pairs within language blocks (the exact
+    * baseline the minhash variant approximates). */
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), array_distinct(toks).as("s"))
+    val a = t.select(col("doc_id").as("doc_a"), col("lang"), col("s").as("sa"))
+    val b = t.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("s").as("sb"))
+    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+      .withColumn("jac",
+        size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(array_union(col("sa"), col("sb"))))
+      .filter(col("jac") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), rnd(col("jac"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val dedupJaccardSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, list_distinct($toksSql) AS s FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  ${rndSql("cast(len(list_intersect(a.s, b.s)) as double) / len(list_distinct(a.s || b.s))", 4)} AS jaccard
+       |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE cast(len(list_intersect(a.s, b.s)) as double)
+       |    / len(list_distinct(a.s || b.s)) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- minhash
+  /** MinHash + LSH banding over word-trigram shingles: 8 md5-seeded
+    * minhashes → 4 bands of 2 → candidate pairs share ≥1 band.
+    * Linear in corpus size + one equi-join: the 100 TB dedup path. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val shingles = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("shingle",
+        concat(col("tok"), lit(" "), lead(col("tok"), 1).over(w),
+          lit(" "), lead(col("tok"), 2).over(w)))
+      .filter(col("shingle").isNotNull)
+      .select(col("doc_id"), col("shingle")).distinct()
+    val mh = shingles
+      .withColumn("seed", explode(array((0 until 8).map(lit(_)): _*)))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5Long(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("h"))
+    val bands = mh
+      .groupBy(col("doc_id"), expr("seed div 2").as("band"))
+      .agg(
+        max(when(col("seed") % 2 === 0, col("h"))).as("h0"),
+        max(when(col("seed") % 2 === 1, col("h"))).as("h1"))
+    val x = bands.select(col("doc_id").as("doc_a"), col("band"), col("h0"), col("h1"))
+    val y = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
+      col("h0").as("g0"), col("h1").as("g1"))
+    x.join(y, col("band") === col("band_b") && col("h0") === col("g0") &&
+        col("h1") === col("g1") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val dedupMinhashSql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok,
+       |    generate_subscripts($toksSql, 1) AS pos
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+       |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |mh AS (
+       |  SELECT doc_id, s.seed,
+       |    min(${md5LongSql("concat(cast(s.seed as varchar), ':', shingle)")}) AS h
+       |  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s
+       |  WHERE shingle IS NOT NULL
+       |  GROUP BY doc_id, s.seed),
+       |bands AS (
+       |  SELECT doc_id, seed // 2 AS band,
+       |    max(CASE WHEN seed % 2 = 0 THEN h END) AS h0,
+       |    max(CASE WHEN seed % 2 = 1 THEN h END) AS h1
+       |  FROM mh GROUP BY doc_id, band)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  count(*) AS n_shared_bands
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+       |  AND a.doc_id < b.doc_id
+       |GROUP BY doc_a, doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- simhash
+  /** 16-bit SimHash from md5 token hashes: per-bit ±1 votes over the
+    * distinct token set, near-dups = hamming ≤ 3 within a lang block. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(array_distinct(toks)).as("tok"))
+      .withColumn("th", md5Long(col("tok")))
+      .withColumn("bit", explode(array((0 until 16).map(lit(_)): _*)))
+      .groupBy(col("doc_id"), col("lang"), col("bit"))
+      .agg(sum(when(expr("shiftright(th, bit) % 2") === 1, 1).otherwise(-1)).as("vote"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(when(col("vote") > 0, expr("cast(shiftleft(1L, bit) as bigint)"))
+        .otherwise(0L)).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("ha"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("hb"))
+    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val dedupSimhashSql =
+    s"""WITH tokh AS (
+       |  SELECT doc_id, lang, unnest(list_distinct($toksSql)) AS tok
+       |  FROM documents),
+       |th AS (SELECT doc_id, lang, ${md5LongSql("tok")} AS th FROM tokh),
+       |votes AS (
+       |  SELECT doc_id, lang, b.bit,
+       |    sum(CASE WHEN (th >> b.bit) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, 16)) AS bit) b
+       |  GROUP BY doc_id, lang, b.bit),
+       |sh AS (
+       |  SELECT doc_id, lang,
+       |    cast(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) as bigint) AS sh
+       |  FROM votes GROUP BY doc_id, lang)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  cast(bit_count(xor(a.sh, b.sh)) as int) AS hamming
+       |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- embedding
+  /** Embedding-cosine near-dup pairs within label blocks. All float
+    * math is double-cast element-wise with a sequential left fold —
+    * bit-identical on both engines, so the threshold is exact. */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.3)
+      .select(col("vec_a"), col("vec_b"), rnd(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val dedupEmbeddingSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> cast(x as double)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, v,
+       |    sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
+       |  FROM e)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${rndSql("list_reduce(list_transform(a.v, (x, i) -> x * b.v[i]), (x, y) -> x + y) / (a.nrm * b.nrm)", 6)} AS cos_sim
+       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE list_reduce(list_transform(a.v, (x, i) -> x * b.v[i]), (x, y) -> x + y)
+       |    / (a.nrm * b.nrm) >= 0.3
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact", dedupExact _, Some(dedupExactSql)),
+    QueryDef("dedup_jaccard", dedupJaccard _, Some(dedupJaccardSql)),
+    QueryDef("dedup_minhash", dedupMinhash _, Some(dedupMinhashSql)),
+    QueryDef("dedup_simhash", dedupSimhash _, Some(dedupSimhashSql)),
+    QueryDef("dedup_embedding", dedupEmbedding _, Some(dedupEmbeddingSql)))
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("dedup_exact covers every document exactly once") {
+    val df = Dedup.dedupExact(spark, sf)
+    val total = df.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("dedup_jaccard pairs are ordered and above threshold") {
+    val rows = Dedup.dedupJaccard(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getDouble(2) >= 0.8))
+  }
+
+  test("minhash candidates are a superset of exact-duplicate docs") {
+    // any pair with identical text must share all 4 bands
+    val mh = Dedup.dedupMinhash(spark, sf)
+    assert(mh.filter(col("n_shared_bands") > 4).count() == 0)
+  }
+
+  test("simhash hamming bounded by threshold") {
+    val df = Dedup.dedupSimhash(spark, sf)
+    assert(df.filter(col("hamming") > 3).count() == 0)
+  }
+
+  test("ann_bruteforce: k results per query, ranks contiguous, cos descending") {
+    val rows = Similarity.annBruteforce(spark, sf).collect()
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.size == 5)
+    perQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).sameElements(1 to rs.length))
+      val coss = sorted.map(_.getDouble(3))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ann_ivf recall: probed top-1 matches brute force top-1 for most queries") {
+    val bf = Similarity.annBruteforce(spark, sf).filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.annIvf(spark, sf).filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // IVF probes 2/10 clusters; exact-match recall@1 of >= 2/5 queries
+    // is the data-calibrated floor for random vectors
+    val hits = bf.count { case (q, n) => ivf.get(q).contains(n) }
+    assert(hits >= 2, s"IVF top-1 recall too low: $hits/5")
+  }
+
+  test("text fingerprints are distinct for distinct docs (content_fp)") {
+    val fps = TextAnalysis.textFingerprint(spark, sf)
+      .select("content_fp").collect().map(_.getLong(0))
+    assert(fps.length == fps.distinct.length)
+  }
+}
