@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Multimodal column plumbing (SURVEY.md §2 G): media as opaque
+  * `binary` columns + typed metadata structs.
+  *
+  * The Spark-side shape is real — binary payloads, per-partition
+  * batch decode, typed output schema, partition-friendly keys. The
+  * decode kernel itself is a clearly-marked deterministic STUB
+  * (`fakeDecode`): this container ships no image/audio codecs, so the
+  * stub derives metadata from the payload bytes. Swapping in a real
+  * codec (javax.imageio / ffmpeg via a mapPartitions JNI bridge)
+  * changes only that one function.
+  *
+  * At 100 TB: payloads live in the parquet as binary chunks;
+  * `decodeBatch` is a narrow per-partition map (no shuffle), so
+  * decode scales with input splits. Keep
+  * `spark.sql.files.maxPartitionBytes` sized so one task's payload
+  * batch fits executor memory.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + its id. */
+  case class RawMedia(doc_id: Long, payload: Array[Byte])
+
+  /** Typed decode output (what a real codec would fill). */
+  case class DecodedMedia(
+      doc_id: Long, width: Int, height: Int, channels: Int, n_bytes: Long)
+
+  /** STUB decode kernel — deterministic fake in place of a codec.
+    * Metadata is a pure function of the payload so tests are stable. */
+  def fakeDecode(m: RawMedia): DecodedMedia = {
+    val n = m.payload.length.toLong
+    DecodedMedia(
+      doc_id = m.doc_id,
+      width = (n % 64).toInt + 16,
+      height = (m.doc_id % 64).toInt + 16,
+      channels = 3,
+      n_bytes = n)
+  }
+
+  /** Per-partition batch decode: the real plumbing (narrow map, typed
+    * output, no driver involvement). */
+  def decodeBatch(ds: Dataset[RawMedia]): Dataset[DecodedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(fakeDecode))
+  }
+
+  /** Documents' text bytes as the stand-in binary payload column. */
+  def asBinary(spark: SparkSession, dir: String): Dataset[RawMedia] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[RawMedia]
+  }
+
+  // ---------------------------------------------------------------- query
+  /** Oracle-checked binary metadata pipeline: byte length, content
+    * digest, and the stub decode's metadata (SQL-expressible so both
+    * engines agree; `decodeBatch` is the typed API for the same). */
+  def mmBinaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha"),
+        (pmod(octet_length(col("text")).cast("long"), lit(64)) + 16).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("height"),
+        lit(3).as("channels"))
+      .orderBy(col("doc_id"))
+
+  private val mmBinaryMetaSql =
+    """SELECT doc_id,
+      |  cast(octet_length(cast(text as blob)) as bigint) AS n_bytes,
+      |  sha256(text) AS sha,
+      |  cast(octet_length(cast(text as blob)) % 64 + 16 as int) AS width,
+      |  cast(doc_id % 64 + 16 as int) AS height,
+      |  3 AS channels
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_binary_meta", mmBinaryMeta _, Some(mmBinaryMetaSql)))
+}

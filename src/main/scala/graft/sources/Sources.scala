@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY.md §2 I): parquet (primary), CSV,
+  * JSON, text, with partitioned writes.
+  *
+  * The reference reads whole text files per map task
+  * (mr/src/worker.rs:105-119) and writes JSON intermediate files;
+  * here the equivalents are `readText`/`graft.mr.MapReduce
+  * .wholeTextFiles` for input and columnar parquet (+ `partitionBy`
+  * layout) for output — at 100 TB, partitioned parquet is what makes
+  * downstream partition pruning possible.
+  */
+object Sources {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String,
+      schema: Option[StructType] = None, header: Boolean = true): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  def readJson(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  def writeParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}

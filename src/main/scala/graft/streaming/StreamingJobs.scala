@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Structured Streaming jobs (SURVEY.md §2 H). Each mirrors a batch
+  * oracle query in operators.Events, so correctness is checked by
+  * running the same logic in batch mode against the DuckDB-verified
+  * results.
+  *
+  * Scale/state design: the tumbling aggregate is bounded by the
+  * watermark (late state GC'd); the sessionizer keeps one small
+  * state record per active user and emits a session as soon as the
+  * gap closes it — state size is O(active users), not O(events).
+  */
+object StreamingJobs {
+
+  /** Hourly tumbling windows per event_type — streaming twin of
+    * Events.qTumblingWindow. Works on any DataFrame with
+    * (ts: timestamp, event_type: string, value: double), batch or
+    * streaming. */
+  def tumblingHourly(events: DataFrame): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    src
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(18, 6))), 2)
+          .cast(DoubleType).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  case class Ev(user_id: Long, us: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_us: Long)
+  case class SessState(sessionSeq: Long, start: Long, last: Long, n: Long)
+
+  /** Gap-based sessionizer — streaming twin of Events.qSessionize.
+    *
+    * On a streaming Dataset, state carries the open session per user
+    * across micro-batches and closed sessions are emitted as the gap
+    * passes (Append semantics; the final open session flushes on the
+    * next event or stays pending — bounded state either way). On a
+    * batch Dataset the same code sees each user's full history in one
+    * group and emits every session, matching qSessionize exactly.
+    */
+  def sessionize(events: Dataset[Ev], gapUs: Long = 1800000000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          val evs = it.map(_.us).toArray.sorted
+          var st = state.getOption.getOrElse(SessState(0L, -1L, -1L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          evs.foreach { us =>
+            if (st.n == 0L) {
+              st = SessState(st.sessionSeq + 1, us, us, 1L)
+            } else if (us - st.last > gapUs) {
+              out += SessionOut(uid, st.sessionSeq, st.n, st.last - st.start)
+              st = SessState(st.sessionSeq + 1, us, us, 1L)
+            } else {
+              st = st.copy(last = us, n = st.n + 1)
+            }
+          }
+          if (streaming) {
+            state.update(st)
+          } else if (st.n > 0) {
+            // batch: the group is complete — flush the final session
+            out += SessionOut(uid, st.sessionSeq, st.n, st.last - st.start)
+          }
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.Events
+import graft.streaming.StreamingJobs
+import graft.streaming.StreamingJobs.{Ev, SessionOut}
+
+class StreamingSpec extends SparkSpec {
+
+  test("batch sessionize (flatMapGroupsWithState) matches the windowed SQL form") {
+    val s = spark
+    import s.implicits._
+    val evs = Tables.events(s, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[Ev]
+    val typed = StreamingJobs.sessionize(evs).collect()
+      .map(r => (r.user_id, r.session_id, r.n_events, r.duration_us)).toSet
+    val sql = Events.qSessionize(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(typed == sql)
+  }
+
+  test("batch tumblingHourly matches the oracle-checked batch query") {
+    val s = spark
+    val viaJob = StreamingJobs.tumblingHourly(Tables.events(s, sf))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaSql = Events.qTumblingWindow(s, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaJob == viaSql)
+  }
+
+  test("streaming tumblingHourly over a file stream reaches the same totals") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("stream-in").toString
+    val batch = Tables.events(s, sf).select("ts", "event_type", "value")
+    batch.write.mode("overwrite").parquet(tmp)
+
+    val src = s.readStream.schema(batch.schema).parquet(tmp)
+    val q = StreamingJobs.tumblingHourly(src).writeStream
+      .format("memory").queryName("tumbling_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = s.sql("select * from tumbling_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val direct = StreamingJobs.tumblingHourly(batch)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == direct)
+  }
+
+  test("streaming sessionize emits closed sessions with state across batches") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sess-in").toString
+    // two users; second event of u1 arrives >30min later -> closes session 1
+    val rows = Seq(
+      (1L, 1000L), (1L, 2000L), (2L, 5000L),
+      (1L, 2000L + 1900L * 1000000L))
+    rows.toDF("user_id", "us").write.mode("overwrite").parquet(tmp)
+
+    val src = s.readStream.schema(rows.toDF("user_id", "us").schema)
+      .parquet(tmp).as[Ev]
+    val q = StreamingJobs.sessionize(src).writeStream
+      .format("memory").queryName("sess_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val out = s.sql("select * from sess_out").as[SessionOut].collect()
+    // u1's first session (2 events, 1000us span) must be emitted
+    assert(out.exists(o => o.user_id == 1L && o.n_events == 2L && o.duration_us == 1000L))
+    // open sessions (u2's single event, u1's new session) stay in state
+    assert(!out.exists(o => o.user_id == 2L))
+  }
+}
