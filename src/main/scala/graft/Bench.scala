@@ -1,24 +1,62 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: headline queries on SPARK_GRAFT_SF_DIR, one JSON
+  * line on stdout. The `noop` sink forces full materialization of
+  * every operator (a bare `count()` would let Spark skip sorts and
+  * projections). */
 object Bench {
+
+  /** One representative per operator family (SURVEY.md §2 A-G). */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary",   // scan + multi-agg
+    "q3_shipping_priority", // fact-fact join + topk
+    "q5_local_supplier",    // star join, broadcast dims
+    "q_window_rank",        // partitioned window
+    "q_sessionize",         // lag/running windows + agg
+    "mr_wordcount",         // explode + agg
+    "text_fingerprint",     // HOF-heavy per-doc text ops
+    "dedup_minhash",        // shingle + LSH band join
+    "dedup_jaccard",        // blocked pairwise set ops
+    "dedup_embedding",      // blocked pairwise vector math
+    "ann_bruteforce",       // broadcast query set scan
+    "ann_ivf")              // clustered probe
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // JVM/codegen warmup outside the timed region
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    printLine(results, sfDir)
     spark.stop()
+  }
+
+  private def printLine(results: Seq[(String, Double)], sfDir: String): Unit = {
+    val qs = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

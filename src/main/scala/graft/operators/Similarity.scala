@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.CrossEngine.{rnd, rndSql}
+import graft.functions.VectorFunctions
 
 /** Similarity search over the embedding column (SURVEY.md §2 F).
   *
@@ -26,16 +27,16 @@ object Similarity {
   private val NProbe = 2
   private val TopK = 5
 
-  /** (vec_id, label, v: array<double>, nrm) */
+  /** (vec_id, label, v: array<double>, nrm) — norm and dot products
+    * via the native codegen'd expressions in VectorFunctions (same
+    * sequential fold as the HOF form, no per-pair allocation). */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
   private val vecsSql =
     """SELECT vec_id, label,

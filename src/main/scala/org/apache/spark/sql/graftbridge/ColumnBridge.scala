@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Classic-backend Column ↔ Expression bridge.
+  *
+  * Spark 4 made `Column` backend-agnostic and scoped the conversion
+  * helpers `private[sql]`; living under `org.apache.spark.sql` is the
+  * sanctioned extension-library pattern for reaching them (the same
+  * move every Catalyst-extending library makes).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
