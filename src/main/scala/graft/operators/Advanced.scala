@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.CrossEngine.{dsum, dsumSql, rnd, rndSql}
+
+/** Advanced relational operators (SURVEY.md §2 B extensions): as-of
+  * join, range join, pivot, exact percentiles, and an HLL sketch.
+  *
+  * The as-of join deliberately composes built-ins (running-max window
+  * over a tagged union) instead of a custom SparkPlan — preference
+  * order (a) from SURVEY.md §2: one shuffle on (user), no range
+  * binary search, no state. The DuckDB oracle uses its native
+  * `ASOF LEFT JOIN` — two independent formulations agreeing on every
+  * row is the point.
+  */
+object Advanced {
+
+  // ---------------------------------------------------------------- asof join
+  /** For each purchase, the most recent view at-or-before it by the
+    * same user (pandas merge_asof / kdb aj semantics). */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    // at equal us a view must sort before the purchase ('view' > 'purchase'
+    // lexically, so event_type desc) to be visible to it, matching ASOF's
+    // b.us <= a.us tie inclusion
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_type").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_view_us", max(when(col("event_type") === "view", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        col("us").as("purchase_us"), col("last_view_us"))
+      .orderBy(col("purchase_event_id"))
+  }
+
+  private val qAsofJoinSql =
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      |  WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events
+      |  WHERE event_type = 'view')
+      |SELECT p.user_id, p.event_id AS purchase_event_id,
+      |  p.us AS purchase_us, v.us AS last_view_us
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND p.us >= v.us
+      |ORDER BY purchase_event_id""".stripMargin
+
+  // ---------------------------------------------------------------- range join
+  /** Non-equi band join: quantities against a literal bucket table
+    * (broadcast nested-loop on a 5-row build side). */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = spark.createDataFrame(Seq(
+      (1.0, 10.0, "b1_tiny"), (11.0, 20.0, "b2_small"), (21.0, 30.0, "b3_mid"),
+      (31.0, 40.0, "b4_large"), (41.0, 50.0, "b5_huge")))
+      .toDF("lo", "hi", "bucket")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(buckets),
+        col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy(col("bucket"))
+  }
+
+  private val qRangeJoinSql =
+    s"""SELECT bucket, count(*) AS n_items,
+       |  ${dsumSql("l_extendedprice", "total_price")}
+       |FROM lineitem
+       |JOIN (VALUES (1.0, 10.0, 'b1_tiny'), (11.0, 20.0, 'b2_small'),
+       |             (21.0, 30.0, 'b3_mid'), (31.0, 40.0, 'b4_large'),
+       |             (41.0, 50.0, 'b5_huge')) buckets(lo, hi, bucket)
+       |  ON l_quantity >= lo AND l_quantity <= hi
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- pivot
+  /** The DataFrame `pivot` API (same semantics as q_case_agg, via the
+    * dedicated operator; absent combinations filled with 0). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("user_id"), col("click").as("n_click"), col("view").as("n_view"),
+        col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+        col("error").as("n_error"))
+      .orderBy(col("user_id"))
+
+  private val qPivotSql =
+    """SELECT user_id,
+      |  cast(count(*) FILTER (WHERE event_type = 'click') as bigint) AS n_click,
+      |  cast(count(*) FILTER (WHERE event_type = 'view') as bigint) AS n_view,
+      |  cast(count(*) FILTER (WHERE event_type = 'purchase') as bigint) AS n_purchase,
+      |  cast(count(*) FILTER (WHERE event_type = 'signup') as bigint) AS n_signup,
+      |  cast(count(*) FILTER (WHERE event_type = 'error') as bigint) AS n_error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- percentile
+  /** Exact interpolated percentiles per group (both engines do linear
+    * interpolation over the sorted set; outputs floor-rounded). */
+  def qPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        rnd(expr("percentile(c_acctbal, 0.5)"), 4).as("p50_bal"),
+        rnd(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_bal"),
+        count(lit(1)).as("n_cust"))
+      .orderBy(col("c_mktsegment"))
+
+  private val qPercentileSql =
+    s"""SELECT c_mktsegment,
+       |  ${rndSql("quantile_cont(c_acctbal, 0.5)", 4)} AS p50_bal,
+       |  ${rndSql("quantile_cont(c_acctbal, 0.9)", 4)} AS p90_bal,
+       |  count(*) AS n_cust
+       |FROM customer GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- approx distinct
+  /** HLL++ sketch aggregation — approximate by construction, so no
+    * cross-engine oracle (driver records the weaker rows-only check);
+    * the ScalaTest spec bounds its error against the exact count. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+
+  // ---------------------------------------------------------------- registry
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_asof_join", qAsofJoin _, Some(qAsofJoinSql)),
+    QueryDef("q_range_join", qRangeJoin _, Some(qRangeJoinSql)),
+    QueryDef("q_pivot", qPivot _, Some(qPivotSql)),
+    QueryDef("q_percentile", qPercentile _, Some(qPercentileSql)),
+    QueryDef("q_approx_distinct", qApproxDistinct _, None))
+}
