@@ -31,6 +31,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // the sf dirs are single ~MB-scale parquet files; split them so
+      // scans parallelize across all local cores (at cluster scale the
+      // default 128m is right — many files/row groups per table)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.VectorFunctions
+
+/** SparkSessionExtensions entry point: makes graft's native functions
+  * available in any session via
+  * `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`), the standard way a
+  * library ships Catalyst extensions to a cluster.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[VectorFunctions.DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => VectorFunctions.DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("l2_norm"),
+      new ExpressionInfo(classOf[VectorFunctions.L2Norm].getName, "l2_norm"),
+      (exprs: Seq[Expression]) => VectorFunctions.L2Norm(exprs.head)))
+  }
+}

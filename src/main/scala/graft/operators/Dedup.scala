@@ -89,8 +89,12 @@ object Dedup {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     // shingles built array-natively (indexed transform over the token
     // array) — no window, no shuffle before the signature aggregate
+    // partition the compact docs once by doc_id: every later per-doc
+    // groupBy (distinct, seed, band) is then shuffle-free on the
+    // exploded rows (HashPartitioning(doc_id) satisfies all of them)
     val shingles = Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("t"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(expr(
         """filter(
           |  transform(t, (x, i) -> CASE WHEN i + 2 < size(t)
@@ -150,7 +154,9 @@ object Dedup {
     * distinct token set, near-dups = hamming ≤ 3 within a lang block. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), explode(array_distinct(toks)).as("tok"))
+      .select(col("doc_id"), col("lang"), array_distinct(toks).as("t"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), explode(col("t")).as("tok"))
       .withColumn("th", md5Long(col("tok")))
       .withColumn("bit", explode(array((0 until 16).map(lit(_)): _*)))
       .groupBy(col("doc_id"), col("lang"), col("bit"))

@@ -119,8 +119,8 @@ object TextAnalysis {
     * bigint arithmetic) plus an md5 content fingerprint — the pair a
     * dedup pipeline keys on. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id"))
     Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), col("text"), posexplode(toks).as(Seq("pos", "tok")))
       .groupBy(col("doc_id"))
       .agg(
@@ -144,6 +144,7 @@ object TextAnalysis {
   def textNgrams(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
       .withColumn("bigram", concat(col("tok"), lit(" "), lead(col("tok"), 1).over(w)))
       .filter(col("bigram").isNotNull)
