@@ -102,15 +102,18 @@ object Dedup {
           |    END),
           |  s -> s IS NOT NULL)""".stripMargin)).as("shingle"))
       .select(col("doc_id"), col("shingle")).distinct()
-    val mh = shingles
-      .withColumn("seed", explode(array((0 until 8).map(lit(_)): _*)))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5Long(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("h"))
-    val bands = mh
-      .groupBy(col("doc_id"), expr("seed div 2").as("band"))
-      .agg(
-        max(when(col("seed") % 2 === 0, col("h"))).as("h0"),
-        max(when(col("seed") % 2 === 1, col("h"))).as("h1"))
+    // all 8 seed-minhashes as one aggregate pass (no seed explode):
+    // the signature is a single row per doc, bands unfold from it
+    val seedMins = (0 until 8).map { s =>
+      min(md5Long(concat(lit(s.toString), lit(":"), col("shingle")))).as(s"h$s")
+    }
+    val sig = shingles.groupBy(col("doc_id")).agg(seedMins.head, seedMins.tail: _*)
+    val bands = sig
+      .select(col("doc_id"), explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"), col(s"h${2 * b}").as("h0"), col(s"h${2 * b + 1}").as("h1"))
+      }: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"),
+        col("bd.h0").as("h0"), col("bd.h1").as("h1"))
     val x = bands.select(col("doc_id").as("doc_a"), col("band"), col("h0"), col("h1"))
     val y = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"),
       col("h0").as("g0"), col("h1").as("g1"))
