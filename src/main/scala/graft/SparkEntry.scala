@@ -8,8 +8,9 @@ object SparkEntry {
 
   /** All oracle-checked operators, aggregated from the modules. */
   def allDefs: Seq[QueryDef] =
-    MrCore.defs ++ Relational.defs ++ Advanced.defs ++ Events.defs ++
-      TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++ Multimodal.defs
+    MrCore.defs ++ Relational.defs ++ Advanced.defs ++ ScalarOps.defs ++
+      Events.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
+      Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

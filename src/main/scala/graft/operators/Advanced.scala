@@ -133,8 +133,44 @@ object Advanced {
         count(lit(1)).as("n_lines"))
       .orderBy(col("l_returnflag"))
 
+  // ---------------------------------------------------------------- group topk
+  /** Top-3 customers per segment via the typed bounded
+    * `TopKAggregator` — map-side combine ships ≤k rows per partition
+    * per group instead of window-sorting whole groups. The window
+    * formulation is the oracle. */
+  def qGroupTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topk = new graft.functions.TopKAggregator(3).toColumn
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topk.name("topk"))
+      .toDF("c_mktsegment", "topk")
+      .select(col("c_mktsegment"),
+        posexplode(arrays_zip(col("topk.ids"), col("topk.scores"))).as(Seq("pos", "e")))
+      .select(
+        col("c_mktsegment"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("e.ids").as("c_custkey"),
+        col("e.scores").as("c_acctbal"))
+      .orderBy(col("c_mktsegment"), col("rank"))
+  }
+
+  private val qGroupTopkSql =
+    """SELECT c_mktsegment, cast(rn as int) AS rank, c_custkey, c_acctbal
+      |FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer)
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment, rank""".stripMargin
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_group_topk", qGroupTopk _, Some(qGroupTopkSql)),
     QueryDef("q_asof_join", qAsofJoin _, Some(qAsofJoinSql)),
     QueryDef("q_range_join", qRangeJoin _, Some(qRangeJoinSql)),
     QueryDef("q_pivot", qPivot _, Some(qPivotSql)),

@@ -113,9 +113,27 @@ object MrCore {
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- salted wordcount
+  /** Skew-proof two-stage aggregation: tokens are first counted per
+    * (salt, token) — splitting any hot key across 16 reducers — then
+    * re-combined per token. Identical result to `mr_wordcount` (same
+    * oracle SQL proves it); the shape to use when one key carries a
+    * disproportionate share of a 100 TB shuffle. */
+  def mrWordcountSalted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(tokens)
+      .filter(col("token") =!= "")
+      .withColumn("salt", pmod(crc32(col("token")) + spark_partition_id(), lit(16)))
+      .groupBy(col("salt"), col("token"))
+      .agg(count(lit(1)).as("partial_cnt"))
+      .groupBy(col("token"))
+      .agg(sum(col("partial_cnt")).as("cnt"))
+      .orderBy(col("token"))
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mr_wordcount", mrWordcount _, Some(mrWordcountSql)),
+    QueryDef("mr_wordcount_salted", mrWordcountSalted _, Some(mrWordcountSql)),
     QueryDef("mr_grep", mrGrep _, Some(mrGrepSql)),
     QueryDef("mr_inverted_index", mrInvertedIndex _, Some(mrInvertedIndexSql)),
     QueryDef("mr_sort", mrSort _, Some(mrSortSql)),
