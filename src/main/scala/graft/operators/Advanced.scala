@@ -52,6 +52,26 @@ object Advanced {
       |  ON p.user_id = v.user_id AND p.us >= v.us
       |ORDER BY purchase_event_id""".stripMargin
 
+  // ---------------------------------------------------------------- asof native
+  /** The same as-of semantics through graft's native operator
+    * (graft.plans.AsOfJoin: LogicalPlan + Strategy + streaming-merge
+    * SparkPlan) — one O(|L|+|R|) merge pass per hash partition
+    * instead of the union+window. Same oracle as q_asof_join. */
+  def qAsofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), unix_micros(col("ts")).as("last_view_us"))
+    graft.plans.AsOf.join(purchases, views,
+        leftKey = "user_id", leftTime = "purchase_us",
+        rightKey = "v_user_id", rightTime = "last_view_us")
+      .select(col("user_id"), col("purchase_event_id"),
+        col("purchase_us"), col("last_view_us"))
+      .orderBy(col("purchase_event_id"))
+  }
+
   // ---------------------------------------------------------------- range join
   /** Non-equi band join: quantities against a literal bucket table
     * (broadcast nested-loop on a 5-row build side). */
@@ -172,6 +192,7 @@ object Advanced {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_group_topk", qGroupTopk _, Some(qGroupTopkSql)),
     QueryDef("q_asof_join", qAsofJoin _, Some(qAsofJoinSql)),
+    QueryDef("q_asof_join_native", qAsofJoinNative _, Some(qAsofJoinSql)),
     QueryDef("q_range_join", qRangeJoin _, Some(qRangeJoinSql)),
     QueryDef("q_pivot", qPivot _, Some(qPivotSql)),
     QueryDef("q_percentile", qPercentile _, Some(qPercentileSql)),

@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.graftbridge.DatasetBridge
+
+/** User-facing API for the native as-of join operator.
+  *
+  * Columns are named (not `Column` expressions) so keys resolve
+  * unambiguously against each side — both sides usually carry a
+  * same-named key column.
+  */
+object AsOf {
+
+  /** Idempotently install the planner strategy on the session. */
+  def register(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    }
+  }
+
+  /** left ASOF LEFT JOIN right ON leftKey = rightKey AND
+    * rightTime <= leftTime (latest such right row). Key/time columns
+    * must be LongType. */
+  def join(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val lPlan = DatasetBridge.analyzedPlan(left)
+    val rPlan = DatasetBridge.analyzedPlan(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not found in [${p.output.map(_.name).mkString(", ")}]"))
+    DatasetBridge.ofRows(spark,
+      AsOfJoin(lPlan, rPlan,
+        attr(lPlan, leftKey), attr(rPlan, rightKey),
+        attr(lPlan, leftTime), attr(rPlan, rightTime)))
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Advanced
+import graft.plans.AsOf
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("native as-of join equals the composed window form row-for-row") {
+    val native = Advanced.qAsofJoinNative(spark, sf).collect().map(_.toSeq).toSet
+    val composed = Advanced.qAsofJoin(spark, sf).collect().map(_.toSeq).toSet
+    assert(native == composed)
+  }
+
+  test("physical plan contains the custom AsOfJoinExec with planted exchanges") {
+    val plan = Advanced.qAsofJoinNative(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$plan")
+  }
+
+  test("as-of picks the latest right row at-or-before, nulls when none") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 90L), (1L, 150L), (1L, 201L), (3L, 10L))
+      .toDF("rk", "rt")
+    val out = AsOf.join(l, r, "k", "t", "rk", "rt")
+      .select("k", "t", "tag", "rt").collect()
+      .map(x => (x.getString(2), if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    assert(out == Map("p1" -> 90L, "p2" -> 150L, "p3" -> -1L))
+  }
+
+  test("ties: right row at exactly left time is included") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 100L)).toDF("k", "t")
+    val r = Seq((1L, 100L)).toDF("rk", "rt")
+    val out = AsOf.join(l, r, "k", "t", "rk", "rt").select("rt").collect()
+    assert(out(0).getLong(0) == 100L)
+  }
+}
