@@ -49,6 +49,39 @@ object Multimodal {
     ds.mapPartitions(_.map(fakeDecode))
   }
 
+  /** Resize output: same id, target dims, payload proportionally
+    * truncated — STUB for a real scaler kernel. The signature (typed
+    * in/out, per-partition batches, pure function of the row) is what
+    * a production resize keeps. */
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  def resizeBatch(ds: Dataset[RawMedia], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { m =>
+      // STUB: real kernel = image decode + interpolation; fake keeps a
+      // deterministic byte-proportional slice so sizes track w*h
+      val n = math.min(m.payload.length, math.max(1, (w * h) / 64))
+      ResizedMedia(m.doc_id, w, h, m.payload.take(n))
+    })
+  }
+
+  /** Frame sampling for video-like payloads: every `stride`-th chunk
+    * of the payload as one "frame" — STUB for a real demuxer; shape
+    * (one input row → many typed frame rows via flatMap) is real. */
+  case class Frame(doc_id: Long, frame_no: Int, n_bytes: Long)
+
+  def sampleFrames(ds: Dataset[RawMedia], chunk: Int, stride: Int): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { m =>
+      val nChunks = math.max(1, m.payload.length / math.max(1, chunk))
+      (0 until nChunks by stride).map { i =>
+        val start = i * chunk
+        val len = math.min(chunk, m.payload.length - start).max(0)
+        Frame(m.doc_id, i, len.toLong)
+      }
+    }
+  }
+
   /** Documents' text bytes as the stand-in binary payload column. */
   def asBinary(spark: SparkSession, dir: String): Dataset[RawMedia] = {
     import spark.implicits._

@@ -37,6 +37,17 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == df.count())
   }
 
+  test("multimodal resize/frame-sample stubs keep typed batch shape") {
+    val raw = Multimodal.asBinary(spark, sf)
+    val resized = Multimodal.resizeBatch(raw, 32, 32).collect()
+    assert(resized.forall(r => r.width == 32 && r.height == 32))
+    assert(resized.forall(r => r.payload.length <= 32 * 32 / 64))
+    val frames = Multimodal.sampleFrames(raw, chunk = 50, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_no % 2 == 0))
+    assert(frames.forall(f => f.n_bytes <= 50))
+  }
+
   test("multimodal decodeBatch: typed stub decode over binary payloads") {
     val raw = Multimodal.asBinary(spark, sf)
     val decoded = Multimodal.decodeBatch(raw).collect()
