@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.functions.CrossEngine.{dsum, dsumSql}
+import graft.functions.CrossEngine.{dsum, dsumSql, rnd}
 
 /** Event / time-series analytics (SURVEY.md §2 C) plus JSON
   * extraction (§2 B #25). All session/funnel logic works on integer
@@ -93,6 +93,53 @@ object Events {
        |FROM sessions GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  // ---------------------------------------------------------------- sliding window
+  /** Trailing 30-minute sliding count/sum per event via a RANGE
+    * frame over epoch-micros — the batch form of a sliding stream
+    * window, state bounded by the range width. */
+  def qWindowSliding(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-GapUs, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("n_trailing_30m", count(lit(1)).over(w))
+      .select(col("user_id"), col("event_id"), col("n_trailing_30m"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val qWindowSlidingSql =
+    s"""SELECT user_id, event_id,
+       |  count(*) OVER (PARTITION BY user_id ORDER BY us
+       |                 RANGE BETWEEN $GapUs PRECEDING AND CURRENT ROW)
+       |    AS n_trailing_30m
+       |FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+       |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- window extras
+  /** first_value / ntile / percent_rank over a per-user total order. */
+  def qWindowExtras(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("first_event_type", first(col("event_type")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", rnd(percent_rank().over(w), 6))
+      .select(col("user_id"), col("event_id"), col("first_event_type"),
+        col("quartile"), col("pct_rank"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val qWindowExtrasSql =
+    s"""SELECT user_id, event_id,
+       |  first_value(event_type) OVER w AS first_event_type,
+       |  cast(ntile(4) OVER w AS int) AS quartile,
+       |  ${graft.functions.CrossEngine.rndSql("percent_rank() OVER w", 6)} AS pct_rank
+       |FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+       |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |ORDER BY user_id, event_id""".stripMargin
+
   // ---------------------------------------------------------------- funnel
   /** signup→purchase conversion per user, time-ordered. */
   def qFunnel(spark: SparkSession, dir: String): DataFrame =
@@ -125,5 +172,7 @@ object Events {
     QueryDef("q_json", qJson _, Some(qJsonSql)),
     QueryDef("q_tumbling_window", qTumblingWindow _, Some(qTumblingWindowSql)),
     QueryDef("q_sessionize", qSessionize _, Some(qSessionizeSql)),
+    QueryDef("q_window_sliding", qWindowSliding _, Some(qWindowSlidingSql)),
+    QueryDef("q_window_extras", qWindowExtras _, Some(qWindowExtrasSql)),
     QueryDef("q_funnel", qFunnel _, Some(qFunnelSql)))
 }

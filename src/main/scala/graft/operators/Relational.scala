@@ -278,6 +278,28 @@ object Relational {
        |GROUP BY ROLLUP (r_name, n_name)
        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- cube
+  /** Full cube over (region, segment): all 4 grouping combinations. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(dsum(col("c_acctbal")).as("total_bal"), count(lit(1)).as("n_cust"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("c_mktsegment"))
+
+  private val qCubeSql =
+    s"""SELECT r_name, c_mktsegment,
+       |  ${dsumSql("c_acctbal", "total_bal")},
+       |  count(*) AS n_cust
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY CUBE (r_name, c_mktsegment)
+       |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- case agg
   /** Pivot-style conditional aggregation per user. */
   def qCaseAgg(spark: SparkSession, dir: String): DataFrame =
@@ -410,6 +432,7 @@ object Relational {
     QueryDef("q_window_rank", qWindowRank _, Some(qWindowRankSql)),
     QueryDef("q_window_running", qWindowRunning _, Some(qWindowRunningSql)),
     QueryDef("q_rollup", qRollup _, Some(qRollupSql)),
+    QueryDef("q_cube", qCube _, Some(qCubeSql)),
     QueryDef("q_case_agg", qCaseAgg _, Some(qCaseAggSql)),
     QueryDef("q_union", qUnion _, Some(qUnionSql)),
     QueryDef("q_having", qHaving _, Some(qHavingSql)),
