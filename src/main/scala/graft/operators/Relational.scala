@@ -343,6 +343,41 @@ object Relational {
        |  SELECT 'low' AS bucket, o_totalprice FROM orders WHERE o_totalprice < 10000)
        |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- intersect / except
+  /** Set intersection: customers active in both halves of the order
+    * history (compiles to a left-semi over distinct — dedup + join
+    * in one shuffle). */
+  def qIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val early = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val late = o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    early.intersect(late).orderBy(col("o_custkey"))
+  }
+
+  private val qIntersectSql =
+    """SELECT o_custkey FROM orders WHERE o_orderdate < timestamp '1998-01-01'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderdate >= timestamp '1998-01-01'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Set difference: customers active early but never late. */
+  def qExcept(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val early = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val late = o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    early.except(late).orderBy(col("o_custkey"))
+  }
+
+  private val qExceptSql =
+    """SELECT o_custkey FROM orders WHERE o_orderdate < timestamp '1998-01-01'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderdate >= timestamp '1998-01-01'
+      |ORDER BY o_custkey""".stripMargin
+
   // ---------------------------------------------------------------- having
   def qHaving(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -435,6 +470,8 @@ object Relational {
     QueryDef("q_cube", qCube _, Some(qCubeSql)),
     QueryDef("q_case_agg", qCaseAgg _, Some(qCaseAggSql)),
     QueryDef("q_union", qUnion _, Some(qUnionSql)),
+    QueryDef("q_intersect", qIntersect _, Some(qIntersectSql)),
+    QueryDef("q_except", qExcept _, Some(qExceptSql)),
     QueryDef("q_having", qHaving _, Some(qHavingSql)),
     QueryDef("q_subquery_avg", qSubqueryAvg _, Some(qSubqueryAvgSql)),
     QueryDef("q_string_funcs", qStringFuncs _, Some(qStringFuncsSql)),

@@ -11,11 +11,15 @@ import org.apache.spark.sql.graftbridge.DatasetBridge
   */
 object AsOf {
 
-  /** Idempotently install the planner strategy on the session. */
+  /** Idempotently install the planner strategy + optimizer rule. */
   def register(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    }
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(PushFilterThroughAsOfJoin)) {
+      spark.experimental.extraOptimizations = opts :+ PushFilterThroughAsOfJoin
     }
   }
 
