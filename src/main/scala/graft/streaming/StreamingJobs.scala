@@ -34,6 +34,18 @@ object StreamingJobs {
         col("n_events"), col("total_value"))
   }
 
+  /** Streaming exact dedup: drop repeated (user_id, event_type)
+    * pairs, with state GC'd past the watermark — the streaming twin
+    * of operators.Dedup.dedupExact. On a batch frame it degrades to
+    * plain dropDuplicates. */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    if (events.isStreaming) {
+      events.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+    } else {
+      events.dropDuplicates("user_id", "event_type")
+    }
+
   case class Ev(user_id: Long, us: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_us: Long)
   case class SessState(sessionSeq: Long, start: Long, last: Long, n: Long)

@@ -52,6 +52,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == direct)
   }
 
+  test("streaming dedup drops duplicates within the watermark") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("dedup-in").toString
+    val batch = Tables.events(s, sf).select("ts", "user_id", "event_type")
+    batch.write.mode("overwrite").parquet(tmp)
+
+    val src = s.readStream.schema(batch.schema).parquet(tmp)
+    val q = StreamingJobs.dedupStream(src).writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = s.sql("select user_id, event_type from dedup_out").count()
+    val direct = StreamingJobs.dedupStream(batch).count()
+    assert(streamed == direct)
+    assert(direct == batch.dropDuplicates("user_id", "event_type").count())
+  }
+
   test("streaming sessionize emits closed sessions with state across batches") {
     val s = spark
     import s.implicits._
