@@ -55,4 +55,24 @@ object Sources {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Bucketed + sorted managed table: both sides of a recurring join
+    * bucketed on the join key join WITHOUT a shuffle (the write
+    * pre-pays the exchange once). At 100 TB this is the difference
+    * between re-shuffling the fact table on every query and never
+    * shuffling it again. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Register every test table as a temp view so the full surface is
+    * reachable through plain `spark.sql(...)`. */
+  def createViews(spark: SparkSession, dir: String): Unit =
+    graft.Tables.all.foreach { t =>
+      graft.Tables.table(spark, dir, t).createOrReplaceTempView(t)
+    }
 }
