@@ -50,7 +50,15 @@ object Dedup {
     * only pairs that actually share a token ever materialize, and
     * |A∪B| = |A|+|B|−|A∩B| from precomputed set sizes. This is the
     * form that survives 100 TB (shuffle join on a compound key);
-    * the cross-join form was 20× slower at sf0.1. */
+    * the cross-join form was 20× slower at sf0.1.
+    *
+    * Measured note: a PPJoin-style prefix-filtered variant (canonical
+    * rarest-first order, explode only each set's (1−t)·|A|+1 prefix,
+    * exact array_intersect on candidates) was implemented and was 4×
+    * SLOWER here — this corpus's ~100-word vocabulary makes candidate
+    * count ≈ qualifying-pair count while the candidates drag full
+    * token arrays through the shuffle. On a natural-vocabulary corpus
+    * (low df tails) prefix filtering wins; pick per corpus stats. */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), array_distinct(toks).as("s"))
