@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.plans.AsOf
+import graft.streaming.StreamingJobs
+import graft.streaming.StreamingJobs.Ev
+
+/** Property-based equivalence of graft's custom operators against
+  * in-memory brute-force references, over randomized inputs. */
+class PropertySpec extends SparkSpec {
+
+  /** Drive a ScalaCheck Gen manually: 10 seeded samples per property
+    * (deterministic across runs — no scalatestplus bridge needed). */
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    (0 until 10).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val pairGen: Gen[(List[(Long, Long)], List[(Long, Long)])] = for {
+    nl <- Gen.choose(0, 20)
+    nr <- Gen.choose(0, 20)
+    l <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+    r <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+  } yield (l, r)
+
+  test("property: AsOf.join equals brute-force latest-at-or-before") {
+    val s = spark
+    import s.implicits._
+    forAll(pairGen) { case (l, r) =>
+      whenever(l.nonEmpty) {
+        // make left rows unique so rows are identifiable
+        val lu = l.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        val ldf = lu.toDF("k", "t", "lid")
+        val rdf = r.toDF("rk", "rt")
+        val got = AsOf.join(ldf, rdf, "k", "t", "rk", "rt")
+          .select("lid", "rt").collect()
+          .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
+          .toMap
+        val expect = lu.map { case (k, t, lid) =>
+          val cands = r.filter { case (rk, rt) => rk == k && rt <= t }
+          lid -> (if (cands.isEmpty) None else Some(cands.map(_._2).max))
+        }.toMap
+        assert(got == expect)
+      }
+    }
+  }
+
+  test("property: TopKAggregator equals sort-take") {
+    val agg = new graft.functions.TopKAggregator(3)
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(-100.0, 100.0)))) {
+      (pairs: List[(Long, Double)]) =>
+        val viaAgg = pairs.foldLeft(agg.zero)((b, p) => agg.reduce(b, p))
+        val expect = pairs.sortBy(t => (-t._2, t._1)).take(3)
+        assert(viaAgg.ids.zip(viaAgg.scores) == expect)
+        // merge in halves must give the same answer
+        val (h1, h2) = pairs.splitAt(pairs.length / 2)
+        val merged = agg.merge(
+          h1.foldLeft(agg.zero)((b, p) => agg.reduce(b, p)),
+          h2.foldLeft(agg.zero)((b, p) => agg.reduce(b, p)))
+        assert(merged.ids.zip(merged.scores) == expect)
+    }
+  }
+
+  test("property: stateful sessionizer equals brute-force gap split") {
+    val s = spark
+    import s.implicits._
+    val gap = 10L
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 200L)))) {
+      (evs: List[(Long, Long)]) =>
+        whenever(evs.nonEmpty) {
+          val distinct = evs.distinct
+          val ds = distinct.map { case (u, t) => Ev(u, t) }.toDS()
+          val got = StreamingJobs.sessionize(ds, gapUs = gap).collect()
+            .map(o => (o.user_id, o.session_id, o.n_events, o.duration_us)).toSet
+          val expect = distinct.groupBy(_._1).flatMap { case (u, rows) =>
+            val ts = rows.map(_._2).distinct.sorted
+            // split where consecutive gap exceeds `gap`
+            val sessions = ts.foldLeft(List.empty[List[Long]]) {
+              case (Nil, t) => List(List(t))
+              case (cur :: done, t) =>
+                if (t - cur.head > gap) List(t) :: cur :: done
+                else (t :: cur) :: done
+            }.reverse.map(_.reverse)
+            sessions.zipWithIndex.map { case (sess, i) =>
+              (u, (i + 1).toLong, sess.length.toLong, sess.last - sess.head)
+            }
+          }.toSet
+          // brute force counts distinct timestamps; dataset may carry
+          // duplicate (u,t) rows — drop them on both sides (done above)
+          assert(got == expect)
+        }
+    }
+  }
+
+  test("property: MapReduce.run equals sequential map+reduce") {
+    val s = spark
+    import s.implicits._
+    forAll(Gen.listOf(Gen.zip(Gen.identifier.map(_.take(3)), Gen.choose(1, 5)))) {
+      (docs: List[(String, Int)]) =>
+        whenever(docs.nonEmpty) {
+          val input = docs.map { case (w, n) => (w, Seq.fill(n)(w).mkString(" ")) }.toDS()
+          val got = graft.mr.MapReduce.run[String, String, String, Long](
+            input,
+            (_, text) => text.split(" ").filter(_.nonEmpty).map(w => (w, 1L)),
+            _ + _).collect().toMap
+          val expect = docs.flatMap { case (w, n) => Seq.fill(n)(w) }
+            .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+          assert(got == expect)
+        }
+    }
+  }
+}
