@@ -130,6 +130,80 @@ object MrCore {
       .agg(sum(col("partial_cnt")).as("cnt"))
       .orderBy(col("token"))
 
+  // ---------------------------------------------------------------- pagerank
+  /** Iterative PageRank (3 unrolled iterations) over the
+    * customer↔supplier bipartite graph from order lineitems — the
+    * classic iterative-MapReduce application (each iteration is one
+    * contribution-scatter map + one gather reduce).
+    *
+    * All rank arithmetic is SCALED INTEGER (1e15 fixed point) —
+    * sums are exact and order-independent, integer division is
+    * identical on both engines, so 3 chained iterations stay
+    * bit-deterministic. Edges are symmetrized (both directions) so
+    * no node dangles. At scale each iteration is one shuffle on dst;
+    * the edge list partitioning is reusable across iterations.
+    */
+  def mrPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val Scale = 1000000000000000L // 1e15 fixed point
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+      .distinct()
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val nTotal = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+
+    var ranks = nodes.crossJoin(nTotal)
+      .select(col("node"), expr(s"${Scale}L div n").as("rank"))
+    for (_ <- 1 to 3) {
+      val contribs = edges
+        .join(ranks, col("src") === col("node")).drop("node")
+        .join(deg, "src")
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+      ranks = nodes.crossJoin(nTotal)
+        .join(contribs, col("node") === col("dst"), "left_outer")
+        .select(col("node"), col("n"), coalesce(col("s"), lit(0L)).as("s"))
+        .select(col("node"),
+          expr(s"((15 * ${Scale}L) div 100) div n + (85 * s) div 100").as("rank"))
+    }
+    ranks.select(col("node"), col("rank").as("rank_scaled")).orderBy(col("node"))
+  }
+
+  private val mrPagerankSql = {
+    val scale = "1000000000000000"
+    """WITH fwd AS (
+      |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (
+      |  SELECT src, dst FROM fwd
+      |  UNION ALL
+      |  SELECT dst AS src, src AS dst FROM fwd),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      |r0 AS (SELECT node, SCALE // n AS rank FROM nodes CROSS JOIN nn),
+      |c1 AS (SELECT e.dst, sum(r.rank // d.outdeg) AS s
+      |       FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      |       GROUP BY e.dst),
+      |r1 AS (SELECT node, ((15 * SCALE) // 100) // n + (85 * coalesce(s, 0)) // 100 AS rank
+      |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON node = dst),
+      |c2 AS (SELECT e.dst, sum(r.rank // d.outdeg) AS s
+      |       FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT node, ((15 * SCALE) // 100) // n + (85 * coalesce(s, 0)) // 100 AS rank
+      |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON node = dst),
+      |c3 AS (SELECT e.dst, sum(r.rank // d.outdeg) AS s
+      |       FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      |       GROUP BY e.dst),
+      |r3 AS (SELECT node, ((15 * SCALE) // 100) // n + (85 * coalesce(s, 0)) // 100 AS rank
+      |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON node = dst)
+      |SELECT node, cast(rank as bigint) AS rank_scaled FROM r3
+      |ORDER BY node""".stripMargin.replace("SCALE", scale)
+  }
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mr_wordcount", mrWordcount _, Some(mrWordcountSql)),
@@ -137,5 +211,6 @@ object MrCore {
     QueryDef("mr_grep", mrGrep _, Some(mrGrepSql)),
     QueryDef("mr_inverted_index", mrInvertedIndex _, Some(mrInvertedIndexSql)),
     QueryDef("mr_sort", mrSort _, Some(mrSortSql)),
-    QueryDef("mr_partition_hist", mrPartitionHist _, Some(mrPartitionHistSql)))
+    QueryDef("mr_partition_hist", mrPartitionHist _, Some(mrPartitionHistSql)),
+    QueryDef("mr_pagerank", mrPagerank _, Some(mrPagerankSql)))
 }

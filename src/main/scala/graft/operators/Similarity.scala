@@ -155,8 +155,101 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- kmeans
+  /** IVF centroid training: 2 deterministic Lloyd iterations
+    * (init = lowest-id vectors, cosine assignment with fixed
+    * tie-break, decimal-exact component means). This is how the
+    * `ann_ivf` centroids would actually be learned at scale — each
+    * iteration is one broadcast-assign (narrow) + one (cluster, dim)
+    * aggregate; nothing iterates on the driver.
+    *
+    * Cross-engine: component means are decimal-sum / count (exact,
+    * order-free); norms/dots are sequential folds over dim-ordered
+    * arrays → bit-identical doubles. */
+  def annKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+      e.join(broadcast(cent), lit(true))
+        .withColumn("ccos",
+          VectorFunctions.dot(col("cv"), col("v"))
+            / (VectorFunctions.norm(col("cv")) * col("nrm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+    }
+
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg((sum(col("x").cast("decimal(28,12)")).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy(col("cluster"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("cv"))
+        .select(col("cluster").as("c_id"), col("cv"))
+
+    val c0 = e.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").cast("int").as("c_id"), col("v").as("cv"))
+    val a1 = assign(c0)
+    val c1 = update(a1)
+    val a2 = assign(c1)
+    val c2 = update(a2)
+    val sizes = a2.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    c2.join(sizes, col("c_id") === col("cluster"))
+      .select(
+        col("c_id").as("cluster_id"),
+        col("n_members"),
+        rnd(VectorFunctions.norm(col("cv")), 6).as("centroid_norm"),
+        rnd(element_at(col("cv"), 1), 6).as("centroid_c0"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val annKmeansSql = {
+    val dot = (a: String, b: String) =>
+      s"list_reduce(list_transform($a, (x, i) -> x * $b[i]), (x, y) -> x + y)"
+    val nrm = (a: String) =>
+      s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
+    s"""WITH en AS ($vecsSql),
+       |c0 AS (SELECT cast(vec_id as int) AS c_id, v AS cv FROM en WHERE vec_id < $NCentroids),
+       |a1 AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT en.vec_id, en.v, c.c_id AS cluster,
+       |      row_number() OVER (PARTITION BY en.vec_id
+       |        ORDER BY ${dot("c.cv", "en.v")} / (${nrm("c.cv")} * en.nrm) DESC, c.c_id) AS rn
+       |    FROM en CROSS JOIN c0 c)
+       |  WHERE rn = 1),
+       |u1 AS (
+       |  SELECT cluster, dim,
+       |    cast(sum(cast(x as decimal(28,12))) as double) / count(*) AS m
+       |  FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a1)
+       |  GROUP BY cluster, dim),
+       |c1 AS (SELECT cluster AS c_id, list(m ORDER BY dim) AS cv FROM u1 GROUP BY cluster),
+       |a2 AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT en.vec_id, en.v, c.c_id AS cluster,
+       |      row_number() OVER (PARTITION BY en.vec_id
+       |        ORDER BY ${dot("c.cv", "en.v")} / (${nrm("c.cv")} * en.nrm) DESC, c.c_id) AS rn
+       |    FROM en CROSS JOIN c1 c)
+       |  WHERE rn = 1),
+       |u2 AS (
+       |  SELECT cluster, dim,
+       |    cast(sum(cast(x as decimal(28,12))) as double) / count(*) AS m
+       |  FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a2)
+       |  GROUP BY cluster, dim),
+       |c2 AS (SELECT cluster AS c_id, list(m ORDER BY dim) AS cv FROM u2 GROUP BY cluster),
+       |sizes AS (SELECT cluster, count(*) AS n_members FROM a2 GROUP BY cluster)
+       |SELECT c2.c_id AS cluster_id, sizes.n_members,
+       |  ${rndSql(nrm("c2.cv"), 6)} AS centroid_norm,
+       |  ${rndSql("c2.cv[1]", 6)} AS centroid_c0
+       |FROM c2 JOIN sizes ON c2.c_id = sizes.cluster
+       |ORDER BY cluster_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ann_bruteforce", annBruteforce _, Some(annBruteforceSql)),
-    QueryDef("ann_ivf", annIvf _, Some(annIvfSql)))
+    QueryDef("ann_ivf", annIvf _, Some(annIvfSql)),
+    QueryDef("ann_kmeans", annKmeans _, Some(annKmeansSql)))
 }
