@@ -21,7 +21,9 @@ object Bench {
     "dedup_jaccard",        // blocked pairwise set ops
     "dedup_embedding",      // blocked pairwise vector math
     "ann_bruteforce",       // broadcast query set scan
-    "ann_ivf")              // clustered probe
+    "ann_ivf",              // clustered probe
+    "ann_kmeans",           // iterative centroid training
+    "mr_pagerank")          // iterative graph scatter/gather
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
