@@ -10,7 +10,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     MrCore.defs ++ Relational.defs ++ Advanced.defs ++ ScalarOps.defs ++
       Events.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
-      Multimodal.defs
+      Multimodal.defs ++ Pipelines.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
