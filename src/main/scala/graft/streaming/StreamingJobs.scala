@@ -46,6 +46,25 @@ object StreamingJobs {
       events.dropDuplicates("user_id", "event_type")
     }
 
+  /** Stream-stream interval join: each purchase joined to the views
+    * by the same user in the preceding hour. Watermarks bound both
+    * sides' state: a view older than (watermark − 1 h) can never
+    * match a future purchase and is dropped. Works identically on
+    * batch frames (no watermark needed). */
+  def purchaseViewJoin(events: DataFrame): DataFrame = {
+    val base = events.select(col("ts"), col("user_id"), col("event_type"))
+    val (p0, v0) =
+      if (events.isStreaming)
+        (base.withWatermark("ts", "1 hour"), base.withWatermark("ts", "2 hours"))
+      else (base, base)
+    val p = p0.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val v = v0.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    p.join(v, expr(
+      "p_user = v_user AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"))
+  }
+
   case class Ev(user_id: Long, us: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_us: Long)
   case class SessState(sessionSeq: Long, start: Long, last: Long, n: Long)

@@ -52,6 +52,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == direct)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("ssj-in").toString
+    val batch = Tables.events(s, sf).select("ts", "user_id", "event_type")
+    batch.write.mode("overwrite").parquet(tmp)
+
+    val src = s.readStream.schema(batch.schema).parquet(tmp)
+    val q = StreamingJobs.purchaseViewJoin(src).writeStream
+      .format("memory").queryName("ssj_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = s.sql("select * from ssj_out").count()
+    val direct = StreamingJobs.purchaseViewJoin(batch).count()
+    assert(streamed == direct)
+    assert(direct > 0)
+  }
+
   test("streaming dedup drops duplicates within the watermark") {
     val s = spark
     val tmp = java.nio.file.Files.createTempDirectory("dedup-in").toString
