@@ -155,6 +155,52 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- LSH
+  /** Random-hyperplane LSH near-dup candidates: an 8-bit signature
+    * (sign of the dot product against 8 deterministic hyperplanes —
+    * the lowest-id vectors), candidates = pairs in the same bucket.
+    * Like dedup_minhash, signature computation is linear and the
+    * bucket join is an equi-join — no cross join; at 100 TB the
+    * signature doubles as a partition key so each bucket is a
+    * partition-local pair scan. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val hyper = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("hid"), col("v").as("hv"))
+    val sigs = e.join(broadcast(hyper), lit(true))
+      .withColumn("bit",
+        when(VectorFunctions.dot(col("hv"), col("v")) > 0,
+          expr("cast(shiftleft(1L, hid) as bigint)")).otherwise(0L))
+      .groupBy(col("vec_id"), col("v"), col("nrm"))
+      .agg(sum(col("bit")).as("sig"))
+    val a = sigs.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"), col("sig"))
+    val b = sigs.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("sig").as("sig_b"))
+    a.join(b, col("sig") === col("sig_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("sig").as("bucket"),
+        rnd(VectorFunctions.dot(col("va"), col("vb"))
+          / (col("na") * col("nb")), 6).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val annLshSql = {
+    val dot = (a: String, b: String) =>
+      s"list_reduce(list_transform($a, (x, i) -> x * $b[i]), (x, y) -> x + y)"
+    s"""WITH en AS ($vecsSql),
+       |hyper AS (SELECT cast(vec_id as int) AS hid, v AS hv FROM en WHERE vec_id < 8),
+       |sigs AS (
+       |  SELECT en.vec_id, any_value(en.v) AS v, any_value(en.nrm) AS nrm,
+       |    cast(sum(CASE WHEN ${dot("h.hv", "en.v")} > 0
+       |             THEN (1::BIGINT << h.hid) ELSE 0 END) as bigint) AS sig
+       |  FROM en CROSS JOIN hyper h
+       |  GROUP BY en.vec_id)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.sig AS bucket,
+       |  ${rndSql("list_reduce(list_transform(a.v, (x, i) -> x * b.v[i]), (x, y) -> x + y) / (a.nrm * b.nrm)", 6)} AS cos_sim
+       |FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- kmeans
   /** IVF centroid training: 2 deterministic Lloyd iterations
     * (init = lowest-id vectors, cosine assignment with fixed
@@ -251,5 +297,6 @@ object Similarity {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ann_bruteforce", annBruteforce _, Some(annBruteforceSql)),
     QueryDef("ann_ivf", annIvf _, Some(annIvfSql)),
-    QueryDef("ann_kmeans", annKmeans _, Some(annKmeansSql)))
+    QueryDef("ann_kmeans", annKmeans _, Some(annKmeansSql)),
+    QueryDef("ann_lsh", annLsh _, Some(annLshSql)))
 }
