@@ -212,9 +212,12 @@ object Similarity {
     * Cross-engine: component means are decimal-sum / count (exact,
     * order-free); norms/dots are sequential folds over dim-ordered
     * arrays → bit-identical doubles. */
-  def annKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
-
+  /** Reusable Lloyd trainer over (vec_id, v, nrm) rows: k clusters
+    * (init = k lowest-id vectors), `iters` assign/update rounds.
+    * Returns (centroids with c_id/cv, final assignment with
+    * vec_id/v/cluster). Fully declarative — no driver-side loops
+    * over data, only plan construction. */
+  def kmeansTrain(e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     def assign(cent: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
       e.join(broadcast(cent), lit(true))
@@ -223,7 +226,7 @@ object Similarity {
             / (VectorFunctions.norm(col("cv")) * col("nrm")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+        .select(col("vec_id"), col("v"), col("cluster"))
     }
 
     def update(assigned: DataFrame): DataFrame =
@@ -236,12 +239,19 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("cv"))
         .select(col("cluster").as("c_id"), col("cv"))
 
-    val c0 = e.filter(col("vec_id") < NCentroids)
+    var cent = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("c_id"), col("v").as("cv"))
-    val a1 = assign(c0)
-    val c1 = update(a1)
-    val a2 = assign(c1)
-    val c2 = update(a2)
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = assign(cent.withColumn("cluster", col("c_id")))
+      cent = update(assigned)
+    }
+    (cent, assigned)
+  }
+
+  def annKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val (c2, a2) = kmeansTrain(e, NCentroids, iters = 2)
     val sizes = a2.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
     c2.join(sizes, col("c_id") === col("cluster"))
       .select(
