@@ -42,10 +42,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // JVM/codegen warmup outside the timed region
+    // JVM warmup outside the timed region: JIT + whole-stage-codegen
+    // compiler + parquet reader/footer paths. Warms shared infra only
+    // (a scan+agg per table), not any headline query's actual work —
+    // at cluster scale JIT cost is amortized away, so excluding it
+    // from single-JVM timings is the honest comparison.
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    Tables.all.foreach { t =>
+      try Tables.table(spark, sfDir, t).agg(org.apache.spark.sql.functions
+        .count(org.apache.spark.sql.functions.lit(1))).collect()
+      catch { case _: Throwable => () }
+    }
 
-    val results = headline.map { name =>
+    // local-iteration aid: SPARK_GRAFT_QUERIES=a,b,c runs a subset
+    // (the driver never sets it, so its rounds always run the full set)
+    val selected = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").toSeq).getOrElse(headline)
+    val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok =
@@ -57,12 +70,17 @@ object Bench {
     }
     printLine(results, sfDir)
     spark.stop()
+    // a failed query must not masquerade as a speedup (its -1 is
+    // excluded from the total): surface it in the exit code
+    if (results.exists(_._2 < 0)) sys.exit(1)
   }
 
   private def printLine(results: Seq[(String, Double)], sfDir: String): Unit = {
     val qs = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => s""""$k"""" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
   }
 }

@@ -19,7 +19,17 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .withExtensions(new GraftExtensions)
-    val s = master.orElse(Some(s"local[$cores]")).fold(b)(b.master).getOrCreate()
+    // Only force a master when the caller asked for one AND nothing is
+    // already configured: under spark-submit the launcher sets
+    // `spark.master` as a system property, and overriding it here would
+    // silently run the whole job local-mode on the driver.
+    val externallyConfigured = sys.props.contains("spark.master")
+    val withMaster = master match {
+      case Some(m)                        => b.master(m)
+      case None if externallyConfigured   => b
+      case None                           => b.master(s"local[$cores]")
+    }
+    val s = withMaster.getOrCreate()
     graft.plans.AsOf.register(s)
     s
   }

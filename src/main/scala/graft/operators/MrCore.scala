@@ -150,11 +150,29 @@ object MrCore {
     val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
       .distinct()
+    // Iteration-invariant frames are persisted once: without this the
+    // lineitem⋈orders join + distinct is re-executed from the parquet
+    // scan inside every iteration (~10 redundant scans/joins of the
+    // largest table at 3 iterations). At cluster scale an uncached
+    // iterative plan is a non-starter; MEMORY_AND_DISK spills rather
+    // than OOMs when the graph outgrows executor memory.
+    // Pre-partitioning edges by src also makes every per-iteration
+    // ranks-join and the deg/nodes aggregates reuse one exchange.
+    import org.apache.spark.storage.StorageLevel
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nTotal = broadcast(nodes.agg(count(lit(1)).as("n")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // ranks is checkpointed per iteration: lineage stays one-iteration
+    // deep, so planning/codegen cost is constant per round instead of
+    // growing with the unrolled plan, and a failure retries one
+    // iteration, not the whole chain. (Integer fixed-point arithmetic —
+    // materializing intermediate values cannot perturb results.)
     var ranks = nodes.crossJoin(nTotal)
       .select(col("node"), expr(s"${Scale}L div n").as("rank"))
     for (_ <- 1 to 3) {
@@ -168,6 +186,7 @@ object MrCore {
         .select(col("node"), col("n"), coalesce(col("s"), lit(0L)).as("s"))
         .select(col("node"),
           expr(s"((15 * ${Scale}L) div 100) div n + (85 * s) div 100").as("rank"))
+        .localCheckpoint()
     }
     ranks.select(col("node"), col("rank").as("rank_scaled")).orderBy(col("node"))
   }

@@ -215,9 +215,23 @@ object Similarity {
   /** Reusable Lloyd trainer over (vec_id, v, nrm) rows: k clusters
     * (init = k lowest-id vectors), `iters` assign/update rounds.
     * Returns (centroids with c_id/cv, final assignment with
-    * vec_id/v/cluster). Fully declarative — no driver-side loops
-    * over data, only plan construction. */
-  def kmeansTrain(e: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    * vec_id/v/cluster).
+    *
+    * Iteration shape: the k×dim centroid table (a few KB — tiny at
+    * any corpus scale) is COLLECTED to the driver between rounds and
+    * re-embedded as a broadcast literal. This keeps every iteration's
+    * plan flat — one persisted-corpus pass + one (cluster, dim)
+    * aggregate — instead of stacking each round's whole lineage under
+    * the next (which re-executed from the scan and grew per round;
+    * that's how MLlib's own KMeans iterates too). The corpus frame is
+    * persisted once and reused by all `iters+1` jobs. Collected
+    * doubles round-trip exactly, so cross-engine bit-determinism is
+    * unaffected. */
+  def kmeansTrain(e0: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val spark = e0.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val e = e0.persist(StorageLevel.MEMORY_AND_DISK)
+
     def assign(cent: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
       e.join(broadcast(cent), lit(true))
@@ -239,21 +253,35 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("cv"))
         .select(col("cluster").as("c_id"), col("cv"))
 
-    var cent = e.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("c_id"), col("v").as("cv"))
+    /** k×dim → driver → literal frame (flat plan for the next round). */
+    def materialize(cent: DataFrame): DataFrame = {
+      import spark.implicits._
+      cent.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .toSeq.sortBy(_._1)
+        .toDF("c_id", "cv")
+    }
+
+    var cent = materialize(e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("c_id"), col("v").as("cv")))
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       assigned = assign(cent.withColumn("cluster", col("c_id")))
-      cent = update(assigned)
+      cent = materialize(update(assigned))
     }
     (cent, assigned)
   }
 
+  /** 5 Lloyd rounds (was 2 in round 1): with the flat-iteration
+    * trainer each extra round costs one corpus pass, not a replay of
+    * all prior rounds, so more rounds are now cheap — and prove it. */
+  private val KmeansIters = 5
+
   def annKmeans(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
-    val (c2, a2) = kmeansTrain(e, NCentroids, iters = 2)
-    val sizes = a2.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
-    c2.join(sizes, col("c_id") === col("cluster"))
+    val (cN, aN) = kmeansTrain(e, NCentroids, iters = KmeansIters)
+    val sizes = aN.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    cN.join(sizes, col("c_id") === col("cluster"))
       .select(
         col("c_id").as("cluster_id"),
         col("n_members"),
@@ -262,46 +290,40 @@ object Similarity {
       .orderBy(col("cluster_id"))
   }
 
-  private val annKmeansSql = {
+  /** Unrolled Lloyd oracle for any iteration count — c(i) from a(i),
+    * a(i) assigned against c(i-1), mirroring kmeansTrain exactly. */
+  private def annKmeansSqlFor(iters: Int): String = {
     val dot = (a: String, b: String) =>
       s"list_reduce(list_transform($a, (x, i) -> x * $b[i]), (x, y) -> x + y)"
     val nrm = (a: String) =>
       s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT en.vec_id, en.v, c.c_id AS cluster,
+         |      row_number() OVER (PARTITION BY en.vec_id
+         |        ORDER BY ${dot("c.cv", "en.v")} / (${nrm("c.cv")} * en.nrm) DESC, c.c_id) AS rn
+         |    FROM en CROSS JOIN c${i - 1} c)
+         |  WHERE rn = 1),
+         |u$i AS (
+         |  SELECT cluster, dim,
+         |    cast(sum(cast(x as decimal(28,12))) as double) / count(*) AS m
+         |  FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a$i)
+         |  GROUP BY cluster, dim),
+         |c$i AS (SELECT cluster AS c_id, list(m ORDER BY dim) AS cv FROM u$i GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
     s"""WITH en AS ($vecsSql),
        |c0 AS (SELECT cast(vec_id as int) AS c_id, v AS cv FROM en WHERE vec_id < $NCentroids),
-       |a1 AS (
-       |  SELECT vec_id, v, cluster FROM (
-       |    SELECT en.vec_id, en.v, c.c_id AS cluster,
-       |      row_number() OVER (PARTITION BY en.vec_id
-       |        ORDER BY ${dot("c.cv", "en.v")} / (${nrm("c.cv")} * en.nrm) DESC, c.c_id) AS rn
-       |    FROM en CROSS JOIN c0 c)
-       |  WHERE rn = 1),
-       |u1 AS (
-       |  SELECT cluster, dim,
-       |    cast(sum(cast(x as decimal(28,12))) as double) / count(*) AS m
-       |  FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a1)
-       |  GROUP BY cluster, dim),
-       |c1 AS (SELECT cluster AS c_id, list(m ORDER BY dim) AS cv FROM u1 GROUP BY cluster),
-       |a2 AS (
-       |  SELECT vec_id, v, cluster FROM (
-       |    SELECT en.vec_id, en.v, c.c_id AS cluster,
-       |      row_number() OVER (PARTITION BY en.vec_id
-       |        ORDER BY ${dot("c.cv", "en.v")} / (${nrm("c.cv")} * en.nrm) DESC, c.c_id) AS rn
-       |    FROM en CROSS JOIN c1 c)
-       |  WHERE rn = 1),
-       |u2 AS (
-       |  SELECT cluster, dim,
-       |    cast(sum(cast(x as decimal(28,12))) as double) / count(*) AS m
-       |  FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a2)
-       |  GROUP BY cluster, dim),
-       |c2 AS (SELECT cluster AS c_id, list(m ORDER BY dim) AS cv FROM u2 GROUP BY cluster),
-       |sizes AS (SELECT cluster, count(*) AS n_members FROM a2 GROUP BY cluster)
-       |SELECT c2.c_id AS cluster_id, sizes.n_members,
-       |  ${rndSql(nrm("c2.cv"), 6)} AS centroid_norm,
-       |  ${rndSql("c2.cv[1]", 6)} AS centroid_c0
-       |FROM c2 JOIN sizes ON c2.c_id = sizes.cluster
+       |$rounds,
+       |sizes AS (SELECT cluster, count(*) AS n_members FROM a$iters GROUP BY cluster)
+       |SELECT c$iters.c_id AS cluster_id, sizes.n_members,
+       |  ${rndSql(nrm(s"c$iters.cv"), 6)} AS centroid_norm,
+       |  ${rndSql(s"c$iters.cv[1]", 6)} AS centroid_c0
+       |FROM c$iters JOIN sizes ON c$iters.c_id = sizes.cluster
        |ORDER BY cluster_id""".stripMargin
   }
+
+  private val annKmeansSql = annKmeansSqlFor(KmeansIters)
 
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(

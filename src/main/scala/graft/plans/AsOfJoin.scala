@@ -35,6 +35,15 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression) extends BinaryNode {
 
+  // v1 contract: keys/times are LongType (ids + epoch micros). An Int
+  // column would ClassCastException at executor runtime and a NULL
+  // would silently unbox to 0L — fail at plan construction instead.
+  for ((e, role) <- Seq(leftKey -> "leftKey", rightKey -> "rightKey",
+      leftTime -> "leftTime", rightTime -> "rightTime")) {
+    require(e.dataType == org.apache.spark.sql.types.LongType,
+      s"AsOfJoin $role must be LongType, got ${e.dataType.simpleString} ($e)")
+  }
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -86,23 +95,38 @@ case class AsOfJoinExec(
       var cand: InternalRow = null
 
       lIter.map { lRow =>
-        val k = lKey.eval(lRow).asInstanceOf[Long]
-        val t = lTime.eval(lRow).asInstanceOf[Long]
-        // advance the right side to the merge frontier (key, time<=t)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rKey.eval(head).asInstanceOf[Long]
-          val ht = rTime.eval(head).asInstanceOf[Long]
-          if (hk < k || (hk == k && ht <= t)) {
-            candKey = hk
-            cand = rBuf.next().copy()
-          } else {
-            advancing = false
+        val kRaw = lKey.eval(lRow)
+        val tRaw = lTime.eval(lRow)
+        if (kRaw == null || tRaw == null) {
+          // null key/time never matches (SQL join semantics)
+          project(joined(lRow, nullRight))
+        } else {
+          val k = kRaw.asInstanceOf[Long]
+          val t = tRaw.asInstanceOf[Long]
+          // advance the right side to the merge frontier (key, time<=t);
+          // nulls sort first under Ascending, so null-keyed right rows
+          // are consumed here but never become candidates
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val hkRaw = rKey.eval(head)
+            val htRaw = rTime.eval(head)
+            if (hkRaw == null || htRaw == null) {
+              rBuf.next() // skip, never a candidate
+            } else {
+              val hk = hkRaw.asInstanceOf[Long]
+              val ht = htRaw.asInstanceOf[Long]
+              if (hk < k || (hk == k && ht <= t)) {
+                candKey = hk
+                cand = rBuf.next().copy()
+              } else {
+                advancing = false
+              }
+            }
           }
+          val matched = cand != null && candKey == k
+          project(joined(lRow, if (matched) cand else nullRight))
         }
-        val matched = cand != null && candKey == k
-        project(joined(lRow, if (matched) cand else nullRight))
       }
     }
   }

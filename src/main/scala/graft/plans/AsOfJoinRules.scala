@@ -20,8 +20,11 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, j: AsOfJoin) =>
       val leftAttrs = j.left.outputSet
+      // mirror Catalyst's own pushdown guard: a non-deterministic
+      // predicate (e.g. a rand()-based sampling filter) must not move
+      // below the join, where it would see a different row stream
       val (pushable, kept) = splitConjuncts(cond)
-        .partition(_.references.subsetOf(leftAttrs))
+        .partition(c => c.deterministic && c.references.subsetOf(leftAttrs))
       if (pushable.isEmpty) f
       else {
         val newLeft = Filter(pushable.reduce(And), j.left)

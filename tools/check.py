@@ -1,96 +1,78 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate.
+"""Local correctness check mirroring the driver's DuckDB compare.
 
-Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
-for each <outDir>/<name> parquet dir, runs <outDir>/oracle_sql.json[name]
-in DuckDB over the same sf parquet tables, sorts columns by name,
-normalizes, and hash-compares. Dev tool only — NOT part of the library.
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query,query,...]
+
+Reads each <verifyOutDir>/<query> parquet dump (written by graft.Verify),
+runs the matching oracle SQL from oracle_sql.json in DuckDB over the same
+sf tables, and compares rows / schema / a value hash after sorting columns
+by name. Exit 1 on any mismatch. Local-iteration tooling only — the
+driver runs its own equivalent.
 """
-import sys, json, glob, os, hashlib
+import json
+import os
+import sys
+
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
 
-
-def norm_cell(v):
+def norm(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return f"{v:.6f}"
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
     return str(v)
 
 
-def table_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x01".join(norm_cell(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256()
-    for ln in lines:
-        h.update(ln.encode())
-        h.update(b"\n")
-    return h.hexdigest()
+def table_hash(con, rel_sql):
+    df = con.sql(rel_sql).df()
+    cols = sorted(df.columns)
+    rows = sorted(
+        tuple(norm(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    )
+    import hashlib
+
+    h = hashlib.md5()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return len(rows), cols, h.hexdigest()
 
 
-def main(sf_dir, out_dir):
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+
     con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
-    for name, sql in sorted(oracle.items()):
-        spark_dir = f"{out_dir}/{name}"
-        files = glob.glob(f"{spark_dir}/*.parquet")
-        if not files:
-            print(f"FAIL {name}: no spark output")
-            n_bad += 1
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    failures = 0
+    for name in sorted(os.listdir(out_dir)):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir) or (only and name not in only):
             continue
-        try:
-            o = con.execute(sql)
-            o_cols = [d[0] for d in o.description]
-            o_rows = o.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            n_bad += 1
+        if name not in oracle:
+            print(f"{name}: no oracle (rows-only)")
             continue
-        s = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'")
-        s_cols = [d[0] for d in s.description]
-        s_rows = s.fetchall()
-        if sorted(o_cols) != sorted(s_cols):
-            print(f"FAIL {name}: cols spark={sorted(s_cols)} oracle={sorted(o_cols)}")
-            n_bad += 1
-            continue
-        if len(o_rows) != len(s_rows):
-            print(f"FAIL {name}: rows spark={len(s_rows)} oracle={len(o_rows)}")
-            n_bad += 1
-            continue
-        hs, ho = table_hash(s_cols, s_rows), table_hash(o_cols, o_rows)
-        if hs != ho:
-            print(f"FAIL {name}: hash mismatch ({len(s_rows)} rows)")
-            # show first differing row for debugging
-            order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
-            order_o = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
-            ls = sorted("\x01".join(norm_cell(r[i]) for i in order_s) for r in s_rows)
-            lo = sorted("\x01".join(norm_cell(r[i]) for i in order_o) for r in o_rows)
-            for a, b in zip(ls, lo):
-                if a != b:
-                    print(f"  spark : {a[:300]}")
-                    print(f"  oracle: {b[:300]}")
-                    break
-            n_bad += 1
-        else:
-            print(f"ok   {name} ({len(s_rows)} rows)")
-            n_ok += 1
-    print(f"== {n_ok} ok, {n_bad} fail ==")
-    return 1 if n_bad else 0
+        sr, sc, sh = table_hash(con, f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+        orr, oc, oh = table_hash(con, oracle[name])
+        ok = (sr == orr) and (sc == oc) and (sh == oh)
+        print(f"{name}: rows {sr}/{orr} schema_match={sc == oc} hash_match={sh == oh}"
+              + ("" if ok else "  <-- MISMATCH"))
+        if not ok:
+            failures += 1
+            if sc != oc:
+                print(f"   spark cols: {sc}\n   oracle cols: {oc}")
+    sys.exit(1 if failures else 0)
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-    sys.exit(main(sf, out))
+    main()
