@@ -59,10 +59,76 @@ object Dedup {
     * count ≈ qualifying-pair count while the candidates drag full
     * token arrays through the shuffle. On a natural-vocabulary corpus
     * (low df tails) prefix filtering wins; pick per corpus stats. */
+  /** ADAPTIVE dispatch (round 2): a tiny stat probe collects the
+    * per-lang vocabulary; when the whole vocabulary fits in 64 bits
+    * (this corpus: 31 tokens/lang) each token SET is one bitmask and
+    * exact jaccard is two popcounts — so we dedupe to DISTINCT sets
+    * (4.3k masks vs 5k docs at sf0.1, and the gap widens with dup
+    * density) and compare masks, never exploding tokens through a
+    * shuffle at all. On a natural corpus (vocab ≫ 64) the probe picks
+    * the token equi-join path, whose candidate count is bounded by
+    * token co-occurrence. The probe is one small distinct-aggregate
+    * job — the same collect-a-tiny-table pattern as kmeans centroids. */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), array_distinct(toks).as("s"))
-      .withColumn("sz", size(col("s")))
+    val vocab = t.select(col("lang"), explode(col("s")).as("tok")).distinct()
+      .groupBy(col("lang")).agg(sort_array(collect_set(col("tok"))).as("vocab"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    val maxVocab = if (vocab.isEmpty) 0 else vocab.map(_._2.size).max
+    if (maxVocab > 0 && maxVocab <= 64) jaccardBitmask(spark, t, vocab)
+    else jaccardTokenJoin(t)
+  }
+
+  /** Tiny-vocabulary path: token set → 64-bit mask (bit = position in
+    * the lang's sorted vocab), docs grouped by identical mask.
+    * Identical-mask pairs are J=1.0 by construction; distinct-mask
+    * pairs get exact popcount jaccard; winners expand back to doc
+    * pairs (output-bounded). The pairwise compare runs over DISTINCT
+    * SETS per lang — the bounded core the raw corpus size never
+    * touches. */
+  private def jaccardBitmask(spark: SparkSession, t: DataFrame,
+      vocab: Array[(String, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    val vf = broadcast(vocab.toSeq.toDF("lang", "vocab"))
+    val groups = t.join(vf, "lang")
+      .withColumn("mask", expr(
+        """aggregate(
+          |  transform(s, tk -> shiftleft(1L, cast(array_position(vocab, tk) as int) - 1)),
+          |  0L, (acc, x) -> acc | x)""".stripMargin))
+      .filter(col("mask") =!= 0L) // empty sets have undefined (0/0) jaccard
+      .groupBy(col("lang"), col("mask"))
+      .agg(collect_list(col("doc_id")).as("members"), count(lit(1)).as("n"))
+    val intra = groups.filter(col("n") >= 2)
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jac", lit(1.0d))
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+    val ga = groups.select(col("lang"), col("mask").as("ma"), col("members").as("mem_a"))
+    val gb = groups.select(col("lang").as("lang_b"), col("mask").as("mb"),
+      col("members").as("mem_b"))
+    val inter = ga.join(gb, col("lang") === col("lang_b") && col("ma") < col("mb"))
+      .withColumn("c", expr("bit_count(ma & mb)"))
+      .withColumn("u", expr("bit_count(ma | mb)"))
+      .filter(col("c") * 5 >= col("u") * 4) // J >= 0.8, integer-exact
+      .withColumn("jac", col("c").cast("double") / col("u"))
+      .select(explode(col("mem_a")).as("da"), col("mem_b"), col("jac"))
+      .select(col("da"), explode(col("mem_b")).as("db"), col("jac"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jac"))
+    intra.unionAll(inter)
+      .select(col("doc_a"), col("doc_b"), rnd(col("jac"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Natural-vocabulary path: intersection sizes from an equi-join on
+    * (lang, token) + a pair-count aggregate — only pairs that share a
+    * token ever materialize, and |A∪B| = |A|+|B|−|A∩B| from
+    * precomputed set sizes. Shuffle join on a compound key: the shape
+    * that survives 100 TB when sets don't fit a machine word. */
+  private def jaccardTokenJoin(t0: DataFrame): DataFrame = {
+    val t = t0.withColumn("sz", size(col("s")))
     val tok = t.select(col("doc_id"), col("lang"), col("sz"), explode(col("s")).as("tok"))
     val a = tok.select(col("doc_id").as("doc_a"), col("lang"), col("sz").as("sza"), col("tok"))
     val b = tok.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
@@ -161,10 +227,11 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- simhash
-  /** 16-bit SimHash from md5 token hashes: per-bit ±1 votes over the
-    * distinct token set, near-dups = hamming ≤ 3 within a lang block. */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+  /** (doc_id, lang, sh): 16-bit SimHash from md5 token hashes —
+    * per-bit ±1 votes over the distinct token set. Linear in corpus
+    * size; shared by the exact-pairwise and banded candidate paths. */
+  private def simhashSigs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), array_distinct(toks).as("t"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("lang"), explode(col("t")).as("tok"))
@@ -175,11 +242,58 @@ object Dedup {
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(when(col("vote") > 0, expr("cast(shiftleft(1L, bit) as bigint)"))
         .otherwise(0L)).as("sh"))
+
+  /** Near-dups = hamming ≤ 3 within a lang block, via per-lang
+    * ALL-PAIRS comparison. O(n²/|langs|) — kept as the exact oracle
+    * baseline for `dedup_simhash_banded`, the scale path. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashSigs(spark, dir)
     val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("ha"))
     val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("hb"))
     a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
       .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
       .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Banded simhash candidate generation — the same pairs as
+    * `dedup_simhash` (identical oracle SQL proves it) WITHOUT the
+    * all-pairs join: the 16-bit signature splits into 4 bands of 4
+    * bits, and by pigeonhole any pair at hamming ≤ 3 differs in at
+    * most 3 bands, i.e. matches EXACTLY on at least one — so an
+    * equi-join on (lang, band, band_bits) has total recall, and the
+    * hamming filter on the candidates removes false positives.
+    * Candidate count ∝ band-bucket collisions, not n² — the same
+    * banding trick as dedup_minhash, and the shape that survives
+    * 100 TB (with a wider signature, e.g. 4×16 of 64 bits, buckets
+    * stay tiny; band+bits doubles as a write-once partition key). */
+  def dedupSimhashBanded(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashSigs(spark, dir)
+    val bands = sh.select(col("doc_id"), col("lang"), col("sh"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          expr(s"cast(shiftright(sh, ${4 * b}) & 15 as int)").as("bits"))
+      }: _*)).as("bd"))
+      .select(col("doc_id"), col("lang"), col("sh"),
+        col("bd.band").as("band"), col("bd.bits").as("bits"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("lang"),
+      col("band"), col("bits"), col("sh").as("ha"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("band").as("band_b"), col("bits").as("bits_b"), col("sh").as("hb"))
+    // a pair colliding in k bands appears k times; dedupe WITHOUT a
+    // shuffle by keeping a pair only where the matched band is its
+    // FIRST matching band (every earlier band differs) — a pure
+    // filter on the join output, so candidates never re-exchange
+    val firstMatchingBand = "CASE band " + (0 until 4).map { bnd =>
+      val priorDiffer = (0 until bnd).map(j =>
+        s"(shiftright(ha, ${4 * j}) & 15) != (shiftright(hb, ${4 * j}) & 15)")
+      s"WHEN $bnd THEN (${if (priorDiffer.isEmpty) "true" else priorDiffer.mkString(" AND ")})"
+    }.mkString(" ") + " END"
+    a.join(b, col("lang") === col("lang_b") && col("band") === col("band_b") &&
+        col("bits") === col("bits_b") && col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+      .filter(col("hamming") <= 3 && expr(firstMatchingBand))
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -248,5 +362,6 @@ object Dedup {
     QueryDef("dedup_jaccard", dedupJaccard _, Some(dedupJaccardSql)),
     QueryDef("dedup_minhash", dedupMinhash _, Some(dedupMinhashSql)),
     QueryDef("dedup_simhash", dedupSimhash _, Some(dedupSimhashSql)),
+    QueryDef("dedup_simhash_banded", dedupSimhashBanded _, Some(dedupSimhashSql)),
     QueryDef("dedup_embedding", dedupEmbedding _, Some(dedupEmbeddingSql)))
 }

@@ -76,26 +76,50 @@ object MrCore {
       |GROUP BY token ORDER BY token""".stripMargin
 
   // ---------------------------------------------------------------- sort
-  /** Distributed total-order sort. `orderBy` compiles to a range
-    * exchange (sampled split points) + per-partition sort — the
-    * scalable form of the reference's single-reducer key sort
-    * (worker.rs:124-131 collects everything into one HashMap).
-    * The explicit rank makes the order itself oracle-checkable. */
+  /** Distributed total-order sort with GLOBAL ranks over the whole
+    * table — the scalable form of the reference's single-reducer key
+    * sort (worker.rs:124-131 collects everything into one HashMap;
+    * mr/tests/test.rs:104-131 checks the total order of the output).
+    *
+    * Shape: an explicit range exchange (sampled split points, 32
+    * partitions) + per-partition sort, then global rank = partition
+    * offset + local index — partition sizes are a 32-row aggregate,
+    * so NO single-partition window ever sees the full table. The
+    * local index rides on monotonically_increasing_id (partition id
+    * in the upper bits, a per-partition counter in the lower 33),
+    * evaluated on the post-sort stream. This is the plan that ranks
+    * 100 TB: every partition sorts locally, and only the 32-row size
+    * table is globally ordered. */
   def mrSort(spark: SparkSession, dir: String): DataFrame = {
-    val top = Tables.events(spark, dir)
+    import org.apache.spark.storage.StorageLevel
+    val localIdx = expr("mid & 8589934591") // lower 33 bits
+    val pid = expr("shiftright(mid, 33)")
+    val sorted = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("value"))
-      .orderBy(col("value").desc, col("event_id"))
-      .limit(1000)
-    top.withColumn("rank",
-      row_number().over(Window.orderBy(col("value").desc, col("event_id"))))
+      .repartitionByRange(32, col("value").desc, col("event_id"))
+      .sortWithinPartitions(col("value").desc, col("event_id"))
+      .withColumn("mid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK) // offsets + rank reuse one sort
+    val offs = sorted
+      .groupBy(pid.as("pid"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("pid"), col("off"))
+    sorted
+      .withColumn("pid", pid)
+      .join(broadcast(offs), "pid")
+      .withColumn("rank", (col("off") + localIdx + 1).cast("int"))
+      .select(col("event_id"), col("user_id"), col("value"), col("rank"))
+      .orderBy(col("rank"))
   }
 
   private val mrSortSql =
     """SELECT event_id, user_id, value,
       |  cast(row_number() OVER (ORDER BY value DESC, event_id) as int) AS rank
       |FROM events
-      |ORDER BY value DESC, event_id
-      |LIMIT 1000""".stripMargin
+      |ORDER BY rank""".stripMargin
 
   // ---------------------------------------------------------------- partition hist
   /** Mirrors the reference's `task_id % n_reduce` bucketing
