@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming sinks beyond memory/noop (SURVEY.md §2 H / round-2 plan).
+  *
+  * `foreachBatchUpsert` gives a streaming query MERGE/upsert semantics
+  * onto a plain parquet directory: each micro-batch's rows replace
+  * same-key rows and append the rest. The merge itself is a
+  * left-anti join + union — the exact plan a transactional table
+  * format (Delta/Iceberg MERGE) would run; plain parquet adds a
+  * tmp-dir write + atomic-ish rename swap in place of a metadata
+  * commit, under a single-writer assumption. At 100 TB you'd point
+  * the same `foreachBatch` body at a real table format and keep the
+  * key-partitioned layout so the anti-join only touches matching
+  * partitions.
+  */
+object StreamSinks {
+
+  /** Merge one batch into `path` by `keyCols` (upsert). Within a
+    * batch, duplicate keys collapse arbitrarily via dropDuplicates —
+    * feed a deterministic ordering upstream if last-write-wins
+    * matters. Visible for batch-mode reuse and tests. */
+  def upsertBatch(batch: DataFrame, path: String, keyCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val fresh = batch.dropDuplicates(keyCols)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(dir))
+        spark.read.parquet(path).join(fresh, keyCols, "left_anti").unionByName(fresh)
+      else fresh
+    val tmp = new Path(path + ".tmp")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString) // reads old, writes new
+    val old = new Path(path + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dir)) fs.rename(dir, old)
+    fs.rename(tmp, dir)
+    fs.delete(old, true)
+  }
+
+  /** writeStream wiring: one upsert transaction per micro-batch. */
+  def foreachBatchUpsert(stream: DataFrame, path: String,
+      keyCols: Seq[String]): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, path, keyCols)
+      }
+
+  /** Plain append-only streaming parquet sink (exactly-once via the
+    * checkpoint + file-sink manifest); the durable layout downstream
+    * batch queries read back. */
+  def parquetAppend(stream: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -72,40 +72,68 @@ object StreamingJobs {
   /** Gap-based sessionizer — streaming twin of Events.qSessionize.
     *
     * On a streaming Dataset, state carries the open session per user
-    * across micro-batches and closed sessions are emitted as the gap
-    * passes (Append semantics; the final open session flushes on the
-    * next event or stays pending — bounded state either way). On a
-    * batch Dataset the same code sees each user's full history in one
-    * group and emits every session, matching qSessionize exactly.
+    * across micro-batches. Closed sessions are emitted either when a
+    * later event closes the gap OR — via `EventTimeTimeout` — when
+    * the watermark passes the session's gap deadline, so an idle
+    * user's final session is emitted without any follow-up event and
+    * its state is removed (state stays O(active users) and is GC'd,
+    * not merely bounded). On a batch Dataset the same code sees each
+    * user's full history in one group and emits every session,
+    * matching qSessionize exactly.
     */
-  def sessionize(events: Dataset[Ev], gapUs: Long = 1800000000L): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[Ev], gapUs: Long = 1800000000L,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming
-    events
+    // EventTimeTimeout needs a watermark: derive an event-time column
+    // from the micros (extra columns are invisible to the Ev encoder)
+    val src: Dataset[Ev] =
+      if (streaming)
+        events.withColumn("event_time",
+          org.apache.spark.sql.functions.expr("timestamp_micros(us)"))
+          .withWatermark("event_time", watermarkDelay)
+          .as[Ev]
+      else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
-          val evs = it.map(_.us).toArray.sorted
-          var st = state.getOption.getOrElse(SessState(0L, -1L, -1L, 0L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          evs.foreach { us =>
-            if (st.n == 0L) {
-              st = SessState(st.sessionSeq + 1, us, us, 1L)
-            } else if (us - st.last > gapUs) {
-              out += SessionOut(uid, st.sessionSeq, st.n, st.last - st.start)
-              st = SessState(st.sessionSeq + 1, us, us, 1L)
-            } else {
-              st = st.copy(last = us, n = st.n + 1)
+          if (streaming && state.hasTimedOut) {
+            // watermark passed (last + gap): the open session is final
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, st.sessionSeq, st.n, st.last - st.start))
+          } else {
+            val evs = it.map(_.us).toArray.sorted
+            var st = state.getOption.getOrElse(SessState(0L, -1L, -1L, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            evs.foreach { us =>
+              if (st.n == 0L) {
+                st = SessState(st.sessionSeq + 1, us, us, 1L)
+              } else if (us - st.last > gapUs) {
+                out += SessionOut(uid, st.sessionSeq, st.n, st.last - st.start)
+                st = SessState(st.sessionSeq + 1, us, us, 1L)
+              } else {
+                st = st.copy(last = us, n = st.n + 1)
+              }
             }
+            if (streaming) {
+              state.update(st)
+              // fire once the watermark passes the gap deadline; if the
+              // deadline is already behind the watermark, next batch
+              val deadlineMs = (st.last + gapUs) / 1000L + 1L
+              state.setTimeoutTimestamp(
+                math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))
+            } else if (st.n > 0) {
+              // batch: the group is complete — flush the final session
+              out += SessionOut(uid, st.sessionSeq, st.n, st.last - st.start)
+            }
+            out.iterator
           }
-          if (streaming) {
-            state.update(st)
-          } else if (st.n > 0) {
-            // batch: the group is complete — flush the final session
-            out += SessionOut(uid, st.sessionSeq, st.n, st.last - st.start)
-          }
-          out.iterator
       }
   }
 }

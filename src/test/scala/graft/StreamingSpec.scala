@@ -120,4 +120,82 @@ class StreamingSpec extends SparkSpec {
     // open sessions (u2's single event, u1's new session) stay in state
     assert(!out.exists(o => o.user_id == 2L))
   }
+
+  test("idle user's open session is emitted by event-time timeout, no follow-up needed") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sess-idle-in").toString
+    val hourUs = 3600L * 1000000L
+    // u3: two events at t=0 then silence; u1: one event 3h later, which
+    // advances the watermark past u3's 30-min gap deadline. u3's
+    // session must be emitted via EventTimeTimeout - there is NO later
+    // u3 event to close it.
+    // times start at 1h, not 0: an event at exactly epoch 0 equals the
+    // initial watermark and is dropped by the late-data filter (<=)
+    val rows = Seq((3L, hourUs), (3L, hourUs + 60L * 1000000L), (1L, 4L * hourUs))
+    // one file -> one micro-batch: u3's events must not straddle a
+    // watermark advance (a multi-file write can order u1@4h first,
+    // making u3's second event late data)
+    rows.toDF("user_id", "us").repartition(1).write.mode("overwrite").parquet(tmp)
+
+    val src = s.readStream.schema(rows.toDF("user_id", "us").schema)
+      .parquet(tmp).as[Ev]
+    val q = StreamingJobs.sessionize(src).writeStream
+      .format("memory").queryName("sess_idle_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val out = s.sql("select * from sess_idle_out").as[SessionOut].collect()
+    assert(out.exists(o => o.user_id == 3L && o.n_events == 2L &&
+      o.duration_us == 60L * 1000000L),
+      s"u3's idle session should time out and emit; got ${out.mkString(", ")}")
+    // u1's session deadline (3h + 30min) is past the watermark: still open
+    assert(!out.exists(o => o.user_id == 1L))
+  }
+
+  test("foreachBatch upsert sink merges micro-batches by key") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val target = java.nio.file.Files.createTempDirectory("upsert-out").toString + "/state"
+
+    val in = MemoryStream[(Long, String, Long)](s)
+    val q = graft.streaming.StreamSinks
+      .foreachBatchUpsert(in.toDF().toDF("k", "v", "seq"), target, Seq("k"))
+      .start()
+    in.addData((1L, "a0", 0L), (2L, "b0", 0L))
+    q.processAllAvailable()
+    val after1 = s.read.parquet(target).as[(Long, String, Long)].collect().toSet
+    assert(after1 == Set((1L, "a0", 0L), (2L, "b0", 0L)))
+
+    in.addData((2L, "b1", 1L), (3L, "c1", 1L)) // update k=2, insert k=3
+    q.processAllAvailable()
+    q.stop()
+    val after2 = s.read.parquet(target).as[(Long, String, Long)].collect().toSet
+    assert(after2 == Set((1L, "a0", 0L), (2L, "b1", 1L), (3L, "c1", 1L)),
+      s"expected upsert semantics, got $after2")
+  }
+
+  test("streaming -> parquet -> batch round-trip preserves the data") {
+    val s = spark
+    val base = java.nio.file.Files.createTempDirectory("stream-rt").toString
+    val batch = Tables.events(s, sf).select("ts", "user_id", "event_type", "value")
+    batch.write.mode("overwrite").parquet(s"$base/in")
+
+    val src = s.readStream.schema(batch.schema).parquet(s"$base/in")
+    val q = graft.streaming.StreamSinks
+      .parquetAppend(src, s"$base/out", s"$base/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    val back = s.read.parquet(s"$base/out")
+    assert(back.count() == batch.count())
+    assert(back.schema.fieldNames.sorted.sameElements(batch.schema.fieldNames.sorted))
+    val sums = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(sum(col("user_id")), sum(col("value"))).collect()(0)
+    assert(sums(back).toString == sums(batch).toString)
+  }
 }
