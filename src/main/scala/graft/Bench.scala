@@ -18,12 +18,15 @@ object Bench {
     "mr_wordcount",         // explode + agg
     "text_fingerprint",     // HOF-heavy per-doc text ops
     "dedup_minhash",        // shingle + LSH band join
-    "dedup_jaccard",        // blocked pairwise set ops
+    "dedup_jaccard",        // adaptive set-similarity (bitmask | token join)
+    "dedup_simhash_banded", // banded signature candidates (round 2)
     "dedup_embedding",      // blocked pairwise vector math
     "ann_bruteforce",       // broadcast query set scan
     "ann_ivf",              // clustered probe
-    "ann_kmeans",           // iterative centroid training
-    "mr_pagerank")          // iterative graph scatter/gather
+    "ann_kmeans",           // iterative centroid training (5 Lloyd rounds)
+    "mr_pagerank",          // iterative graph scatter/gather
+    "mr_sort",              // full-table range-partitioned total sort (round 2)
+    "q_asof_join_native")   // custom streaming-merge operator (round 2)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -72,6 +72,45 @@ object Advanced {
       .orderBy(col("purchase_event_id"))
   }
 
+  // ---------------------------------------------------------------- asof multi
+  /** n-way as-of (SURVEY.md round-2 item): each purchase annotated
+    * with the latest preceding view AND the latest preceding click by
+    * the same user, through two chained native as-of joins
+    * (`AsOf.joinMulti`). Oracle: DuckDB's chained ASOF LEFT JOINs. */
+  def qAsofMulti(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), unix_micros(col("ts")).as("last_view_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), unix_micros(col("ts")).as("last_click_us"))
+    graft.plans.AsOf.joinMulti(purchases, "user_id", "purchase_us",
+        (views, "v_user_id", "last_view_us"),
+        (clicks, "c_user_id", "last_click_us"))
+      .select(col("user_id"), col("purchase_event_id"), col("purchase_us"),
+        col("last_view_us"), col("last_click_us"))
+      .orderBy(col("purchase_event_id"))
+  }
+
+  private val qAsofMultiSql =
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      |  WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events
+      |  WHERE event_type = 'view'),
+      |c AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events
+      |  WHERE event_type = 'click')
+      |SELECT p.user_id, p.event_id AS purchase_event_id,
+      |  p.us AS purchase_us, v.us AS last_view_us, c.us AS last_click_us
+      |FROM p
+      |ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.us >= v.us
+      |ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+      |ORDER BY purchase_event_id""".stripMargin
+
   // ---------------------------------------------------------------- range join
   /** Non-equi band join: quantities against a literal bucket table
     * (broadcast nested-loop on a 5-row build side). */
@@ -193,6 +232,7 @@ object Advanced {
     QueryDef("q_group_topk", qGroupTopk _, Some(qGroupTopkSql)),
     QueryDef("q_asof_join", qAsofJoin _, Some(qAsofJoinSql)),
     QueryDef("q_asof_join_native", qAsofJoinNative _, Some(qAsofJoinSql)),
+    QueryDef("q_asof_multi", qAsofMulti _, Some(qAsofMultiSql)),
     QueryDef("q_range_join", qRangeJoin _, Some(qRangeJoinSql)),
     QueryDef("q_pivot", qPivot _, Some(qPivotSql)),
     QueryDef("q_percentile", qPercentile _, Some(qPercentileSql)),

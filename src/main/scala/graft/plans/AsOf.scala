@@ -23,6 +23,20 @@ object AsOf {
     }
   }
 
+  /** n-way as-of: attach the latest at-or-before row from EACH right
+    * side to the same left keys/times — `left ASOF JOIN r1 ASOF JOIN
+    * r2 …` (kdb `aj` over multiple quote tables). Composes the binary
+    * operator left-deep; every stage re-uses the left side's hash
+    * partitioning on the (unchanged) key, so the extra sides add one
+    * exchange+sort of THEIR input each, never of the accumulated
+    * left. Right-side column names must not collide (alias them, as
+    * with any join). */
+  def joinMulti(left: DataFrame, leftKey: String, leftTime: String,
+      rights: (DataFrame, String, String)*): DataFrame =
+    rights.foldLeft(left) { case (acc, (r, rk, rt)) =>
+      join(acc, r, leftKey, leftTime, rk, rt)
+    }
+
   /** left ASOF LEFT JOIN right ON leftKey = rightKey AND
     * rightTime <= leftTime (latest such right row). Key/time columns
     * must be LongType. */

@@ -75,15 +75,24 @@ case class AsOfJoinExec(
     Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
       SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
+  /** Execution note on codegen: the merge LOOP is hand-written (like
+    * SortMergeJoin's fallback path — a whole-stage-codegen'd two-sided
+    * merge needs produce/consume plumbing for both children and buys
+    * little here, since the loop body is two long compares), but all
+    * per-row EXPRESSION work is generated code: the (key, time)
+    * accessors on each side and the output projection are codegen'd
+    * UnsafeProjections, so no interpreted `eval`, boxing, or virtual
+    * expression dispatch remains on the hot path. */
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKey = BindReferences.bindReference(leftKey, left.output)
-    val lTime = BindReferences.bindReference(leftTime, left.output)
-    val rKey = BindReferences.bindReference(rightKey, right.output)
-    val rTime = BindReferences.bindReference(rightTime, right.output)
     val rightWidth = right.output.size
     val outputAttrs = output
+    val lKeyTime = Seq(leftKey, leftTime).map(BindReferences.bindReference(_, left.output))
+    val rKeyTime = Seq(rightKey, rightTime).map(BindReferences.bindReference(_, right.output))
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // generated (codegen'd) projections, instantiated per partition
+      val lProj = UnsafeProjection.create(lKeyTime)
+      val rProj = UnsafeProjection.create(rKeyTime)
       val project = UnsafeProjection.create(outputAttrs, outputAttrs)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
@@ -95,27 +104,24 @@ case class AsOfJoinExec(
       var cand: InternalRow = null
 
       lIter.map { lRow =>
-        val kRaw = lKey.eval(lRow)
-        val tRaw = lTime.eval(lRow)
-        if (kRaw == null || tRaw == null) {
+        val lk = lProj(lRow) // reused buffer: read fields immediately
+        if (lk.isNullAt(0) || lk.isNullAt(1)) {
           // null key/time never matches (SQL join semantics)
           project(joined(lRow, nullRight))
         } else {
-          val k = kRaw.asInstanceOf[Long]
-          val t = tRaw.asInstanceOf[Long]
+          val k = lk.getLong(0)
+          val t = lk.getLong(1)
           // advance the right side to the merge frontier (key, time<=t);
           // nulls sort first under Ascending, so null-keyed right rows
           // are consumed here but never become candidates
           var advancing = true
           while (advancing && rBuf.hasNext) {
-            val head = rBuf.head
-            val hkRaw = rKey.eval(head)
-            val htRaw = rTime.eval(head)
-            if (hkRaw == null || htRaw == null) {
+            val rk = rProj(rBuf.head)
+            if (rk.isNullAt(0) || rk.isNullAt(1)) {
               rBuf.next() // skip, never a candidate
             } else {
-              val hk = hkRaw.asInstanceOf[Long]
-              val ht = htRaw.asInstanceOf[Long]
+              val hk = rk.getLong(0)
+              val ht = rk.getLong(1)
               if (hk < k || (hk == k && ht <= t)) {
                 candKey = hk
                 cand = rBuf.next().copy()

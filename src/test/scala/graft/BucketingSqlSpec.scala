@@ -28,6 +28,53 @@ class BucketingSqlSpec extends SparkSpec {
     }
   }
 
+  test("md5-bucketed corpus layout makes exact dedup exchange-free") {
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // ingest-time layout: materialize the dedup key and bucket on it
+      // — the one-off write pre-pays the exchange every later curation
+      // run would otherwise repeat over the full corpus
+      val docs = Tables.documents(s, sf).withColumn("text_md5", md5(col("text")))
+      Sources.writeBucketed(docs, "documents_md5_b", "text_md5", 8)
+      val dedup = s.table("documents_md5_b")
+        .groupBy(col("text_md5"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      val plan = dedup.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed dedup aggregate should not shuffle:\n$plan")
+      // identical results to the raw-layout operator
+      val bucketed = dedup.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val raw = graft.operators.Dedup.dedupExact(s, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(bucketed == raw)
+    } finally {
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s.sql("DROP TABLE IF EXISTS documents_md5_b")
+    }
+  }
+
+  test("doc_id-bucketed corpus: per-doc aggregation over exploded tokens has no exchange") {
+    val s = spark
+    try {
+      // the layout the signature operators (minhash/simhash) want:
+      // bucketed by doc_id, their per-doc groupBys need no repartition
+      Sources.writeBucketed(Tables.documents(s, sf), "documents_doc_b", "doc_id", 8)
+      val perDoc = s.table("documents_doc_b")
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), "\\s+"), t => t =!= "")).as("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_distinct"))
+      val plan = perDoc.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed per-doc aggregate should not shuffle:\n$plan")
+      assert(perDoc.count() == Tables.documents(s, sf).count())
+    } finally {
+      s.sql("DROP TABLE IF EXISTS documents_doc_b")
+    }
+  }
+
   test("whole surface reachable through spark.sql over registered views") {
     val s = spark
     Sources.createViews(s, sf)
