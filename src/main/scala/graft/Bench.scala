@@ -20,9 +20,12 @@ object Bench {
     "dedup_minhash",        // shingle + LSH band join
     "dedup_jaccard",        // adaptive set-similarity (bitmask | token join)
     "dedup_simhash_banded", // banded signature candidates (round 2)
+    "dedup_simhash_wide",   // 60-bit signature, 12-bit bands (round 2)
+    "pipeline_fuzzy_dedup", // minhash candidates -> exact verify (round 2)
     "dedup_embedding",      // blocked pairwise vector math
     "ann_bruteforce",       // broadcast query set scan
     "ann_ivf",              // clustered probe
+    "ann_ivf_trained",      // kmeans-trained IVF end-to-end (round 2)
     "ann_kmeans",           // iterative centroid training (5 Lloyd rounds)
     "mr_pagerank",          // iterative graph scatter/gather
     "mr_sort",              // full-table range-partitioned total sort (round 2)

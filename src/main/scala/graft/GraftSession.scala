@@ -18,6 +18,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); read nanos as long
+      // (Tables.events rebuilds micros) instead of failing the scan
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new GraftExtensions)
     // Only force a master when the caller asked for one AND nothing is
     // already configured: under spark-submit the launcher sets

@@ -39,6 +39,10 @@ object Tables {
     * is generated at micro precision, so this is lossless).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // GraftSession/Bench/Verify sessions set this up-front; this is the
+    // fallback for caller-built sessions. It must stay set for the scan
+    // (the reader consults it at execution, not just schema inference),
+    // so it cannot be save/restored around the read.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {

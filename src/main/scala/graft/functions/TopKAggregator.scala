@@ -28,11 +28,31 @@ class TopKAggregator(k: Int)
     TopK(top.map(_._1), top.map(_._2))
   }
 
+  /** True when (id1, s1) ranks strictly before (id2, s2). */
+  private def before(id1: Long, s1: Double, id2: Long, s2: Double): Boolean =
+    s1 > s2 || (s1 == s2 && id1 < id2)
+
   override def zero: TopK = TopK(Nil, Nil)
 
-  override def reduce(buf: TopK, in: (Long, Double)): TopK =
-    trim(buf.ids.zip(buf.scores) :+ in)
+  /** The buffer is kept sorted, so the common case (row doesn't make
+    * the top k) is an O(1) compare against the current worst, and an
+    * accepted row is one O(k) splice — not an O(k log k) re-sort per
+    * input row. */
+  override def reduce(buf: TopK, in: (Long, Double)): TopK = {
+    val n = buf.ids.length
+    if (n == k && !before(in._1, in._2, buf.ids(n - 1), buf.scores(n - 1))) {
+      buf
+    } else {
+      var idx = 0
+      while (idx < n && before(buf.ids(idx), buf.scores(idx), in._1, in._2)) idx += 1
+      TopK(
+        (buf.ids.take(idx) :+ in._1) ++ buf.ids.slice(idx, math.min(n, k - 1)),
+        (buf.scores.take(idx) :+ in._2) ++ buf.scores.slice(idx, math.min(n, k - 1)))
+    }
+  }
 
+  /** Partial-buffer merges happen once per partition pair — the
+    * sort-based trim is fine here. */
   override def merge(a: TopK, b: TopK): TopK =
     trim(a.ids.zip(a.scores) ++ b.ids.zip(b.scores))
 

@@ -157,10 +157,24 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- minhash
-  /** MinHash + LSH banding over word-trigram shingles: 8 md5-seeded
+  /** The 8 "independent" minhash functions are affine mixes of ONE
+    * md5 base hash: h_i = (a_i·h + b_i) mod p, p = 2³¹−1 — the
+    * standard universal-hashing construction. One md5 per shingle
+    * instead of eight (md5 dominates signature cost); constants and
+    * modulus chosen so every product stays < 2⁶² (no int64 overflow
+    * on either engine). */
+  private val MinhashP = 2147483647L // 2^31 - 1
+  private val MinhashA = Seq(1299709L, 15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L)
+  private val MinhashB = Seq(179424673L, 217645177L, 256203161L, 295075147L,
+    334214459L, 373587883L, 413158511L, 452930459L)
+
+  /** MinHash + LSH banding over word-trigram shingles: 8 affine-mixed
     * minhashes → 4 bands of 2 → candidate pairs share ≥1 band.
-    * Linear in corpus size + one equi-join: the 100 TB dedup path. */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    * Linear in corpus size + one equi-join: the 100 TB dedup path.
+    * Returns unordered (doc_a, doc_b, n_shared_bands) — shared by
+    * `dedup_minhash` and the two-stage `pipeline_fuzzy_dedup`. */
+  private def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
     // shingles built array-natively (indexed transform over the token
     // array) — no window, no shuffle before the signature aggregate
     // partition the compact docs once by doc_id: every later per-doc
@@ -178,10 +192,11 @@ object Dedup {
       .select(col("doc_id"), col("shingle")).distinct()
     // all 8 seed-minhashes as one aggregate pass (no seed explode):
     // the signature is a single row per doc, bands unfold from it
+    val base = shingles.withColumn("hb", pmod(md5Long(col("shingle")), lit(MinhashP)))
     val seedMins = (0 until 8).map { s =>
-      min(md5Long(concat(lit(s.toString), lit(":"), col("shingle")))).as(s"h$s")
+      min(expr(s"(${MinhashA(s)}L * hb + ${MinhashB(s)}L) % ${MinhashP}L")).as(s"h$s")
     }
-    val sig = shingles.groupBy(col("doc_id")).agg(seedMins.head, seedMins.tail: _*)
+    val sig = base.groupBy(col("doc_id")).agg(seedMins.head, seedMins.tail: _*)
     val bands = sig
       .select(col("doc_id"), explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"), col(s"h${2 * b}").as("h0"), col(s"h${2 * b + 1}").as("h1"))
@@ -195,11 +210,15 @@ object Dedup {
         col("h1") === col("g1") && col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val dedupMinhashSql =
-    s"""WITH tk AS (
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashCandidatePairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** CTE chain ending in `cand(doc_a, doc_b, n_shared_bands)` —
+    * shared by the minhash oracle and the fuzzy-pipeline oracle. */
+  private val minhashCandidateCtes =
+    s"""tk AS (
        |  SELECT doc_id, unnest($toksSql) AS tok,
        |    generate_subscripts($toksSql, 1) AS pos
        |  FROM documents),
@@ -207,23 +226,73 @@ object Dedup {
        |  SELECT DISTINCT doc_id,
        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
        |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |hb AS (
+       |  SELECT doc_id, ${md5LongSql("shingle")} % $MinhashP AS hb
+       |  FROM sh WHERE shingle IS NOT NULL),
        |mh AS (
        |  SELECT doc_id, s.seed,
-       |    min(${md5LongSql("concat(cast(s.seed as varchar), ':', shingle)")}) AS h
-       |  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s
-       |  WHERE shingle IS NOT NULL
+       |    min((s.a * hb + s.b) % $MinhashP) AS h
+       |  FROM hb CROSS JOIN (
+       |    SELECT unnest(${MinhashA.indices.mkString("[", ",", "]")}) AS seed,
+       |      unnest(${MinhashA.mkString("[", ",", "]")}) AS a,
+       |      unnest(${MinhashB.mkString("[", ",", "]")}) AS b) s
        |  GROUP BY doc_id, s.seed),
        |bands AS (
        |  SELECT doc_id, seed // 2 AS band,
        |    max(CASE WHEN seed % 2 = 0 THEN h END) AS h0,
        |    max(CASE WHEN seed % 2 = 1 THEN h END) AS h1
-       |  FROM mh GROUP BY doc_id, band)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  count(*) AS n_shared_bands
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
-       |  AND a.doc_id < b.doc_id
-       |GROUP BY doc_a, doc_b
+       |  FROM mh GROUP BY doc_id, band),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    count(*) AS n_shared_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY doc_a, doc_b)""".stripMargin
+
+  private val dedupMinhashSql =
+    s"""WITH $minhashCandidateCtes
+       |SELECT doc_a, doc_b, n_shared_bands FROM cand
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- fuzzy pipeline
+  /** The production fuzzy-dedup shape as ONE plan: minhash-band
+    * candidate generation (linear + equi-join, output-bounded) →
+    * exact jaccard verification ONLY on the candidate pairs (two
+    * output-bounded joins pull in the token sets) → threshold. This
+    * is how near-dup dedup actually runs at 100 TB: the exact measure
+    * never touches the n² pair space, only band collisions.
+    *
+    * Unlike the lang-blocked `dedup_jaccard`, candidates here are NOT
+    * language-blocked: shingle-band collisions find cross-language
+    * near-dups too (on this corpus most verified pairs are cross-lang
+    * ones the blocked operator can't see). */
+  def pipelineFuzzyDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cand = minhashCandidatePairs(spark, dir)
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(toks).as("s"))
+    val sa = sets.select(col("doc_id").as("doc_a"), col("s").as("s_a"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("s").as("s_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("c", size(array_intersect(col("s_a"), col("s_b"))))
+      .withColumn("u", size(array_union(col("s_a"), col("s_b"))))
+      .withColumn("jac", col("c").cast("double") / col("u"))
+      .filter(col("jac") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        rnd(col("jac"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val pipelineFuzzyDedupSql =
+    s"""WITH $minhashCandidateCtes,
+       |sets AS (SELECT doc_id, list_distinct($toksSql) AS s FROM documents)
+       |SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+       |  ${rndSql("cast(len(list_intersect(a.s, b.s)) as double) / len(list_distinct(a.s || b.s))", 4)} AS jaccard
+       |FROM cand c
+       |JOIN sets a ON c.doc_a = a.doc_id
+       |JOIN sets b ON c.doc_b = b.doc_id
+       |WHERE cast(len(list_intersect(a.s, b.s)) as double)
+       |    / len(list_distinct(a.s || b.s)) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- simhash
@@ -318,6 +387,82 @@ object Dedup {
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- simhash wide
+  /** 60-bit SimHash (full md5Long width) with 5×12-bit bands — the
+    * signature width the 100 TB path actually uses. Where the 16-bit
+    * toy signature has only 16 buckets per 4-bit band (weak
+    * selectivity on a dup-dense corpus), 12-bit bands give 4096
+    * buckets each, so candidate collisions ≈ true near-dups.
+    * Pigeonhole: hamming ≤ 4 over 5 bands ⇒ ≥ 1 exact band match —
+    * total recall against the exact-pairwise oracle below.
+    *
+    * The per-bit votes are 60 aggregate expressions in ONE groupBy
+    * pass (no bit-explode — the 16-bit form's explode would cost
+    * 60 rows/token here); the signature reassembles from the vote
+    * columns in a single projection. */
+  private val WideBits = 60
+  private val WideBands = 5 // 12 bits each; hamming <= WideBands - 1
+  def dedupSimhashWide(spark: SparkSession, dir: String): DataFrame = {
+    val th = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(array_distinct(toks)).as("tok"))
+      .repartition(col("doc_id"))
+      .withColumn("th", md5Long(col("tok")))
+    val voteAggs = (0 until WideBits).map { b =>
+      sum(when(expr(s"shiftright(th, $b) % 2") === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val shExpr = (0 until WideBits)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b}L ELSE 0L END)")
+      .mkString(" + ")
+    val sig = th.groupBy(col("doc_id"), col("lang"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"), col("lang"), expr(shExpr).as("sh"))
+    val bands = sig.select(col("doc_id"), col("lang"), col("sh"),
+      explode(array((0 until WideBands).map { b =>
+        struct(lit(b).as("band"),
+          expr(s"cast(shiftright(sh, ${12 * b}) & 4095 as int)").as("bits"))
+      }: _*)).as("bd"))
+      .select(col("doc_id"), col("lang"), col("sh"),
+        col("bd.band").as("band"), col("bd.bits").as("bits"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("lang"),
+      col("band"), col("bits"), col("sh").as("ha"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("band").as("band_b"), col("bits").as("bits_b"), col("sh").as("hb"))
+    val firstMatchingBand = "CASE band " + (0 until WideBands).map { bnd =>
+      val priorDiffer = (0 until bnd).map(j =>
+        s"(shiftright(ha, ${12 * j}) & 4095) != (shiftright(hb, ${12 * j}) & 4095)")
+      s"WHEN $bnd THEN (${if (priorDiffer.isEmpty) "true" else priorDiffer.mkString(" AND ")})"
+    }.mkString(" ") + " END"
+    a.join(b, col("lang") === col("lang_b") && col("band") === col("band_b") &&
+        col("bits") === col("bits_b") && col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+      .filter(col("hamming") <= WideBands - 1 && expr(firstMatchingBand))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val dedupSimhashWideSql = {
+    val votes = (0 until WideBits)
+      .map(b => s"sum(CASE WHEN (th >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val shExpr = (0 until WideBits)
+      .map(b => s"(CASE WHEN v$b > 0 THEN 1::BIGINT << $b ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tokh AS (
+       |  SELECT doc_id, lang, unnest(list_distinct($toksSql)) AS tok
+       |  FROM documents),
+       |th AS (SELECT doc_id, lang, ${md5LongSql("tok")} AS th FROM tokh),
+       |votes AS (
+       |  SELECT doc_id, lang,
+       |    $votes
+       |  FROM th GROUP BY doc_id, lang),
+       |sh AS (SELECT doc_id, lang, $shExpr AS sh FROM votes)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  cast(bit_count(xor(a.sh, b.sh)) as int) AS hamming
+       |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= ${WideBands - 1}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- embedding
   /** Embedding-cosine near-dup pairs within label blocks. All float
     * math is double-cast element-wise with a sequential left fold —
@@ -361,7 +506,9 @@ object Dedup {
     QueryDef("dedup_exact", dedupExact _, Some(dedupExactSql)),
     QueryDef("dedup_jaccard", dedupJaccard _, Some(dedupJaccardSql)),
     QueryDef("dedup_minhash", dedupMinhash _, Some(dedupMinhashSql)),
+    QueryDef("pipeline_fuzzy_dedup", pipelineFuzzyDedup _, Some(pipelineFuzzyDedupSql)),
     QueryDef("dedup_simhash", dedupSimhash _, Some(dedupSimhashSql)),
     QueryDef("dedup_simhash_banded", dedupSimhashBanded _, Some(dedupSimhashSql)),
+    QueryDef("dedup_simhash_wide", dedupSimhashWide _, Some(dedupSimhashWideSql)),
     QueryDef("dedup_embedding", dedupEmbedding _, Some(dedupEmbeddingSql)))
 }

@@ -290,19 +290,22 @@ object Similarity {
       .orderBy(col("cluster_id"))
   }
 
-  /** Unrolled Lloyd oracle for any iteration count — c(i) from a(i),
-    * a(i) assigned against c(i-1), mirroring kmeansTrain exactly. */
-  private def annKmeansSqlFor(iters: Int): String = {
-    val dot = (a: String, b: String) =>
-      s"list_reduce(list_transform($a, (x, i) -> x * $b[i]), (x, y) -> x + y)"
-    val nrm = (a: String) =>
-      s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
+  private val sqlDot = (a: String, b: String) =>
+    s"list_reduce(list_transform($a, (x, i) -> x * $b[i]), (x, y) -> x + y)"
+  private val sqlNrm = (a: String) =>
+    s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
+
+  /** Unrolled Lloyd CTE chain for any iteration count — c(i) from
+    * a(i), a(i) assigned against c(i-1), mirroring kmeansTrain
+    * exactly; ends with `c$iters` / `a$iters` available. Shared by
+    * the kmeans oracle and the trained-IVF oracle. */
+  private def kmeansCtesFor(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""a$i AS (
          |  SELECT vec_id, v, cluster FROM (
          |    SELECT en.vec_id, en.v, c.c_id AS cluster,
          |      row_number() OVER (PARTITION BY en.vec_id
-         |        ORDER BY ${dot("c.cv", "en.v")} / (${nrm("c.cv")} * en.nrm) DESC, c.c_id) AS rn
+         |        ORDER BY ${sqlDot("c.cv", "en.v")} / (${sqlNrm("c.cv")} * en.nrm) DESC, c.c_id) AS rn
          |    FROM en CROSS JOIN c${i - 1} c)
          |  WHERE rn = 1),
          |u$i AS (
@@ -312,23 +315,104 @@ object Similarity {
          |  GROUP BY cluster, dim),
          |c$i AS (SELECT cluster AS c_id, list(m ORDER BY dim) AS cv FROM u$i GROUP BY cluster)""".stripMargin
     }.mkString(",\n")
-    s"""WITH en AS ($vecsSql),
+    s"""en AS ($vecsSql),
        |c0 AS (SELECT cast(vec_id as int) AS c_id, v AS cv FROM en WHERE vec_id < $NCentroids),
-       |$rounds,
-       |sizes AS (SELECT cluster, count(*) AS n_members FROM a$iters GROUP BY cluster)
-       |SELECT c$iters.c_id AS cluster_id, sizes.n_members,
-       |  ${rndSql(nrm(s"c$iters.cv"), 6)} AS centroid_norm,
-       |  ${rndSql(s"c$iters.cv[1]", 6)} AS centroid_c0
-       |FROM c$iters JOIN sizes ON c$iters.c_id = sizes.cluster
+       |$rounds""".stripMargin
+  }
+
+  private val annKmeansSql = {
+    val n = KmeansIters
+    s"""WITH ${kmeansCtesFor(n)},
+       |sizes AS (SELECT cluster, count(*) AS n_members FROM a$n GROUP BY cluster)
+       |SELECT c$n.c_id AS cluster_id, sizes.n_members,
+       |  ${rndSql(sqlNrm(s"c$n.cv"), 6)} AS centroid_norm,
+       |  ${rndSql(s"c$n.cv[1]", 6)} AS centroid_c0
+       |FROM c$n JOIN sizes ON c$n.c_id = sizes.cluster
        |ORDER BY cluster_id""".stripMargin
   }
 
-  private val annKmeansSql = annKmeansSqlFor(KmeansIters)
+  // ---------------------------------------------------------------- IVF trained
+  /** The full IVF lifecycle as ONE query (round 2): TRAIN centroids
+    * with `kmeansTrain` (2 Lloyd rounds, flat iterations), ASSIGN
+    * every vector to its learned centroid, then PROBE each query's 2
+    * closest learned clusters and rank exactly — `ann_ivf` with real
+    * learned centroids instead of the deterministic seed vectors. At
+    * 100 TB the trained assignment is the write-once partition key;
+    * training cost is `iters` linear passes. */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val ev = e.select(col("vec_id"), col("v"), col("nrm"))
+    val (cent, _) = kmeansTrain(ev, NCentroids, iters = 2)
+    val centN = cent.withColumn("cn", VectorFunctions.norm(col("cv")))
+
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val assigned = ev.join(broadcast(centN), lit(true))
+      .withColumn("ccos", dot(col("cv"), col("v")) / (col("cn") * col("nrm")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cluster"))
+
+    val q = ev.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("c_id"))
+    val probes = q.join(broadcast(centN), lit(true))
+      .withColumn("qcos", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= NProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("probe_cluster"))
+
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(probes,
+        col("cluster") === col("probe_cluster") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        rnd(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val annIvfTrainedSql = {
+    val cN = "c2" // 2 training rounds
+    s"""WITH ${kmeansCtesFor(2)},
+       |cent AS (SELECT c_id, cv, ${sqlNrm("cv")} AS cn FROM $cN),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, cluster FROM (
+       |    SELECT en.vec_id, en.v, en.nrm, cent.c_id AS cluster,
+       |      row_number() OVER (PARTITION BY en.vec_id
+       |        ORDER BY ${sqlDot("cent.cv", "en.v")} / (cent.cn * en.nrm) DESC, cent.c_id)
+       |        AS crank
+       |    FROM en CROSS JOIN cent)
+       |  WHERE crank = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM en WHERE vec_id < $NQueries),
+       |probes AS (
+       |  SELECT q_id, qv, qn, probe_cluster FROM (
+       |    SELECT q.q_id, q.qv, q.qn, cent.c_id AS probe_cluster,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${sqlDot("cent.cv", "q.qv")} / (cent.cn * q.qn) DESC, cent.c_id)
+       |        AS prank
+       |    FROM q CROSS JOIN cent)
+       |  WHERE prank <= $NProbe),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    ${sqlDot("p.qv", "a.v")} / (p.qn * a.nrm) AS cos
+       |  FROM assigned a JOIN probes p
+       |    ON a.cluster = p.probe_cluster AND a.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) as int) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id AS neighbor_id, rank,
+       |  ${rndSql("cos", 6)} AS cos_sim
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
 
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ann_bruteforce", annBruteforce _, Some(annBruteforceSql)),
     QueryDef("ann_ivf", annIvf _, Some(annIvfSql)),
+    QueryDef("ann_ivf_trained", annIvfTrained _, Some(annIvfTrainedSql)),
     QueryDef("ann_kmeans", annKmeans _, Some(annKmeansSql)),
     QueryDef("ann_lsh", annLsh _, Some(annLshSql)))
 }
