@@ -91,6 +91,8 @@ object Dedup {
       vocab: Array[(String, Seq[String])]): DataFrame = {
     import spark.implicits._
     val vf = broadcast(vocab.toSeq.toDF("lang", "vocab"))
+    // persisted: consumed three times (intra pairs + both inter sides);
+    // without it the scan+mask aggregate re-executes per consumer
     val groups = t.join(vf, "lang")
       .withColumn("mask", expr(
         """aggregate(
@@ -99,6 +101,7 @@ object Dedup {
       .filter(col("mask") =!= 0L) // empty sets have undefined (0/0) jaccard
       .groupBy(col("lang"), col("mask"))
       .agg(collect_list(col("doc_id")).as("members"), count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val intra = groups.filter(col("n") >= 2)
       .select(explode(col("members")).as("doc_a"), col("members"))
       .select(col("doc_a"), explode(col("members")).as("doc_b"))
@@ -196,7 +199,11 @@ object Dedup {
     val seedMins = (0 until 8).map { s =>
       min(expr(s"(${MinhashA(s)}L * hb + ${MinhashB(s)}L) % ${MinhashP}L")).as(s"h$s")
     }
+    // persisted: the band equi-join consumes this frame on BOTH sides;
+    // one row per doc, so the cache is tiny while saving a full
+    // shingle+min-aggregate recompute (the dominant signature cost)
     val sig = base.groupBy(col("doc_id")).agg(seedMins.head, seedMins.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sig
       .select(col("doc_id"), explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"), col(s"h${2 * b}").as("h0"), col(s"h${2 * b + 1}").as("h1"))
@@ -269,8 +276,10 @@ object Dedup {
     * ones the blocked operator can't see). */
   def pipelineFuzzyDedup(spark: SparkSession, dir: String): DataFrame = {
     val cand = minhashCandidatePairs(spark, dir)
+    // persisted: joined once per pair side (doc_a, doc_b)
     val sets = Tables.documents(spark, dir)
       .select(col("doc_id"), array_distinct(toks).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sa = sets.select(col("doc_id").as("doc_a"), col("s").as("s_a"))
     val sb = sets.select(col("doc_id").as("doc_b"), col("s").as("s_b"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
@@ -298,7 +307,8 @@ object Dedup {
   // ---------------------------------------------------------------- simhash
   /** (doc_id, lang, sh): 16-bit SimHash from md5 token hashes —
     * per-bit ±1 votes over the distinct token set. Linear in corpus
-    * size; shared by the exact-pairwise and banded candidate paths. */
+    * size; shared by the exact-pairwise and banded candidate paths.
+    * Persisted: every caller self-joins it (one row per doc). */
   private def simhashSigs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), array_distinct(toks).as("t"))
@@ -311,6 +321,7 @@ object Dedup {
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(when(col("vote") > 0, expr("cast(shiftleft(1L, bit) as bigint)"))
         .otherwise(0L)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Near-dups = hamming ≤ 3 within a lang block, via per-lang
     * ALL-PAIRS comparison. O(n²/|langs|) — kept as the exact oracle
@@ -416,6 +427,7 @@ object Dedup {
     val sig = th.groupBy(col("doc_id"), col("lang"))
       .agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("doc_id"), col("lang"), expr(shExpr).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // self-joined
     val bands = sig.select(col("doc_id"), col("lang"), col("sh"),
       explode(array((0 until WideBands).map { b =>
         struct(lit(b).as("band"),

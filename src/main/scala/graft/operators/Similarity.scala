@@ -167,12 +167,15 @@ object Similarity {
     val e = vecs(spark, dir)
     val hyper = e.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("int").as("hid"), col("v").as("hv"))
+    // persisted: the bucket equi-join consumes the signature frame on
+    // both sides — one row per vector, saves a 8-hyperplane recompute
     val sigs = e.join(broadcast(hyper), lit(true))
       .withColumn("bit",
         when(VectorFunctions.dot(col("hv"), col("v")) > 0,
           expr("cast(shiftleft(1L, hid) as bigint)")).otherwise(0L))
       .groupBy(col("vec_id"), col("v"), col("nrm"))
       .agg(sum(col("bit")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("nrm").as("na"), col("sig"))
     val b = sigs.select(col("vec_id").as("vec_b"), col("v").as("vb"),
