@@ -42,6 +42,46 @@ object StreamSinks {
     fs.delete(old, true)
   }
 
+  /** Partition-pruned upsert: the layout is partitioned by
+    * `partitionCol`, and a batch only touches the partitions its rows
+    * land in — the anti-join reads ONLY those partitions (partition
+    * pruning on the scan) and dynamic partition overwrite replaces
+    * only those directories. Untouched partitions are never read or
+    * rewritten — at 100 TB with date/tenant partitions this is the
+    * difference between a merge proportional to the BATCH and one
+    * proportional to the TABLE.
+    *
+    * CONTRACT: `partitionCol` must be a stable function of the key
+    * (the usual date/tenant layouts are). If a key re-arrives under a
+    * DIFFERENT partition value, its old copy in the untouched
+    * partition survives — exactly because untouched partitions are
+    * never read. Key-mobile layouts need the unpartitioned
+    * `upsertBatch` (or a table format with a global index). */
+  def upsertBatchPartitioned(batch: DataFrame, path: String,
+      keyCols: Seq[String], partitionCol: String): Unit = {
+    val spark = batch.sparkSession
+    val fresh = batch.dropDuplicates(keyCols)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(dir)) fresh
+      else {
+        val parts = fresh.select(partitionCol).distinct().collect()
+          .map(_.get(0)).toSeq // distinct batch partitions: small by design
+        val existing = spark.read.parquet(path)
+          .filter(org.apache.spark.sql.functions.col(partitionCol)
+            .isin(parts: _*)) // prunes the scan to touched partitions
+        existing.join(fresh, keyCols, "left_anti").unionByName(fresh)
+      }
+    // sever the lineage from the files about to be replaced: the
+    // dynamic overwrite below must not re-read what it deletes
+    val mat = merged.localCheckpoint(true)
+    mat.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
+
   /** writeStream wiring: one upsert transaction per micro-batch. */
   def foreachBatchUpsert(stream: DataFrame, path: String,
       keyCols: Seq[String]): DataStreamWriter[Row] =

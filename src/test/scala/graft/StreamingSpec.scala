@@ -179,6 +179,29 @@ class StreamingSpec extends SparkSpec {
       s"expected upsert semantics, got $after2")
   }
 
+  test("partitioned upsert merges touched partitions and leaves others untouched") {
+    val s = spark
+    import s.implicits._
+    val target = java.nio.file.Files.createTempDirectory("upsert-part").toString + "/state"
+    graft.streaming.StreamSinks.upsertBatchPartitioned(
+      Seq((1L, "a0", "p1"), (2L, "b0", "p2")).toDF("k", "v", "part"),
+      target, Seq("k"), "part")
+    val p2FilesBefore = new java.io.File(s"$target/part=p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+
+    // second batch touches ONLY p1 (update k=1, insert k=3)
+    graft.streaming.StreamSinks.upsertBatchPartitioned(
+      Seq((1L, "a1", "p1"), (3L, "c1", "p1")).toDF("k", "v", "part"),
+      target, Seq("k"), "part")
+
+    val after = s.read.parquet(target).as[(Long, String, String)].collect().toSet
+    assert(after == Set((1L, "a1", "p1"), (3L, "c1", "p1"), (2L, "b0", "p2")),
+      s"expected partition-scoped upsert, got $after")
+    val p2FilesAfter = new java.io.File(s"$target/part=p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+    assert(p2FilesAfter == p2FilesBefore, "untouched partition must not be rewritten")
+  }
+
   test("streaming -> parquet -> batch round-trip preserves the data") {
     val s = spark
     val base = java.nio.file.Files.createTempDirectory("stream-rt").toString
