@@ -171,7 +171,11 @@ object MrCore {
     val Scale = 1000000000000000L // 1e15 fixed point
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-    val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    // orders is the 4x-smaller side and only 2 narrow columns: broadcast
+    // it so the (larger) lineitem never shuffles for the edge build.
+    // At TPC-H ratios this holds to ~SF100; beyond that AQE's
+    // size-based planning would demote it to a shuffle join anyway.
+    val fwd = li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
       .distinct()
     // Iteration-invariant frames are persisted once: without this the

@@ -168,8 +168,40 @@ object TextAnalysis {
        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin
 
   // ---------------------------------------------------------------- registry
+  // ---------------------------------------------------------------- BPE-ish tokens
+  /** GPT-2-style pre-tokenization counting: contractions, letter
+    * runs, digit runs, symbol runs (each with an optional leading
+    * space) — the token-budget estimate an LLM pipeline prices
+    * documents with, next to the whitespace count. The pattern stays
+    * inside the Java-regex ∩ RE2 common subset (no lookahead) so both
+    * engines tokenize identically; counts are per-doc and the plan is
+    * a pure scan projection (no shuffle but the oracle sort). */
+  private val BpePattern =
+    """ ?'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
+
+  def textTokensBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bpe", regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+      .select(
+        col("doc_id"),
+        size(toks).as("n_ws_tokens"),
+        size(col("bpe")).as("n_bpe_tokens"),
+        rnd(size(col("bpe")).cast("double")
+          / greatest(size(toks), lit(1)), 4).as("bpe_per_word"))
+      .orderBy(col("doc_id"))
+
+  private val textTokensBpeSql = {
+    val pat = BpePattern.replace("'", "''")
+    s"""SELECT doc_id,
+       |  cast(len($toksSql) as int) AS n_ws_tokens,
+       |  cast(len(regexp_extract_all(text, '$pat')) as int) AS n_bpe_tokens,
+       |  ${rndSql(s"cast(len(regexp_extract_all(text, '$pat')) as double) / greatest(len($toksSql), 1)", 4)} AS bpe_per_word
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("text_stats", textStats _, Some(textStatsSql)),
+    QueryDef("text_tokens_bpe", textTokensBpe _, Some(textTokensBpeSql)),
     QueryDef("text_quality", textQuality _, Some(textQualitySql)),
     QueryDef("text_langid", textLangid _, Some(textLangidSql)),
     QueryDef("text_fingerprint", textFingerprint _, Some(textFingerprintSql)),
