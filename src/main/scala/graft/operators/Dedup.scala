@@ -70,8 +70,10 @@ object Dedup {
     * token co-occurrence. The probe is one small distinct-aggregate
     * job — the same collect-a-tiny-table pattern as kmeans centroids. */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: consumed by the vocab stat probe AND the chosen path
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), array_distinct(toks).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = t.select(col("lang"), explode(col("s")).as("tok")).distinct()
       .groupBy(col("lang")).agg(sort_array(collect_set(col("tok"))).as("vocab"))
       .collect().map(r => (r.getString(0), r.getSeq[String](1)))

@@ -114,6 +114,40 @@ object Multimodal {
       |  3 AS channels
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- frame sample
+  /** Oracle-checked twin of the typed `sampleFrames` API (chunk=64,
+    * stride=2): the one-row→many-frames multimodal shape, expressed
+    * declaratively (`sequence` + `explode` — stays in codegen) so
+    * DuckDB can check it. MultimodalSpec proves the typed flatMap
+    * API produces exactly these rows. */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val (chunk, stride) = (64, 2)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("len"))
+      .withColumn("n_chunks", greatest(expr(s"len div $chunk"), lit(1L)))
+      .select(col("doc_id"), col("len"),
+        explode(expr(s"sequence(0L, n_chunks - 1, $stride)")).as("frame_no"))
+      .select(
+        col("doc_id"),
+        col("frame_no").cast("int").as("frame_no"),
+        greatest(least(lit(chunk.toLong), col("len") - col("frame_no") * chunk),
+          lit(0L)).as("n_bytes"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  private val mmFrameSampleSql =
+    """WITH d AS (
+      |  SELECT doc_id, cast(octet_length(cast(text as blob)) as bigint) AS len
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, len,
+      |    unnest(range(0, greatest(len // 64, 1), 2)) AS frame_no
+      |  FROM d)
+      |SELECT doc_id, cast(frame_no as int) AS frame_no,
+      |  cast(greatest(least(64, len - frame_no * 64), 0) as bigint) AS n_bytes
+      |FROM f ORDER BY doc_id, frame_no""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("mm_binary_meta", mmBinaryMeta _, Some(mmBinaryMetaSql)))
+    QueryDef("mm_binary_meta", mmBinaryMeta _, Some(mmBinaryMetaSql)),
+    QueryDef("mm_frame_sample", mmFrameSample _, Some(mmFrameSampleSql)))
 }

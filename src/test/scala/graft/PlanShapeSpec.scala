@@ -39,4 +39,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"banded candidates must come from a hash-joinable key:\n$plan")
   }
+
+  /** Queries whose nested-loop joins are deliberate: a tiny broadcast
+    * build side (literal buckets, query/centroid/hyperplane sets, a
+    * single-row count) where a nested loop is the right plan. */
+  private val allowedNestedLoop = Set(
+    "q_range_join",                       // 5-row literal bucket table
+    "ann_bruteforce", "ann_ivf", "ann_ivf_trained", "ann_kmeans",
+    "ann_lsh",                            // broadcast query/centroid/hyperplane sets
+    "mr_pagerank")                        // broadcast single-row node count
+
+  test("no query plans an unexpected cartesian or nested-loop join") {
+    val offenders = SparkEntry.allDefs.flatMap { d =>
+      val plan = d.run(spark, sf).queryExecution.executedPlan.toString
+      val nested = plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("CartesianProduct")
+      if (nested && !allowedNestedLoop(d.name)) Some(d.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected non-equi join in: ${offenders.mkString(", ")}")
+  }
+
+  test("q6's tight filters reach the parquet scan as pushed filters") {
+    val plan = graft.operators.Relational.q6ForecastRevenue(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)].*", "$1").nonEmpty,
+      s"expected non-empty PushedFilters in:\n$plan")
+  }
+
+  test("typed sampleFrames equals the oracle-checked mm_frame_sample query") {
+    val s = spark
+    import s.implicits._
+    val typed = graft.operators.Multimodal
+      .sampleFrames(graft.operators.Multimodal.asBinary(s, sf), chunk = 64, stride = 2)
+      .collect().map(f => (f.doc_id, f.frame_no, f.n_bytes)).toSet
+    val sql = graft.operators.Multimodal.mmFrameSample(s, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(typed == sql, s"typed=${typed.size} sql=${sql.size}")
+  }
 }
