@@ -21,5 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_norm"),
       new ExpressionInfo(classOf[VectorFunctions.L2Norm].getName, "l2_norm"),
       (exprs: Seq[Expression]) => VectorFunctions.L2Norm(exprs.head)))
+    // the whole-operator stack ships through the same entry point:
+    // a cluster that sets spark.sql.extensions=graft.GraftExtensions
+    // gets the as-of planner + its pushdown rule without any
+    // driver-side AsOf.register call
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }

@@ -33,6 +33,28 @@ object Sources {
   def readText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** Lenient JSON ingest for dirty corpora: malformed lines land in
+    * `_corrupt_record` instead of failing the job (PERMISSIVE), so a
+    * 100 TB crawl ingest quarantines bad records with a filter rather
+    * than dying at hour nine. Requires an explicit schema — Spark
+    * drops the corrupt-record column during inference. */
+  def readJsonLenient(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .json(path)
+  }
+
+  /** Parquet read across schema-evolved file generations: fields
+    * added over time are merged (nulls where absent). The footer
+    * merge costs one extra pass over file metadata — only enable it
+    * on layouts that actually evolved. */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 

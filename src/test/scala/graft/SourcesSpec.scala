@@ -37,6 +37,44 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == df.count())
   }
 
+  test("lenient json read quarantines malformed lines instead of failing") {
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("dirty-json").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2 "v": "missing comma"}
+        |{"id": 3, "v": "fine"}
+        |not json at all""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    // cache first: Spark refuses corrupt-column-only queries on the
+    // raw file relation (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val df = Sources.readJsonLenient(s, dir, schema).cache()
+    df.count()
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() == 2 && bad.count() == 2)
+    assert(good.select("id").collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 3L)))
+  }
+
+  test("mergeSchema reads across schema-evolved parquet generations") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("evolved").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/gen=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.parquet(s"$dir/gen=2")
+    val merged = Sources.readParquetMerged(s, dir)
+    assert(merged.schema.fieldNames.toSet == Set("id", "v", "score", "gen"))
+    val rows = merged.select("id", "score").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    assert(rows == Set((1L, None), (2L, Some(9.5))))
+    assert(merged.filter(col("score").isNull).count() == 1)
+  }
+
   test("multimodal resize/frame-sample stubs keep typed batch shape") {
     val raw = Multimodal.asBinary(spark, sf)
     val resized = Multimodal.resizeBatch(raw, 32, 32).collect()
