@@ -310,20 +310,27 @@ object Dedup {
   /** (doc_id, lang, sh): 16-bit SimHash from md5 token hashes —
     * per-bit ±1 votes over the distinct token set. Linear in corpus
     * size; shared by the exact-pairwise and banded candidate paths.
+    * The 16 per-bit votes are 16 aggregate expressions in ONE groupBy
+    * pass (same no-bit-explode shape as the wide variant below — the
+    * explode form multiplied the shuffle by 16 rows/token).
     * Persisted: every caller self-joins it (one row per doc). */
-  private def simhashSigs(spark: SparkSession, dir: String): DataFrame =
+  private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    val voteAggs = (0 until 16).map { b =>
+      sum(when(expr(s"shiftright(th, $b) % 2") === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val shExpr = (0 until 16)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b}L ELSE 0L END)")
+      .mkString(" + ")
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), array_distinct(toks).as("t"))
-      .repartition(col("doc_id"))
+      .repartition(col("doc_id")) // shuffle compact arrays, explode after
       .select(col("doc_id"), col("lang"), explode(col("t")).as("tok"))
       .withColumn("th", md5Long(col("tok")))
-      .withColumn("bit", explode(array((0 until 16).map(lit(_)): _*)))
-      .groupBy(col("doc_id"), col("lang"), col("bit"))
-      .agg(sum(when(expr("shiftright(th, bit) % 2") === 1, 1).otherwise(-1)).as("vote"))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(when(col("vote") > 0, expr("cast(shiftleft(1L, bit) as bigint)"))
-        .otherwise(0L)).as("sh"))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"), col("lang"), expr(shExpr).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Near-dups = hamming ≤ 3 within a lang block, via per-lang
     * ALL-PAIRS comparison. O(n²/|langs|) — kept as the exact oracle
@@ -417,8 +424,9 @@ object Dedup {
   private val WideBands = 5 // 12 bits each; hamming <= WideBands - 1
   def dedupSimhashWide(spark: SparkSession, dir: String): DataFrame = {
     val th = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), explode(array_distinct(toks)).as("tok"))
-      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), array_distinct(toks).as("t"))
+      .repartition(col("doc_id")) // shuffle compact arrays, explode after
+      .select(col("doc_id"), col("lang"), explode(col("t")).as("tok"))
       .withColumn("th", md5Long(col("tok")))
     val voteAggs = (0 until WideBits).map { b =>
       sum(when(expr(s"shiftright(th, $b) % 2") === 1, 1).otherwise(-1)).as(s"v$b")

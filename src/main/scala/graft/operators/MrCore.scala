@@ -187,13 +187,22 @@ object MrCore {
     // Pre-partitioning edges by src also makes every per-iteration
     // ranks-join and the deg/nodes aggregates reuse one exchange.
     import org.apache.spark.storage.StorageLevel
+    // outdeg rides ON the persisted edge frame (a src-partitioned
+    // window count — exchange-free over the repartition), so no
+    // per-iteration edges⋈deg join exists at all
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
+      .withColumn("outdeg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .sortWithinPartitions(col("src")) // each round's merge join reuses this order
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nTotal = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // iteration-invariant teleport base: node + its (15%/n) term, so
+    // each round is base ⋈ contribs and nothing else
+    val base = nodes.crossJoin(nTotal)
+      .select(col("node"), col("n"),
+        expr(s"((15 * ${Scale}L) div 100) div n").as("tele"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ranks is checkpointed per iteration: lineage stays one-iteration
@@ -201,19 +210,16 @@ object MrCore {
     // growing with the unrolled plan, and a failure retries one
     // iteration, not the whole chain. (Integer fixed-point arithmetic —
     // materializing intermediate values cannot perturb results.)
-    var ranks = nodes.crossJoin(nTotal)
-      .select(col("node"), expr(s"${Scale}L div n").as("rank"))
+    var ranks = base.select(col("node"), expr(s"${Scale}L div n").as("rank"))
     for (_ <- 1 to 3) {
       val contribs = edges
         .join(ranks, col("src") === col("node")).drop("node")
-        .join(deg, "src")
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
-      ranks = nodes.crossJoin(nTotal)
+      ranks = base
         .join(contribs, col("node") === col("dst"), "left_outer")
-        .select(col("node"), col("n"), coalesce(col("s"), lit(0L)).as("s"))
         .select(col("node"),
-          expr(s"((15 * ${Scale}L) div 100) div n + (85 * s) div 100").as("rank"))
+          (col("tele") + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
         .localCheckpoint()
     }
     ranks.select(col("node"), col("rank").as("rank_scaled")).orderBy(col("node"))
