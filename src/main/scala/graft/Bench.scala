@@ -22,6 +22,7 @@ object Bench {
     "dedup_simhash_banded", // banded signature candidates (round 2)
     "dedup_simhash_wide",   // 60-bit signature, 12-bit bands (round 2)
     "pipeline_fuzzy_dedup", // minhash candidates -> exact verify (round 2)
+    "pipeline_dedup_clusters", // verified pairs -> connected components (round 2)
     "dedup_embedding",      // blocked pairwise vector math
     "ann_bruteforce",       // broadcast query set scan
     "ann_ivf",              // clustered probe

@@ -276,7 +276,10 @@ object Dedup {
     * language-blocked: shingle-band collisions find cross-language
     * near-dups too (on this corpus most verified pairs are cross-lang
     * ones the blocked operator can't see). */
-  def pipelineFuzzyDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Verified near-dup pairs (doc_a < doc_b, exact jaccard ≥ 0.8 on
+    * minhash-band candidates) — shared by `pipeline_fuzzy_dedup` and
+    * the connected-components clustering below. */
+  private def fuzzyVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val cand = minhashCandidatePairs(spark, dir)
     // persisted: joined once per pair side (doc_a, doc_b)
     val sets = Tables.documents(spark, dir)
@@ -289,10 +292,92 @@ object Dedup {
       .withColumn("u", size(array_union(col("s_a"), col("s_b"))))
       .withColumn("jac", col("c").cast("double") / col("u"))
       .filter(col("jac") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"), col("jac"))
+  }
+
+  def pipelineFuzzyDedup(spark: SparkSession, dir: String): DataFrame =
+    fuzzyVerifiedPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
         rnd(col("jac"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  // ---------------------------------------------------------------- clusters
+  /** The step every production dedup actually needs AFTER pair
+    * generation: the transitive closure. Near-dup similarity is not
+    * transitive (A~B, B~C does not imply A~C), so a keep/drop decision
+    * made per PAIR both over- and under-deletes; the standard policy
+    * is to group pairs into connected components and keep one
+    * canonical doc (min doc_id) per component.
+    *
+    * Components via iterative min-label propagation: every doc starts
+    * labeled with itself; each round, a node's label becomes the min
+    * of its own and its neighbors' labels; fixpoint = component min.
+    * The edge list (symmetrized verified pairs) is pre-partitioned by
+    * src and persisted ONCE; labels are localCheckpoint'd per round
+    * (one-round lineage, same discipline as pagerank); convergence is
+    * a one-scalar driver check — sum(label) is strictly decreasing
+    * until the fixpoint, so equal sums ⇒ converged. Rounds needed =
+    * component diameter; near-dup clusters are dense (everything is
+    * ~a copy of one base doc), so 2-3 rounds in practice. At 100 TB
+    * the same loop runs with edges bucketed by src; the published
+    * large-star/small-star variant drops in if diameters ever grow.
+    *
+    * Output: one row per document — its cluster id, the cluster size,
+    * and the keep flag (true iff the doc IS its cluster's canonical). */
+  def pipelineDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = fuzzyVerifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sym = pairs.unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id").as("node"), col("doc_id").as("lab"))
+      .localCheckpoint()
+    var prevSum = labels.agg(coalesce(sum(col("lab")), lit(0L))).head.getLong(0)
+    var converged = false
+    var round = 0
+    while (!converged && round < 25) {
+      val next = sym.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("lab"))
+        .unionAll(labels)
+        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint()
+      val s = next.agg(coalesce(sum(col("lab")), lit(0L))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      round += 1
+    }
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("lab"))))
+      .select(col("node").as("doc_id"), col("lab").as("cluster_id"),
+        col("cluster_size"), (col("node") === col("lab")).as("keep"))
+      .orderBy(col("doc_id"))
   }
+
+  private val pipelineDedupClustersSql =
+    s"""WITH RECURSIVE $minhashCandidateCtes,
+       |sets AS (SELECT doc_id, list_distinct($toksSql) AS s FROM documents),
+       |verified AS (
+       |  SELECT c.doc_a, c.doc_b FROM cand c
+       |  JOIN sets a ON c.doc_a = a.doc_id
+       |  JOIN sets b ON c.doc_b = b.doc_id
+       |  WHERE cast(len(list_intersect(a.s, b.s)) as double)
+       |      / len(list_distinct(a.s || b.s)) >= 0.8),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM verified
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM verified),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS lab FROM documents
+       |  UNION
+       |  SELECT r.node, s.dst AS lab FROM reach r JOIN sym s ON r.lab = s.src),
+       |cl AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  doc_id = cluster_id AS keep
+       |FROM cl ORDER BY doc_id""".stripMargin
 
   private val pipelineFuzzyDedupSql =
     s"""WITH $minhashCandidateCtes,
@@ -529,6 +614,7 @@ object Dedup {
     QueryDef("dedup_jaccard", dedupJaccard _, Some(dedupJaccardSql)),
     QueryDef("dedup_minhash", dedupMinhash _, Some(dedupMinhashSql)),
     QueryDef("pipeline_fuzzy_dedup", pipelineFuzzyDedup _, Some(pipelineFuzzyDedupSql)),
+    QueryDef("pipeline_dedup_clusters", pipelineDedupClusters _, Some(pipelineDedupClustersSql)),
     QueryDef("dedup_simhash", dedupSimhash _, Some(dedupSimhashSql)),
     QueryDef("dedup_simhash_banded", dedupSimhashBanded _, Some(dedupSimhashSql)),
     QueryDef("dedup_simhash_wide", dedupSimhashWide _, Some(dedupSimhashWideSql)),

@@ -51,6 +51,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hits >= 2, s"IVF top-1 recall too low: $hits/5")
   }
 
+  test("dedup clusters equal a brute-force union-find over the verified pairs") {
+    val pairs = Dedup.pipelineFuzzyDedup(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+    // driver-side union-find as the independent oracle
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = docs.map(d => d -> find(d)).toMap
+    val got = Dedup.pipelineDedupClusters(spark, sf)
+      .select("doc_id", "cluster_id", "cluster_size", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.map(g => g._1 -> g._2).toMap == expected)
+    val sizes = expected.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got.forall(g => g._3 == sizes(g._2)))
+    assert(got.forall(g => g._4 == (g._1 == g._2)))
+  }
+
   test("text fingerprints are distinct for distinct docs (content_fp)") {
     val fps = TextAnalysis.textFingerprint(spark, sf)
       .select("content_fp").collect().map(_.getLong(0))
