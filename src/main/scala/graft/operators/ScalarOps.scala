@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.CrossEngine.{dsum, dsumSql, md5Long, md5LongSql}
@@ -26,6 +27,43 @@ object ScalarOps {
     s"""SELECT doc_id, lang, n_chars FROM documents
        |WHERE ${md5LongSql("cast(doc_id as varchar)")} % 10 = 0
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- stratified
+  /** Stratified deterministic sampling: EXACTLY ⌈10%⌉ of each lang
+    * stratum (Bernoulli sampling under/over-shoots small strata —
+    * curation quotas need exact per-stratum counts). Each doc's rank
+    * within its stratum is its position in md5 order (a deterministic
+    * shuffle — same rows on any engine/partitioning/run); the cutoff
+    * ⌈n/10⌉ is pure integer arithmetic. One shuffle on the stratum
+    * key; the rank window and the stratum-size window share it. At
+    * 100 TB a skewed stratum bottlenecks its single partition — there
+    * the rank comes from the mr_sort shape instead (range-partition
+    * the md5 key within each stratum, rank = partition offset +
+    * local index); semantics identical, so this operator stays the
+    * oracle. */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("sample_rank", row_number().over(
+        w.orderBy(md5(concat(lit("strat:"), col("doc_id").cast("string"))), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("sample_rank") <= expr("(n + 9) div 10")) // ⌈n/10⌉, integer-exact
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("sample_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qSampleStratifiedSql =
+    """WITH r AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    cast(row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5('strat:' || cast(doc_id as varchar)), doc_id) as int)
+      |      AS sample_rank,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars, sample_rank FROM r
+      |WHERE sample_rank <= (n + 9) // 10
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- regex
   /** Regex extraction/replacement over part names. */
@@ -74,6 +112,7 @@ object ScalarOps {
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_sample", qSample _, Some(qSampleSql)),
+    QueryDef("q_sample_stratified", qSampleStratified _, Some(qSampleStratifiedSql)),
     QueryDef("q_regex", qRegex _, Some(qRegexSql)),
     QueryDef("q_null_handling", qNullHandling _, Some(qNullHandlingSql)))
 }

@@ -199,8 +199,66 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- tfidf
+  /** Per-document top-3 terms by tf-idf — the classic MR scoring job
+    * (tf from a per-doc count, df from the inverted-index shape, N
+    * broadcast) and the standard keyword-extraction pass before
+    * topic-based corpus filtering.
+    *
+    * idf is the LINEAR variant N/df, not ln(N/df): tf·N is an exact
+    * integer and one double division is correctly rounded on both
+    * engines, so scores (and thus the per-doc ranking) are
+    * bit-deterministic cross-engine — ln differs in the last ULP
+    * between libm implementations. Plan shape: one explode →
+    * doc-partitioned tf aggregate; df reuses the SAME tf frame
+    * (persisted — one row per (doc,term)) with a term-keyed
+    * re-aggregate; ranking is a per-doc window over ≤|vocab| rows.
+    * The df join is term-keyed and AQE-broadcast here; at 100 TB it
+    * becomes a plain shuffle join on term — both sides already
+    * aggregated, so rows ∝ distinct (doc,term), never raw tokens. */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), toks.as("t"))
+      .repartition(col("doc_id")) // compact arrays through the shuffle
+      .select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = broadcast(docs.agg(count(lit(1)).as("n")))
+    val scored = tf.join(df, "term").crossJoin(n)
+      .withColumn("tfidf", (col("tf") * col("n")).cast("double") / col("df"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  private val textTfidfSql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    cast(tf.tf * n.n as double) / df.df AS tfidf
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+       |  FROM scored)
+       |SELECT doc_id, term, tf, df, tfidf FROM ranked
+       |WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("text_stats", textStats _, Some(textStatsSql)),
+    QueryDef("text_tfidf", textTfidf _, Some(textTfidfSql)),
     QueryDef("text_tokens_bpe", textTokensBpe _, Some(textTokensBpeSql)),
     QueryDef("text_quality", textQuality _, Some(textQualitySql)),
     QueryDef("text_langid", textLangid _, Some(textLangidSql)),

@@ -73,6 +73,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.forall(g => g._4 == (g._1 == g._2)))
   }
 
+  test("tfidf: <=3 terms per doc, df consistent with term spread, score = tf*N/df") {
+    val n = Tables.documents(spark, sf).count()
+    val rows = TextAnalysis.textTfidf(spark, sf).collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    assert(perDoc.values.forall(_.length <= 3))
+    rows.foreach { r =>
+      val (tf, df, score) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(df >= 1 && df <= n)
+      assert(score == tf.toDouble * n / df)
+    }
+  }
+
+  test("stratified sample draws exactly ceil(n/10) docs per lang stratum") {
+    val strata = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = graft.operators.ScalarOps.qSampleStratified(spark, sf)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == strata.keySet)
+    got.foreach { case (lang, c) => assert(c == (strata(lang) + 9) / 10) }
+  }
+
   test("text fingerprints are distinct for distinct docs (content_fp)") {
     val fps = TextAnalysis.textFingerprint(spark, sf)
       .select("content_fp").collect().map(_.getLong(0))
