@@ -179,15 +179,23 @@ object Dedup {
     * Linear in corpus size + one equi-join: the 100 TB dedup path.
     * Returns unordered (doc_a, doc_b, n_shared_bands) — shared by
     * `dedup_minhash` and the two-stage `pipeline_fuzzy_dedup`. */
-  private def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Public minhash signature kernel over an ARBITRARY documents
+    * frame (needs `doc_id`, `text`): one row per doc with the 8
+    * affine-mixed minhashes. `preClustered = true` skips the doc_id
+    * repartition — pass it when the input layout already co-locates
+    * rows by doc_id (a doc_id-bucketed table): the shingle distinct
+    * and the signature aggregate then plan with ZERO exchanges, the
+    * write having pre-paid the one exchange this kernel needs
+    * (BucketingSqlSpec proves the plan shape). */
+  def minhashSignatures(docs: DataFrame, preClustered: Boolean = false): DataFrame = {
     // shingles built array-natively (indexed transform over the token
     // array) — no window, no shuffle before the signature aggregate
     // partition the compact docs once by doc_id: every later per-doc
     // groupBy (distinct, seed, band) is then shuffle-free on the
     // exploded rows (HashPartitioning(doc_id) satisfies all of them)
-    val shingles = Tables.documents(spark, dir)
-      .select(col("doc_id"), toks.as("t"))
-      .repartition(col("doc_id"))
+    val compact = docs.select(col("doc_id"), toks.as("t"))
+    val clustered = if (preClustered) compact else compact.repartition(col("doc_id"))
+    val shingles = clustered
       .select(col("doc_id"), explode(expr(
         """filter(
           |  transform(t, (x, i) -> CASE WHEN i + 2 < size(t)
@@ -201,10 +209,14 @@ object Dedup {
     val seedMins = (0 until 8).map { s =>
       min(expr(s"(${MinhashA(s)}L * hb + ${MinhashB(s)}L) % ${MinhashP}L")).as(s"h$s")
     }
+    base.groupBy(col("doc_id")).agg(seedMins.head, seedMins.tail: _*)
+  }
+
+  private def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
     // persisted: the band equi-join consumes this frame on BOTH sides;
     // one row per doc, so the cache is tiny while saving a full
     // shingle+min-aggregate recompute (the dominant signature cost)
-    val sig = base.groupBy(col("doc_id")).agg(seedMins.head, seedMins.tail: _*)
+    val sig = minhashSignatures(Tables.documents(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sig
       .select(col("doc_id"), explode(array((0 until 4).map { b =>
@@ -399,23 +411,32 @@ object Dedup {
     * pass (same no-bit-explode shape as the wide variant below — the
     * explode form multiplied the shuffle by 16 rows/token).
     * Persisted: every caller self-joins it (one row per doc). */
-  private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
+  /** Public simhash signature kernel over an ARBITRARY documents
+    * frame (needs `doc_id`, `lang`, `text`). `preClustered = true`
+    * skips the doc_id repartition for layouts that already co-locate
+    * rows by doc_id (bucketed tables) — the signature aggregate then
+    * plans with ZERO exchanges (BucketingSqlSpec). */
+  def simhashSignatures(docs: DataFrame, preClustered: Boolean = false): DataFrame = {
     val voteAggs = (0 until 16).map { b =>
       sum(when(expr(s"shiftright(th, $b) % 2") === 1, 1).otherwise(-1)).as(s"v$b")
     }
     val shExpr = (0 until 16)
       .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b}L ELSE 0L END)")
       .mkString(" + ")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), array_distinct(toks).as("t"))
-      .repartition(col("doc_id")) // shuffle compact arrays, explode after
+    val compact = docs.select(col("doc_id"), col("lang"), array_distinct(toks).as("t"))
+    val clustered = if (preClustered) compact
+      else compact.repartition(col("doc_id")) // shuffle compact arrays, explode after
+    clustered
       .select(col("doc_id"), col("lang"), explode(col("t")).as("tok"))
       .withColumn("th", md5Long(col("tok")))
       .groupBy(col("doc_id"), col("lang"))
       .agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("doc_id"), col("lang"), expr(shExpr).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  private def simhashSigs(spark: SparkSession, dir: String): DataFrame =
+    simhashSignatures(Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Near-dups = hamming ≤ 3 within a lang block, via per-lang
     * ALL-PAIRS comparison. O(n²/|langs|) — kept as the exact oracle
