@@ -181,35 +181,31 @@ object Dedup {
     * `dedup_minhash` and the two-stage `pipeline_fuzzy_dedup`. */
   /** Public minhash signature kernel over an ARBITRARY documents
     * frame (needs `doc_id`, `text`): one row per doc with the 8
-    * affine-mixed minhashes. `preClustered = true` skips the doc_id
-    * repartition — pass it when the input layout already co-locates
-    * rows by doc_id (a doc_id-bucketed table): the shingle distinct
-    * and the signature aggregate then plan with ZERO exchanges, the
-    * write having pre-paid the one exchange this kernel needs
-    * (BucketingSqlSpec proves the plan shape). */
-  def minhashSignatures(docs: DataFrame, preClustered: Boolean = false): DataFrame = {
-    // shingles built array-natively (indexed transform over the token
-    // array) — no window, no shuffle before the signature aggregate
-    // partition the compact docs once by doc_id: every later per-doc
-    // groupBy (distinct, seed, band) is then shuffle-free on the
-    // exploded rows (HashPartitioning(doc_id) satisfies all of them)
-    val compact = docs.select(col("doc_id"), toks.as("t"))
-    val clustered = if (preClustered) compact else compact.repartition(col("doc_id"))
-    val shingles = clustered
-      .select(col("doc_id"), explode(expr(
+    * affine-mixed minhashes.
+    *
+    * Entirely PER-ROW: shingle array → one md5 per shingle
+    * (`transform`) → per-seed `array_min` of the affine mix. No
+    * explode, no distinct, no aggregate — min over a multiset equals
+    * min over its set, so shingle dedup is unnecessary — and
+    * therefore NO shuffle on any input layout: the signature stage of
+    * a 100 TB dedup is a pure map over the corpus (the only exchange
+    * in the whole pipeline is the band equi-join). A doc with < 3
+    * tokens has no shingles → null signature → drops out of the
+    * null-rejecting band join, same as the aggregate form. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val seedCols = (0 until 8).map { s =>
+      expr(s"array_min(transform(hb, h -> (${MinhashA(s)}L * h + ${MinhashB(s)}L) % ${MinhashP}L))").as(s"h$s")
+    }
+    docs.select(col("doc_id"), toks.as("t"))
+      .withColumn("sh", expr(
         """filter(
           |  transform(t, (x, i) -> CASE WHEN i + 2 < size(t)
           |    THEN concat(x, ' ', element_at(t, i + 2), ' ', element_at(t, i + 3))
           |    END),
-          |  s -> s IS NOT NULL)""".stripMargin)).as("shingle"))
-      .select(col("doc_id"), col("shingle")).distinct()
-    // all 8 seed-minhashes as one aggregate pass (no seed explode):
-    // the signature is a single row per doc, bands unfold from it
-    val base = shingles.withColumn("hb", pmod(md5Long(col("shingle")), lit(MinhashP)))
-    val seedMins = (0 until 8).map { s =>
-      min(expr(s"(${MinhashA(s)}L * hb + ${MinhashB(s)}L) % ${MinhashP}L")).as(s"h$s")
-    }
-    base.groupBy(col("doc_id")).agg(seedMins.head, seedMins.tail: _*)
+          |  s -> s IS NOT NULL)""".stripMargin))
+      .withColumn("hb", expr(
+        s"transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % ${MinhashP}L)"))
+      .select(col("doc_id") +: seedCols: _*)
   }
 
   private def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
@@ -411,28 +407,30 @@ object Dedup {
     * pass (same no-bit-explode shape as the wide variant below — the
     * explode form multiplied the shuffle by 16 rows/token).
     * Persisted: every caller self-joins it (one row per doc). */
-  /** Public simhash signature kernel over an ARBITRARY documents
-    * frame (needs `doc_id`, `lang`, `text`). `preClustered = true`
-    * skips the doc_id repartition for layouts that already co-locate
-    * rows by doc_id (bucketed tables) — the signature aggregate then
-    * plans with ZERO exchanges (BucketingSqlSpec). */
-  def simhashSignatures(docs: DataFrame, preClustered: Boolean = false): DataFrame = {
-    val voteAggs = (0 until 16).map { b =>
-      sum(when(expr(s"shiftright(th, $b) % 2") === 1, 1).otherwise(-1)).as(s"v$b")
+  /** Per-row simhash signature builder shared by the 16-bit and
+    * 60-bit kernels: one md5 per DISTINCT token (`transform`), then
+    * one `aggregate` fold per bit (±1 votes), reassembled into the
+    * signature in a single projection. No explode, no groupBy —
+    * signatures are a pure map over the corpus on any layout; the
+    * only shuffle in a simhash dedup is the band equi-join. */
+  private def simhashSigExpr(nBits: Int): String = {
+    val votes = (0 until nBits).map { b =>
+      s"(CASE WHEN aggregate(th, 0, (acc, h) -> acc + CASE WHEN shiftright(h, $b) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b}L ELSE 0L END)"
     }
-    val shExpr = (0 until 16)
-      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b}L ELSE 0L END)")
-      .mkString(" + ")
-    val compact = docs.select(col("doc_id"), col("lang"), array_distinct(toks).as("t"))
-    val clustered = if (preClustered) compact
-      else compact.repartition(col("doc_id")) // shuffle compact arrays, explode after
-    clustered
-      .select(col("doc_id"), col("lang"), explode(col("t")).as("tok"))
-      .withColumn("th", md5Long(col("tok")))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(voteAggs.head, voteAggs.tail: _*)
-      .select(col("doc_id"), col("lang"), expr(shExpr).as("sh"))
+    votes.mkString(" + ")
   }
+
+  private val md5LongLambda =
+    "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
+
+  /** Public 16-bit simhash signature kernel over an ARBITRARY
+    * documents frame (needs `doc_id`, `lang`, `text`) — entirely
+    * per-row, zero shuffles (see simhashSigExpr). */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), array_distinct(toks).as("t"))
+      .filter(size(col("t")) > 0) // zero-token docs have no signature (oracle omits them)
+      .withColumn("th", expr(s"transform(t, tok -> $md5LongLambda)"))
+      .select(col("doc_id"), col("lang"), expr(simhashSigExpr(16)).as("sh"))
 
   private def simhashSigs(spark: SparkSession, dir: String): DataFrame =
     simhashSignatures(Tables.documents(spark, dir))
@@ -529,20 +527,11 @@ object Dedup {
   private val WideBits = 60
   private val WideBands = 5 // 12 bits each; hamming <= WideBands - 1
   def dedupSimhashWide(spark: SparkSession, dir: String): DataFrame = {
-    val th = Tables.documents(spark, dir)
+    val sig = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), array_distinct(toks).as("t"))
-      .repartition(col("doc_id")) // shuffle compact arrays, explode after
-      .select(col("doc_id"), col("lang"), explode(col("t")).as("tok"))
-      .withColumn("th", md5Long(col("tok")))
-    val voteAggs = (0 until WideBits).map { b =>
-      sum(when(expr(s"shiftright(th, $b) % 2") === 1, 1).otherwise(-1)).as(s"v$b")
-    }
-    val shExpr = (0 until WideBits)
-      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b}L ELSE 0L END)")
-      .mkString(" + ")
-    val sig = th.groupBy(col("doc_id"), col("lang"))
-      .agg(voteAggs.head, voteAggs.tail: _*)
-      .select(col("doc_id"), col("lang"), expr(shExpr).as("sh"))
+      .filter(size(col("t")) > 0)
+      .withColumn("th", expr(s"transform(t, tok -> $md5LongLambda)"))
+      .select(col("doc_id"), col("lang"), expr(simhashSigExpr(WideBits)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // self-joined
     val bands = sig.select(col("doc_id"), col("lang"), col("sh"),
       explode(array((0 until WideBands).map { b =>

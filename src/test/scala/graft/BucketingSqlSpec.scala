@@ -75,29 +75,32 @@ class BucketingSqlSpec extends SparkSpec {
     }
   }
 
-  test("signature kernels on a doc_id-bucketed corpus: zero exchanges, same signatures") {
+  test("signature kernels are per-row: zero exchanges on any layout, same sigs across layouts") {
     val s = spark
     try {
       Sources.writeBucketed(Tables.documents(s, sf), "documents_sig_b", "doc_id", 8)
       val bucketed = s.table("documents_sig_b")
       val raw = Tables.documents(s, sf)
 
-      val mhB = graft.operators.Dedup.minhashSignatures(bucketed, preClustered = true)
-      val mhPlan = mhB.queryExecution.executedPlan.toString
-      assert(!mhPlan.contains("Exchange hashpartitioning"),
-        s"preClustered minhash signatures should not shuffle:\n$mhPlan")
-      val shB = graft.operators.Dedup.simhashSignatures(bucketed, preClustered = true)
-      val shPlan = shB.queryExecution.executedPlan.toString
-      assert(!shPlan.contains("Exchange hashpartitioning"),
-        s"preClustered simhash signatures should not shuffle:\n$shPlan")
+      // the signature stage is a pure map: no Exchange of ANY kind
+      Seq(graft.operators.Dedup.minhashSignatures(raw),
+          graft.operators.Dedup.simhashSignatures(raw)).foreach { sig =>
+        val plan = sig.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"signature kernel should be shuffle-free:\n$plan")
+      }
 
-      // identical signatures to the repartitioning path-based kernels
+      // identical signatures regardless of input layout
       val mhRaw = graft.operators.Dedup.minhashSignatures(raw).collect()
         .map(r => (0 to 8).map(r.get).mkString("|")).toSet
-      assert(mhB.collect().map(r => (0 to 8).map(r.get).mkString("|")).toSet == mhRaw)
+      val mhB = graft.operators.Dedup.minhashSignatures(bucketed).collect()
+        .map(r => (0 to 8).map(r.get).mkString("|")).toSet
+      assert(mhB == mhRaw)
       val shRaw = graft.operators.Dedup.simhashSignatures(raw).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-      assert(shB.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet == shRaw)
+      val shB = graft.operators.Dedup.simhashSignatures(bucketed).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(shB == shRaw)
     } finally {
       s.sql("DROP TABLE IF EXISTS documents_sig_b")
     }
