@@ -65,6 +65,64 @@ object StreamingJobs {
       "p_user = v_user AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"))
   }
 
+  case class BandHit(doc_id: Long, band: Int, h0: Long, h1: Long)
+  case class DupOut(doc_id: Long, dup_of: Long, band: Int)
+  case class BucketState(minDoc: Long)
+
+  /** Streaming near-dup dedup — the streaming twin of
+    * `dedup_minhash`, possible because the minhash signature is a
+    * pure per-row expression (operators.Dedup.minhashSignatures):
+    * signatures and band keys are stateless projections, and the only
+    * stateful step is one tiny record per band bucket (its canonical
+    * = min doc_id seen). Each arriving doc that lands in a non-empty
+    * bucket is emitted as (doc, canonical, band) — exactly the
+    * "match new content against the retained representative" shape an
+    * ingest-time dedup needs, without ever re-scanning the corpus.
+    *
+    * State is intentionally un-TTL'd: remembering the corpus IS the
+    * product for ingest dedup; it is one long per non-empty bucket
+    * (≈4/doc), sharded across executors by the bucket key, and lives
+    * in the state store (RocksDB in production). When the dedup
+    * horizon is time-bounded, `EventTimeTimeout` + a watermark GC it
+    * the same way the sessionizer's is.
+    *
+    * On a batch frame the same code sees each bucket as one complete
+    * group (processed in doc_id order), giving the identical
+    * candidate set — StreamingSpec proves batch == streamed ==
+    * signature-derived expectation. */
+  def minhashDedupStream(docs: DataFrame): Dataset[DupOut] = {
+    import docs.sparkSession.implicits._
+    val sig = graft.operators.Dedup.minhashSignatures(docs)
+    val bands = sig.select(col("doc_id"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"), col(s"h${2 * b}").as("h0"), col(s"h${2 * b + 1}").as("h1"))
+        }: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"),
+        col("bd.h0").as("h0"), col("bd.h1").as("h1"))
+      .filter(col("h0").isNotNull && col("h1").isNotNull) // shingle-less docs
+      .as[BandHit]
+    bands
+      .groupByKey(b => (b.band, b.h0, b.h1))
+      .flatMapGroupsWithState[BucketState, DupOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long, Long), it: Iterator[BandHit], state: GroupState[BucketState]) =>
+          // doc_id order within the batch: deterministic on any arrival
+          // interleaving, and on a batch frame = the global bucket order
+          val ds = it.map(_.doc_id).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[DupOut]
+          var canon = state.getOption.map(_.minDoc).getOrElse(Long.MaxValue)
+          ds.foreach { d =>
+            if (canon == Long.MaxValue) canon = d
+            else if (d != canon) {
+              out += DupOut(d, canon, key._1)
+              canon = math.min(canon, d)
+            }
+          }
+          state.update(BucketState(canon))
+          out.iterator
+      }
+  }
+
   case class Ev(user_id: Long, us: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_us: Long)
   case class SessState(sessionSeq: Long, start: Long, last: Long, n: Long)

@@ -202,6 +202,45 @@ class StreamingSpec extends SparkSpec {
     assert(p2FilesAfter == p2FilesBefore, "untouched partition must not be rewritten")
   }
 
+  test("streaming minhash dedup: streamed == batch == signature-derived expectation") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(s, sf).select("doc_id", "lang", "text")
+
+    // expectation straight from the signatures: per band bucket, every
+    // doc except the bucket min matches the min
+    val sigs = graft.operators.Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(i => Option(r.get(i)).map(_.asInstanceOf[Long])))
+      .filter(_._2.forall(_.isDefined))
+      .map { case (d, hs) => d -> hs.map(_.get) }
+    val expected = (0 until 4).flatMap { b =>
+      sigs.groupBy { case (_, hs) => (hs(2 * b), hs(2 * b + 1)) }.values
+        .filter(_.length > 1)
+        .flatMap { grp =>
+          val min = grp.map(_._1).min
+          grp.map(_._1).filter(_ != min).map(d => (d, min, b))
+        }
+    }.toSet
+
+    val batchRes = StreamingJobs.minhashDedupStream(docs).collect()
+      .map(d => (d.doc_id, d.dup_of, d.band)).toSet
+    assert(batchRes == expected)
+
+    val tmp = java.nio.file.Files.createTempDirectory("mh-dedup-in").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val src = s.readStream.schema(docs.schema).parquet(tmp)
+    val q = StreamingJobs.minhashDedupStream(src).writeStream
+      .format("memory").queryName("mh_dedup_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from mh_dedup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == expected)
+  }
+
   test("streaming -> parquet -> batch round-trip preserves the data") {
     val s = spark
     val base = java.nio.file.Files.createTempDirectory("stream-rt").toString
