@@ -73,7 +73,12 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolate queries: operators persist() intermediates and never
+      // unpersist (callers own lifetime); 20+ queries of accumulated
+      // cache otherwise evict-thrash the later ones
+      spark.catalog.clearCache()
+      name -> (if (ok) dt else -1.0)
     }
     printLine(results, sfDir)
     spark.stop()
