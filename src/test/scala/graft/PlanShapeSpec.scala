@@ -47,7 +47,44 @@ class PlanShapeSpec extends SparkSpec {
     "q_range_join",                       // 5-row literal bucket table
     "ann_bruteforce", "ann_ivf", "ann_ivf_trained", "ann_kmeans",
     "ann_lsh",                            // broadcast query/centroid/hyperplane sets
-    "mr_pagerank")                        // broadcast single-row node count
+    "mr_pagerank",                        // broadcast single-row node count
+    "text_tfidf")                         // broadcast single-row corpus size N
+
+  test("AQE splits a skewed join partition at runtime (the no-salt skew path)") {
+    val s = spark
+    import s.implicits._
+    // 95% of the fact rows share one key: the classic hot-key join.
+    // mr_wordcount_salted shows the MANUAL mitigation (two-stage salted
+    // aggregate); this proves the AUTOMATIC one — AQE re-plans the
+    // sort-merge join at runtime, splitting the oversized partition —
+    // so at 100 TB a hot key degrades to extra tasks, not one straggler.
+    val fact = s.range(0, 200000)
+      .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val dim = s.range(0, 50000).select(col("id").as("k"), (col("id") * 2).as("attr"))
+    val old = (s.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB"),
+      s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"),
+      s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep it a SMJ
+    try {
+      val joined = fact.join(dim, "k")
+      // materialize through joined's OWN queryExecution so AQE finalizes
+      // the plan we then inspect; 190k hot-key rows + id-keyed rows < 50000
+      assert(joined.collect().length == 192500)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should have marked the hot-key partition as skewed:\n$plan")
+    } finally {
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", old._1)
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", old._2)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", old._3)
+      s.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    }
+  }
 
   test("no query plans an unexpected cartesian or nested-loop join") {
     val offenders = SparkEntry.allDefs.flatMap { d =>
