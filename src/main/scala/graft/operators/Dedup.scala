@@ -151,6 +151,66 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---------------------------------------------------------------- ngram jaccard
+  /** N-GRAM (word-trigram) Jaccard ≥ 0.5 pairs within language
+    * blocks — the order-sensitive complement to the token-set
+    * `dedup_jaccard`: shuffled word order destroys trigram overlap
+    * but not unigram overlap, so this catches true passage reuse
+    * rather than vocabulary reuse. Shingling is the same per-row
+    * array expression the minhash kernel uses; candidates come from a
+    * shingle equi-join (shingles are far rarer than tokens, so the
+    * candidate set is tighter than the unigram path's), intersection
+    * sizes from a pair-count aggregate, and the τ=0.5 cut is applied
+    * integer-exactly (3·|∩| ≥ |A|+|B|) before the double jaccard is
+    * ever computed. */
+  def dedupJaccardNgram(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: both join sides explode this frame; without it the
+    // tokenize+shingle+distinct chain runs once per side. NO size>0
+    // filter: explode of an empty array emits nothing, and a filter on
+    // a derived array column gets pushed below the project where the
+    // whole shingle pipeline would be recomputed inside the scan.
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), toks.as("t"))
+      .withColumn("s", array_distinct(expr(shingleExpr)))
+      .withColumn("sz", size(col("s")))
+      .select(col("doc_id"), col("lang"), col("s"), col("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // join on a 64-bit hash of the shingle, not the 3-word string:
+    // the exchange/join comparator works on longs (string keys drag
+    // ~10x the bytes through the shuffle and the sort). xxhash64 is
+    // deterministic; a collision (~n²/2⁶⁴) could only ever merge two
+    // shingles WITHIN a lang block and is vanishingly unlikely.
+    val ex = sets.select(col("doc_id"), col("lang"), col("sz"), explode(col("s")).as("g0"))
+      .select(col("doc_id"), col("lang"), col("sz"), xxhash64(col("g0")).as("g"))
+    val a = ex.select(col("doc_id").as("doc_a"), col("lang"), col("sz").as("sza"), col("g"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("sz").as("szb"), col("g").as("g_b"))
+    a.join(b, col("lang") === col("lang_b") && col("g") === col("g_b") &&
+        col("doc_a") < col("doc_b") &&
+        col("sza") * 2 >= col("szb") && col("szb") * 2 >= col("sza"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") * 3 >= col("sza") + col("szb")) // J >= 0.5, integer-exact
+      .withColumn("jac", col("c").cast("double") / (col("sza") + col("szb") - col("c")))
+      .select(col("doc_a"), col("doc_b"), rnd(col("jac"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val dedupJaccardNgramSql =
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, lang, list_distinct(list_filter(
+       |    list_transform(tk, (x, i) -> CASE WHEN i + 2 <= len(tk)
+       |      THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END),
+       |    s -> s IS NOT NULL)) AS s
+       |  FROM t),
+       |f AS (SELECT * FROM sh WHERE len(s) > 0)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  ${rndSql("cast(len(list_intersect(a.s, b.s)) as double) / len(list_distinct(a.s || b.s))", 4)} AS jaccard
+       |FROM f a JOIN f b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE 3 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private val dedupJaccardSql =
     s"""WITH t AS (
        |  SELECT doc_id, lang, list_distinct($toksSql) AS s FROM documents)
@@ -192,17 +252,21 @@ object Dedup {
     * in the whole pipeline is the band equi-join). A doc with < 3
     * tokens has no shingles → null signature → drops out of the
     * null-rejecting band join, same as the aggregate form. */
+  /** Word-trigram shingles of the token array `t`, as a per-row
+    * array expression (no explode, no window). */
+  private val shingleExpr =
+    """filter(
+      |  transform(t, (x, i) -> CASE WHEN i + 2 < size(t)
+      |    THEN concat(x, ' ', element_at(t, i + 2), ' ', element_at(t, i + 3))
+      |    END),
+      |  s -> s IS NOT NULL)""".stripMargin
+
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val seedCols = (0 until 8).map { s =>
       expr(s"array_min(transform(hb, h -> (${MinhashA(s)}L * h + ${MinhashB(s)}L) % ${MinhashP}L))").as(s"h$s")
     }
     docs.select(col("doc_id"), toks.as("t"))
-      .withColumn("sh", expr(
-        """filter(
-          |  transform(t, (x, i) -> CASE WHEN i + 2 < size(t)
-          |    THEN concat(x, ' ', element_at(t, i + 2), ' ', element_at(t, i + 3))
-          |    END),
-          |  s -> s IS NOT NULL)""".stripMargin))
+      .withColumn("sh", expr(shingleExpr))
       .withColumn("hb", expr(
         s"transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % ${MinhashP}L)"))
       .select(col("doc_id") +: seedCols: _*)
@@ -427,8 +491,13 @@ object Dedup {
     * documents frame (needs `doc_id`, `lang`, `text`) — entirely
     * per-row, zero shuffles (see simhashSigExpr). */
   def simhashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"), array_distinct(toks).as("t"))
-      .filter(size(col("t")) > 0) // zero-token docs have no signature (oracle omits them)
+    // zero-token docs have no signature (the oracle omits them). The
+    // filter runs on the RAW text (any non-whitespace char ⟺ ≥1
+    // token) so its pushed-down copy is one cheap regex at the scan —
+    // a size(t)>0 filter on the derived array would be pushed below
+    // the project and recompute the whole tokenize chain per row.
+    docs.filter(col("text").rlike("\\S"))
+      .select(col("doc_id"), col("lang"), array_distinct(toks).as("t"))
       .withColumn("th", expr(s"transform(t, tok -> $md5LongLambda)"))
       .select(col("doc_id"), col("lang"), expr(simhashSigExpr(16)).as("sh"))
 
@@ -528,8 +597,8 @@ object Dedup {
   private val WideBands = 5 // 12 bits each; hamming <= WideBands - 1
   def dedupSimhashWide(spark: SparkSession, dir: String): DataFrame = {
     val sig = Tables.documents(spark, dir)
+      .filter(col("text").rlike("\\S")) // cheap raw-text form of size(t)>0 (see simhashSignatures)
       .select(col("doc_id"), col("lang"), array_distinct(toks).as("t"))
-      .filter(size(col("t")) > 0)
       .withColumn("th", expr(s"transform(t, tok -> $md5LongLambda)"))
       .select(col("doc_id"), col("lang"), expr(simhashSigExpr(WideBits)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // self-joined
@@ -622,6 +691,7 @@ object Dedup {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact", dedupExact _, Some(dedupExactSql)),
     QueryDef("dedup_jaccard", dedupJaccard _, Some(dedupJaccardSql)),
+    QueryDef("dedup_jaccard_ngram", dedupJaccardNgram _, Some(dedupJaccardNgramSql)),
     QueryDef("dedup_minhash", dedupMinhash _, Some(dedupMinhashSql)),
     QueryDef("pipeline_fuzzy_dedup", pipelineFuzzyDedup _, Some(pipelineFuzzyDedupSql)),
     QueryDef("pipeline_dedup_clusters", pipelineDedupClusters _, Some(pipelineDedupClustersSql)),
