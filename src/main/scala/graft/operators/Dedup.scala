@@ -74,12 +74,21 @@ object Dedup {
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), array_distinct(toks).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vocab = t.select(col("lang"), explode(col("s")).as("tok")).distinct()
-      .groupBy(col("lang")).agg(sort_array(collect_set(col("tok"))).as("vocab"))
-      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
-    val maxVocab = if (vocab.isEmpty) 0 else vocab.map(_._2.size).max
-    if (maxVocab > 0 && maxVocab <= 64) jaccardBitmask(spark, t, vocab)
-    else jaccardTokenJoin(t)
+    // probe in two stages so the driver NEVER collects unbounded data:
+    // first the per-lang distinct-token COUNTS (one scalar per lang),
+    // and only when every lang provably fits 64 bits the actual vocab
+    // lists (≤ 64 strings per lang by then). On a natural 100 TB corpus
+    // the first probe answers "no" and nothing bigger is ever collected.
+    val tokens = t.select(col("lang"), explode(col("s")).as("tok")).distinct()
+    val sizes = tokens.groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("n")).collect()
+    val maxVocab = if (sizes.isEmpty) 0L else sizes.map(_.getLong(1)).max
+    if (maxVocab > 0 && maxVocab <= 64) {
+      val vocab = tokens
+        .groupBy(col("lang")).agg(sort_array(collect_set(col("tok"))).as("vocab"))
+        .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+      jaccardBitmask(spark, t, vocab)
+    } else jaccardTokenJoin(t)
   }
 
   /** Tiny-vocabulary path: token set → 64-bit mask (bit = position in
