@@ -97,6 +97,71 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ signature kernels
+  private def md5LongRef(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  private val MinhashP = 2147483647L
+  private val MinhashA = Seq(1299709L, 15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L)
+  private val MinhashB = Seq(179424673L, 217645177L, 256203161L, 295075147L,
+    334214459L, 373587883L, 413158511L, 452930459L)
+
+  private val docsGen: Gen[List[(Long, String, String)]] = for {
+    n <- Gen.choose(1, 12)
+    docs <- Gen.listOfN(n, for {
+      lang <- Gen.oneOf("en", "de")
+      toks <- Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "x9", "k"))
+    } yield (lang, toks.mkString(" ")))
+  } yield docs.zipWithIndex.map { case ((lang, text), i) => (i.toLong, lang, text) }
+
+  test("property: per-row minhash signatures equal the scalar reference") {
+    val s = spark
+    import s.implicits._
+    forAll(docsGen) { docs =>
+      val df = docs.toDF("doc_id", "lang", "text")
+      val got = graft.operators.Dedup.minhashSignatures(df).collect()
+        .map(r => r.getLong(0) ->
+          (1 to 8).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))
+        .toMap
+      val expect = docs.map { case (id, _, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val shingles = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+        val hbs = shingles.map(sh => md5LongRef(sh) % MinhashP)
+        id -> (0 until 8).map { k =>
+          if (hbs.isEmpty) None
+          else Some(hbs.map(h => (MinhashA(k) * h + MinhashB(k)) % MinhashP).min)
+        }
+      }.toMap
+      assert(got == expect)
+    }
+  }
+
+  test("property: per-row simhash signatures equal the scalar reference") {
+    val s = spark
+    import s.implicits._
+    forAll(docsGen) { docs =>
+      val df = docs.toDF("doc_id", "lang", "text")
+      val got = graft.operators.Dedup.simhashSignatures(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val expect = docs.flatMap { case (id, _, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).distinct
+        if (toks.isEmpty) None
+        else {
+          val ths = toks.map(md5LongRef)
+          val sh = (0 until 16).map { b =>
+            val vote = ths.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+            if (vote > 0) 1L << b else 0L
+          }.sum
+          Some(id -> sh)
+        }
+      }.toMap
+      assert(got == expect)
+    }
+  }
+
   test("property: MapReduce.run equals sequential map+reduce") {
     val s = spark
     import s.implicits._
