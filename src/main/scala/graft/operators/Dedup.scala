@@ -405,20 +405,27 @@ object Dedup {
     *
     * Output: one row per document — its cluster id, the cluster size,
     * and the keep flag (true iff the doc IS its cluster's canonical). */
-  def pipelineDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** PUBLIC connected-components kernel over an arbitrary undirected
+    * edge list: `nodes` is one `node` column (every vertex, including
+    * isolated ones), `pairs` is (doc_a, doc_b). Returns (node, lab)
+    * where lab = the component's minimum node id. Iterative min-label
+    * propagation; see pipelineDedupClusters for the loop discipline.
+    * Any pair family feeds it — fuzzy/minhash, simhash, embedding. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val pairs = fuzzyVerifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
-    val sym = pairs.unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val sym = p.unionAll(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id").as("node"), col("doc_id").as("lab"))
+    var labels = nodes
+      .select(col("node"), col("node").as("lab"))
       .localCheckpoint()
     var prevSum = labels.agg(coalesce(sum(col("lab")), lit(0L))).head.getLong(0)
     var converged = false
     var round = 0
-    while (!converged && round < 25) {
+    while (!converged && round < maxRounds) {
       val next = sym.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("lab"))
         .unionAll(labels)
@@ -431,11 +438,16 @@ object Dedup {
       round += 1
     }
     labels
+  }
+
+  def pipelineDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      Tables.documents(spark, dir).select(col("doc_id").as("node")),
+      fuzzyVerifiedPairs(spark, dir))
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("lab"))))
       .select(col("node").as("doc_id"), col("lab").as("cluster_id"),
         col("cluster_size"), (col("node") === col("lab")).as("keep"))
       .orderBy(col("doc_id"))
-  }
 
   private val pipelineDedupClustersSql =
     s"""WITH RECURSIVE $minhashCandidateCtes,

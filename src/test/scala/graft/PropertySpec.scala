@@ -162,6 +162,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: connectedComponents equals union-find on random graphs") {
+    val s = spark
+    import s.implicits._
+    val graphGen: Gen[(Int, List[(Long, Long)])] = for {
+      n <- Gen.choose(1, 30)
+      m <- Gen.choose(0, 40)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield (n, edges.filter { case (a, b) => a != b })
+    forAll(graphGen) { case (n, edges) =>
+      val nodes = (0L until n.toLong).toDF("node")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = graft.operators.Dedup.connectedComponents(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map((0L until n.toLong).map(d => d -> d): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0L until n.toLong).map(d => d -> find(d)).toMap
+      assert(got == expect)
+    }
+  }
+
   test("property: MapReduce.run equals sequential map+reduce") {
     val s = spark
     import s.implicits._
