@@ -17,8 +17,10 @@ object Bench {
     "q_sessionize",         // lag/running windows + agg
     "mr_wordcount",         // explode + agg
     "text_fingerprint",     // HOF-heavy per-doc text ops
+    "text_tfidf",           // tf/df aggregates + broadcast N + per-doc rank (round 2)
     "dedup_minhash",        // shingle + LSH band join
     "dedup_jaccard",        // adaptive set-similarity (bitmask | token join)
+    "dedup_jaccard_ngram",  // trigram-set jaccard, hashed shingle equi-join (round 2)
     "dedup_simhash_banded", // banded signature candidates (round 2)
     "dedup_simhash_wide",   // 60-bit signature, 12-bit bands (round 2)
     "pipeline_fuzzy_dedup", // minhash candidates -> exact verify (round 2)
