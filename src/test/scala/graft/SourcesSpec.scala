@@ -86,6 +86,50 @@ class SourcesSpec extends SparkSpec {
     assert(frames.forall(f => f.n_bytes <= 50))
   }
 
+  test("compaction shrinks a many-small-files layout without changing the data") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // simulate a micro-batch sink: 40 tiny appends = 40+ parquet files
+    (0 until 40).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .write.mode("append").parquet(dir)
+    }
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = s.read.parquet(dir).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(parquetFiles() >= 40)
+    Sources.compactParquet(s, dir, rowsPerFile = 20)
+    assert(parquetFiles() == 2, s"expected 2 files, got ${parquetFiles()}")
+    val after = s.read.parquet(dir).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before)
+  }
+
+  test("multimodal featureBatch: real byte-histogram features, ANN-compatible") {
+    val raw = Multimodal.asBinary(spark, sf)
+    val feats = Multimodal.featureBatch(raw).collect()
+    assert(feats.length == Tables.documents(spark, sf).count())
+    feats.foreach { f =>
+      assert(f.byte_hist.length == 16)
+      if (f.n_bytes > 0) {
+        // histogram is a distribution; entropy bounded by log2(16 bins)
+        assert(math.abs(f.byte_hist.map(_.toDouble).sum - 1.0) < 1e-3)
+        assert(f.entropy >= 0.0 && f.entropy <= 4.0 + 1e-9)
+      }
+    }
+    // features are a real content signature: docs with identical text
+    // get identical histograms, and the distinct count is non-trivial
+    val byDoc = feats.map(f => f.doc_id -> f.byte_hist.toSeq).toMap
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val groups = texts.groupBy(_._2).values
+    groups.filter(_.size > 1).foreach { g =>
+      val hs = g.keys.map(byDoc).toSeq
+      assert(hs.distinct.size == 1, "identical payloads must share features")
+    }
+    assert(feats.map(_.byte_hist.toSeq).distinct.length > 1)
+  }
+
   test("multimodal decodeBatch: typed stub decode over binary payloads") {
     val raw = Multimodal.asBinary(spark, sf)
     val decoded = Multimodal.decodeBatch(raw).collect()
