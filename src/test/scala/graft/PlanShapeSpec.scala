@@ -86,6 +86,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    val s = spark
+    // a selective dim filter should inject a bloom filter on the fact
+    // side BEFORE the shuffle — at 100 TB this is the difference
+    // between shuffling the whole fact table and shuffling the ~1%
+    // that can possibly match. Thresholds lowered for test-scale data.
+    val old = (s.conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB"),
+      s.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB"),
+      s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    try {
+      val li = Tables.lineitem(s, sf).select("l_orderkey", "l_quantity")
+      val ord = Tables.orders(s, sf)
+        .filter(col("o_totalprice") > 500000) // selective: few orders qualify
+        .select("o_orderkey")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"expected a runtime bloom filter on the fact side:\n$plan")
+      assert(joined.count() >= 0)
+    } finally {
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", old._1)
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", old._2)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", old._3)
+    }
+  }
+
   test("no query plans an unexpected cartesian or nested-loop join") {
     val offenders = SparkEntry.allDefs.flatMap { d =>
       val plan = d.run(spark, sf).queryExecution.executedPlan.toString
