@@ -440,6 +440,65 @@ object Dedup {
     labels
   }
 
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the published
+    * O(log n)-round algorithm: label propagation needs DIAMETER
+    * rounds, so a 10⁶-long chain needs 10⁶ shuffles; star contraction
+    * needs ~log n. Each round: large-star hangs every strictly-larger
+    * neighbor under its neighborhood minimum, small-star hangs the
+    * node and its smaller neighbors under it; edges converge to star
+    * graphs centered at component minima. Same contract as
+    * `connectedComponents` — (node, lab) with lab = component min —
+    * and the same random-graph union-find property test covers both.
+    * Near-dup clusters are dense/low-diameter, so the simple kernel
+    * wins there; THIS is the one that survives adversarial topology. */
+  def connectedComponentsStar(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 15): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    def sym(df: DataFrame): DataFrame =
+      df.unionAll(df.select(col("b").as("a"), col("a").as("b")))
+        .select(col("a").as("u"), col("b").as("v"))
+    def fp(df: DataFrame): (Long, Long) = {
+      // set fingerprint: xor never overflows and is order-independent
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val w = Window.partitionBy(col("u"))
+    var edges = canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .localCheckpoint()
+    var prev = fp(edges)
+    var converged = prev._1 == 0
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: (v, m) for every neighbor v > u, m = min(N(u) ∪ u)
+      val ls = sym(edges)
+        .withColumn("m", least(col("u"), min(col("v")).over(w)))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+      val e1 = canon(ls).localCheckpoint()
+      // small-star: (v, m) for every neighbor v < u, plus (u, m)
+      val withM = sym(e1).filter(col("v") < col("u"))
+        .withColumn("m", least(col("u"), min(col("v")).over(w)))
+      val ss = withM.select(col("v").as("a"), col("m").as("b"))
+        .unionAll(withM.select(col("u").as("a"), col("m").as("b")).distinct())
+      edges = canon(ss).localCheckpoint()
+      val cur = fp(edges)
+      converged = cur == prev || cur._1 == 0
+      prev = cur
+      round += 1
+    }
+    // at convergence edges are (root, child) stars: label = min over
+    // the symmetric neighborhood; isolated nodes label themselves
+    val lab = sym(edges).groupBy(col("u").as("node"))
+      .agg(min(col("v")).as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("lab"))
+    nodes.join(lab, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("lab"), col("node")).as("lab"))
+  }
+
   def pipelineDedupClusters(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(
       Tables.documents(spark, dir).select(col("doc_id").as("node")),

@@ -174,8 +174,6 @@ class PropertySpec extends SparkSpec {
     forAll(graphGen) { case (n, edges) =>
       val nodes = (0L until n.toLong).toDF("node")
       val pairs = edges.toDF("doc_a", "doc_b")
-      val got = graft.operators.Dedup.connectedComponents(nodes, pairs)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val parent = scala.collection.mutable.Map((0L until n.toLong).map(d => d -> d): _*)
       def find(x: Long): Long =
         if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
@@ -184,8 +182,27 @@ class PropertySpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expect = (0L until n.toLong).map(d => d -> find(d)).toMap
+      val got = graft.operators.Dedup.connectedComponents(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expect)
+      val gotStar = graft.operators.Dedup.connectedComponentsStar(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotStar == expect, "large-star/small-star must agree with union-find")
     }
+  }
+
+  test("large-star/small-star handles a long chain in logarithmic rounds") {
+    val s = spark
+    import s.implicits._
+    // a 200-node path: diameter 199 — label propagation's worst case,
+    // star contraction's showcase (15-round cap forces O(log n))
+    val n = 200L
+    val nodes = (0L until n).toDF("node")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.connectedComponentsStar(nodes, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 0L), "one component rooted at 0")
+    assert(got.size == n)
   }
 
   test("property: MapReduce.run equals sequential map+reduce") {
