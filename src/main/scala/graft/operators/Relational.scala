@@ -300,6 +300,56 @@ object Relational {
        |GROUP BY CUBE (r_name, c_mktsegment)
        |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- grouping sets
+  /** EXPLICIT grouping sets — the shape rollup/cube can't express:
+    * per-region totals and per-segment totals and the grand total,
+    * WITHOUT the (region, segment) cross detail a cube would also
+    * compute (at 100 TB, skipping the finest grouping is the whole
+    * point of naming the sets). */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name")), Seq(col("c_mktsegment")), Seq()),
+        col("r_name"), col("c_mktsegment"))
+      .agg(dsum(col("c_acctbal")).as("total_bal"), count(lit(1)).as("n_cust"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("c_mktsegment"))
+
+  private val qGroupingSetsSql =
+    s"""SELECT r_name, c_mktsegment,
+       |  ${dsumSql("c_acctbal", "total_bal")},
+       |  count(*) AS n_cust
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+       |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- not in
+  /** NOT IN with subquery — exercises Spark's null-aware anti join
+    * (LeftAnti is NOT the same operator: one null in the subquery
+    * legally empties a NOT IN result under three-valued logic, so the
+    * planner must prove null-freeness or fall back to the null-aware
+    * variant). Also demonstrates the SQL surface over raw parquet
+    * paths (`parquet.` table syntax) — no registered views needed. */
+  def qNotIn(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"""SELECT c_custkey, c_name
+         |FROM parquet.`$dir/customer.parquet`
+         |WHERE c_custkey NOT IN (
+         |  SELECT o_custkey FROM parquet.`$dir/orders.parquet`
+         |  WHERE o_totalprice > 450000)
+         |ORDER BY c_custkey""".stripMargin)
+
+  private val qNotInSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+      |ORDER BY c_custkey""".stripMargin
+
   // ---------------------------------------------------------------- case agg
   /** Pivot-style conditional aggregation per user. */
   def qCaseAgg(spark: SparkSession, dir: String): DataFrame =
@@ -468,6 +518,8 @@ object Relational {
     QueryDef("q_window_running", qWindowRunning _, Some(qWindowRunningSql)),
     QueryDef("q_rollup", qRollup _, Some(qRollupSql)),
     QueryDef("q_cube", qCube _, Some(qCubeSql)),
+    QueryDef("q_grouping_sets", qGroupingSets _, Some(qGroupingSetsSql)),
+    QueryDef("q_not_in", qNotIn _, Some(qNotInSql)),
     QueryDef("q_case_agg", qCaseAgg _, Some(qCaseAggSql)),
     QueryDef("q_union", qUnion _, Some(qUnionSql)),
     QueryDef("q_intersect", qIntersect _, Some(qIntersectSql)),
