@@ -52,6 +52,54 @@ object Events {
       |FROM events GROUP BY hour, event_type
       |ORDER BY hour, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- ohlc bars
+  /** Time-series RESAMPLING with arg-extremes: 6-hour OHLC bars per
+    * event_type — open/close are the values of the chronologically
+    * first/last event in the bar (arg-min/arg-max, not plain
+    * min/max), high/low are value extremes. Deterministic open/close
+    * via window row_numbers keyed (ts, event_id) both directions —
+    * ties can't flip rows between engines, unlike bare first()/
+    * min_by(). One shuffle on the bar key; the two row_numbers and
+    * the aggregate share the (bar, event_type) partitioning. */
+  def qOhlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val bar = date_trunc("day", col("ts")) +
+      expr("make_interval(0, 0, 0, 0, 6 * (hour(ts) div 6), 0, 0)")
+    val w = Window.partitionBy(col("bar"), col("event_type"))
+    val rnA = row_number().over(w.orderBy(col("ts"), col("event_id")))
+    val rnD = row_number().over(w.orderBy(col("ts").desc, col("event_id").desc))
+    Tables.events(spark, dir)
+      .select(col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("bar", bar)
+      .withColumn("rna", rnA)
+      .withColumn("rnd", rnD)
+      .groupBy(col("bar"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(when(col("rna") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rnd") === 1, col("value"))).as("close"))
+      .orderBy(col("bar"), col("event_type"))
+  }
+
+  private val qOhlcBarsSql =
+    """WITH t AS (
+      |  SELECT event_type, value,
+      |    date_trunc('day', ts) + INTERVAL 6 HOUR * (hour(ts) // 6) AS bar,
+      |    row_number() OVER (PARTITION BY date_trunc('day', ts) + INTERVAL 6 HOUR * (hour(ts) // 6), event_type
+      |      ORDER BY ts, event_id) AS rna,
+      |    row_number() OVER (PARTITION BY date_trunc('day', ts) + INTERVAL 6 HOUR * (hour(ts) // 6), event_type
+      |      ORDER BY ts DESC, event_id DESC) AS rnd
+      |  FROM events)
+      |SELECT bar, event_type,
+      |  count(*) AS n_events,
+      |  max(CASE WHEN rna = 1 THEN value END) AS open,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  max(CASE WHEN rnd = 1 THEN value END) AS close
+      |FROM t GROUP BY bar, event_type
+      |ORDER BY bar, event_type""".stripMargin
+
   // ---------------------------------------------------------------- sessionize
   /** Gap-based sessionization: a >30-min silence starts a new
     * session. lag → flag → running sum = session id; then per-session
@@ -171,6 +219,7 @@ object Events {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_json", qJson _, Some(qJsonSql)),
     QueryDef("q_tumbling_window", qTumblingWindow _, Some(qTumblingWindowSql)),
+    QueryDef("q_ohlc_bars", qOhlcBars _, Some(qOhlcBarsSql)),
     QueryDef("q_sessionize", qSessionize _, Some(qSessionizeSql)),
     QueryDef("q_window_sliding", qWindowSliding _, Some(qWindowSlidingSql)),
     QueryDef("q_window_extras", qWindowExtras _, Some(qWindowExtrasSql)),
