@@ -52,6 +52,33 @@ object Events {
       |FROM events GROUP BY hour, event_type
       |ORDER BY hour, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- histogram
+  /** Equi-width VALUE histogram of event values (20 buckets of width
+    * 25 over [0, 500), under/overflow in buckets 0/21). Complements
+    * `mr_partition_hist` (a key-hash histogram): this is the
+    * data-profiling shape — one map-side-combinable aggregate, ≤22
+    * output rows no matter the input size, min/max per bucket exact
+    * (no order-dependent float summation anywhere). The bucket
+    * expression is plain CASE+floor arithmetic, bit-identical on both
+    * engines (DuckDB has no width_bucket). */
+  private val histBucket =
+    "CASE WHEN value < 0 THEN 0 WHEN value >= 500 THEN 21 " +
+      "ELSE cast(floor(value / 25.0) as int) + 1 END"
+
+  def qValueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(expr(histBucket).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("lo"),
+        max(col("value")).as("hi"))
+      .orderBy(col("bucket"))
+
+  private val qValueHistogramSql =
+    s"""SELECT $histBucket AS bucket,
+       |  count(*) AS n, min(value) AS lo, max(value) AS hi
+       |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
+
   // ---------------------------------------------------------------- ohlc bars
   /** Time-series RESAMPLING with arg-extremes: 6-hour OHLC bars per
     * event_type — open/close are the values of the chronologically
@@ -220,6 +247,7 @@ object Events {
     QueryDef("q_json", qJson _, Some(qJsonSql)),
     QueryDef("q_tumbling_window", qTumblingWindow _, Some(qTumblingWindowSql)),
     QueryDef("q_ohlc_bars", qOhlcBars _, Some(qOhlcBarsSql)),
+    QueryDef("q_value_histogram", qValueHistogram _, Some(qValueHistogramSql)),
     QueryDef("q_sessionize", qSessionize _, Some(qSessionizeSql)),
     QueryDef("q_window_sliding", qWindowSliding _, Some(qWindowSlidingSql)),
     QueryDef("q_window_extras", qWindowExtras _, Some(qWindowExtrasSql)),
