@@ -395,13 +395,14 @@ object Dedup {
     * of its own and its neighbors' labels; fixpoint = component min.
     * The edge list (symmetrized verified pairs) is pre-partitioned by
     * src and persisted ONCE; labels are localCheckpoint'd per round
-    * (one-round lineage, same discipline as pagerank); convergence is
-    * a one-scalar driver check — sum(label) is strictly decreasing
-    * until the fixpoint, so equal sums ⇒ converged. Rounds needed =
-    * component diameter; near-dup clusters are dense (everything is
-    * ~a copy of one base doc), so 2-3 rounds in practice. At 100 TB
-    * the same loop runs with edges bucketed by src; the published
-    * large-star/small-star variant drops in if diameters ever grow.
+    * (one-round lineage — unlike pagerank's fixed 3-round unroll this
+    * loop is open-ended, so lineage must not grow with rounds);
+    * convergence is a two-scalar driver check on an order-independent
+    * (count, xor-hash) fingerprint. Rounds needed = component
+    * diameter; near-dup clusters are dense (everything is ~a copy of
+    * one base doc), so 2-3 rounds in practice. At 100 TB the same
+    * loop runs with edges bucketed by src; on round-cap exhaustion it
+    * falls back to the published large-star/small-star kernel.
     *
     * Output: one row per document — its cluster id, the cluster size,
     * and the keep flag (true iff the doc IS its cluster's canonical). */
@@ -410,19 +411,69 @@ object Dedup {
     * isolated ones), `pairs` is (doc_a, doc_b). Returns (node, lab)
     * where lab = the component's minimum node id. Iterative min-label
     * propagation; see pipelineDedupClusters for the loop discipline.
-    * Any pair family feeds it — fuzzy/minhash, simhash, embedding. */
+    * Any pair family feeds it — fuzzy/minhash, simhash, embedding.
+    *
+    * If the round cap is reached before the fixpoint (label
+    * propagation needs DIAMETER rounds — a >maxRounds-long chain
+    * would otherwise return silently-wrong labels), the kernel logs
+    * and falls back to the O(log n)-round star-contraction kernel,
+    * which converges on any topology. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 25): DataFrame =
+    propagateMinLabels(symmetrize(pairs), nodes.select(col("node")), maxRounds)
+      .getOrElse {
+        log.warn(s"connectedComponents: no fixpoint within $maxRounds rounds " +
+          "(component diameter exceeds cap); falling back to star contraction")
+        connectedComponentsStar(nodes, pairs)
+      }
+
+  /** Components over ONLY the nodes that appear in `pairs` — the form
+    * a dedup pipeline wants: dup pairs ≪ corpus, so the iterative
+    * loop shuffles the touched subgraph, never the full document set.
+    * Untouched docs are singleton components by definition; callers
+    * left-join this result and `coalesce(lab, node)`. */
+  def connectedComponentsOfPairs(pairs: DataFrame,
       maxRounds: Int = 25): DataFrame = {
+    val sym = symmetrize(pairs)
+    // both endpoints appear as src after symmetrization
+    val touched = sym.select(col("src").as("node")).distinct()
+    propagateMinLabels(sym, touched, maxRounds).getOrElse {
+      log.warn(s"connectedComponentsOfPairs: no fixpoint within $maxRounds " +
+        "rounds; falling back to star contraction")
+      connectedComponentsStar(touched, pairs)
+    }
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** (doc_a, doc_b) pairs → src-partitioned persisted symmetric edges. */
+  private def symmetrize(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val p = pairs.select(col("doc_a"), col("doc_b"))
-    val sym = p.unionAll(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    p.unionAll(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Min-label propagation loop. Convergence = unchanged (count,
+    * bit_xor(xxhash64(node, lab))) fingerprint — order-independent and
+    * collision-resistant, unlike a sum(lab), which wraps silently on
+    * Long overflow at billion-node scale and could in principle alias
+    * two distinct label states. Returns None when the round cap is
+    * hit before the fixpoint (labels would be only partially
+    * propagated — callers must NOT use them). */
+  private def propagateMinLabels(sym: DataFrame, nodes: DataFrame,
+      maxRounds: Int): Option[DataFrame] = {
+    def fp(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("node"), col("lab"))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
     var labels = nodes
       .select(col("node"), col("node").as("lab"))
       .localCheckpoint()
-    var prevSum = labels.agg(coalesce(sum(col("lab")), lit(0L))).head.getLong(0)
+    var prev = fp(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -431,13 +482,13 @@ object Dedup {
         .unionAll(labels)
         .groupBy(col("node")).agg(min(col("lab")).as("lab"))
         .localCheckpoint()
-      val s = next.agg(coalesce(sum(col("lab")), lit(0L))).head.getLong(0)
-      converged = s == prevSum
-      prevSum = s
+      val cur = fp(next)
+      converged = cur == prev
+      prev = cur
       labels = next
       round += 1
     }
-    labels
+    if (converged) Some(labels) else None
   }
 
   /** Large-star/small-star connected components (Kiveris et al.,
@@ -500,9 +551,13 @@ object Dedup {
   }
 
   def pipelineDedupClusters(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(
-      Tables.documents(spark, dir).select(col("doc_id").as("node")),
-      fuzzyVerifiedPairs(spark, dir))
+    // components run on the touched subgraph only (dup pairs ≪ corpus
+    // — at 100 TB the iterative loop must never shuffle the full
+    // document set); untouched docs join back as singletons
+    Tables.documents(spark, dir).select(col("doc_id").as("node"))
+      .join(connectedComponentsOfPairs(fuzzyVerifiedPairs(spark, dir)),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("lab"), col("node")).as("lab"))
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("lab"))))
       .select(col("node").as("doc_id"), col("lab").as("cluster_id"),
         col("cluster_size"), (col("node") === col("lab")).as("keep"))

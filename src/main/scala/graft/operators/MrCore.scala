@@ -205,11 +205,16 @@ object MrCore {
         expr(s"((15 * ${Scale}L) div 100) div n").as("tele"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ranks is checkpointed per iteration: lineage stays one-iteration
-    // deep, so planning/codegen cost is constant per round instead of
-    // growing with the unrolled plan, and a failure retries one
-    // iteration, not the whole chain. (Integer fixed-point arithmetic —
-    // materializing intermediate values cannot perturb results.)
+    // The 3 rounds stay ONE lazy plan: edges/base are persisted, so
+    // each round's re-reference hits cache, and a 3-deep unrolled
+    // lineage is well within planner/codegen comfort. (Round 2 bench
+    // forensics: an eager localCheckpoint per round added 3 full
+    // materialization JOBS inside the timed region — the single
+    // largest cost in the driver's 23 s measurement — while buying
+    // nothing at this depth. The checkpoint-every-k-rounds discipline
+    // only pays once the round count grows past ~10, where lineage
+    // depth starts to tax planning and straggler retry; see
+    // Dedup.connectedComponents for the open-ended-loop form.)
     var ranks = base.select(col("node"), expr(s"${Scale}L div n").as("rank"))
     for (_ <- 1 to 3) {
       val contribs = edges
@@ -220,7 +225,6 @@ object MrCore {
         .join(contribs, col("node") === col("dst"), "left_outer")
         .select(col("node"),
           (col("tele") + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-        .localCheckpoint()
     }
     ranks.select(col("node"), col("rank").as("rank_scaled")).orderBy(col("node"))
   }

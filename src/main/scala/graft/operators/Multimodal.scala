@@ -7,13 +7,13 @@ import graft.{QueryDef, Tables}
 /** Multimodal column plumbing (SURVEY.md §2 G): media as opaque
   * `binary` columns + typed metadata structs.
   *
-  * The Spark-side shape is real — binary payloads, per-partition
-  * batch decode, typed output schema, partition-friendly keys. The
-  * decode kernel itself is a clearly-marked deterministic STUB
-  * (`fakeDecode`): this container ships no image/audio codecs, so the
-  * stub derives metadata from the payload bytes. Swapping in a real
-  * codec (javax.imageio / ffmpeg via a mapPartitions JNI bridge)
-  * changes only that one function.
+  * The decode/resize kernels are REAL: `javax.imageio` (in the JDK —
+  * no external codecs needed) decodes PNG/BMP/GIF/JPEG payloads into
+  * width/height/channels, and resize runs an actual AWT bilinear
+  * rescale + PNG re-encode. Payloads ImageIO cannot parse are routed
+  * to a quarantine side (`decodeBatchSplit`) rather than poisoning
+  * the batch — the shape a 100 TB crawl ingest needs, where some
+  * fraction of fetched bytes is always corrupt.
   *
   * At 100 TB: payloads live in the parquet as binary chunks;
   * `decodeBatch` is a narrow per-partition map (no shuffle), so
@@ -26,42 +26,75 @@ object Multimodal {
   /** A media row: opaque payload + its id. */
   case class RawMedia(doc_id: Long, payload: Array[Byte])
 
-  /** Typed decode output (what a real codec would fill). */
+  /** Typed decode output. */
   case class DecodedMedia(
       doc_id: Long, width: Int, height: Int, channels: Int, n_bytes: Long)
 
-  /** STUB decode kernel — deterministic fake in place of a codec.
-    * Metadata is a pure function of the payload so tests are stable. */
-  def fakeDecode(m: RawMedia): DecodedMedia = {
-    val n = m.payload.length.toLong
-    DecodedMedia(
-      doc_id = m.doc_id,
-      width = (n % 64).toInt + 16,
-      height = (m.doc_id % 64).toInt + 16,
-      channels = 3,
-      n_bytes = n)
+  /** REAL decode kernel: `javax.imageio.ImageIO` (ships in the JDK)
+    * parses PNG/BMP/GIF/JPEG from the raw bytes. Returns None when the
+    * payload is not a decodable image — callers choose drop vs
+    * quarantine. Headless-safe (no display needed: BufferedImage is
+    * pure memory). */
+  def decodeImage(m: RawMedia): Option[DecodedMedia] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload)))
+      catch { case _: java.io.IOException => None }
+    img.map { im =>
+      DecodedMedia(
+        doc_id = m.doc_id,
+        width = im.getWidth,
+        height = im.getHeight,
+        channels = im.getColorModel.getNumComponents,
+        n_bytes = m.payload.length.toLong)
+    }
   }
 
-  /** Per-partition batch decode: the real plumbing (narrow map, typed
-    * output, no driver involvement). */
+  /** Per-partition batch decode: narrow map, typed output, no driver
+    * involvement. Undecodable payloads are dropped (see
+    * `decodeBatchSplit` to keep them). */
   def decodeBatch(ds: Dataset[RawMedia]): Dataset[DecodedMedia] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.map(fakeDecode))
+    ds.mapPartitions(_.flatMap(decodeImage))
   }
 
-  /** Resize output: same id, target dims, payload proportionally
-    * truncated — STUB for a real scaler kernel. The signature (typed
-    * in/out, per-partition batches, pure function of the row) is what
-    * a production resize keeps. */
+  /** Decode with a quarantine channel: (decoded, rejected doc_ids).
+    * One pass over the data per side; at scale persist `ds` first if
+    * both sides are consumed. */
+  def decodeBatchSplit(ds: Dataset[RawMedia]): (Dataset[DecodedMedia], Dataset[Long]) = {
+    import ds.sparkSession.implicits._
+    (decodeBatch(ds),
+      ds.mapPartitions(_.collect { case m if decodeImage(m).isEmpty => m.doc_id }))
+  }
+
+  /** Resize output: same id, target dims, re-encoded PNG payload. */
   case class ResizedMedia(doc_id: Long, width: Int, height: Int, payload: Array[Byte])
 
+  /** REAL resize kernel: decode via ImageIO, bilinear `Graphics2D`
+    * rescale to (w, h), re-encode as PNG. Undecodable payloads are
+    * dropped. The signature (typed in/out, per-partition batches, pure
+    * function of the row) is the production shape. */
   def resizeBatch(ds: Dataset[RawMedia], w: Int, h: Int): Dataset[ResizedMedia] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.map { m =>
-      // STUB: real kernel = image decode + interpolation; fake keeps a
-      // deterministic byte-proportional slice so sizes track w*h
-      val n = math.min(m.payload.length, math.max(1, (w * h) / 64))
-      ResizedMedia(m.doc_id, w, h, m.payload.take(n))
+    ds.mapPartitions(_.flatMap { m =>
+      val src =
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload)))
+        catch { case _: java.io.IOException => None }
+      src.map { im =>
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(im, 0, 0, w, h, null)
+        } finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        ResizedMedia(m.doc_id, w, h, baos.toByteArray)
+      }
     })
   }
 
@@ -121,8 +154,10 @@ object Multimodal {
 
   // ---------------------------------------------------------------- query
   /** Oracle-checked binary metadata pipeline: byte length, content
-    * digest, and the stub decode's metadata (SQL-expressible so both
-    * engines agree; `decodeBatch` is the typed API for the same). */
+    * digest, and byte-derived width/height/channels stand-ins —
+    * deliberately SQL-expressible so DuckDB can verify it (a real
+    * image decode is not; that path is `decodeBatch`, spec-verified
+    * against synthesized PNG payloads in SourcesSpec). */
   def mmBinaryMeta(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(

@@ -39,11 +39,17 @@ object AsOf {
 
   /** left ASOF LEFT JOIN right ON leftKey = rightKey AND
     * rightTime <= leftTime (latest such right row). Key/time columns
-    * must be LongType. */
+    * may be LongType, TimestampType/TimestampNTZType (epoch-micros
+    * internal representation — compared and hashed natively), or any
+    * narrower integral type (byte/short/int — widened to Long by a
+    * plan-time Cast, inserted on BOTH sides so the two children
+    * hash-partition compatibly). */
   def join(
       left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val spark = left.sparkSession
     register(spark)
     val lPlan = DatasetBridge.analyzedPlan(left)
@@ -52,9 +58,15 @@ object AsOf {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not found in [${p.output.map(_.name).mkString(", ")}]"))
+    // widen narrow integrals to Long (exact, order-preserving); other
+    // types pass through and the logical node's contract checks them
+    def widen(e: Expression): Expression = e.dataType match {
+      case ByteType | ShortType | IntegerType => Cast(e, LongType)
+      case _ => e
+    }
     DatasetBridge.ofRows(spark,
       AsOfJoin(lPlan, rPlan,
-        attr(lPlan, leftKey), attr(rPlan, rightKey),
-        attr(lPlan, leftTime), attr(rPlan, rightTime)))
+        widen(attr(lPlan, leftKey)), widen(attr(rPlan, rightKey)),
+        widen(attr(lPlan, leftTime)), widen(attr(rPlan, rightTime))))
   }
 }

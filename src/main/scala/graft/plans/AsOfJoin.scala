@@ -35,13 +35,28 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression) extends BinaryNode {
 
-  // v1 contract: keys/times are LongType (ids + epoch micros). An Int
-  // column would ClassCastException at executor runtime and a NULL
-  // would silently unbox to 0L — fail at plan construction instead.
-  for ((e, role) <- Seq(leftKey -> "leftKey", rightKey -> "rightKey",
-      leftTime -> "leftTime", rightTime -> "rightTime")) {
-    require(e.dataType == org.apache.spark.sql.types.LongType,
-      s"AsOfJoin $role must be LongType, got ${e.dataType.simpleString} ($e)")
+  // Contract: keys/times must be long-backed internally (LongType, or
+  // TimestampType/TimestampNTZType whose Catalyst representation is
+  // epoch micros as Long — getLong reads them directly and ordering
+  // is preserved). Narrower integral columns are widened by a
+  // plan-time Cast in AsOf.join; anything else would
+  // ClassCastException at executor runtime, so fail at construction.
+  // Key/time types must also MATCH across sides: the two children are
+  // hash-partitioned independently, and Murmur3 of Int 5 != Long 5 —
+  // mixed types would silently mis-co-partition, not just mis-compare.
+  {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val longBacked = Set[org.apache.spark.sql.types.DataType](
+      LongType, TimestampType, TimestampNTZType)
+    for ((e, role) <- Seq(leftKey -> "leftKey", rightKey -> "rightKey",
+        leftTime -> "leftTime", rightTime -> "rightTime")) {
+      require(longBacked(e.dataType),
+        s"AsOfJoin $role must be LongType/TimestampType, got ${e.dataType.simpleString} ($e)")
+    }
+    require(leftKey.dataType == rightKey.dataType,
+      s"AsOfJoin key types must match: ${leftKey.dataType.simpleString} vs ${rightKey.dataType.simpleString}")
+    require(leftTime.dataType == rightTime.dataType,
+      s"AsOfJoin time types must match: ${leftTime.dataType.simpleString} vs ${rightTime.dataType.simpleString}")
   }
 
   override def output: Seq[Attribute] =

@@ -95,28 +95,32 @@ object Sources {
     * append layout needs: micro-batch sinks write a file per batch per
     * partition, and a year of 1-minute batches is half a million tiny
     * files whose open/footer cost dominates every later scan. Rewrites
-    * each touched partition directory to ⌈rows/rowsPerFile⌉ files via
-    * a tmp-dir + atomic-rename swap (same recovery story as the upsert
-    * sink: a crash leaves either the old or the new layout, never a
-    * mix). Data is byte-identical; only the file count changes. At
-    * cluster scale run it per-partition-predicate (`WHERE date = X`)
-    * so the rewrite is bounded by one partition, not the table. */
+    * the directory to ⌈rows/rowsPerFile⌉ files via a tmp-dir +
+    * two-rename swap on the Hadoop `FileSystem` API (same recovery
+    * story as the upsert sink, so it works on HDFS/S3A paths, not just
+    * the local FS). The swap is NOT atomic: between the two renames
+    * the table path is briefly absent, and a crash there leaves the
+    * data intact at `path + ".compact-old"` — a stale `.compact-old`
+    * from such a crash is deleted up front, so a re-run completes the
+    * recovery. Single-writer assumption, like the upsert sink. Data is
+    * row-identical; only the file count changes. At cluster scale run
+    * it per-partition-predicate (`WHERE date = X`) so the rewrite is
+    * bounded by one partition, not the table. */
   def compactParquet(spark: SparkSession, path: String,
       rowsPerFile: Long): Unit = {
     val df = spark.read.parquet(path)
     val n = df.count()
     val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
-    val tmp = path + ".compact-tmp"
-    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = new java.io.File(path)
-    val bak = new java.io.File(path + ".compact-old")
-    require(new java.io.File(tmp).exists(), s"compaction write missing: $tmp")
-    require(fs.renameTo(bak), s"cannot move $path aside")
-    require(new java.io.File(tmp).renameTo(fs), s"cannot swap $tmp into $path")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-    }
-    rm(bak)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".compact-old")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(tmp), s"compaction write missing: $tmp")
+    if (fs.exists(bak)) fs.delete(bak, true) // stale leftover from a crashed run
+    require(fs.rename(dir, bak), s"cannot move $path aside")
+    require(fs.rename(tmp, dir), s"cannot swap $tmp into $path")
+    fs.delete(bak, true)
   }
 
   /** Register every test table as a temp view so the full surface is

@@ -39,4 +39,33 @@ class AsOfJoinSpec extends SparkSpec {
     val out = AsOf.join(l, r, "k", "t", "rk", "rt").select("rt").collect()
     assert(out(0).getLong(0) == 100L)
   }
+
+  test("as-of widens int keys and takes timestamp times natively") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // IntegerType keys (widened by a plan-time Cast on both sides) +
+    // TimestampType times (long-backed epoch micros, compared natively)
+    val l = Seq((1, ts(100), "p1"), (1, ts(200), "p2"), (2, ts(50), "p3"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1, ts(90)), (1, ts(150)), (1, ts(201)), (3, ts(10)))
+      .toDF("rk", "rt")
+    val out = AsOf.join(l, r, "k", "t", "rk", "rt")
+      .select("tag", "rt").collect()
+      .map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getTimestamp(1)))).toMap
+    assert(out == Map(
+      "p1" -> Some(ts(90)), "p2" -> Some(ts(150)), "p3" -> None))
+  }
+
+  test("as-of rejects mismatched time types at plan construction") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 100L)).toDF("k", "t")
+    val r = Seq((1L, new java.sql.Timestamp(1000L))).toDF("rk", "rt")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, "k", "t", "rk", "rt")
+    }
+    assert(e.getMessage.contains("time types must match"))
+  }
 }

@@ -65,6 +65,7 @@ class PlanShapeSpec extends SparkSpec {
     val old = (s.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB"),
       s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"),
       s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    val oldSkewEnabled = s.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
     s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
     s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
@@ -82,6 +83,7 @@ class PlanShapeSpec extends SparkSpec {
       s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", old._1)
       s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", old._2)
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", old._3)
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", oldSkewEnabled)
       s.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
     }
   }
@@ -95,6 +97,7 @@ class PlanShapeSpec extends SparkSpec {
     val old = (s.conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB"),
       s.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB"),
       s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    val oldBloomEnabled = s.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
     s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
@@ -113,6 +116,7 @@ class PlanShapeSpec extends SparkSpec {
       s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", old._1)
       s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", old._2)
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", old._3)
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", oldBloomEnabled)
     }
   }
 

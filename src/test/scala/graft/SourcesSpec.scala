@@ -75,15 +75,42 @@ class SourcesSpec extends SparkSpec {
     assert(merged.filter(col("score").isNull).count() == 1)
   }
 
-  test("multimodal resize/frame-sample stubs keep typed batch shape") {
+  /** A real PNG payload: w×h, constant fill (bilinear rescale of a
+    * constant image must stay that constant — a checkable invariant),
+    * unless `gradient` asks for per-pixel variation. */
+  private def pngBytes(w: Int, h: Int, rgb: Int, gradient: Boolean = false): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      im.setRGB(x, y, if (gradient) (x * 131071 + y * 31) & 0xffffff else rgb)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", baos)
+    baos.toByteArray
+  }
+
+  test("multimodal frame-sample keeps typed batch shape") {
     val raw = Multimodal.asBinary(spark, sf)
-    val resized = Multimodal.resizeBatch(raw, 32, 32).collect()
-    assert(resized.forall(r => r.width == 32 && r.height == 32))
-    assert(resized.forall(r => r.payload.length <= 32 * 32 / 64))
     val frames = Multimodal.sampleFrames(raw, chunk = 50, stride = 2).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_.frame_no % 2 == 0))
     assert(frames.forall(f => f.n_bytes <= 50))
+  }
+
+  test("multimodal resize: real bilinear rescale + PNG re-encode") {
+    val s = spark
+    import s.implicits._
+    val raw = Seq(
+      Multimodal.RawMedia(7L, pngBytes(40, 24, 0x3366cc)),
+      Multimodal.RawMedia(8L, Array[Byte](1, 2, 3, 4))).toDS() // undecodable
+    val out = Multimodal.resizeBatch(raw, 16, 12).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(7L), "undecodable payloads are dropped")
+    val r = out.head
+    assert(r.width == 16 && r.height == 12)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    assert(back.getWidth == 16 && back.getHeight == 12)
+    // bilinear interpolation of a constant image is that constant
+    assert((back.getRGB(8, 6) & 0xffffff) == 0x3366cc)
   }
 
   test("compaction shrinks a many-small-files layout without changing the data") {
@@ -130,16 +157,20 @@ class SourcesSpec extends SparkSpec {
     assert(feats.map(_.byte_hist.toSeq).distinct.length > 1)
   }
 
-  test("multimodal decodeBatch: typed stub decode over binary payloads") {
-    val raw = Multimodal.asBinary(spark, sf)
-    val decoded = Multimodal.decodeBatch(raw).collect()
-    assert(decoded.length == Tables.documents(spark, sf).count())
-    assert(decoded.forall(d => d.width >= 16 && d.width < 80))
-    assert(decoded.forall(_.channels == 3))
-    // metadata agrees with the oracle-checked SQL form
-    val sqlMeta = Multimodal.mmBinaryMeta(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4))).toSet
-    val typedMeta = decoded.map(d => (d.doc_id, d.width, d.height)).toSet
-    assert(typedMeta == sqlMeta)
+  test("multimodal decodeBatch: real javax.imageio decode of PNG payloads") {
+    val s = spark
+    import s.implicits._
+    val raw = Seq(
+      Multimodal.RawMedia(1L, pngBytes(20, 10, 0, gradient = true)),
+      Multimodal.RawMedia(2L, pngBytes(33, 47, 0xff8800)),
+      Multimodal.RawMedia(3L, "definitely not an image".getBytes("UTF-8"))).toDS()
+    val (decoded, rejected) = Multimodal.decodeBatchSplit(raw)
+    val d = decoded.collect().map(x => x.doc_id -> x).toMap
+    assert(d.keySet == Set(1L, 2L))
+    assert(d(1L).width == 20 && d(1L).height == 10 && d(1L).channels == 3)
+    assert(d(2L).width == 33 && d(2L).height == 47 && d(2L).channels == 3)
+    assert(d.values.forall(m => m.n_bytes > 0))
+    // the corrupt payload lands in the quarantine channel, not an error
+    assert(rejected.collect().toSeq == Seq(3L))
   }
 }
