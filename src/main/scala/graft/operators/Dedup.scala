@@ -654,46 +654,65 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Banded simhash candidate generation — the same pairs as
-    * `dedup_simhash` (identical oracle SQL proves it) WITHOUT the
-    * all-pairs join: the 16-bit signature splits into 4 bands of 4
-    * bits, and by pigeonhole any pair at hamming ≤ 3 differs in at
-    * most 3 bands, i.e. matches EXACTLY on at least one — so an
-    * equi-join on (lang, band, band_bits) has total recall, and the
-    * hamming filter on the candidates removes false positives.
-    * Candidate count ∝ band-bucket collisions, not n² — the same
-    * banding trick as dedup_minhash, and the shape that survives
-    * 100 TB (with a wider signature, e.g. 4×16 of 64 bits, buckets
-    * stay tiny; band+bits doubles as a write-once partition key). */
-  def dedupSimhashBanded(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashSigs(spark, dir)
-    val bands = sh.select(col("doc_id"), col("lang"), col("sh"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          expr(s"cast(shiftright(sh, ${4 * b}) & 15 as int)").as("bits"))
-      }: _*)).as("bd"))
-      .select(col("doc_id"), col("lang"), col("sh"),
+  /** PUBLIC parameterized banded-hamming kernel — the reusable 100 TB
+    * candidate generator behind both simhash paths. Input: (doc_id,
+    * block, sh) rows — `block` is any coarse blocking key (lang here;
+    * pairs never cross blocks), `sh` a `bits`-wide Long signature.
+    * The signature splits into `bands` near-equal contiguous bands;
+    * by PIGEONHOLE, any pair with hamming ≤ maxHamming < bands agrees
+    * exactly on ≥ 1 band, so an equi-join on (block, band, band_bits)
+    * has total recall and the hamming filter removes false positives.
+    * Candidate count ∝ band-bucket collisions, not n²; (band, bits)
+    * doubles as a write-once partition key at scale. The recall bound
+    * is property-tested over random (bits, bands, maxHamming) configs
+    * in PropertySpec.
+    *
+    * A pair colliding in k bands appears k times; it is deduped
+    * WITHOUT a shuffle by keeping only the FIRST matching band (every
+    * earlier band differs) — a pure filter on the join output. */
+  def bandedHammingPairs(sigs: DataFrame, bits: Int, bands: Int,
+      maxHamming: Int): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    require(bands >= 1 && bands <= bits, s"bands must be in [1, $bits], got $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole recall needs maxHamming < bands, got $maxHamming vs $bands")
+    // band b covers signature bits [bound(b), bound(b+1)) — near-equal
+    // widths; ANY partition of the bits preserves the pigeonhole bound
+    val bound = (0 to bands).map(b => b * bits / bands)
+    def bandBits(side: String, b: Int): String =
+      s"(shiftright($side, ${bound(b)}) & ${(1L << (bound(b + 1) - bound(b))) - 1}L)"
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"), expr(bandBits("sh", b)).as("bits"))
+    }
+    val exploded = sigs.select(col("doc_id"), col("block"), col("sh"),
+      explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("block"), col("sh"),
         col("bd.band").as("band"), col("bd.bits").as("bits"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("lang"),
+    val a = exploded.select(col("doc_id").as("doc_a"), col("block"),
       col("band"), col("bits"), col("sh").as("ha"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+    val b = exploded.select(col("doc_id").as("doc_b"), col("block").as("block_b"),
       col("band").as("band_b"), col("bits").as("bits_b"), col("sh").as("hb"))
-    // a pair colliding in k bands appears k times; dedupe WITHOUT a
-    // shuffle by keeping a pair only where the matched band is its
-    // FIRST matching band (every earlier band differs) — a pure
-    // filter on the join output, so candidates never re-exchange
-    val firstMatchingBand = "CASE band " + (0 until 4).map { bnd =>
+    val firstMatchingBand = "CASE band " + (0 until bands).map { bnd =>
       val priorDiffer = (0 until bnd).map(j =>
-        s"(shiftright(ha, ${4 * j}) & 15) != (shiftright(hb, ${4 * j}) & 15)")
+        s"${bandBits("ha", j)} != ${bandBits("hb", j)}")
       s"WHEN $bnd THEN (${if (priorDiffer.isEmpty) "true" else priorDiffer.mkString(" AND ")})"
     }.mkString(" ") + " END"
-    a.join(b, col("lang") === col("lang_b") && col("band") === col("band_b") &&
+    a.join(b, col("block") === col("block_b") && col("band") === col("band_b") &&
         col("bits") === col("bits_b") && col("doc_a") < col("doc_b"))
       .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
-      .filter(col("hamming") <= 3 && expr(firstMatchingBand))
+      .filter(col("hamming") <= maxHamming && expr(firstMatchingBand))
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Banded simhash candidate generation — the same pairs as
+    * `dedup_simhash` (identical oracle SQL proves it) WITHOUT the
+    * all-pairs join: the 16-bit signature through the parameterized
+    * kernel above at 4 bands of 4 bits, hamming ≤ 3. */
+  def dedupSimhashBanded(spark: SparkSession, dir: String): DataFrame =
+    bandedHammingPairs(
+      simhashSigs(spark, dir).select(col("doc_id"), col("lang").as("block"), col("sh")),
+      bits = 16, bands = 4, maxHamming = 3)
 
   private val dedupSimhashSql =
     s"""WITH tokh AS (
@@ -737,28 +756,9 @@ object Dedup {
       .withColumn("th", expr(s"transform(t, tok -> $md5LongLambda)"))
       .select(col("doc_id"), col("lang"), expr(simhashSigExpr(WideBits)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // self-joined
-    val bands = sig.select(col("doc_id"), col("lang"), col("sh"),
-      explode(array((0 until WideBands).map { b =>
-        struct(lit(b).as("band"),
-          expr(s"cast(shiftright(sh, ${12 * b}) & 4095 as int)").as("bits"))
-      }: _*)).as("bd"))
-      .select(col("doc_id"), col("lang"), col("sh"),
-        col("bd.band").as("band"), col("bd.bits").as("bits"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("lang"),
-      col("band"), col("bits"), col("sh").as("ha"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-      col("band").as("band_b"), col("bits").as("bits_b"), col("sh").as("hb"))
-    val firstMatchingBand = "CASE band " + (0 until WideBands).map { bnd =>
-      val priorDiffer = (0 until bnd).map(j =>
-        s"(shiftright(ha, ${12 * j}) & 4095) != (shiftright(hb, ${12 * j}) & 4095)")
-      s"WHEN $bnd THEN (${if (priorDiffer.isEmpty) "true" else priorDiffer.mkString(" AND ")})"
-    }.mkString(" ") + " END"
-    a.join(b, col("lang") === col("lang_b") && col("band") === col("band_b") &&
-        col("bits") === col("bits_b") && col("doc_a") < col("doc_b"))
-      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
-      .filter(col("hamming") <= WideBands - 1 && expr(firstMatchingBand))
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    bandedHammingPairs(
+      sig.select(col("doc_id"), col("lang").as("block"), col("sh")),
+      bits = WideBits, bands = WideBands, maxHamming = WideBands - 1)
   }
 
   private val dedupSimhashWideSql = {

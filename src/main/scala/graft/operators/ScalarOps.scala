@@ -37,10 +37,9 @@ object ScalarOps {
     * ⌈n/10⌉ is pure integer arithmetic. One shuffle on the stratum
     * key; the rank window and the stratum-size window share it. At
     * 100 TB a skewed stratum bottlenecks its single partition — there
-    * the rank comes from the mr_sort shape instead (range-partition
-    * the md5 key within each stratum, rank = partition offset +
-    * local index); semantics identical, so this operator stays the
-    * oracle. */
+    * `sampleStratifiedScalable` below computes the same rank from a
+    * range exchange (no per-stratum window); this window form stays
+    * the readable oracle twin. */
   def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("lang"))
     Tables.documents(spark, dir)
@@ -64,6 +63,48 @@ object ScalarOps {
       |SELECT doc_id, lang, n_chars, sample_rank FROM r
       |WHERE sample_rank <= (n + 9) // 10
       |ORDER BY doc_id""".stripMargin
+
+  /** The 100 TB form of the stratified sampler: the skew caveat above
+    * (one window partition per stratum = one straggler task per hot
+    * stratum) eliminated by computing the within-stratum rank the
+    * mr_sort way — a RANGE exchange on (lang, md5key) + per-partition
+    * sorted local index, with ranks = broadcast block-offset + local
+    * position. A hot stratum now spans MANY range partitions; the only
+    * windows run over the (partition × stratum) block table (≤ 32 ×
+    * |langs| rows). Semantics are identical to `q_sample_stratified` —
+    * the same oracle SQL hash-checks both. */
+  def sampleStratifiedScalable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val localIdx = expr("mid & 8589934591") // lower 33 bits of the id
+    val pid = expr("shiftright(mid, 33)")
+    val sorted = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(concat(lit("strat:"), col("doc_id").cast("string"))).as("k"))
+      .repartitionByRange(32, col("lang"), col("k"), col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("k"), col("doc_id"))
+      .withColumn("mid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK) // block table + ranks share one sort
+    // per-(partition, stratum) block sizes and first local index: a
+    // stratum's rows are contiguous within each sorted partition, so
+    // within-block position = localIdx - first_idx, in (k, doc_id) order
+    val blocks = sorted
+      .groupBy(pid.as("pid"), col("lang"))
+      .agg(count(lit(1)).as("cnt"), min(localIdx).as("first_idx"))
+    val offs = blocks
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.partitionBy(col("lang")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+      .select(col("pid"), col("lang"), col("off"), col("first_idx"), col("n"))
+    sorted
+      .withColumn("pid", pid)
+      .join(broadcast(offs), Seq("pid", "lang"))
+      .withColumn("sample_rank",
+        (col("off") + (localIdx - col("first_idx")) + 1).cast("int"))
+      .filter(col("sample_rank") <= expr("(n + 9) div 10")) // ⌈n/10⌉
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("sample_rank"))
+      .orderBy(col("doc_id"))
+  }
 
   // ---------------------------------------------------------------- regex
   /** Regex extraction/replacement over part names. */
@@ -113,6 +154,8 @@ object ScalarOps {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_sample", qSample _, Some(qSampleSql)),
     QueryDef("q_sample_stratified", qSampleStratified _, Some(qSampleStratifiedSql)),
+    QueryDef("q_sample_stratified_scalable", sampleStratifiedScalable _,
+      Some(qSampleStratifiedSql)), // same oracle: proves semantic equality
     QueryDef("q_regex", qRegex _, Some(qRegexSql)),
     QueryDef("q_null_handling", qNullHandling _, Some(qNullHandlingSql)))
 }

@@ -25,6 +25,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("scalable stratified sampler: same rows as the window form, via a range exchange") {
+    val win = graft.operators.ScalarOps.qSampleStratified(spark, sf)
+    val scalable = graft.operators.ScalarOps.sampleStratifiedScalable(spark, sf)
+    val plan = scalable.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"expected the mr_sort-shaped range exchange in:\n$plan")
+    assert(scalable.collect().map(_.toSeq).toSeq == win.collect().map(_.toSeq).toSeq,
+      "scalable sampler must reproduce the window form exactly")
+  }
+
   test("banded simhash finds exactly the all-pairs simhash results") {
     val exact = Dedup.dedupSimhash(spark, sf).collect().toSeq
     val banded = Dedup.dedupSimhashBanded(spark, sf).collect().toSeq

@@ -162,6 +162,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bandedHammingPairs has total recall vs all-pairs for any (bits, bands, maxHamming)") {
+    val s = spark
+    import s.implicits._
+    // random configs + random signatures with planted near-dups: the
+    // pigeonhole guarantee (maxHamming < bands ⇒ every qualifying pair
+    // matches exactly on ≥1 band) must hold for ARBITRARY band splits,
+    // including uneven widths (bits not divisible by bands)
+    val cfgGen: Gen[(Int, Int, Int, List[Long])] = for {
+      bits <- Gen.choose(8, 48)
+      bands <- Gen.choose(2, 6)
+      maxHamming <- Gen.choose(0, bands - 1)
+      n <- Gen.choose(10, 35)
+      base <- Gen.listOfN(n, Gen.choose(Long.MinValue, Long.MaxValue))
+      flips <- Gen.listOfN(n, Gen.choose(0, maxHamming))
+    } yield {
+      val mask = (1L << bits) - 1
+      val bases = base.map(_ & mask)
+      // plant near-dups: each base also appears with <= maxHamming bits flipped
+      val clones = bases.zip(flips).map { case (b, f) =>
+        (0 until f).foldLeft(b)((acc, i) => acc ^ (1L << ((b.toInt.abs + i * 7) % bits)))
+      }
+      (bits, bands, maxHamming, bases ++ clones)
+    }
+    forAll(cfgGen) { case (bits, bands, maxHamming, sigs) =>
+      val df = sigs.zipWithIndex
+        .map { case (sh, i) => (i.toLong, "x", sh) }.toDF("doc_id", "block", "sh")
+      val got = graft.operators.Dedup
+        .bandedHammingPairs(df, bits, bands, maxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val expect = (for {
+        (a, i) <- sigs.zipWithIndex
+        (b, j) <- sigs.zipWithIndex
+        if i < j
+        h = java.lang.Long.bitCount(a ^ b)
+        if h <= maxHamming
+      } yield (i.toLong, j.toLong, h)).toSet
+      assert(got == expect,
+        s"bits=$bits bands=$bands maxHamming=$maxHamming: " +
+          s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    }
+  }
+
   test("property: connectedComponents equals union-find on random graphs") {
     val s = spark
     import s.implicits._
