@@ -167,6 +167,84 @@ object TextAnalysis {
        |WHERE bigram IS NOT NULL
        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- repetition
+  /** Repetition filtering — the published Gopher/MassiveText rule
+    * family: a document whose single most frequent bigram covers a
+    * large share of all its bigrams is boilerplate/spam with high
+    * probability and is dropped before training. Shape: one exchange
+    * on doc_id pre-pays the position window AND both doc-keyed
+    * aggregates (bigram counts, then per-doc max/sum — all
+    * doc_id-prefixed keys reuse the partitioning), so the whole score
+    * is a single-shuffle pass however wide the corpus. Docs with < 2
+    * tokens have no bigram and drop out, matching the oracle. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("bigram", concat(col("tok"), lit(" "), lead(col("tok"), 1).over(w)))
+      .filter(col("bigram").isNotNull)
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_n"), sum(col("n")).as("total_n"))
+      .select(col("doc_id"), col("top_n"), col("total_n"),
+        rnd(col("top_n").cast("double") / col("total_n"), 4).as("top_bigram_share"))
+      .withColumn("repetitive", col("top_bigram_share") > 0.2)
+      .orderBy(col("doc_id"))
+  }
+
+  private val textRepetitionSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok,
+       |    generate_subscripts($toksSql, 1) AS pos
+       |  FROM documents),
+       |bi AS (
+       |  SELECT doc_id,
+       |    tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+       |  FROM toks),
+       |cnt AS (
+       |  SELECT doc_id, bigram, count(*) AS n FROM bi
+       |  WHERE bigram IS NOT NULL GROUP BY doc_id, bigram),
+       |agg AS (
+       |  SELECT doc_id, cast(max(n) as bigint) AS top_n,
+       |    cast(sum(n) as bigint) AS total_n
+       |  FROM cnt GROUP BY doc_id)
+       |SELECT doc_id, top_n, total_n,
+       |  ${rndSql("cast(top_n as double) / total_n", 4)} AS top_bigram_share,
+       |  ${rndSql("cast(top_n as double) / total_n", 4)} > 0.2 AS repetitive
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- redaction
+  /** PII-style redaction — the scrub pass a training pipeline runs
+    * before tokenization: long digit runs (ids, phone-ish numbers)
+    * replaced with a placeholder, plus audit columns (run count,
+    * chars removed, fingerprint of the redacted text). Pure per-row
+    * projection — no shuffle but the oracle sort; the regex stays in
+    * the Java-regex ∩ RE2 common subset so both engines redact
+    * identically. */
+  private val DigitRunPattern = "[0-9]{3,}"
+
+  def textRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(DigitRunPattern), lit(0)))
+          .as("n_digit_runs"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), DigitRunPattern, "")))
+          .as("n_chars_redacted"),
+        md5(regexp_replace(col("text"), DigitRunPattern, "<NUM>"))
+          .as("redacted_fp"))
+      .orderBy(col("doc_id"))
+
+  private val textRedactSql =
+    s"""SELECT doc_id,
+       |  cast(len(regexp_extract_all(text, '$DigitRunPattern')) as int) AS n_digit_runs,
+       |  cast(length(text) - length(regexp_replace(text, '$DigitRunPattern', '', 'g')) as int) AS n_chars_redacted,
+       |  md5(regexp_replace(text, '$DigitRunPattern', '<NUM>', 'g')) AS redacted_fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
   // ---------------------------------------------------------------- BPE-ish tokens
   /** GPT-2-style pre-tokenization counting: contractions, letter
@@ -263,5 +341,7 @@ object TextAnalysis {
     QueryDef("text_quality", textQuality _, Some(textQualitySql)),
     QueryDef("text_langid", textLangid _, Some(textLangidSql)),
     QueryDef("text_fingerprint", textFingerprint _, Some(textFingerprintSql)),
+    QueryDef("text_repetition", textRepetition _, Some(textRepetitionSql)),
+    QueryDef("text_redact", textRedact _, Some(textRedactSql)),
     QueryDef("text_ngrams", textNgrams _, Some(textNgramsSql)))
 }
