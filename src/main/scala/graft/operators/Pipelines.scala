@@ -61,6 +61,85 @@ object Pipelines {
        |WHERE ${md5LongSql("text_md5")} % 2 = 0
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- decontamination
+  /** Benchmark decontamination — the curation pass every serious
+    * training pipeline runs: any training document sharing a 5-gram
+    * with an evaluation document is flagged (the published
+    * GPT-3/PaLM-style n-gram collision rule). Here the "eval set" is
+    * a deterministic ~5% doc_id split standing in for a benchmark
+    * suite; in production it is an external table.
+    *
+    * Plan shape for 100 TB: the eval side is SMALL by nature
+    * (benchmarks are thousands of docs, not billions), so its
+    * distinct 5-gram table is broadcast — the training corpus is
+    * never shuffled for the probe; its only exchange is the final
+    * per-doc aggregate on doc_id. 5-grams are per-row array
+    * expressions (same no-explode-before-distinct shape as the
+    * minhash shingles). */
+  private val fivegramExpr =
+    """filter(
+      |  transform(t, (x, i) -> CASE WHEN i + 4 < size(t)
+      |    THEN concat_ws(' ', x, element_at(t, i + 2), element_at(t, i + 3),
+      |                   element_at(t, i + 4), element_at(t, i + 5))
+      |    END),
+      |  s -> s IS NOT NULL)""".stripMargin
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val isEval =
+      pmod(md5Long(concat(lit("decon:"), col("doc_id").cast("string"))), lit(20)) === 0
+    def ngrams(evalSide: Boolean) = Tables.documents(spark, dir)
+      .filter(if (evalSide) isEval else !isEval)
+      .select(col("doc_id"), filter(split(col("text"), "\\s+"), x => x =!= "").as("t"))
+      .select(col("doc_id"), explode(array_distinct(expr(fivegramExpr))).as("s"))
+    val evalNgrams = ngrams(evalSide = true)
+      .select(col("s").as("es"), col("doc_id").as("eval_doc")).distinct()
+    val hits = ngrams(evalSide = false)
+      .join(broadcast(evalNgrams), col("s") === col("es"))
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("s")).as("sh"),
+        countDistinct(col("eval_doc")).as("ed"))
+    // one row per TRAIN doc (the keep/drop list a pipeline consumes),
+    // clean docs carrying zeros — the hit aggregate is tiny, so this
+    // left join broadcasts it back onto the doc list
+    Tables.documents(spark, dir).filter(!isEval).select(col("doc_id"))
+      .join(broadcast(hits), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("sh"), lit(0L)).as("n_shared_ngrams"),
+        coalesce(col("ed"), lit(0L)).as("n_eval_docs"),
+        (coalesce(col("sh"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_filter(
+       |    list_transform(tk, (x, i) -> CASE WHEN i + 4 <= len(tk)
+       |      THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] END),
+       |    s -> s IS NOT NULL)) AS s
+       |  FROM t),
+       |e AS (
+       |  SELECT doc_id AS eval_doc, unnest(s) AS es FROM sh
+       |  WHERE ${md5LongSql("'decon:' || cast(doc_id as varchar)")} % 20 = 0),
+       |tr AS (
+       |  SELECT doc_id, unnest(s) AS s FROM sh
+       |  WHERE ${md5LongSql("'decon:' || cast(doc_id as varchar)")} % 20 <> 0),
+       |hits AS (
+       |  SELECT tr.doc_id,
+       |    cast(count(DISTINCT tr.s) as bigint) AS sh,
+       |    cast(count(DISTINCT e.eval_doc) as bigint) AS ed
+       |  FROM tr JOIN e ON tr.s = e.es
+       |  GROUP BY tr.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(h.sh, 0) AS n_shared_ngrams,
+       |  coalesce(h.ed, 0) AS n_eval_docs,
+       |  coalesce(h.sh, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |WHERE ${md5LongSql("'decon:' || cast(d.doc_id as varchar)")} % 20 <> 0
+       |ORDER BY d.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("pipeline_training_data", trainingData _, Some(trainingDataSql)))
+    QueryDef("pipeline_training_data", trainingData _, Some(trainingDataSql)),
+    QueryDef("pipeline_decontaminate", decontaminate _, Some(decontaminateSql)))
 }
