@@ -75,7 +75,10 @@ object Bench {
     // 23 s vs 9.7 s isolated came from exactly this interference)
     def isolate(): Unit = {
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // blocking: the next timed run must not start while the previous
+      // run's blocks are still draining from the block manager
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc() // stabilize: old-gen garbage from run N must not bill run N+1
     }
 
     // local-iteration aid: SPARK_GRAFT_QUERIES=a,b,c runs a subset
