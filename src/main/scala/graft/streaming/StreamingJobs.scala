@@ -139,6 +139,34 @@ object StreamingJobs {
     * user's full history in one group and emits every session,
     * matching qSessionize exactly.
     */
+  /** Ingest-time benchmark decontamination — the STREAM-STATIC
+    * broadcast join shape (no state, no watermark: the static side is
+    * a plain batch frame Spark re-broadcasts per micro-batch).
+    * Arriving docs explode into per-row 5-gram projections and probe
+    * the eval set's distinct-ngram table; every collision emits
+    * (doc_id, ngram, eval_doc) immediately — append-mode legal since
+    * the operator is stateless. The batch-mode form of the same call
+    * is the verification oracle (StreamingSpec). At 100 TB-ingest the
+    * eval table is small by nature (benchmarks, not corpora), exactly
+    * the broadcast-static side this plan wants.
+    *
+    * `docs` needs (doc_id, text); `evalNgrams` needs (es, eval_doc). */
+  def decontaminateStream(docs: DataFrame, evalNgrams: DataFrame): DataFrame = {
+    val fivegram =
+      """filter(
+        |  transform(t, (x, i) -> CASE WHEN i + 4 < size(t)
+        |    THEN concat_ws(' ', x, element_at(t, i + 2), element_at(t, i + 3),
+        |                   element_at(t, i + 4), element_at(t, i + 5))
+        |    END),
+        |  s -> s IS NOT NULL)""".stripMargin
+    docs
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), x => x =!= "").as("t"))
+      .select(col("doc_id"), explode(array_distinct(expr(fivegram))).as("s"))
+      .join(broadcast(evalNgrams), col("s") === col("es"))
+      .select(col("doc_id"), col("s").as("ngram"), col("eval_doc"))
+  }
+
   def sessionize(events: Dataset[Ev], gapUs: Long = 1800000000L,
       watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._

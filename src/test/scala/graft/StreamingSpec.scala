@@ -241,6 +241,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("stream-static decontamination: streamed == batch, collisions flagged at ingest") {
+    val s = spark
+    import s.implicits._
+    // static eval side: distinct 5-grams of two "benchmark" docs
+    val evalDocs = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta"),
+      (901L, "one two three four five six seven")).toDF("doc_id", "text")
+    val ngramTable = evalDocs
+      .select(col("doc_id").as("eval_doc"),
+        filter(split(col("text"), "\\s+"), x => x =!= "").as("t"))
+      .select(col("eval_doc"),
+        explode(expr("""filter(
+          transform(t, (x, i) -> CASE WHEN i + 4 < size(t)
+            THEN concat_ws(' ', x, element_at(t, i + 2), element_at(t, i + 3),
+                           element_at(t, i + 4), element_at(t, i + 5)) END),
+          s -> s IS NOT NULL)""")).as("es"))
+      .distinct()
+    val train = Seq(
+      (1L, "prefix alpha beta gamma delta epsilon zeta suffix"), // contaminated (900)
+      (2L, "totally clean document with no overlap at all here"),
+      (3L, "contains one two three four five six seven inline")) // contaminated (901)
+      .toDF("doc_id", "text")
+
+    val batch = StreamingJobs.decontaminateStream(train, ngramTable).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(batch.map(_._1) == Set(1L, 3L), s"unexpected contamination set: $batch")
+    assert(batch.forall { case (d, e) => (d == 1L) == (e == 900L) })
+
+    val tmp = java.nio.file.Files.createTempDirectory("decon-in").toString
+    train.write.mode("overwrite").parquet(tmp)
+    val src = s.readStream.schema(train.schema).parquet(tmp)
+    val q = StreamingJobs.decontaminateStream(src, ngramTable).writeStream
+      .format("memory").queryName("decon_out")
+      .outputMode("append") // stateless stream-static join: append-legal
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select doc_id, eval_doc from decon_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, "ingest-time flags must equal the batch run")
+  }
+
   test("restart from checkpoint: replayed input is not duplicated, new input is not lost") {
     // The Spark equivalence of the reference coordinator's
     // failure-retry loop (mr/src/coordinator.rs:108-135 re-issues
