@@ -18,6 +18,9 @@ object Bench {
     "mr_wordcount",         // explode + agg
     "text_fingerprint",     // HOF-heavy per-doc text ops
     "text_tfidf",           // tf/df aggregates + broadcast N + per-doc rank (round 2)
+    "text_repetition",      // Gopher-style top-bigram-share filter (round 3)
+    "pipeline_decontaminate", // eval-split 5-gram collision probe (round 3)
+    "q_sample_stratified_scalable", // range-exchange within-stratum rank (round 3)
     "dedup_minhash",        // shingle + LSH band join
     "dedup_jaccard",        // adaptive set-similarity (bitmask | token join)
     "dedup_jaccard_ngram",  // trigram-set jaccard, hashed shingle equi-join (round 2)

@@ -43,11 +43,14 @@ object AsOf {
     * internal representation — compared and hashed natively), or any
     * narrower integral type (byte/short/int — widened to Long by a
     * plan-time Cast, inserted on BOTH sides so the two children
-    * hash-partition compatibly). */
+    * hash-partition compatibly). `toleranceUs` (pandas merge_asof
+    * `tolerance`): when set, a right row older than
+    * leftTime - toleranceUs does not match. */
   def join(
       left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String): DataFrame = {
+      rightKey: String, rightTime: String,
+      toleranceUs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val spark = left.sparkSession
@@ -67,6 +70,7 @@ object AsOf {
     DatasetBridge.ofRows(spark,
       AsOfJoin(lPlan, rPlan,
         widen(attr(lPlan, leftKey)), widen(attr(rPlan, rightKey)),
-        widen(attr(lPlan, leftTime)), widen(attr(rPlan, rightTime))))
+        widen(attr(lPlan, leftTime)), widen(attr(rPlan, rightTime)),
+        toleranceUs))
   }
 }

@@ -14,7 +14,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Semantics: for every left row, attach the LAST right row of the
   * same key whose time is <= the left row's time (pandas
   * `merge_asof`, kdb `aj`, DuckDB `ASOF LEFT JOIN`). Unmatched left
-  * rows keep nulls on the right.
+  * rows keep nulls on the right. An optional `toleranceUs` bounds
+  * staleness (pandas merge_asof `tolerance`): a candidate older than
+  * leftTime - toleranceUs is treated as no match for THAT left row
+  * (it still advances the merge cursor for later left rows).
   *
   * Physical shape: both sides hash-partitioned by key and sorted by
   * (key, time) — declared via `requiredChildDistribution` /
@@ -33,7 +36,11 @@ case class AsOfJoin(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    toleranceUs: Option[Long] = None) extends BinaryNode {
+
+  toleranceUs.foreach(t => require(t >= 0,
+    s"AsOfJoin tolerance must be non-negative, got $t"))
 
   // Contract: keys/times must be long-backed internally (LongType, or
   // TimestampType/TimestampNTZType whose Catalyst representation is
@@ -73,7 +80,8 @@ case class AsOfJoinExec(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryExecNode {
+    rightTime: Expression,
+    toleranceUs: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -116,7 +124,9 @@ case class AsOfJoinExec(
       // last right row (copied — iterators reuse row buffers) whose
       // (key, time) precedes the current left cursor, per key
       var candKey = 0L
+      var candTime = 0L
       var cand: InternalRow = null
+      val tol = toleranceUs.getOrElse(-1L) // -1 = unbounded
 
       lIter.map { lRow =>
         val lk = lProj(lRow) // reused buffer: read fields immediately
@@ -139,13 +149,18 @@ case class AsOfJoinExec(
               val ht = rk.getLong(1)
               if (hk < k || (hk == k && ht <= t)) {
                 candKey = hk
+                candTime = ht
                 cand = rBuf.next().copy()
               } else {
                 advancing = false
               }
             }
           }
-          val matched = cand != null && candKey == k
+          // tolerance is a match-time check, NOT a frontier filter: a
+          // stale candidate still advances the cursor (a later left row
+          // of the same key may be within tolerance of it)
+          val matched = cand != null && candKey == k &&
+            (tol < 0 || t - candTime <= tol)
           project(joined(lRow, if (matched) cand else nullRight))
         }
       }
@@ -162,8 +177,8 @@ case class AsOfJoinExec(
   * or GraftExtensions. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }

@@ -58,6 +58,28 @@ class AsOfJoinSpec extends SparkSpec {
       "p1" -> Some(ts(90)), "p2" -> Some(ts(150)), "p3" -> None))
   }
 
+  test("as-of tolerance bounds staleness without breaking the merge cursor") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 100L, "near"), (1L, 500L, "far"), (1L, 505L, "near2"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 95L), (1L, 497L), (1L, 504L)).toDF("rk", "rt")
+    val out = AsOf.join(l, r, "k", "t", "rk", "rt", toleranceUs = Some(10L))
+      .select("tag", "rt").collect()
+      .map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    // latest-at-or-before within 10: near←95 (Δ5), far←497 (Δ3;
+    // 504 > 500 not eligible), near2←504 (Δ1)
+    assert(out == Map("near" -> 95L, "far" -> 497L, "near2" -> 504L))
+    val out2 = AsOf.join(l, r, "k", "t", "rk", "rt", toleranceUs = Some(2L))
+      .select("tag", "rt").collect()
+      .map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    // tighter: near (Δ5) and far (Δ3) null out, but their stale
+    // candidates still advanced the cursor, so near2 (Δ1) matches
+    assert(out2 == Map("near" -> -1L, "far" -> -1L, "near2" -> 504L))
+  }
+
   test("as-of rejects mismatched time types at plan construction") {
     val s = spark
     import s.implicits._

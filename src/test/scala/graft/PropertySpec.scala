@@ -46,6 +46,19 @@ class PropertySpec extends SparkSpec {
           lid -> (if (cands.isEmpty) None else Some(cands.map(_._2).max))
         }.toMap
         assert(got == expect)
+
+        // with a staleness tolerance: the SAME latest-at-or-before
+        // candidate, nulled when older than t - tol (it must still
+        // advance the cursor — later left rows can match it)
+        val tol = 10L
+        val gotTol = AsOf.join(ldf, rdf, "k", "t", "rk", "rt", Some(tol))
+          .select("lid", "rt").collect()
+          .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1))))
+          .toMap
+        val expectTol = lu.map { case (k, t, lid) =>
+          lid -> expect(lid).filter(rt => t - rt <= tol)
+        }.toMap
+        assert(gotTol == expectTol)
       }
     }
   }
