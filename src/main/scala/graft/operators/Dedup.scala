@@ -467,7 +467,7 @@ object Dedup {
       maxRounds: Int): Option[DataFrame] = {
     def fp(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("node"), col("lab"))), lit(0L))).head
+        coalesce(bit_xor(xxhash64(col("node"), col("lab"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     var labels = nodes
@@ -514,7 +514,7 @@ object Dedup {
     def fp(df: DataFrame): (Long, Long) = {
       // set fingerprint: xor never overflows and is order-independent
       val r = df.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))).head
+        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     val w = Window.partitionBy(col("u"))
