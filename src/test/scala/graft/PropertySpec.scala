@@ -246,6 +246,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("round-cap exhaustion falls back to star contraction with correct labels") {
+    val s = spark
+    import s.implicits._
+    // a 60-node path needs 59 propagation rounds; cap at 4 — the
+    // kernel must NOT return partially-propagated labels, it must
+    // detect the miss and re-solve via star contraction
+    val n = 60L
+    val nodes = (0L until n).toDF("node")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.connectedComponents(nodes, chain, maxRounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L),
+      "fallback must deliver the true component minimum for every node")
+  }
+
   test("large-star/small-star handles a long chain in logarithmic rounds") {
     val s = spark
     import s.implicits._
