@@ -84,16 +84,20 @@ object Pipelines {
       |    END),
       |  s -> s IS NOT NULL)""".stripMargin
 
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val isEval =
-      pmod(md5Long(concat(lit("decon:"), col("doc_id").cast("string"))), lit(20)) === 0
-    def ngrams(evalSide: Boolean) = Tables.documents(spark, dir)
-      .filter(if (evalSide) isEval else !isEval)
-      .select(col("doc_id"), filter(split(col("text"), "\\s+"), x => x =!= "").as("t"))
-      .select(col("doc_id"), explode(array_distinct(expr(fivegramExpr))).as("s"))
-    val evalNgrams = ngrams(evalSide = true)
+  /** Per-doc distinct 5-grams, exploded: (doc_id, s). `docs` needs
+    * (doc_id, text). */
+  def fivegrams(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), filter(split(col("text"), "\\s+"), x => x =!= "").as("t"))
+    .select(col("doc_id"), explode(array_distinct(expr(fivegramExpr))).as("s"))
+
+  /** PUBLIC decontamination API against an EXTERNAL eval corpus —
+    * the production form (the registered query below derives its eval
+    * split from the same table only so DuckDB can check it). Returns
+    * one row per train doc: the keep/drop list. */
+  def decontaminateAgainst(train: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val evalNgrams = fivegrams(evalDocs)
       .select(col("s").as("es"), col("doc_id").as("eval_doc")).distinct()
-    val hits = ngrams(evalSide = false)
+    val hits = fivegrams(train)
       .join(broadcast(evalNgrams), col("s") === col("es"))
       .groupBy(col("doc_id"))
       .agg(
@@ -102,12 +106,19 @@ object Pipelines {
     // one row per TRAIN doc (the keep/drop list a pipeline consumes),
     // clean docs carrying zeros — the hit aggregate is tiny, so this
     // left join broadcasts it back onto the doc list
-    Tables.documents(spark, dir).filter(!isEval).select(col("doc_id"))
+    train.select(col("doc_id"))
       .join(broadcast(hits), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("sh"), lit(0L)).as("n_shared_ngrams"),
         coalesce(col("ed"), lit(0L)).as("n_eval_docs"),
         (coalesce(col("sh"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val isEval =
+      pmod(md5Long(concat(lit("decon:"), col("doc_id").cast("string"))), lit(20)) === 0
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    decontaminateAgainst(docs.filter(!isEval), docs.filter(isEval))
       .orderBy(col("doc_id"))
   }
 

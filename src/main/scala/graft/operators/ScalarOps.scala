@@ -64,47 +64,63 @@ object ScalarOps {
       |WHERE sample_rank <= (n + 9) // 10
       |ORDER BY doc_id""".stripMargin
 
-  /** The 100 TB form of the stratified sampler: the skew caveat above
-    * (one window partition per stratum = one straggler task per hot
-    * stratum) eliminated by computing the within-stratum rank the
-    * mr_sort way — a RANGE exchange on (lang, md5key) + per-partition
-    * sorted local index, with ranks = broadcast block-offset + local
-    * position. A hot stratum now spans MANY range partitions; the only
-    * windows run over the (partition × stratum) block table (≤ 32 ×
-    * |langs| rows). Semantics are identical to `q_sample_stratified` —
-    * the same oracle SQL hash-checks both. */
-  def sampleStratifiedScalable(spark: SparkSession, dir: String): DataFrame = {
+  /** PUBLIC scalable exact-quota stratified sampler — the 100 TB form
+    * of the window sampler above: the skew caveat (one window
+    * partition per stratum = one straggler task per hot stratum) is
+    * eliminated by computing the within-stratum rank the mr_sort way —
+    * a RANGE exchange on (stratum, md5key) + per-partition sorted
+    * local index, with ranks = broadcast block-offset + local
+    * position. A hot stratum spans MANY range partitions; the only
+    * windows run over the (partition × stratum) block table
+    * (≤ partitions × |strata| rows).
+    *
+    * Takes exactly ⌈n · numer / denom⌉ rows per stratum, chosen in
+    * deterministic md5(keyCol) order — same rows on any engine,
+    * partitioning, or run. `keyCol` must be unique per row. Output =
+    * input columns + `sample_rank` (1-based within stratum). */
+  def stratifiedSampleExact(df: DataFrame, strataCol: String, keyCol: String,
+      numer: Int, denom: Int, partitions: Int = 32): DataFrame = {
+    require(numer >= 0 && denom > 0, s"bad fraction $numer/$denom")
     import org.apache.spark.storage.StorageLevel
     val localIdx = expr("mid & 8589934591") // lower 33 bits of the id
     val pid = expr("shiftright(mid, 33)")
-    val sorted = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        md5(concat(lit("strat:"), col("doc_id").cast("string"))).as("k"))
-      .repartitionByRange(32, col("lang"), col("k"), col("doc_id"))
-      .sortWithinPartitions(col("lang"), col("k"), col("doc_id"))
+    val inCols = df.columns.toSeq
+    val sorted = df
+      .withColumn("k", md5(concat(lit("strat:"), col(keyCol).cast("string"))))
+      .repartitionByRange(partitions, col(strataCol), col("k"), col(keyCol))
+      .sortWithinPartitions(col(strataCol), col("k"), col(keyCol))
       .withColumn("mid", monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK) // block table + ranks share one sort
     // per-(partition, stratum) block sizes and first local index: a
     // stratum's rows are contiguous within each sorted partition, so
-    // within-block position = localIdx - first_idx, in (k, doc_id) order
+    // within-block position = localIdx - first_idx, in (k, key) order
     val blocks = sorted
-      .groupBy(pid.as("pid"), col("lang"))
+      .groupBy(pid.as("pid"), col(strataCol))
       .agg(count(lit(1)).as("cnt"), min(localIdx).as("first_idx"))
     val offs = blocks
       .withColumn("off", coalesce(sum(col("cnt")).over(
-        Window.partitionBy(col("lang")).orderBy(col("pid"))
+        Window.partitionBy(col(strataCol)).orderBy(col("pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
-      .select(col("pid"), col("lang"), col("off"), col("first_idx"), col("n"))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(strataCol))))
+      .select(col("pid"), col(strataCol), col("off"), col("first_idx"), col("n"))
     sorted
       .withColumn("pid", pid)
-      .join(broadcast(offs), Seq("pid", "lang"))
+      .join(broadcast(offs), Seq("pid", strataCol))
       .withColumn("sample_rank",
         (col("off") + (localIdx - col("first_idx")) + 1).cast("int"))
-      .filter(col("sample_rank") <= expr("(n + 9) div 10")) // ⌈n/10⌉
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("sample_rank"))
-      .orderBy(col("doc_id"))
+      // ⌈n·numer/denom⌉, integer-exact on both engines
+      .filter(col("sample_rank") <= expr(s"(n * $numer + ${denom - 1}) div $denom"))
+      .select((inCols :+ "sample_rank").map(col): _*)
   }
+
+  /** The oracle-checked query form: 10% of documents per lang through
+    * the kernel above. Semantics identical to `q_sample_stratified` —
+    * the same oracle SQL hash-checks both. */
+  def sampleStratifiedScalable(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSampleExact(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+      strataCol = "lang", keyCol = "doc_id", numer = 1, denom = 10)
+      .orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------- regex
   /** Regex extraction/replacement over part names. */

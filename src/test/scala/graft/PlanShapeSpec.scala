@@ -35,6 +35,32 @@ class PlanShapeSpec extends SparkSpec {
       "scalable sampler must reproduce the window form exactly")
   }
 
+  test("stratifiedSampleExact: one dominant stratum, kernel equals window form") {
+    val s = spark
+    import s.implicits._
+    // 20k-row hot stratum + two tiny ones: the case where the window
+    // sampler serializes the hot stratum into one task and the range
+    // kernel must spread it across partitions yet produce the same rows
+    val rows = (0L until 20000L).map(i => (i, "hot")) ++
+      Seq((20000L, "a"), (20001L, "a"), (20002L, "a"), (20003L, "b"))
+    val df = rows.toDF("id", "grp")
+    val got = graft.operators.ScalarOps
+      .stratifiedSampleExact(df, "grp", "id", numer = 1, denom = 4)
+    val expect = df
+      .withColumn("sample_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+          .orderBy(md5(concat(lit("strat:"), col("id").cast("string"))), col("id"))))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))))
+      .filter(col("sample_rank") <= expr("(n + 3) div 4"))
+      .select("id", "grp", "sample_rank")
+    assert(got.collect().map(_.toSeq).toSet == expect.collect().map(_.toSeq).toSet)
+    val counts = got.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("hot" -> 5000L, "a" -> 1L, "b" -> 1L),
+      s"exact ceil-quota per stratum violated: $counts")
+  }
+
   test("banded simhash finds exactly the all-pairs simhash results") {
     val exact = Dedup.dedupSimhash(spark, sf).collect().toSeq
     val banded = Dedup.dedupSimhashBanded(spark, sf).collect().toSeq
