@@ -98,9 +98,61 @@ object Multimodal {
     })
   }
 
-  /** Frame sampling for video-like payloads: every `stride`-th chunk
-    * of the payload as one "frame" — STUB for a real demuxer; shape
-    * (one input row → many typed frame rows via flatMap) is real. */
+  /** A REAL (if minimal) container + demuxer, since this container
+    * ships no mp4 codecs: frames are stored length-prefixed
+    * ([4-byte big-endian length][frame bytes])*, the demuxer walks
+    * the prefixes, takes every `stride`-th frame, and decodes it with
+    * the `javax.imageio` kernel. `packFrames` is the write side. A
+    * truncated/garbage tail ends the walk cleanly (crawl data is
+    * never trusted). */
+  case class DemuxedFrame(
+      doc_id: Long, frame_no: Int, width: Int, height: Int, n_bytes: Long)
+
+  def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(out)
+    frames.foreach { f => d.writeInt(f.length); d.write(f) }
+    d.flush()
+    out.toByteArray
+  }
+
+  /** Split a length-prefixed container into frame byte arrays. */
+  def unpackFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+    val frames = Seq.newBuilder[Array[Byte]]
+    var ok = true
+    while (ok && buf.remaining() >= 4) {
+      val len = buf.getInt()
+      if (len < 0 || len > buf.remaining()) ok = false // corrupt tail: stop
+      else {
+        val a = new Array[Byte](len)
+        buf.get(a)
+        frames += a
+      }
+    }
+    frames.result()
+  }
+
+  /** Demux + decode every `stride`-th frame — narrow per-partition
+    * flatMap, typed output; undecodable frames are dropped like
+    * `decodeBatch` does. */
+  def demuxFrames(ds: Dataset[RawMedia], stride: Int = 1): Dataset[DemuxedFrame] = {
+    import ds.sparkSession.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    ds.flatMap { m =>
+      unpackFrames(m.payload).zipWithIndex
+        .collect { case (bytes, i) if i % stride == 0 => (bytes, i) }
+        .flatMap { case (bytes, i) =>
+          decodeImage(RawMedia(m.doc_id, bytes)).map(d =>
+            DemuxedFrame(m.doc_id, i, d.width, d.height, bytes.length.toLong))
+        }
+    }
+  }
+
+  /** Frame sampling over OPAQUE payloads: every `stride`-th fixed-size
+    * chunk as one "frame" row — the codec-free twin of `demuxFrames`
+    * (deliberately SQL-expressible: `mm_frame_sample` is its
+    * oracle-checked query form). */
   case class Frame(doc_id: Long, frame_no: Int, n_bytes: Long)
 
   def sampleFrames(ds: Dataset[RawMedia], chunk: Int, stride: Int): Dataset[Frame] = {

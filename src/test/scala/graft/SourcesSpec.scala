@@ -96,6 +96,25 @@ class SourcesSpec extends SparkSpec {
     assert(frames.forall(f => f.n_bytes <= 50))
   }
 
+  test("multimodal demux: length-prefixed container round-trips and decodes real frames") {
+    val s = spark
+    import s.implicits._
+    val frames = Seq(pngBytes(8, 6, 0x112233), pngBytes(16, 12, 0x445566),
+      pngBytes(24, 18, 0x778899), pngBytes(32, 24, 0xaabbcc))
+    // pack → unpack is identity
+    val packed = Multimodal.packFrames(frames)
+    assert(Multimodal.unpackFrames(packed).map(_.toSeq) == frames.map(_.toSeq))
+    // a corrupt tail ends the walk cleanly instead of throwing
+    assert(Multimodal.unpackFrames(packed ++ Array[Byte](9, 9)).length == frames.length)
+
+    val raw = Seq(Multimodal.RawMedia(5L, packed)).toDS()
+    val all = Multimodal.demuxFrames(raw).collect().sortBy(_.frame_no)
+    assert(all.map(f => (f.frame_no, f.width, f.height)).toSeq ==
+      Seq((0, 8, 6), (1, 16, 12), (2, 24, 18), (3, 32, 24)))
+    val strided = Multimodal.demuxFrames(raw, stride = 2).collect().sortBy(_.frame_no)
+    assert(strided.map(_.frame_no).toSeq == Seq(0, 2))
+  }
+
   test("multimodal resize: real bilinear rescale + PNG re-encode") {
     val s = spark
     import s.implicits._
