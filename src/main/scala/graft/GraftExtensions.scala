@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_norm"),
       new ExpressionInfo(classOf[VectorFunctions.L2Norm].getName, "l2_norm"),
       (exprs: Seq[Expression]) => VectorFunctions.L2Norm(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[graft.functions.MisraGries].getName, "mg_topk"),
+      (exprs: Seq[Expression]) => graft.functions.MisraGries(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
     // the whole-operator stack ships through the same entry point:
     // a cluster that sets spark.sql.extensions=graft.GraftExtensions
     // gets the as-of planner + its pushdown rule without any

@@ -1,0 +1,129 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra-Gries heavy-hitters sketch as a `TypedImperativeAggregate` —
+  * the imperative-buffer aggregate extension class (the form Spark's
+  * own HLL/percentile sketches use; completes graft's Catalyst
+  * extension coverage next to the native scalar Expressions, the
+  * typed `Aggregator`, and the whole-operator plan stack).
+  *
+  * Finds the heavy hitters of a column in ONE pass with k counters
+  * per partition — no per-key shuffle, no full aggregation state: the
+  * way to ask "which tokens dominate this 100 TB corpus" when the
+  * full wordcount (distinct-key-sized state) is not worth its
+  * shuffle. Buffers merge per the mergeable-summaries construction
+  * (combine counts, then subtract the (k+1)-th largest and drop ≤0),
+  * so the guarantee survives arbitrary partitioning:
+  *
+  *   - every item with true count > n/(k+1) is in the output, and
+  *   - each reported count is in [true − n/(k+1), true]
+  *
+  * where n = total rows aggregated. Reported counts (not membership
+  * of true heavy hitters) can vary with merge order — approximate by
+  * construction, so the operator is spec-verified against exact
+  * counts (rows-only), like the HLL sketch.
+  */
+case class MisraGries(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 1, s"mg_topk needs k >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType), StructField("min_count", LongType))))
+  override def nullable: Boolean = false
+  override def prettyName: String = "mg_topk"
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  /** Keep ≤ k counters: subtract the (k+1)-th largest count from all
+    * and drop the non-positive — the batched MG decrement step. */
+  private def prune(buf: mutable.HashMap[String, Long]): Unit =
+    if (buf.size > k) {
+      val cStar = buf.values.toArray.sortInPlace()(Ordering[Long].reverse).apply(k)
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.mapValuesInPlace((_, c) => c - cStar)
+      buf.foreach { case (s, c) => if (c <= 0) dead += s }
+      dead.foreach(buf.remove)
+    }
+
+  override def update(buf: mutable.HashMap[String, Long],
+      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.toString
+      buf.update(s, buf.getOrElse(s, 0L) + 1L)
+      prune(buf)
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[String, Long],
+      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    other.foreach { case (s, c) => buf.update(s, buf.getOrElse(s, 0L) + c) }
+    prune(buf)
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any =
+    new GenericArrayData(
+      buf.toSeq.sortBy { case (s, c) => (-c, s) }.map { case (s, c) =>
+        InternalRow(UTF8String.fromString(s), c)
+      })
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bytes = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bytes)
+    out.writeInt(buf.size)
+    buf.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    (0 until n).foreach(_ => buf.update(in.readUTF(), in.readLong()))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MisraGries =
+    copy(child = newChild)
+}
+
+object FreqSketch {
+
+  /** Column-level API: `df.agg(FreqSketch.mgTopk(col("token"), 16))`. */
+  def mgTopk(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      MisraGries(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** Idempotent per-session SQL registration: `mg_topk(tok, 16)`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mg_topk",
+      exprs => MisraGries(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+}

@@ -35,6 +35,12 @@ class ExtensionsSpec extends AnyFunSuite {
           |       l2_norm(array(3.0d, 4.0d)) AS n""".stripMargin).collect()(0)
       assert(row.getDouble(0) == 32.0)
       assert(row.getDouble(1) == 5.0)
+      // the imperative-aggregate sketch ships through the same entry
+      // point: 'b' dominates and must lead the heavy-hitter output
+      val hh = spark.sql(
+        """SELECT mg_topk(t, 2) AS hh FROM VALUES ('a'),('b'),('b'),('b'),('c')
+          |  AS v(t)""".stripMargin).selectExpr("hh[0].token").collect()(0)
+      assert(hh.getString(0) == "b")
     }
   }
 

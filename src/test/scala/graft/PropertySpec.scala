@@ -275,6 +275,38 @@ class PropertySpec extends SparkSpec {
     assert(got.size == n)
   }
 
+  test("Misra-Gries sketch: heavy-hitter guarantee holds vs exact counts") {
+    val s = spark
+    import s.implicits._
+    val toks = Tables.documents(s, sf)
+      .select(explode(filter(split(col("text"), "\\s+"), t => t =!= "")).as("tok"))
+      .repartition(7) // force partial buffers + serialize/merge paths
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val k = 16
+    val bound = n.toDouble / (k + 1)
+    val reported = toks.agg(graft.functions.FreqSketch.mgTopk(col("tok"), k).as("hh"))
+      .selectExpr("explode(hh) as e").select("e.token", "e.min_count").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reported.size <= k)
+    // (a) every true heavy hitter is present
+    exact.filter(_._2 > bound).keys.foreach { t =>
+      assert(reported.contains(t), s"heavy hitter '$t' (${exact(t)} > $bound) missing")
+    }
+    // (b) each reported count is within [true - n/(k+1), true]
+    reported.foreach { case (t, c) =>
+      val tru = exact.getOrElse(t, 0L)
+      assert(c <= tru && c >= tru - bound - 1e-9,
+        s"'$t' reported $c outside [${tru - bound}, $tru]")
+    }
+    // SQL registration path returns the same sketch shape
+    graft.functions.FreqSketch.register(s)
+    val viaSql = toks.agg(expr(s"mg_topk(tok, $k)").as("hh"))
+      .selectExpr("size(hh)").head.getInt(0)
+    assert(viaSql <= k && viaSql > 0)
+  }
+
   test("property: MapReduce.run equals sequential map+reduce") {
     val s = spark
     import s.implicits._
