@@ -81,6 +81,50 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- bounded topk kernel
+  /** PUBLIC scalable exact top-k kernel: cosine top-k of `vectors`
+    * for each row of broadcast `queries`, ranked through the BOUNDED
+    * `TopKAggregator` — ≤ k rows per partition per query cross the
+    * wire — instead of a per-query window that sorts the whole
+    * corpus. THIS is the brute-force form that holds at 100 TB with
+    * a broadcast-sized query set; `ann_bruteforce`'s window form
+    * stays the readable oracle twin (same oracle SQL hash-checks
+    * both). `vectors`: (vec_id, v array<double>); `queries`:
+    * (q_id, qv). Self-matches (vec_id == q_id) are excluded. */
+  def cosineTopKExact(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val topk = new graft.functions.TopKAggregator(k).toColumn
+    val q = broadcast(queries.withColumn("qn", VectorFunctions.norm(col("qv"))))
+    vectors
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+      .join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topk.name("topk"))
+      .toDF("q_id", "topk")
+      .select(col("q_id"),
+        posexplode(arrays_zip(col("topk.ids"), col("topk.scores"))).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.ids").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        rnd(col("e.scores"), 6).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Query form of the kernel on the standard query set — same oracle
+    * as `ann_bruteforce` proves window form == bounded-agg form. */
+  def annBruteforceAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    cosineTopKExact(
+      e.select(col("vec_id"), col("v")),
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")),
+      TopK)
+  }
+
   // ---------------------------------------------------------------- IVF
   /** IVF-bucketed ANN: assign every vector to its closest of
     * `NCentroids` deterministic centroids (the vectors with the
@@ -414,6 +458,8 @@ object Similarity {
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ann_bruteforce", annBruteforce _, Some(annBruteforceSql)),
+    QueryDef("ann_bruteforce_agg", annBruteforceAgg _,
+      Some(annBruteforceSql)), // same oracle: bounded-agg == window form
     QueryDef("ann_ivf", annIvf _, Some(annIvfSql)),
     QueryDef("ann_ivf_trained", annIvfTrained _, Some(annIvfTrainedSql)),
     QueryDef("ann_kmeans", annKmeans _, Some(annKmeansSql)),

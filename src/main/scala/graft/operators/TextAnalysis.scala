@@ -215,6 +215,34 @@ object TextAnalysis {
        |  ${rndSql("cast(top_n as double) / total_n", 4)} > 0.2 AS repetitive
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- vocab
+  /** Corpus-level vocabulary profile — the first report a data
+    * curator pulls on a new crawl: vocabulary size, total tokens,
+    * hapax count (tokens seen once — crawl noise concentrates there),
+    * type-token ratio. One explode + two aggregates; the token
+    * aggregate is the same map-side-combined shape as wordcount, the
+    * final single-row fold is trivial. */
+  def textVocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("vocab_size"),
+        sum(col("n")).as("total_tokens"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax_count"),
+        rnd(count(lit(1)).cast("double") / sum(col("n")), 6).as("type_token_ratio"))
+
+  private val textVocabSql =
+    s"""WITH c AS (
+       |  SELECT tok, count(*) AS n
+       |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+       |  GROUP BY tok)
+       |SELECT cast(count(*) as bigint) AS vocab_size,
+       |  cast(sum(n) as bigint) AS total_tokens,
+       |  cast(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) as bigint) AS hapax_count,
+       |  ${rndSql("cast(count(*) as double) / sum(n)", 6)} AS type_token_ratio
+       |FROM c""".stripMargin
+
   // ---------------------------------------------------------------- redaction
   /** PII-style redaction — the scrub pass a training pipeline runs
     * before tokenization: long digit runs (ids, phone-ish numbers)
@@ -343,5 +371,6 @@ object TextAnalysis {
     QueryDef("text_fingerprint", textFingerprint _, Some(textFingerprintSql)),
     QueryDef("text_repetition", textRepetition _, Some(textRepetitionSql)),
     QueryDef("text_redact", textRedact _, Some(textRedactSql)),
+    QueryDef("text_vocab", textVocab _, Some(textVocabSql)),
     QueryDef("text_ngrams", textNgrams _, Some(textNgramsSql)))
 }
