@@ -114,14 +114,16 @@ object Bench {
     printLine(results, sfDir)
     spark.stop()
     // a failed query must not masquerade as a speedup (its -1 is
-    // excluded from the total): surface it in the exit code
-    if (results.exists(_._2._1 < 0)) sys.exit(1)
+    // excluded from the total): surface it in the exit code — a
+    // failure on EITHER run counts (best() is -1 if either run failed)
+    if (results.exists(v => best(v._2) < 0)) sys.exit(1)
   }
+
+  private def best(v: (Double, Double)): Double =
+    if (v._1 < 0 || v._2 < 0) -1.0 else math.min(v._1, v._2)
 
   private def printLine(results: Seq[(String, (Double, Double))],
       sfDir: String): Unit = {
-    def best(v: (Double, Double)): Double =
-      if (v._1 < 0 || v._2 < 0) -1.0 else math.min(v._1, v._2)
     val qs = results.map { case (k, v) => s""""$k":${"%.3f".format(best(v))}""" }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, (a, b)) =>

@@ -87,11 +87,18 @@ case class MisraGries(
         InternalRow(UTF8String.fromString(s), c)
       })
 
+  // length-prefixed UTF-8, NOT writeUTF: writeUTF caps strings at
+  // 65535 bytes and a heavy hitter can be a whole boilerplate document
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bytes = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bytes)
     out.writeInt(buf.size)
-    buf.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    buf.foreach { case (s, c) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
     out.flush()
     bytes.toByteArray
   }
@@ -100,7 +107,13 @@ case class MisraGries(
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
-    (0 until n).foreach(_ => buf.update(in.readUTF(), in.readLong()))
+    (0 until n).foreach { _ =>
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+    }
     buf
   }
 

@@ -36,10 +36,14 @@ object Multimodal {
     * quarantine. Headless-safe (no display needed: BufferedImage is
     * pure memory). */
   def decodeImage(m: RawMedia): Option[DecodedMedia] = {
+    // NonFatal, not just IOException: the JDK decoders throw
+    // IllegalArgumentException / ArrayIndexOutOfBounds on crafted or
+    // truncated payloads, and a crawl always contains some — they must
+    // quarantine, not kill the task
     val img =
       try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(m.payload)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     img.map { im =>
       DecodedMedia(
         doc_id = m.doc_id,
@@ -80,7 +84,7 @@ object Multimodal {
       val src =
         try Option(javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(m.payload)))
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None } // see decodeImage
       src.map { im =>
         val out = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)

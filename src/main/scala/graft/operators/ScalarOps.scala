@@ -82,34 +82,46 @@ object ScalarOps {
       numer: Int, denom: Int, partitions: Int = 32): DataFrame = {
     require(numer >= 0 && denom > 0, s"bad fraction $numer/$denom")
     import org.apache.spark.storage.StorageLevel
-    val localIdx = expr("mid & 8589934591") // lower 33 bits of the id
-    val pid = expr("shiftright(mid, 33)")
+    // internal columns are namespaced: the kernel takes ARBITRARY
+    // frames, and a caller column named "k"/"pid"/"n" must neither be
+    // overwritten nor shadow the arithmetic
     val inCols = df.columns.toSeq
+    require(!inCols.contains("sample_rank"),
+      "stratifiedSampleExact adds a sample_rank column; input already has one")
+    val (kC, midC, pidC) = ("__gr_k", "__gr_mid", "__gr_pid")
+    val localIdx = expr(s"$midC & 8589934591") // lower 33 bits of the id
+    val pid = expr(s"shiftright($midC, 33)")
     val sorted = df
-      .withColumn("k", md5(concat(lit("strat:"), col(keyCol).cast("string"))))
-      .repartitionByRange(partitions, col(strataCol), col("k"), col(keyCol))
-      .sortWithinPartitions(col(strataCol), col("k"), col(keyCol))
-      .withColumn("mid", monotonically_increasing_id())
+      .withColumn(kC, md5(concat(lit("strat:"), col(keyCol).cast("string"))))
+      .repartitionByRange(partitions, col(strataCol), col(kC), col(keyCol))
+      .sortWithinPartitions(col(strataCol), col(kC), col(keyCol))
+      .withColumn(midC, monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK) // block table + ranks share one sort
     // per-(partition, stratum) block sizes and first local index: a
     // stratum's rows are contiguous within each sorted partition, so
     // within-block position = localIdx - first_idx, in (k, key) order
     val blocks = sorted
-      .groupBy(pid.as("pid"), col(strataCol))
-      .agg(count(lit(1)).as("cnt"), min(localIdx).as("first_idx"))
+      .groupBy(pid.as(pidC), col(strataCol))
+      .agg(count(lit(1)).as("__gr_cnt"), min(localIdx).as("__gr_first"))
     val offs = blocks
-      .withColumn("off", coalesce(sum(col("cnt")).over(
-        Window.partitionBy(col(strataCol)).orderBy(col("pid"))
+      .withColumn("__gr_off", coalesce(sum(col("__gr_cnt")).over(
+        Window.partitionBy(col(strataCol)).orderBy(col(pidC))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(strataCol))))
-      .select(col("pid"), col(strataCol), col("off"), col("first_idx"), col("n"))
+      .withColumn("__gr_n", sum(col("__gr_cnt")).over(
+        Window.partitionBy(col(strataCol))))
+      .select(col(pidC).as("__gr_pid_r"), col(strataCol).as("__gr_strat_r"),
+        col("__gr_off"), col("__gr_first"), col("__gr_n"))
     sorted
-      .withColumn("pid", pid)
-      .join(broadcast(offs), Seq("pid", strataCol))
+      .withColumn(pidC, pid)
+      // null-safe stratum match: a NULL stratum is a real stratum (the
+      // window form's partitionBy groups NULLs together — so must we)
+      .join(broadcast(offs),
+        col(pidC) === col("__gr_pid_r") && col(strataCol) <=> col("__gr_strat_r"))
       .withColumn("sample_rank",
-        (col("off") + (localIdx - col("first_idx")) + 1).cast("int"))
+        (col("__gr_off") + (localIdx - col("__gr_first")) + 1).cast("int"))
       // ⌈n·numer/denom⌉, integer-exact on both engines
-      .filter(col("sample_rank") <= expr(s"(n * $numer + ${denom - 1}) div $denom"))
+      .filter(col("sample_rank") <=
+        expr(s"(__gr_n * $numer + ${denom - 1}) div $denom"))
       .select((inCols :+ "sample_rank").map(col): _*)
   }
 

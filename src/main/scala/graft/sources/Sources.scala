@@ -100,14 +100,26 @@ object Sources {
     * story as the upsert sink, so it works on HDFS/S3A paths, not just
     * the local FS). The swap is NOT atomic: between the two renames
     * the table path is briefly absent, and a crash there leaves the
-    * data intact at `path + ".compact-old"` — a stale `.compact-old`
-    * from such a crash is deleted up front, so a re-run completes the
-    * recovery. Single-writer assumption, like the upsert sink. Data is
-    * row-identical; only the file count changes. At cluster scale run
-    * it per-partition-predicate (`WHERE date = X`) so the rewrite is
+    * data intact at `path + ".compact-old"` — a re-run detects that
+    * state (table missing, backup present) and restores the backup
+    * before recompacting, so recovery is automatic. Single-writer
+    * assumption, like the upsert sink. Data is row-identical; only
+    * the file count changes. At cluster scale run it
+    * per-partition-predicate (`WHERE date = X`) so the rewrite is
     * bounded by one partition, not the table. */
   def compactParquet(spark: SparkSession, path: String,
       rowsPerFile: Long): Unit = {
+    // crash recovery FIRST: a previous run that died between its two
+    // renames left the data at .compact-old and no table dir — reading
+    // the table before this check would just throw path-not-found
+    locally {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val bak = new org.apache.hadoop.fs.Path(path + ".compact-old")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir) && fs.exists(bak)) {
+        require(fs.rename(bak, dir), s"cannot restore $bak to $path")
+      }
+    }
     val df = spark.read.parquet(path)
     val n = df.count()
     val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt

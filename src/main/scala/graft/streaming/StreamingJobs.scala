@@ -151,21 +151,13 @@ object StreamingJobs {
     * the broadcast-static side this plan wants.
     *
     * `docs` needs (doc_id, text); `evalNgrams` needs (es, eval_doc). */
-  def decontaminateStream(docs: DataFrame, evalNgrams: DataFrame): DataFrame = {
-    val fivegram =
-      """filter(
-        |  transform(t, (x, i) -> CASE WHEN i + 4 < size(t)
-        |    THEN concat_ws(' ', x, element_at(t, i + 2), element_at(t, i + 3),
-        |                   element_at(t, i + 4), element_at(t, i + 5))
-        |    END),
-        |  s -> s IS NOT NULL)""".stripMargin
-    docs
-      .select(col("doc_id"),
-        filter(split(col("text"), "\\s+"), x => x =!= "").as("t"))
-      .select(col("doc_id"), explode(array_distinct(expr(fivegram))).as("s"))
+  def decontaminateStream(docs: DataFrame, evalNgrams: DataFrame): DataFrame =
+    // one 5-gram definition repo-wide: the batch decontamination owns
+    // it — a drifting copy here would silently desynchronize the
+    // ingest-time filter from the batch keep/drop list
+    graft.operators.Pipelines.fivegrams(docs)
       .join(broadcast(evalNgrams), col("s") === col("es"))
       .select(col("doc_id"), col("s").as("ngram"), col("eval_doc"))
-  }
 
   def sessionize(events: Dataset[Ev], gapUs: Long = 1800000000L,
       watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {

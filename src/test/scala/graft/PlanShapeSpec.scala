@@ -61,6 +61,27 @@ class PlanShapeSpec extends SparkSpec {
       s"exact ceil-quota per stratum violated: $counts")
   }
 
+  test("stratifiedSampleExact keeps NULL strata and tolerates colliding column names") {
+    val s = spark
+    import s.implicits._
+    // "grp" has NULLs (a real stratum — the window form samples it);
+    // "n" collides with a name the kernel once used internally
+    val rows = Seq(
+      (1L, "x", 10L), (2L, null.asInstanceOf[String], 20L),
+      (3L, null.asInstanceOf[String], 30L), (4L, null.asInstanceOf[String], 40L),
+      (5L, "x", 50L))
+    val df = rows.toDF("id", "grp", "n")
+    val got = graft.operators.ScalarOps
+      .stratifiedSampleExact(df, "grp", "id", numer = 1, denom = 2)
+      .collect()
+    // strata: "x" (2 rows → ⌈1⌉ = 1 sampled), NULL (3 rows → ⌈1.5⌉ = 2)
+    assert(got.length == 3, s"expected 1 + 2 sampled rows, got ${got.toSeq}")
+    assert(got.count(_.isNullAt(1)) == 2, "NULL stratum must be sampled, not dropped")
+    // caller columns pass through untouched
+    assert(got.map(_.getLong(2)).forall(Set(10L, 20L, 30L, 40L, 50L)))
+    assert(got.map(_.getInt(3)).forall(r => r == 1 || r == 2))
+  }
+
   test("banded simhash finds exactly the all-pairs simhash results") {
     val exact = Dedup.dedupSimhash(spark, sf).collect().toSeq
     val banded = Dedup.dedupSimhashBanded(spark, sf).collect().toSeq

@@ -248,16 +248,8 @@ class StreamingSpec extends SparkSpec {
     val evalDocs = Seq(
       (900L, "alpha beta gamma delta epsilon zeta"),
       (901L, "one two three four five six seven")).toDF("doc_id", "text")
-    val ngramTable = evalDocs
-      .select(col("doc_id").as("eval_doc"),
-        filter(split(col("text"), "\\s+"), x => x =!= "").as("t"))
-      .select(col("eval_doc"),
-        explode(expr("""filter(
-          transform(t, (x, i) -> CASE WHEN i + 4 < size(t)
-            THEN concat_ws(' ', x, element_at(t, i + 2), element_at(t, i + 3),
-                           element_at(t, i + 4), element_at(t, i + 5)) END),
-          s -> s IS NOT NULL)""")).as("es"))
-      .distinct()
+    val ngramTable = graft.operators.Pipelines.fivegrams(evalDocs)
+      .select(col("s").as("es"), col("doc_id").as("eval_doc")).distinct()
     val train = Seq(
       (1L, "prefix alpha beta gamma delta epsilon zeta suffix"), // contaminated (900)
       (2L, "totally clean document with no overlap at all here"),
