@@ -24,13 +24,23 @@ class TopKAggregator(k: Int)
   import TopKAggregator.TopK
 
   private def trim(pairs: Seq[(Long, Double)]): TopK = {
-    val top = pairs.sortBy(t => (-t._2, t._1)).take(k)
+    // sortWith(before), not sortBy(-score): negation would strand NaN
+    // at the wrong end (see before's doc)
+    val top = pairs.sortWith((a, b) => before(a._1, a._2, b._1, b._2)).take(k)
     TopK(top.map(_._1), top.map(_._2))
   }
 
-  /** True when (id1, s1) ranks strictly before (id2, s2). */
-  private def before(id1: Long, s1: Double, id2: Long, s2: Double): Boolean =
-    s1 > s2 || (s1 == s2 && id1 < id2)
+  /** True when (id1, s1) ranks strictly before (id2, s2).
+    * Double.compare, not > / ==: primitive NaN comparisons are always
+    * false, which would make NaN scores insert when the buffer is
+    * short but never when full — order-dependent results. compare
+    * treats NaN as the LARGEST value, matching Spark's own descending
+    * sort order, so the aggregator agrees with its window oracle even
+    * on NaN scores (e.g. 0/0 cosines from zero-norm vectors). */
+  private def before(id1: Long, s1: Double, id2: Long, s2: Double): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && id1 < id2)
+  }
 
   override def zero: TopK = TopK(Nil, Nil)
 

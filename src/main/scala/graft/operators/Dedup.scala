@@ -446,6 +446,23 @@ object Dedup {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Eager localCheckpoint + the block-manager RDD ids it created, so
+    * iterative loops can FREE a superseded round's blocks: checkpoint
+    * blocks are invisible to the SQL cache (clearCache never drops
+    * them), and a maxRounds-long loop would otherwise hold every
+    * round's label/edge copy in memory simultaneously. */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint()
+    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  private def freeBlocks(spark: SparkSession, ids: Set[Int]): Unit = {
+    val sc = spark.sparkContext
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   /** (doc_a, doc_b) pairs → src-partitioned persisted symmetric edges. */
   private def symmetrize(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -470,22 +487,25 @@ object Dedup {
         coalesce(bit_xor(xxhash64(col("node"), col("lab"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    var labels = nodes
-      .select(col("node"), col("node").as("lab"))
-      .localCheckpoint()
+    var (labels, labelIds) = checkpointTracked(
+      nodes.select(col("node"), col("node").as("lab")))
     var prev = fp(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = sym.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("lab"))
-        .unionAll(labels)
-        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
-        .localCheckpoint()
+      val (next, nextIds) = checkpointTracked(
+        sym.join(labels, col("src") === col("node"))
+          .select(col("dst").as("node"), col("lab"))
+          .unionAll(labels)
+          .groupBy(col("node")).agg(min(col("lab")).as("lab")))
       val cur = fp(next)
       converged = cur == prev
       prev = cur
+      // next is materialized (eager checkpoint): the superseded
+      // round's blocks can go — the returned frame keeps only its own
+      freeBlocks(labels.sparkSession, labelIds)
       labels = next
+      labelIds = nextIds
       round += 1
     }
     if (converged) Some(labels) else None
@@ -518,8 +538,8 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
     val w = Window.partitionBy(col("u"))
-    var edges = canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
-      .localCheckpoint()
+    var (edges, edgeIds) = checkpointTracked(
+      canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))))
     var prev = fp(edges)
     var converged = prev._1 == 0
     var round = 0
@@ -529,18 +549,30 @@ object Dedup {
         .withColumn("m", least(col("u"), min(col("v")).over(w)))
         .filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))
-      val e1 = canon(ls).localCheckpoint()
+      val (e1, e1Ids) = checkpointTracked(canon(ls))
       // small-star: (v, m) for every neighbor v < u, plus (u, m)
       val withM = sym(e1).filter(col("v") < col("u"))
         .withColumn("m", least(col("u"), min(col("v")).over(w)))
       val ss = withM.select(col("v").as("a"), col("m").as("b"))
         .unionAll(withM.select(col("u").as("a"), col("m").as("b")).distinct())
-      edges = canon(ss).localCheckpoint()
+      val (newEdges, newIds) = checkpointTracked(canon(ss))
+      // newEdges is materialized: the intermediate e1 and the
+      // superseded round's edges can both go
+      freeBlocks(edges.sparkSession, e1Ids ++ edgeIds)
+      edges = newEdges
+      edgeIds = newIds
       val cur = fp(edges)
       converged = cur == prev || cur._1 == 0
       prev = cur
       round += 1
     }
+    // cap exhaustion must FAIL, not mislabel: this kernel is the
+    // last-resort fallback (propagateMinLabels already refused to
+    // return partial labels), and labels computed from a non-star
+    // edge set are silently wrong — the one thing worse than an error
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge within $maxRounds rounds; " +
+        "raise maxRounds (rounds needed ~ O(log n))")
     // at convergence edges are (root, child) stars: label = min over
     // the symmetric neighborhood; isolated nodes label themselves
     val lab = sym(edges).groupBy(col("u").as("node"))

@@ -46,8 +46,14 @@ object Similarity {
       |      (x, y) -> x + y)) AS nrm
       |  FROM embeddings""".stripMargin
 
-  private def dotSql(a: String, b: String) =
+  // THE oracle vector lambdas — single definitions: the fold order is
+  // the bit-determinism contract with DuckDB, and a drifting copy
+  // would desynchronize one oracle silently
+  private def sqlDot(a: String, b: String) =
     s"list_reduce(list_transform($a, (x, i) -> x * $b[i]), (x, y) -> x + y)"
+  private def sqlNrm(a: String) =
+    s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
+  private def dotSql(a: String, b: String) = sqlDot(a, b)
 
   // ---------------------------------------------------------------- brute force
   /** Exact cosine top-k for each query vector (query set broadcast). */
@@ -232,8 +238,7 @@ object Similarity {
   }
 
   private val annLshSql = {
-    val dot = (a: String, b: String) =>
-      s"list_reduce(list_transform($a, (x, i) -> x * $b[i]), (x, y) -> x + y)"
+    val dot = (a: String, b: String) => sqlDot(a, b)
     s"""WITH en AS ($vecsSql),
        |hyper AS (SELECT cast(vec_id as int) AS hid, v AS hv FROM en WHERE vec_id < 8),
        |sigs AS (
@@ -275,6 +280,8 @@ object Similarity {
     * doubles round-trip exactly, so cross-engine bit-determinism is
     * unaffected. */
   def kmeansTrain(e0: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"kmeansTrain needs iters >= 1, got $iters " +
+      "(the assigned frame comes from the final iteration)")
     val spark = e0.sparkSession
     import org.apache.spark.storage.StorageLevel
     val e = e0.persist(StorageLevel.MEMORY_AND_DISK)
@@ -337,10 +344,6 @@ object Similarity {
       .orderBy(col("cluster_id"))
   }
 
-  private val sqlDot = (a: String, b: String) =>
-    s"list_reduce(list_transform($a, (x, i) -> x * $b[i]), (x, y) -> x + y)"
-  private val sqlNrm = (a: String) =>
-    s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
 
   /** Unrolled Lloyd CTE chain for any iteration count — c(i) from
     * a(i), a(i) assigned against c(i-1), mirroring kmeansTrain

@@ -119,9 +119,12 @@ object TextAnalysis {
     * bigint arithmetic) plus an md5 content fingerprint — the pair a
     * dedup pipeline keys on. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    // posexplode_OUTER: a zero-token (empty/whitespace) doc must still
+    // emit a row — with NULL positional_fp — because the oracle's
+    // list_sum over an empty list is NULL, not a dropped row
     Tables.documents(spark, dir)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), col("text"), posexplode(toks).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("text"), posexplode_outer(toks).as(Seq("pos", "tok")))
       .groupBy(col("doc_id"))
       .agg(
         sum((col("pos") + 1) * (ascii(col("tok")) + length(col("tok"))))

@@ -29,16 +29,28 @@ object StreamSinks {
     val fresh = batch.dropDuplicates(keyCols)
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(path + ".old")
+    // crash recovery FIRST: a writer that died between its two renames
+    // left the ONLY copy of the table at .old and no table dir. Without
+    // this restore, the next batch would see "no table", merge against
+    // nothing, and the delete below would destroy the backup — silent
+    // loss of the whole table.
+    if (!fs.exists(dir) && fs.exists(old)) {
+      require(fs.rename(old, dir), s"cannot restore crashed-swap backup $old to $path")
+    }
     val merged =
       if (fs.exists(dir))
         spark.read.parquet(path).join(fresh, keyCols, "left_anti").unionByName(fresh)
       else fresh
     val tmp = new Path(path + ".tmp")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString) // reads old, writes new
-    val old = new Path(path + ".old")
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(dir)) fs.rename(dir, old)
-    fs.rename(tmp, dir)
+    // renames are CHECKED: an unflagged rename failure here would let
+    // the trailing delete remove the only surviving copy
+    if (fs.exists(dir)) {
+      require(fs.rename(dir, old), s"cannot move $path aside to $old")
+    }
+    require(fs.rename(tmp, dir), s"cannot swap $tmp into $path")
     fs.delete(old, true)
   }
 

@@ -124,7 +124,8 @@ object StreamingJobs {
   }
 
   case class Ev(user_id: Long, us: Long)
-  case class SessionOut(user_id: Long, session_id: Long, n_events: Long, duration_us: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      duration_us: Long, session_start_us: Long)
   case class SessState(sessionSeq: Long, start: Long, last: Long, n: Long)
 
   /** Gap-based sessionizer — streaming twin of Events.qSessionize.
@@ -138,27 +139,15 @@ object StreamingJobs {
     * not merely bounded). On a batch Dataset the same code sees each
     * user's full history in one group and emits every session,
     * matching qSessionize exactly.
-    */
-  /** Ingest-time benchmark decontamination — the STREAM-STATIC
-    * broadcast join shape (no state, no watermark: the static side is
-    * a plain batch frame Spark re-broadcasts per micro-batch).
-    * Arriving docs explode into per-row 5-gram projections and probe
-    * the eval set's distinct-ngram table; every collision emits
-    * (doc_id, ngram, eval_doc) immediately — append-mode legal since
-    * the operator is stateless. The batch-mode form of the same call
-    * is the verification oracle (StreamingSpec). At 100 TB-ingest the
-    * eval table is small by nature (benchmarks, not corpora), exactly
-    * the broadcast-static side this plan wants.
     *
-    * `docs` needs (doc_id, text); `evalNgrams` needs (es, eval_doc). */
-  def decontaminateStream(docs: DataFrame, evalNgrams: DataFrame): DataFrame =
-    // one 5-gram definition repo-wide: the batch decontamination owns
-    // it — a drifting copy here would silently desynchronize the
-    // ingest-time filter from the batch keep/drop list
-    graft.operators.Pipelines.fivegrams(docs)
-      .join(broadcast(evalNgrams), col("s") === col("es"))
-      .select(col("doc_id"), col("s").as("ngram"), col("eval_doc"))
-
+    * KEYING CONTRACT: `session_id` is the per-user session INDEX
+    * within one state lifetime — after a timeout GCs a user's state,
+    * a returning user's index restarts at 1 (remembering it forever
+    * would make state O(users ever seen), defeating the GC). The
+    * globally stable session key is `(user_id, session_start_us)` —
+    * event times within a user are unique per session start — so
+    * downstream consumers must key on that, not on session_id.
+    */
   def sessionize(events: Dataset[Ev], gapUs: Long = 1800000000L,
       watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -184,7 +173,8 @@ object StreamingJobs {
             // watermark passed (last + gap): the open session is final
             val st = state.get
             state.remove()
-            Iterator.single(SessionOut(uid, st.sessionSeq, st.n, st.last - st.start))
+            Iterator.single(
+              SessionOut(uid, st.sessionSeq, st.n, st.last - st.start, st.start))
           } else {
             val evs = it.map(_.us).toArray.sorted
             var st = state.getOption.getOrElse(SessState(0L, -1L, -1L, 0L))
@@ -193,7 +183,7 @@ object StreamingJobs {
               if (st.n == 0L) {
                 st = SessState(st.sessionSeq + 1, us, us, 1L)
               } else if (us - st.last > gapUs) {
-                out += SessionOut(uid, st.sessionSeq, st.n, st.last - st.start)
+                out += SessionOut(uid, st.sessionSeq, st.n, st.last - st.start, st.start)
                 st = SessState(st.sessionSeq + 1, us, us, 1L)
               } else {
                 st = st.copy(last = us, n = st.n + 1)
@@ -208,10 +198,30 @@ object StreamingJobs {
                 math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))
             } else if (st.n > 0) {
               // batch: the group is complete — flush the final session
-              out += SessionOut(uid, st.sessionSeq, st.n, st.last - st.start)
+              out += SessionOut(uid, st.sessionSeq, st.n, st.last - st.start, st.start)
             }
             out.iterator
           }
       }
   }
+
+  /** Ingest-time benchmark decontamination — the STREAM-STATIC
+    * broadcast join shape (no state, no watermark: the static side is
+    * a plain batch frame Spark re-broadcasts per micro-batch).
+    * Arriving docs explode into per-row 5-gram projections and probe
+    * the eval set's distinct-ngram table; every collision emits
+    * (doc_id, ngram, eval_doc) immediately — append-mode legal since
+    * the operator is stateless. The batch-mode form of the same call
+    * is the verification oracle (StreamingSpec). At 100 TB-ingest the
+    * eval table is small by nature (benchmarks, not corpora), exactly
+    * the broadcast-static side this plan wants.
+    *
+    * `docs` needs (doc_id, text); `evalNgrams` needs (es, eval_doc). */
+  def decontaminateStream(docs: DataFrame, evalNgrams: DataFrame): DataFrame =
+    // one 5-gram definition repo-wide: the batch decontamination owns
+    // it — a drifting copy here would silently desynchronize the
+    // ingest-time filter from the batch keep/drop list
+    graft.operators.Pipelines.fivegrams(docs)
+      .join(broadcast(evalNgrams), col("s") === col("es"))
+      .select(col("doc_id"), col("s").as("ngram"), col("eval_doc"))
 }
