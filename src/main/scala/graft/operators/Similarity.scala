@@ -38,6 +38,44 @@ object Similarity {
 
   private def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
+  // ------------------------------------------------- zero-shuffle assign kernel
+  /** Driver-side L2 norm with the EXACT left-to-right fold `L2Norm`
+    * generates — centroid norms embedded as literals must be
+    * bit-identical to what the engine would compute. */
+  def driverNorm(v: Seq[Double]): Double =
+    math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+
+  /** Nearest-centroid id for a (v, nrm) row against a driver-side
+    * centroid list `(c_id, cv, cn)` — a PURE PROJECTION: the k×dim
+    * centroid table (a few KB at any corpus scale) is embedded as an
+    * array<struct> literal and folded per row with `aggregate`, so
+    * the assign stage plans ZERO exchanges on any layout. This
+    * replaces the r3 cross-join + `row_number()` window form, which
+    * expanded the corpus k× and hash-shuffled + sorted the expansion
+    * — per Lloyd round — just to take a per-row argmax.
+    *
+    * Semantics are identical to ordering by (ccos DESC, c_id ASC) and
+    * keeping rank 1: the fold runs in ascending c_id order and only a
+    * STRICTLY greater cosine replaces the incumbent, so exact ties
+    * keep the lowest c_id; a NaN cosine beats any non-NaN incumbent
+    * (Spark's descending sort puts NaN first) but never replaces an
+    * earlier NaN. */
+  def nearestCentroid(cents: Seq[(Int, Seq[Double], Double)],
+      v: Column, nrm: Column): Column = {
+    require(cents.nonEmpty, "nearestCentroid needs at least one centroid")
+    val arr = array(cents.sortBy(_._1).map { case (id, cv, cn) =>
+      struct(lit(id).as("c"), typedLit(cv).as("cv"), lit(cn).as("cn"))
+    }: _*)
+    aggregate(
+      arr,
+      struct(lit(-1).as("c"), lit(Double.NegativeInfinity).as("s")),
+      (acc, c) => {
+        val sc = VectorFunctions.dot(c.getField("cv"), v) / (c.getField("cn") * nrm)
+        when(sc > acc.getField("s") || (isnan(sc) && !isnan(acc.getField("s"))),
+          struct(c.getField("c").as("c"), sc.as("s"))).otherwise(acc)
+      }).getField("c")
+  }
+
   private val vecsSql =
     """SELECT vec_id, label,
       |    list_transform(embedding, x -> cast(x as double)) AS v,
