@@ -29,7 +29,9 @@ object Bench {
     "pipeline_fuzzy_dedup", // minhash candidates -> exact verify (round 2)
     "pipeline_dedup_clusters", // verified pairs -> connected components (round 2)
     "dedup_embedding",      // blocked pairwise vector math
+    "mg_topk",              // Misra-Gries heavy-hitter sketch, one pass (round 5)
     "ann_bruteforce",       // broadcast query set scan
+    "ann_bruteforce_agg",   // bounded TopKAggregator form of the same (round 5)
     "ann_ivf",              // clustered probe
     "ann_ivf_trained",      // kmeans-trained IVF end-to-end (round 2)
     "ann_kmeans",           // iterative centroid training (5 Lloyd rounds)
@@ -103,8 +105,23 @@ object Bench {
     // manufactures phantom regressions; the min of two same-condition
     // runs is the stable estimator of the query's actual cost. Both
     // raw runs are carried in the "runs" field.
+    // per-query warmup dir: one untimed run of EACH query at the
+    // small SF compiles that query's own generated code (the plan —
+    // and so the janino/JIT work — is SF-invariant), so run 1 of the
+    // timed pair no longer bills codegen (r3 forensics: tfidf's 7.6
+    // vs 2.4 s first-run skew was warmup, not work)
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
+    val doWarm = new java.io.File(warmDir).isDirectory
+
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
+      if (doWarm) {
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup of $name failed: ${e.getMessage}")
+        }
+        isolate()
+      }
       def once(): Double = {
         val t0 = System.nanoTime()
         val ok =
@@ -120,7 +137,8 @@ object Bench {
       val r2 = if (r1 < 0) -1.0 else once()
       name -> (r1, r2)
     }
-    printLine(results, sfDir)
+    val streamingJson = streamBench(spark, sfDir)
+    printLine(results, streamingJson, sfDir)
     spark.stop()
     // a failed query must not masquerade as a speedup (its -1 is
     // excluded from the total): surface it in the exit code — a
@@ -128,11 +146,77 @@ object Bench {
     if (results.exists(v => best(v._2) < 0)) sys.exit(1)
   }
 
+  /** Streaming micro-bench (round 5): fixed-size, time-ordered inputs
+    * from the sf tables driven through `MemoryStream` in 10
+    * micro-batches per job. Reports rows/s and the final state-store
+    * row count, so a state-store or per-batch-overhead regression in
+    * the §H jobs — invisible to the batch bench — shows up round over
+    * round. Inputs are capped (events 200k, docs 20k) so the section
+    * measures per-row streaming cost, not the SF. */
+  private def streamBench(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingJobs
+
+    def drive[T](name: String, rows: Seq[T],
+        build: org.apache.spark.sql.Dataset[T] => org.apache.spark.sql.DataFrame)(
+        implicit enc: org.apache.spark.sql.Encoder[T]): String = {
+      try {
+        val in = MemoryStream[T](spark)
+        val ckpt = java.nio.file.Files.createTempDirectory(s"bench-$name").toString
+        val q = build(in.toDS()).writeStream
+          .format("noop")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .start()
+        val chunks = rows.grouped(math.max(1, rows.size / 10)).toSeq
+        val t0 = System.nanoTime()
+        chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val stateRows = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+        q.stop()
+        val rps = if (dt > 0) rows.size / dt else 0.0
+        s""""$name":{"rows":${rows.size},"sec":${"%.3f".format(dt)},"rows_per_sec":${"%.0f".format(rps)},"state_rows":$stateRows,"batches":${chunks.size}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming $name failed: ${e.getMessage}")
+        s""""$name":{"failed":true}"""
+      }
+    }
+
+    // time-ordered so the watermark advances realistically (an
+    // unordered feed would mark most input late and GC it unprocessed)
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .orderBy(col("us")).limit(200000)
+      .as[StreamingJobs.Ev].collect().toSeq
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(20000)
+      .as[(Long, String)].collect().toSeq
+    val evalNgrams = graft.operators.Pipelines
+      .fivegrams(docs.filter(_._1 < 20).toDF("doc_id", "text"))
+      .select(col("s").as("es"), col("doc_id").as("eval_doc")).distinct()
+      .persist()
+    evalNgrams.count() // materialize outside the timed region
+
+    val parts = Seq(
+      drive[StreamingJobs.Ev]("stream_sessionize", evs,
+        ds => StreamingJobs.sessionize(ds).toDF()),
+      drive[(Long, String)]("stream_minhash_dedup", docs,
+        ds => StreamingJobs.minhashDedupStream(ds.toDF("doc_id", "text")).toDF()),
+      drive[(Long, String)]("stream_decontaminate", docs,
+        ds => StreamingJobs.decontaminateStream(ds.toDF("doc_id", "text"), evalNgrams)))
+    evalNgrams.unpersist()
+    parts.mkString("{", ",", "}")
+  }
+
   private def best(v: (Double, Double)): Double =
     if (v._1 < 0 || v._2 < 0) -1.0 else math.min(v._1, v._2)
 
   private def printLine(results: Seq[(String, (Double, Double))],
-      sfDir: String): Unit = {
+      streamingJson: String, sfDir: String): Unit = {
     val qs = results.map { case (k, v) => s""""$k":${"%.3f".format(best(v))}""" }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, (a, b)) =>
@@ -141,6 +225,6 @@ object Bench {
     val total = results.map(v => best(v._2)).filter(_ >= 0).sum
     val failed = results.collect { case (k, v) if best(v) < 0 => s""""$k"""" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","policy":"min-of-2-cold","queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","policy":"warm-sf0.01+min-of-2-cold","queries":$qs,"runs":$runs,"failed":$failed,"streaming":$streamingJson,"sf":"$sfDir"}""")
   }
 }

@@ -63,12 +63,27 @@ object Multimodal {
   }
 
   /** Decode with a quarantine channel: (decoded, rejected doc_ids).
-    * One pass over the data per side; at scale persist `ds` first if
-    * both sides are consumed. */
-  def decodeBatchSplit(ds: Dataset[RawMedia]): (Dataset[DecodedMedia], Dataset[Long]) = {
+    * ONE decode per payload: a single `mapPartitions` pass tags each
+    * row with its attempt and the two channels are filters over the
+    * persisted attempt frame. (The r3 form ran `decodeImage` once per
+    * side — at 100 TB image decode is the dominant CPU cost, so
+    * doubling it to split good/quarantine was real money.) The
+    * persisted rows are metadata-only — the raw payload is NOT
+    * retained — so the cache is tiny relative to the input; callers
+    * that keep the session alive after consuming both sides can drop
+    * it with `decoded.unpersist()` (both channels share the one
+    * cached plan). `decodeCounter` is a test-observability hook: the
+    * spec asserts exactly one decode per payload through it. */
+  def decodeBatchSplit(ds: Dataset[RawMedia],
+      decodeCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : (Dataset[DecodedMedia], Dataset[Long]) = {
     import ds.sparkSession.implicits._
-    (decodeBatch(ds),
-      ds.mapPartitions(_.collect { case m if decodeImage(m).isEmpty => m.doc_id }))
+    val attempts = ds.mapPartitions(_.map { m =>
+      decodeCounter.foreach(_.add(1L))
+      (m.doc_id, decodeImage(m))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (attempts.flatMap(_._2),
+      attempts.flatMap(a => if (a._2.isEmpty) Some(a._1) else None))
   }
 
   /** Resize output: same id, target dims, re-encoded PNG payload. */

@@ -55,25 +55,61 @@ object Similarity {
     * — per Lloyd round — just to take a per-row argmax.
     *
     * Semantics are identical to ordering by (ccos DESC, c_id ASC) and
-    * keeping rank 1: the fold runs in ascending c_id order and only a
-    * STRICTLY greater cosine replaces the incumbent, so exact ties
-    * keep the lowest c_id; a NaN cosine beats any non-NaN incumbent
-    * (Spark's descending sort puts NaN first) but never replaces an
-    * earlier NaN. */
+    * keeping rank 1: the accumulator is SEEDED from the lowest-id
+    * centroid (so a valid c_id comes back even if every comparison
+    * fails — all-NaN or all-null cosines), the fold runs over the
+    * rest in ascending c_id order, and only a STRICTLY greater cosine
+    * replaces the incumbent, so exact ties keep the lowest c_id.
+    * Spark's `>` already orders NaN above every non-NaN double (and
+    * NaN > NaN is false), so `sc > acc.s` alone gives the window's
+    * NaN-first descending order: a NaN cosine beats any finite
+    * incumbent but never replaces an earlier NaN.
+    *
+    * Degenerate rows: `try_divide` (not `/`) keeps a zero-norm vector
+    * from raising DIVIDE_BY_ZERO under ANSI mode; the null cosine is
+    * row-wide (cn > 0 always — only nrm or a null/NaN v nulls it, and
+    * those null EVERY centroid's cosine), so `sc > acc.s` is null for
+    * every step, the seed survives, and the row lands on the lowest
+    * c_id — exactly where the window form's nulls-last DESC order
+    * puts it. */
   def nearestCentroid(cents: Seq[(Int, Seq[Double], Double)],
       v: Column, nrm: Column): Column = {
     require(cents.nonEmpty, "nearestCentroid needs at least one centroid")
-    val arr = array(cents.sortBy(_._1).map { case (id, cv, cn) =>
+    val sorted = cents.sortBy(_._1)
+    def cos(cv: Column, cn: Column): Column =
+      try_divide(VectorFunctions.dot(cv, v), cn * nrm)
+    val seed = struct(
+      lit(sorted.head._1).as("c"),
+      cos(typedLit(sorted.head._2), lit(sorted.head._3)).as("s"))
+    if (sorted.sizeIs == 1) return seed.getField("c")
+    val arr = array(sorted.tail.map { case (id, cv, cn) =>
       struct(lit(id).as("c"), typedLit(cv).as("cv"), lit(cn).as("cn"))
     }: _*)
     aggregate(
       arr,
-      struct(lit(-1).as("c"), lit(Double.NegativeInfinity).as("s")),
+      seed,
       (acc, c) => {
-        val sc = VectorFunctions.dot(c.getField("cv"), v) / (c.getField("cn") * nrm)
-        when(sc > acc.getField("s") || (isnan(sc) && !isnan(acc.getField("s"))),
+        val sc = cos(c.getField("cv"), c.getField("cn"))
+        when(sc > acc.getField("s"),
           struct(c.getField("c").as("c"), sc.as("s"))).otherwise(acc)
       }).getField("c")
+  }
+
+  /** Driver-side centroid triples `(c_id, cv, cn)` for
+    * [[nearestCentroid]] from a (c_id, cv[, cn]) frame — the bounded
+    * k×dim collect (a few KB regardless of corpus size). Computes the
+    * norm with [[driverNorm]] (bit-identical to the in-engine
+    * `L2Norm` fold) when the frame doesn't carry one. */
+  def collectCentroids(cent: DataFrame): Seq[(Int, Seq[Double], Double)] = {
+    val hasNorm = cent.columns.contains("cn")
+    cent.collect().toSeq.map { r =>
+      val id = r.get(0) match {
+        case i: Int => i
+        case l: Long => l.toInt
+      }
+      val cv = r.getSeq[Double](1)
+      (id, cv, if (hasNorm) r.getDouble(2) else driverNorm(cv))
+    }.sortBy(_._1)
   }
 
   private val vecsSql =
@@ -177,15 +213,16 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     val cent = e.filter(col("vec_id") < NCentroids)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .select(col("vec_id").cast("int").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
 
-    // vector → nearest centroid (linear pass, broadcast centroids)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-    val assigned = e.join(broadcast(cent), lit(true))
-      .withColumn("ccos", dot(col("cv"), col("v")) / (col("cn") * col("nrm")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("c_id").as("cluster"))
+    // vector → nearest centroid: zero-shuffle nearestCentroid
+    // projection over the collected k×dim centroid literal (the cn
+    // collected here is the engine-computed norm, so the cosine is
+    // bit-identical to the r3 window form)
+    val assigned = e
+      .withColumn("cluster",
+        nearestCentroid(collectCentroids(cent), col("v"), col("nrm")))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cluster"))
 
     // query → its NProbe closest clusters
     val q = e.filter(col("vec_id") < NQueries)
@@ -324,16 +361,14 @@ object Similarity {
     import org.apache.spark.storage.StorageLevel
     val e = e0.persist(StorageLevel.MEMORY_AND_DISK)
 
-    def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-      e.join(broadcast(cent), lit(true))
-        .withColumn("ccos",
-          VectorFunctions.dot(col("cv"), col("v"))
-            / (VectorFunctions.norm(col("cv")) * col("nrm")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+    // assign = [[nearestCentroid]] projection against the driver-side
+    // centroid literal: ZERO exchanges on any layout. (The r3 form —
+    // cross-join + `row_number()` window — expanded the corpus k× and
+    // hash-shuffled + sorted the expansion, per Lloyd round, per
+    // consumer: 50 corpus-sized shuffles at 5 rounds × 2 consumers.)
+    def assign(cents: Seq[(Int, Seq[Double], Double)]): DataFrame =
+      e.withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
         .select(col("vec_id"), col("v"), col("cluster"))
-    }
 
     def update(assigned: DataFrame): DataFrame =
       assigned
@@ -345,23 +380,18 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("cv"))
         .select(col("cluster").as("c_id"), col("cv"))
 
-    /** k×dim → driver → literal frame (flat plan for the next round). */
-    def materialize(cent: DataFrame): DataFrame = {
-      import spark.implicits._
-      cent.collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-        .toSeq.sortBy(_._1)
-        .toDF("c_id", "cv")
-    }
-
-    var cent = materialize(e.filter(col("vec_id") < k)
+    // k×dim → driver triples; norms via driverNorm (bit-identical to
+    // the in-engine L2Norm fold), so each round's plan stays flat
+    var cents = collectCentroids(e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("c_id"), col("v").as("cv")))
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      assigned = assign(cent.withColumn("cluster", col("c_id")))
-      cent = materialize(update(assigned))
+      assigned = assign(cents)
+      cents = collectCentroids(update(assigned))
     }
-    (cent, assigned)
+    import spark.implicits._
+    val centDf = cents.map { case (id, cv, _) => (id, cv) }.toDF("c_id", "cv")
+    (centDf, assigned)
   }
 
   /** 5 Lloyd rounds (was 2 in round 1): with the flat-iteration
@@ -433,12 +463,13 @@ object Similarity {
     val (cent, _) = kmeansTrain(ev, NCentroids, iters = 2)
     val centN = cent.withColumn("cn", VectorFunctions.norm(col("cv")))
 
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
-    val assigned = ev.join(broadcast(centN), lit(true))
-      .withColumn("ccos", dot(col("cv"), col("v")) / (col("cn") * col("nrm")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cluster"))
+    // corpus assign: zero-shuffle nearestCentroid projection (the
+    // probe stage below keeps its window — it runs over the tiny
+    // broadcast query set, not the corpus)
+    val assigned = ev
+      .withColumn("cluster",
+        nearestCentroid(collectCentroids(cent), col("v"), col("nrm")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
 
     val q = ev.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))

@@ -365,7 +365,26 @@ object TextAnalysis {
        |SELECT doc_id, term, tf, df, tfidf FROM ranked
        |WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin
 
+  /** Corpus heavy hitters through the `mg_topk` Misra-Gries
+    * `TypedImperativeAggregate` (FreqSketch.scala): ONE streaming
+    * pass, ≤ k counters per partial buffer, no distinct-key shuffle
+    * state — the 100 TB answer to "which tokens dominate the corpus".
+    * Approximate by construction: reported counts (never membership
+    * of true > n/(k+1) heavy hitters) depend on merge order, so this
+    * is a rows-only query like `q_approx_distinct`; the sketch
+    * guarantee itself is property-tested in PropertySpec. Registered
+    * primarily so the bench tracks the sketch's cost round-over-round
+    * next to the exact aggregates it replaces at scale. */
+  def mgTopkHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toks).as("tok"))
+      .agg(graft.functions.FreqSketch.mgTopk(col("tok"), 16).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token").as("token"), col("e.min_count").as("min_count"))
+      .orderBy(col("min_count").desc, col("token"))
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mg_topk", mgTopkHeavyHitters _, None),
     QueryDef("text_stats", textStats _, Some(textStatsSql)),
     QueryDef("text_tfidf", textTfidf _, Some(textTfidfSql)),
     QueryDef("text_tokens_bpe", textTokensBpe _, Some(textTokensBpeSql)),

@@ -196,6 +196,64 @@ class PlanShapeSpec extends SparkSpec {
       s"expected non-empty PushedFilters in:\n$plan")
   }
 
+  test("nearestCentroid equals the window form on exact ties and zero-norm (NaN) vectors") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions
+    val cvs = Seq(
+      0 -> Seq(1.0, 0.0),
+      1 -> Seq(1.0, 0.0), // duplicate centroid → exact cosine tie with c0
+      2 -> Seq(0.0, 1.0))
+    val cents = cvs.map { case (id, cv) => (id, cv, Similarity.driverNorm(cv)) }
+    val vecs = Seq(
+      (10L, Seq(2.0, 0.0)),  // ties c0/c1 → lowest id must win
+      (11L, Seq(0.0, 3.0)),  // clear c2
+      (12L, Seq(0.0, 0.0)),  // zero norm → every cosine NaN → lowest id
+      (13L, Seq(1.0, 1.0)),  // ties c0 (and c1) with itself at 1/√2 vs c2 1/√2: 3-way tie
+      (14L, Seq(-1.0, 0.5)))
+    val df = vecs.toDF("vec_id", "v")
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    val kernel = df
+      .withColumn("cluster", Similarity.nearestCentroid(cents, col("v"), col("nrm")))
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // independent oracle: the r3 cross-join + row_number window form
+    val centDf = cvs.toDF("c_id", "cv")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val win = df.join(broadcast(centDf), lit(true))
+      // try_divide: the zero-norm row would raise DIVIDE_BY_ZERO
+      // under ANSI with plain `/`; null sorts last under DESC, so
+      // the c_id tiebreak still lands on the lowest id
+      .withColumn("ccos", try_divide(VectorFunctions.dot(col("cv"), col("v")),
+        VectorFunctions.norm(col("cv")) * col("nrm")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "c_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kernel == win, s"kernel=$kernel window=$win")
+    assert(kernel(10L) == 0 && kernel(12L) == 0 && kernel(13L) == 0)
+  }
+
+  test("nearestCentroid assign stage plans zero exchanges") {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    val cents = Seq(
+      (0, Seq(0.1, 0.2, 0.3), Similarity.driverNorm(Seq(0.1, 0.2, 0.3))),
+      (1, Seq(0.3, 0.1, 0.2), Similarity.driverNorm(Seq(0.3, 0.1, 0.2))))
+    val assigned = e.withColumn("cluster",
+      Similarity.nearestCentroid(cents, col("v"), col("nrm")))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assign must be a pure zero-exchange projection:\n$plan")
+    assert(assigned.filter(col("cluster") < 0).count() == 0,
+      "every row must get a valid centroid id")
+  }
+
   test("typed sampleFrames equals the oracle-checked mm_frame_sample query") {
     val s = spark
     import s.implicits._

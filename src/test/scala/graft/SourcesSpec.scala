@@ -183,7 +183,8 @@ class SourcesSpec extends SparkSpec {
       Multimodal.RawMedia(1L, pngBytes(20, 10, 0, gradient = true)),
       Multimodal.RawMedia(2L, pngBytes(33, 47, 0xff8800)),
       Multimodal.RawMedia(3L, "definitely not an image".getBytes("UTF-8"))).toDS()
-    val (decoded, rejected) = Multimodal.decodeBatchSplit(raw)
+    val ctr = s.sparkContext.longAccumulator("decodes")
+    val (decoded, rejected) = Multimodal.decodeBatchSplit(raw, Some(ctr))
     val d = decoded.collect().map(x => x.doc_id -> x).toMap
     assert(d.keySet == Set(1L, 2L))
     assert(d(1L).width == 20 && d(1L).height == 10 && d(1L).channels == 3)
@@ -191,5 +192,9 @@ class SourcesSpec extends SparkSpec {
     assert(d.values.forall(m => m.n_bytes > 0))
     // the corrupt payload lands in the quarantine channel, not an error
     assert(rejected.collect().toSeq == Seq(3L))
+    // both channels consumed, yet each payload decoded exactly once
+    // (the quarantine side reads the persisted attempt frame)
+    assert(ctr.value == 3,
+      s"split must decode each payload exactly once, got ${ctr.value}")
   }
 }
