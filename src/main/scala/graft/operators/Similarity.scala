@@ -74,7 +74,11 @@ object Similarity {
     * puts it. */
   def nearestCentroid(cents: Seq[(Int, Seq[Double], Double)],
       v: Column, nrm: Column): Column = {
-    require(cents.nonEmpty, "nearestCentroid needs at least one centroid")
+    // an empty centroid list can only arise from an EMPTY corpus
+    // (centroids are always derived from it), so the projection never
+    // evaluates — a typed null keeps the plan buildable, matching the
+    // old window form's graceful empty-input degradation
+    if (cents.isEmpty) return lit(null).cast("int")
     val sorted = cents.sortBy(_._1)
     def cos(cv: Column, cn: Column): Column =
       try_divide(VectorFunctions.dot(cv, v), cn * nrm)
@@ -206,32 +210,33 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------- IVF
-  /** IVF-bucketed ANN: assign every vector to its closest of
-    * `NCentroids` deterministic centroids (the vectors with the
-    * lowest ids), then each query probes only its `NProbe` closest
-    * clusters and ranks candidates exactly. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
-    val cent = e.filter(col("vec_id") < NCentroids)
-      .select(col("vec_id").cast("int").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+  /** PUBLIC parameterized IVF top-k kernel over arbitrary frames:
+    * `vectors` (vec_id, v, nrm), `queries` (q_id, qv, qn), centroids
+    * as driver-side triples (seeded or kmeans-trained — a few KB at
+    * any corpus scale). The corpus assign is the zero-shuffle
+    * [[nearestCentroid]] projection; each query probes its `nprobe`
+    * closest centroids (a window over the broadcast-sized query × k
+    * frame, never the corpus) and candidates are ranked exactly
+    * inside probed clusters only — the probe scans ~nprobe/nlist of
+    * the corpus. Self-matches (vec_id == q_id) are excluded. At
+    * 100 TB the assignment is a write-once partition key and the
+    * probe a partition-pruned scan. Backs `ann_ivf` and
+    * `ann_ivf_trained` (hash-checked) and the recall harness
+    * (SimilarityRecallSpec). */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame,
+      cents: Seq[(Int, Seq[Double], Double)], nprobe: Int, k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val assigned = vectors
+      .withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
 
-    // vector → nearest centroid: zero-shuffle nearestCentroid
-    // projection over the collected k×dim centroid literal (the cn
-    // collected here is the engine-computed norm, so the cosine is
-    // bit-identical to the r3 window form)
-    val assigned = e
-      .withColumn("cluster",
-        nearestCentroid(collectCentroids(cent), col("v"), col("nrm")))
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cluster"))
-
-    // query → its NProbe closest clusters
-    val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val centDf = cents.toDF("c_id", "cv", "cn")
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("c_id"))
-    val probes = q.join(broadcast(cent), lit(true))
+    val probes = queries.join(broadcast(centDf), lit(true))
       .withColumn("qcos", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
       .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= NProbe)
+      .filter(col("prank") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("probe_cluster"))
 
     // rank candidates inside probed clusters only
@@ -240,10 +245,25 @@ object Similarity {
         col("cluster") === col("probe_cluster") && col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
         rnd(col("cos"), 6).as("cos_sim"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** IVF-bucketed ANN query: `ivfTopK` with deterministic centroid
+    * seeds (the `NCentroids` lowest-id vectors; their `cn` is the
+    * engine-computed norm, so cosines are bit-identical to the
+    * window-form oracle). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = e.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").cast("int").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    ivfTopK(
+      e.select(col("vec_id"), col("v"), col("nrm")),
+      e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")),
+      collectCentroids(cent), NProbe, TopK)
   }
 
   private val annIvfSql =
@@ -310,6 +330,44 @@ object Similarity {
         rnd(VectorFunctions.dot(col("va"), col("vb"))
           / (col("na") * col("nb")), 6).as("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** PUBLIC multi-table random-hyperplane LSH candidate kernel over
+    * an arbitrary (vec_id, v) frame: `hyper` supplies `bands × bits`
+    * driver-side hyperplanes (a few KB — embedded as literals, like
+    * the centroid kernel), each band's `bits` sign-bits form one
+    * signature, and a pair is a candidate when ANY band's signatures
+    * collide (the OR-construction: recall ≈ 1 − (1 − p^bits)^bands
+    * for per-hyperplane agreement p = 1 − θ/π). Signature computation
+    * is a pure per-row projection — zero shuffles on any layout — and
+    * candidates are an equi-join on (band, sig): collisions, never
+    * n². `ann_lsh` keeps its single-band oracle-paired form; this is
+    * the scale/recall-tunable path, recall-floor-tested in
+    * SimilarityRecallSpec. */
+  def lshCandidatePairs(vectors: DataFrame, hyper: Seq[Seq[Double]],
+      bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+    require(hyper.nonEmpty && hyper.size % bits == 0,
+      s"need a multiple of $bits hyperplanes, got ${hyper.size}")
+    val bands = hyper.size / bits
+    val sigCols = (0 until bands).map { b =>
+      val sig = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+        acc + when(
+          VectorFunctions.dot(typedLit(hyper(b * bits + i)), col("v")) > 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val sigs = vectors
+      .select(col("vec_id"), explode(array(sigCols: _*)).as("bs"))
+      .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sigs.select(col("vec_id").as("vec_a"), col("band"), col("sig"))
+    val b = sigs.select(col("vec_id").as("vec_b"), col("band").as("band_b"),
+      col("sig").as("sig_b"))
+    a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b")
+        && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
   }
 
   private val annLshSql = {
@@ -461,34 +519,12 @@ object Similarity {
     val e = vecs(spark, dir)
     val ev = e.select(col("vec_id"), col("v"), col("nrm"))
     val (cent, _) = kmeansTrain(ev, NCentroids, iters = 2)
-    val centN = cent.withColumn("cn", VectorFunctions.norm(col("cv")))
-
-    // corpus assign: zero-shuffle nearestCentroid projection (the
-    // probe stage below keeps its window — it runs over the tiny
-    // broadcast query set, not the corpus)
-    val assigned = ev
-      .withColumn("cluster",
-        nearestCentroid(collectCentroids(cent), col("v"), col("nrm")))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
-
-    val q = ev.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("c_id"))
-    val probes = q.join(broadcast(centN), lit(true))
-      .withColumn("qcos", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= NProbe)
-      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("probe_cluster"))
-
-    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(probes,
-        col("cluster") === col("probe_cluster") && col("vec_id") =!= col("q_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
-        rnd(col("cos"), 6).as("cos_sim"))
-      .orderBy(col("q_id"), col("rank"))
+    // collectCentroids recomputes cn with driverNorm — bit-identical
+    // to the oracle's in-engine L2 fold over the same literal cv
+    ivfTopK(ev,
+      ev.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")),
+      collectCentroids(cent), NProbe, TopK)
   }
 
   private val annIvfTrainedSql = {

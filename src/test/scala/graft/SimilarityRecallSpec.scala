@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+/** Recall harness for the approximate ANN paths (round 5).
+  *
+  * The oracle-checked `ann_ivf`/`ann_lsh` queries prove the plans are
+  * deterministic, but on the synthetic sf tables probe ≈ exact, so
+  * the quality dimension a real user cares about — recall vs the
+  * brute-force truth — was untested. This spec builds a corpus where
+  * the probe genuinely loses neighbors (clustered points with queries
+  * planted BETWEEN cluster centers, plus planted near-duplicate
+  * pairs), measures recall@k against `cosineTopKExact`, prints the
+  * recall/cost curve, and asserts floors.
+  */
+class SimilarityRecallSpec extends SparkSpec {
+
+  private val Dim = 16
+  private val NClusters = 10
+  private val PerCluster = 60
+  private val K = 10
+
+  // deterministic splitmix-style generator: the corpus must be
+  // identical on every run or the asserted floors would flap
+  private final class Det(var s: Long) {
+    def next(): Double = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    def vec(): Seq[Double] = Seq.fill(Dim)(next())
+  }
+
+  private def plus(a: Seq[Double], b: Seq[Double], w: Double): Seq[Double] =
+    a.zip(b).map { case (x, y) => x + w * y }
+
+  private lazy val rnd = new Det(42L)
+  private lazy val centers: Seq[Seq[Double]] =
+    Seq.fill(NClusters)(rnd.vec()).map { c =>
+      val n = Similarity.driverNorm(c); c.map(_ / n)
+    }
+  /** Corpus: 60 points per cluster at noise 0.15; each cluster's
+    * member 2t/2t+1 is a planted near-duplicate pair (noise 0.004
+    * apart, cosine ≥ ~0.999). Ids INTERLEAVE across clusters
+    * (id = member × NClusters + cluster) so the k lowest ids — the
+    * deterministic kmeans seeds — start one per true cluster, the
+    * same property the sf embeddings table has. */
+  private lazy val corpus: Seq[(Long, Seq[Double])] = {
+    val byCluster: Seq[IndexedSeq[Seq[Double]]] = centers.map { c =>
+      (0 until PerCluster / 2).flatMap { _ =>
+        val base = plus(c, rnd.vec(), 0.15)
+        Seq(base, plus(base, rnd.vec(), 0.004))
+      }
+    }
+    for {
+      m <- 0 until PerCluster
+      c <- 0 until NClusters
+    } yield ((m * NClusters + c).toLong, byCluster(c)(m))
+  }
+  /** Queries planted between adjacent cluster centers (52/48 lean):
+    * their true top-k spans BOTH clusters, so nprobe=1 must lose
+    * neighbors and nprobe=2 must recover them. */
+  private lazy val queries: Seq[(Long, Seq[Double])] =
+    (0 until 2 * NClusters).map { j =>
+      val a = centers(j % NClusters)
+      val b = centers((j + 1) % NClusters)
+      (1000L + j, plus(plus(a.map(_ * 0.52), b, 0.48), rnd.vec(), 0.02))
+    }
+
+  test("IVF recall@10 vs brute force: nprobe=1 lossy, nprobe=2 above 0.9, monotone") {
+    val s = spark
+    import s.implicits._
+    val vecs = corpus.toDF("vec_id", "v")
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+      .persist()
+    val qs = queries.toDF("q_id", "qv")
+      .withColumn("qn", VectorFunctions.norm(col("qv")))
+
+    val truth = Similarity.cosineTopKExact(
+        corpus.toDF("vec_id", "v"), queries.toDF("q_id", "qv"), K)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val (cent, _) = Similarity.kmeansTrain(
+      vecs.select(col("vec_id"), col("v"), col("nrm")), NClusters, iters = 2)
+    val cents = Similarity.collectCentroids(cent)
+
+    // measured probe cost: rows scanned = Σ over queries of probed
+    // cluster sizes (not the nominal nprobe/nlist estimate)
+    val sizes = vecs
+      .withColumn("cluster", Similarity.nearestCentroid(cents, col("v"), col("nrm")))
+      .groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = sizes.values.sum.toDouble
+
+    val curve = Seq(1, 2, 4).map { nprobe =>
+      val got = Similarity.ivfTopK(vecs, qs, cents, nprobe, K)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (got & truth).size.toDouble / truth.size
+      val probed = queries.map { case (qid, qv) =>
+        val qn = Similarity.driverNorm(qv)
+        cents.map { case (cid, cv, cn) =>
+          cid -> qv.zip(cv).map { case (x, y) => x * y }.sum / (cn * qn)
+        }.sortBy(-_._2).take(nprobe).map(c => sizes.getOrElse(c._1, 0L)).sum
+      }.sum.toDouble / queries.size
+      info(f"nprobe=$nprobe recall@$K=$recall%.3f scanned=${probed / total * 100}%.1f%% of corpus/query")
+      nprobe -> recall
+    }.toMap
+    vecs.unpersist()
+
+    assert(curve(1) < 1.0,
+      s"corpus must stress the probe: nprobe=1 recall ${curve(1)} should be < 1")
+    assert(curve(2) >= 0.9, s"recall@$K floor: nprobe=2 got ${curve(2)}")
+    assert(curve(4) >= curve(2), "recall must be monotone in nprobe")
+  }
+
+  test("multi-table LSH recall on planted near-duplicates above 0.9; banding beats one band") {
+    val s = spark
+    import s.implicits._
+    val vecs = corpus.toDF("vec_id", "v")
+    // truth: all pairs with cosine >= 0.999 (the planted even/odd
+    // near-dups, plus any incidental ones) via full O(n²) self-join —
+    // affordable at 600 vectors, and independent of any LSH machinery
+    val e = vecs.withColumn("nrm", VectorFunctions.norm(col("v")))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val truth = a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.999)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= NClusters * PerCluster / 2,
+      s"construction must plant near-dup pairs, got ${truth.size}")
+
+    val hrnd = new Det(7L)
+    def recallWith(bands: Int, bits: Int): (Double, Long) = {
+      val hyper = Seq.fill(bands * bits)(hrnd.vec())
+      val cand = Similarity.lshCandidatePairs(vecs, hyper, bits)
+      val found = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ((found & truth).size.toDouble / truth.size, found.size.toLong)
+    }
+    val (r1, c1) = recallWith(bands = 1, bits = 8)
+    val (r4, c4) = recallWith(bands = 4, bits = 8)
+    val allPairs = corpus.size.toLong * (corpus.size - 1) / 2
+    info(f"1 band × 8 bits: recall=$r1%.3f candidates=$c1 (${c1 * 100.0 / allPairs}%.2f%% of n²/2)")
+    info(f"4 bands × 8 bits: recall=$r4%.3f candidates=$c4 (${c4 * 100.0 / allPairs}%.2f%% of n²/2)")
+    assert(r4 >= 0.9, s"multi-table LSH recall floor: got $r4")
+    assert(r4 >= r1, "OR-construction must not lose recall vs one band")
+    assert(c4 < allPairs / 4,
+      s"candidates must stay far below all-pairs: $c4 vs $allPairs")
+  }
+}
