@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** A minimal manifest-committed parquet table (round 5).
+  *
+  * Layout: the table root holds immutable `data-<version>`
+  * directories plus ONE `MANIFEST` pointer file naming the current
+  * one. Every write materializes a COMPLETE new data directory
+  * (phase 1, [[prepare]]) and then publishes it with a single atomic
+  * rename of the manifest (phase 2, [[publish]] — `FileContext`
+  * rename with OVERWRITE, a single-object atomic op on HDFS and a
+  * `Files.move(REPLACE_EXISTING)` on the local fs). A reader
+  * resolving the manifest therefore sees the previous complete state
+  * or the new complete state, never a half-swapped directory — this
+  * closes the documented non-atomic window of the rename-swap sinks
+  * (StreamSinks.upsertBatch, Sources.compactParquet), which remain as
+  * the format-less variants for consumers that must read a plain
+  * parquet path.
+  *
+  * Failure model (the storage-layer extension of the reference
+  * coordinator's retry story, mr/src/coordinator.rs:108-135): a
+  * writer that dies between prepare and publish leaves an orphan
+  * data dir; the manifest still names the old COMPLETE state, and the
+  * next writer's prepare deletes and re-stages the orphan version.
+  * Retention: the previous version's directory survives one commit so
+  * in-flight readers that already resolved the old manifest finish
+  * their scan; anything older is GC'd at publish. Single writer
+  * assumed, like the table formats this miniaturizes.
+  */
+object ManifestTable {
+
+  private val Manifest = "MANIFEST"
+
+  private def dataDirName(v: Long): String = f"data-$v%09d"
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (version, data dir name) the manifest currently publishes, if
+    * the table exists. */
+  def current(spark: SparkSession, path: String): Option[(Long, String)] = {
+    val mf = new Path(path, Manifest)
+    val fs = fsOf(spark, mf)
+    if (!fs.exists(mf)) None
+    else {
+      val in = fs.open(mf)
+      val s =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some((s.stripPrefix("data-").toLong, s))
+    }
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    current(spark, path).isDefined
+
+  /** Resolve the manifest and read the published complete state. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val (_, d) = current(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no manifest table at $path"))
+    spark.read.parquet(new Path(path, d).toString)
+  }
+
+  /** Phase 1: stage the next version by materializing a complete data
+    * dir through `write` (handed the target dir path). Returns the
+    * staged version; nothing is visible to readers yet. A crashed
+    * predecessor's orphan dir at this version is deleted first. */
+  def prepare(spark: SparkSession, path: String)(write: String => Unit): Long = {
+    val v = current(spark, path).map(_._1).getOrElse(-1L) + 1
+    val dir = new Path(path, dataDirName(v))
+    val fs = fsOf(spark, dir)
+    if (fs.exists(dir)) fs.delete(dir, true) // orphan of a crashed writer
+    write(dir.toString)
+    require(fs.exists(dir), s"prepare produced no data dir at $dir")
+    v
+  }
+
+  /** Phase 2: publish staged version `v` — THE commit is the one
+    * atomic rename of MANIFEST.tmp over MANIFEST. Then GC data dirs
+    * older than v−1 (v−1 is retained for in-flight readers). */
+  def publish(spark: SparkSession, path: String, v: Long): Unit = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    require(fs.exists(new Path(root, dataDirName(v))),
+      s"cannot publish unstaged version $v at $path")
+    val mf = fs.makeQualified(new Path(root, Manifest))
+    val tmp = fs.makeQualified(new Path(root, s"$Manifest.tmp"))
+    val out = fs.create(tmp, true)
+    try out.write(dataDirName(v).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = FileContext.getFileContext(fs.getUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, mf, Options.Rename.OVERWRITE) // the atomic commit point
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("data-")) {
+        val dv = scala.util.Try(n.stripPrefix("data-").toLong)
+          .getOrElse(Long.MaxValue)
+        if (dv < v - 1) fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** Upsert `batch` into the table by `keyCols`: same merge plan as
+    * StreamSinks.upsertBatch (left-anti + union — what a table
+    * format's MERGE runs), but staged into a fresh data dir and
+    * atomically published, so there is no read-what-you-overwrite
+    * hazard and no partial-swap window. */
+  def upsertBatch(batch: DataFrame, path: String, keyCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val fresh = batch.dropDuplicates(keyCols)
+    val merged = current(spark, path) match {
+      case Some(_) =>
+        read(spark, path).join(fresh, keyCols, "left_anti").unionByName(fresh)
+      case None => fresh
+    }
+    val v = prepare(spark, path) { dir =>
+      merged.write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+    publish(spark, path, v)
+  }
+
+  /** Compact the published state into ≈`rowsPerFile`-row files — the
+    * manifest-committed twin of Sources.compactParquet: readers see
+    * the old file set or the new one, never an empty/partial dir. */
+  def compact(spark: SparkSession, path: String, rowsPerFile: Long): Unit = {
+    val df = read(spark, path)
+    val n = df.count()
+    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+    val v = prepare(spark, path) { dir =>
+      df.repartition(files).write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+    publish(spark, path, v)
+  }
+
+  /** writeStream wiring: one manifest-committed upsert per
+    * micro-batch. */
+  def foreachBatchUpsert(stream: DataFrame, path: String,
+      keyCols: Seq[String]): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, path, keyCols)
+      }
+}

@@ -17,6 +17,13 @@ import org.apache.spark.sql.Row
   * the same `foreachBatch` body at a real table format and keep the
   * key-partitioned layout so the anti-join only touches matching
   * partitions.
+  *
+  * The rename swap here has a documented non-atomic window (a reader
+  * arriving between the two renames sees a missing/partial table).
+  * `graft.sources.ManifestTable` is the atomic-commit variant — same
+  * merge plan, but versions published through one atomic manifest
+  * rename (readers see old-complete or new-complete, never partial).
+  * Prefer it unless a consumer must read the bare parquet path.
   */
 object StreamSinks {
 

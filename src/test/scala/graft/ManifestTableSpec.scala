@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import graft.sources.ManifestTable
+
+/** Manifest-committed table: atomicity, crash, and retention cases
+  * (round 5 — closes the documented non-atomic window of the
+  * rename-swap sinks). */
+class ManifestTableSpec extends SparkSpec {
+
+  private def tmpTable(): String =
+    java.nio.file.Files.createTempDirectory("manifest-tbl").toString + "/t"
+
+  private def stateOf(path: String): Set[(Long, String)] = {
+    val s = spark
+    import s.implicits._
+    ManifestTable.read(s, path).as[(Long, String)].collect().toSet
+  }
+
+  private def dataDirs(path: String): Seq[String] = {
+    val d = new java.io.File(path)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().map(_.getName).filter(_.startsWith("data-")).sorted.toSeq
+  }
+
+  test("upsert merges by key across commits") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable()
+    ManifestTable.upsertBatch(Seq((1L, "a0"), (2L, "b0")).toDF("k", "v"), t, Seq("k"))
+    assert(stateOf(t) == Set((1L, "a0"), (2L, "b0")))
+    ManifestTable.upsertBatch(Seq((2L, "b1"), (3L, "c1")).toDF("k", "v"), t, Seq("k"))
+    assert(stateOf(t) == Set((1L, "a0"), (2L, "b1"), (3L, "c1")))
+  }
+
+  test("writer killed between stage and publish: readers see only the old complete state, then recover") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable()
+    ManifestTable.upsertBatch(Seq((1L, "a0"), (2L, "b0")).toDF("k", "v"), t, Seq("k"))
+    val before = stateOf(t)
+
+    // the crash: phase 1 stages a complete new version, the writer
+    // dies before phase 2 — no publish call ever happens
+    val orphan = ManifestTable.prepare(s, t) { dir =>
+      Seq((1L, "a1"), (9L, "z9")).toDF("k", "v")
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+    assert(dataDirs(t).exists(_.endsWith(f"$orphan%09d")), "orphan dir staged")
+    // a concurrent reader resolving the manifest NOW sees exactly the
+    // old complete state — not the orphan, not a partial swap
+    assert(stateOf(t) == before)
+    assert(ManifestTable.current(s, t).get._1 == orphan - 1)
+
+    // a fresh writer (the recovery path): merges against the OLD
+    // published state, re-stages the orphan version, publishes
+    ManifestTable.upsertBatch(Seq((2L, "b1")).toDF("k", "v"), t, Seq("k"))
+    assert(stateOf(t) == Set((1L, "a0"), (2L, "b1")),
+      "recovery must merge against the published state, never the orphan")
+    assert(ManifestTable.current(s, t).get._1 == orphan)
+  }
+
+  test("publish is the only visibility point and retention keeps exactly one previous version") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable()
+    (0 until 4).foreach { i =>
+      ManifestTable.upsertBatch(Seq((i.toLong, s"v$i")).toDF("k", "v"), t, Seq("k"))
+    }
+    // versions 0..3 committed; retention = {current, previous}
+    assert(ManifestTable.current(s, t).get._1 == 3L)
+    assert(dataDirs(t) == Seq("data-000000002", "data-000000003"),
+      s"retention must keep current+previous, got ${dataDirs(t)}")
+    assert(stateOf(t) == (0 until 4).map(i => (i.toLong, s"v$i")).toSet)
+  }
+
+  test("compact rewrites files, never the visible row set") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable()
+    // 40 single-row commits would be slow; 4 commits of 10 rows each
+    // still fragments the current dir into many small files
+    (0 until 4).foreach { i =>
+      val rows = (0 until 10).map(j => ((i * 10 + j).toLong, s"r$i-$j"))
+      ManifestTable.upsertBatch(rows.toDF("k", "v"), t, Seq("k"))
+    }
+    val before = stateOf(t)
+    val filesBefore = new java.io.File(
+      t + "/" + ManifestTable.current(s, t).get._2).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    ManifestTable.compact(s, t, rowsPerFile = 40L)
+    assert(stateOf(t) == before, "compaction must not change the row set")
+    val filesAfter = new java.io.File(
+      t + "/" + ManifestTable.current(s, t).get._2).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesAfter < filesBefore && filesAfter <= 2,
+      s"expected consolidation, got $filesBefore -> $filesAfter")
+  }
+
+  test("streaming foreachBatch upsert publishes one commit per micro-batch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = tmpTable()
+    val in = MemoryStream[(Long, String)](s)
+    val q = ManifestTable
+      .foreachBatchUpsert(in.toDF().toDF("k", "v"), t, Seq("k"))
+      .start()
+    in.addData((1L, "a0"), (2L, "b0"))
+    q.processAllAvailable()
+    assert(stateOf(t) == Set((1L, "a0"), (2L, "b0")))
+    in.addData((2L, "b1"), (3L, "c1"))
+    q.processAllAvailable()
+    q.stop()
+    assert(stateOf(t) == Set((1L, "a0"), (2L, "b1"), (3L, "c1")))
+  }
+}
