@@ -53,10 +53,17 @@ case class MisraGries(
     mutable.HashMap.empty
 
   /** Keep ≤ k counters: subtract the (k+1)-th largest count from all
-    * and drop the non-positive — the batched MG decrement step. */
+    * and drop the non-positive — the batched MG decrement step. The
+    * per-row saturated path (update pushed size to exactly k+1) takes
+    * the O(k) min instead of the O(k log k) sort — at steady state
+    * that path runs once per input row, so its cost IS the sketch's
+    * throughput; the sort remains only for merge (size up to 2k),
+    * which runs once per partition pair. */
   private def prune(buf: mutable.HashMap[String, Long]): Unit =
     if (buf.size > k) {
-      val cStar = buf.values.toArray.sortInPlace()(Ordering[Long].reverse).apply(k)
+      val cStar =
+        if (buf.size == k + 1) buf.values.min
+        else buf.values.toArray.sortInPlace()(Ordering[Long].reverse).apply(k)
       val dead = mutable.ArrayBuffer.empty[String]
       buf.mapValuesInPlace((_, c) => c - cStar)
       buf.foreach { case (s, c) => if (c <= 0) dead += s }
