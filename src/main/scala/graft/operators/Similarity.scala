@@ -428,14 +428,28 @@ object Similarity {
       e.withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
         .select(col("vec_id"), col("v"), col("cluster"))
 
+    // dim probe: one row off the (already persisted) corpus — the
+    // per-dimension aggregate below needs a static width. Width 1 on
+    // an empty corpus: no rows ever flow, it just keeps the plan
+    // resolvable (EmptyInputSpec).
+    val dim = e.select(size(col("v"))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(1)
+
+    // centroid update: ONE groupBy(cluster) carrying `dim` decimal
+    // sums (map-side combined: 32 partitions × k clusters × dim
+    // partials cross the wire, never rows). The r1-r4 form exploded
+    // the corpus to n×dim rows and shuffled the expansion through TWO
+    // aggregates per Lloyd round — after the zero-shuffle assign
+    // landed, that explode had become the training bottleneck.
+    // Decimal sums are order-free exact, so component means stay
+    // bit-identical to the oracle's unnest/GROUP BY dim form.
     def update(assigned: DataFrame): DataFrame =
       assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg((sum(col("x").cast("decimal(28,12)")).cast("double")
-          / count(lit(1))).as("m"))
         .groupBy(col("cluster"))
-        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("cv"))
+        .agg(array((0 until dim).map { i =>
+          (sum(element_at(col("v"), i + 1).cast("decimal(28,12)")).cast("double")
+            / count(lit(1))).as(s"m$i")
+        }: _*).as("cv"))
         .select(col("cluster").as("c_id"), col("cv"))
 
     // k×dim → driver triples; norms via driverNorm (bit-identical to
