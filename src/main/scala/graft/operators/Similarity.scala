@@ -251,6 +251,50 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Materialize an IVF index as a CLUSTER-PARTITIONED parquet
+    * layout: one linear write pass (the assign is the zero-shuffle
+    * [[nearestCentroid]] projection), `partitionBy(cluster)` makes
+    * the learned assignment the physical partition key. This is the
+    * literal "write-once partitioning" the `annIvf` scaladoc
+    * promises at 100 TB — [[probeIvfIndex]] then touches only the
+    * probed clusters' directories. */
+  def writeIvfIndex(vectors: DataFrame,
+      cents: Seq[(Int, Seq[Double], Double)], path: String): Unit =
+    vectors
+      .withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster").parquet(path)
+
+  /** Probe a materialized IVF index: each query's `nprobe` closest
+    * clusters come from the same broadcast-sized window as
+    * [[ivfTopK]], and the index scan is DYNAMICALLY partition-pruned
+    * by the broadcast equi-join on the partition column — Spark reads
+    * only the probed clusters' directories (~nprobe/nlist of the
+    * corpus), asserted by the PartitionFilters/dynamicpruning plan
+    * check in SimilarityRecallSpec. Results are identical to
+    * [[ivfTopK]] over the same centroids. */
+  def probeIvfIndex(spark: SparkSession, path: String, queries: DataFrame,
+      cents: Seq[(Int, Seq[Double], Double)], nprobe: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val centDf = cents.toDF("c_id", "cv", "cn")
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("c_id"))
+    val probes = queries.join(broadcast(centDf), lit(true))
+      .withColumn("qcos", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("probe_cluster"))
+    val idx = spark.read.parquet(path)
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    idx.join(broadcast(probes),
+        col("cluster") === col("probe_cluster") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        rnd(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** IVF-bucketed ANN query: `ivfTopK` with deterministic centroid
     * seeds (the `NCentroids` lowest-id vectors; their `cn` is the
     * engine-computed norm, so cosines are bit-identical to the

@@ -119,6 +119,34 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(curve(4) >= curve(2), "recall must be monotone in nprobe")
   }
 
+  test("materialized IVF index: probe equals ivfTopK and the scan is partition-pruned") {
+    val s = spark
+    import s.implicits._
+    val vecs = corpus.toDF("vec_id", "v")
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    val qs = queries.toDF("q_id", "qv")
+      .withColumn("qn", VectorFunctions.norm(col("qv")))
+    val cents = centers.zipWithIndex.map { case (c, i) =>
+      (i, c, Similarity.driverNorm(c))
+    }
+    val path = java.nio.file.Files.createTempDirectory("ivf-idx").toString + "/idx"
+    Similarity.writeIvfIndex(vecs, cents, path)
+    // the physical layout IS the assignment: one dir per cluster
+    val dirs = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("cluster=")).sorted
+    assert(dirs.length == NClusters, s"expected $NClusters cluster dirs, got ${dirs.toSeq}")
+
+    val probed = Similarity.probeIvfIndex(s, path, qs, cents, nprobe = 2, k = K)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"index scan must be dynamically partition-pruned by the probe join:\n$plan")
+    val viaIndex = probed.collect().map(_.toSeq).toSeq
+    val direct = Similarity.ivfTopK(vecs, qs, cents, nprobe = 2, k = K)
+      .collect().map(_.toSeq).toSeq
+    assert(viaIndex == direct,
+      "probing the materialized index must reproduce ivfTopK exactly")
+  }
+
   test("multi-table LSH recall on planted near-duplicates above 0.9; banding beats one band") {
     val s = spark
     import s.implicits._
