@@ -241,6 +241,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("minhash dedup state survives the RocksDB state store provider unchanged") {
+    // the production state backend at 100 TB ingest (the default
+    // HDFSBackedStateStoreProvider holds all state on the JVM heap;
+    // RocksDB spills to local disk): same job, same results —
+    // provider choice is config, not semantics
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(s, sf).select("doc_id", "lang", "text")
+    val expected = StreamingJobs.minhashDedupStream(docs).collect()
+      .map(d => (d.doc_id, d.dup_of, d.band)).toSet
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("mh-rocks-in").toString
+      docs.write.mode("overwrite").parquet(tmp)
+      val src = s.readStream.schema(docs.schema).parquet(tmp)
+      val q = StreamingJobs.minhashDedupStream(src).writeStream
+        .format("memory").queryName("mh_rocks_out")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val streamed = s.sql("select * from mh_rocks_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == expected,
+        "RocksDB-backed run must emit the identical dup set")
+    } finally {
+      old match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-static decontamination: streamed == batch, collisions flagged at ingest") {
     val s = spark
     import s.implicits._
