@@ -62,26 +62,39 @@ object Multimodal {
     ds.mapPartitions(_.flatMap(decodeImage))
   }
 
+  /** ONE-decode-per-payload tagged attempt frame, PERSISTED
+    * (MEMORY_AND_DISK; rows are metadata-only — the raw payload is
+    * NOT retained, so the cache is tiny relative to the input). Both
+    * split channels are filters over it. This is the release handle:
+    * long-lived sessions calling the split per ingest batch should
+    * hold this frame and `.unpersist()` it once both channels are
+    * consumed (unpersisting a DERIVED channel would be a no-op — the
+    * cache entry belongs to this plan, not its children).
+    * `decodeCounter` is a test-observability hook: the spec asserts
+    * exactly one decode per payload through it. */
+  def decodeAttempts(ds: Dataset[RawMedia],
+      decodeCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[(Long, Option[DecodedMedia])] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { m =>
+      decodeCounter.foreach(_.add(1L))
+      (m.doc_id, decodeImage(m))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Decode with a quarantine channel: (decoded, rejected doc_ids).
-    * ONE decode per payload: a single `mapPartitions` pass tags each
-    * row with its attempt and the two channels are filters over the
-    * persisted attempt frame. (The r3 form ran `decodeImage` once per
-    * side — at 100 TB image decode is the dominant CPU cost, so
-    * doubling it to split good/quarantine was real money.) The
-    * persisted rows are metadata-only — the raw payload is NOT
-    * retained — so the cache is tiny relative to the input; callers
-    * that keep the session alive after consuming both sides can drop
-    * it with `decoded.unpersist()` (both channels share the one
-    * cached plan). `decodeCounter` is a test-observability hook: the
-    * spec asserts exactly one decode per payload through it. */
+    * ONE decode per payload: both channels filter one persisted
+    * [[decodeAttempts]] frame. (The r3 form ran `decodeImage` once
+    * per side — at 100 TB image decode is the dominant CPU cost, so
+    * doubling it to split good/quarantine was real money.) The simple
+    * tuple API leaves the shared attempt frame cached for the session;
+    * callers that need to release it should call [[decodeAttempts]]
+    * directly and derive the two filters themselves. */
   def decodeBatchSplit(ds: Dataset[RawMedia],
       decodeCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : (Dataset[DecodedMedia], Dataset[Long]) = {
     import ds.sparkSession.implicits._
-    val attempts = ds.mapPartitions(_.map { m =>
-      decodeCounter.foreach(_.add(1L))
-      (m.doc_id, decodeImage(m))
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val attempts = decodeAttempts(ds, decodeCounter)
     (attempts.flatMap(_._2),
       attempts.flatMap(a => if (a._2.isEmpty) Some(a._1) else None))
   }

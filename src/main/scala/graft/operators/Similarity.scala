@@ -65,13 +65,15 @@ object Similarity {
     * NaN-first descending order: a NaN cosine beats any finite
     * incumbent but never replaces an earlier NaN.
     *
-    * Degenerate rows: `try_divide` (not `/`) keeps a zero-norm vector
-    * from raising DIVIDE_BY_ZERO under ANSI mode; the null cosine is
-    * row-wide (cn > 0 always — only nrm or a null/NaN v nulls it, and
-    * those null EVERY centroid's cosine), so `sc > acc.s` is null for
-    * every step, the seed survives, and the row lands on the lowest
-    * c_id — exactly where the window form's nulls-last DESC order
-    * puts it. */
+    * Degenerate inputs: `try_divide` (not `/`) keeps a zero norm from
+    * raising DIVIDE_BY_ZERO under ANSI mode. A null cosine — from a
+    * zero-norm/null row (nulls every centroid's cosine) or a zero-norm
+    * CENTROID handed to this public kernel (nulls only that
+    * centroid's) — sorts LAST like the window form's DESC order: the
+    * fold's replace condition also fires when the incumbent is null
+    * and the candidate isn't, so a null-cosine seed yields to the
+    * lowest-id centroid with a real cosine, and an all-null row keeps
+    * the lowest c_id. */
   def nearestCentroid(cents: Seq[(Int, Seq[Double], Double)],
       v: Column, nrm: Column): Column = {
     // an empty centroid list can only arise from an EMPTY corpus
@@ -94,7 +96,8 @@ object Similarity {
       seed,
       (acc, c) => {
         val sc = cos(c.getField("cv"), c.getField("cn"))
-        when(sc > acc.getField("s"),
+        when(sc > acc.getField("s")
+            || (acc.getField("s").isNull && sc.isNotNull),
           struct(c.getField("c").as("c"), sc.as("s"))).otherwise(acc)
       }).getField("c")
   }
@@ -225,23 +228,37 @@ object Similarity {
     * (SimilarityRecallSpec). */
   def ivfTopK(vectors: DataFrame, queries: DataFrame,
       cents: Seq[(Int, Seq[Double], Double)], nprobe: Int, k: Int): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
     val assigned = vectors
       .withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
       .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+    rankProbed(assigned, probeClusters(queries, cents, nprobe), k)
+  }
 
+  /** Each query's `nprobe` closest centroids — a window over the
+    * broadcast-sized query × k frame, never the corpus. SHARED by
+    * [[ivfTopK]] and [[probeIvfIndex]] so their documented result
+    * equivalence cannot drift. */
+  private def probeClusters(queries: DataFrame,
+      cents: Seq[(Int, Seq[Double], Double)], nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     val centDf = cents.toDF("c_id", "cv", "cn")
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("c_id"))
-    val probes = queries.join(broadcast(centDf), lit(true))
+    queries.join(broadcast(centDf), lit(true))
       .withColumn("qcos", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("probe_cluster"))
+  }
 
-    // rank candidates inside probed clusters only
+  /** Exact rank of (vec_id, v, nrm, cluster) candidates inside probed
+    * clusters only — the shared tail of [[ivfTopK]]/[[probeIvfIndex]].
+    * The broadcast probe join is what dynamic partition pruning hangs
+    * off when the candidate side is a cluster-partitioned scan. */
+  private def rankProbed(candidates: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(probes,
+    candidates.join(broadcast(probes),
         col("cluster") === col("probe_cluster") && col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(wRank))
@@ -274,26 +291,9 @@ object Similarity {
     * check in SimilarityRecallSpec. Results are identical to
     * [[ivfTopK]] over the same centroids. */
   def probeIvfIndex(spark: SparkSession, path: String, queries: DataFrame,
-      cents: Seq[(Int, Seq[Double], Double)], nprobe: Int, k: Int): DataFrame = {
-    import spark.implicits._
-    val centDf = cents.toDF("c_id", "cv", "cn")
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("c_id"))
-    val probes = queries.join(broadcast(centDf), lit(true))
-      .withColumn("qcos", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nprobe)
-      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("probe_cluster"))
-    val idx = spark.read.parquet(path)
-    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    idx.join(broadcast(probes),
-        col("cluster") === col("probe_cluster") && col("vec_id") =!= col("q_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
-        rnd(col("cos"), 6).as("cos_sim"))
-      .orderBy(col("q_id"), col("rank"))
-  }
+      cents: Seq[(Int, Seq[Double], Double)], nprobe: Int, k: Int): DataFrame =
+    rankProbed(spark.read.parquet(path),
+      probeClusters(queries, cents, nprobe), k)
 
   /** IVF-bucketed ANN query: `ivfTopK` with deterministic centroid
     * seeds (the `NCentroids` lowest-id vectors; their `cn` is the
@@ -402,10 +402,14 @@ object Similarity {
       }
       struct(lit(b).as("band"), sig.as("sig"))
     }
+    // NOT persisted: both join sides recompute the signature
+    // projection, but it is a cheap codegen'd per-row expression and
+    // a kernel that persists internally would leak one cached frame
+    // per call for the session's lifetime with no handle to release
+    // it (callers wanting reuse can persist `vectors` themselves)
     val sigs = vectors
       .select(col("vec_id"), explode(array(sigCols: _*)).as("bs"))
       .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.select(col("vec_id").as("vec_a"), col("band"), col("sig"))
     val b = sigs.select(col("vec_id").as("vec_b"), col("band").as("band_b"),
       col("sig").as("sig_b"))

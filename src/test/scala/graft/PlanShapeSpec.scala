@@ -202,15 +202,17 @@ class PlanShapeSpec extends SparkSpec {
     import graft.operators.Similarity
     import graft.functions.VectorFunctions
     val cvs = Seq(
-      0 -> Seq(1.0, 0.0),
-      1 -> Seq(1.0, 0.0), // duplicate centroid → exact cosine tie with c0
-      2 -> Seq(0.0, 1.0))
+      0 -> Seq(0.0, 0.0), // zero-norm CENTROID → null cosine for everyone:
+      //                      the null seed must yield to a real cosine
+      1 -> Seq(1.0, 0.0),
+      2 -> Seq(1.0, 0.0), // duplicate centroid → exact cosine tie with c1
+      3 -> Seq(0.0, 1.0))
     val cents = cvs.map { case (id, cv) => (id, cv, Similarity.driverNorm(cv)) }
     val vecs = Seq(
-      (10L, Seq(2.0, 0.0)),  // ties c0/c1 → lowest id must win
-      (11L, Seq(0.0, 3.0)),  // clear c2
-      (12L, Seq(0.0, 0.0)),  // zero norm → every cosine NaN → lowest id
-      (13L, Seq(1.0, 1.0)),  // ties c0 (and c1) with itself at 1/√2 vs c2 1/√2: 3-way tie
+      (10L, Seq(2.0, 0.0)),  // ties c1/c2 → lowest id with a REAL cosine wins
+      (11L, Seq(0.0, 3.0)),  // clear c3
+      (12L, Seq(0.0, 0.0)),  // zero-norm ROW → every cosine null → lowest id
+      (13L, Seq(1.0, 1.0)),  // c1/c2/c3 all at 1/√2: 3-way tie → lowest real
       (14L, Seq(-1.0, 0.5)))
     val df = vecs.toDF("vec_id", "v")
       .withColumn("nrm", VectorFunctions.norm(col("v")))
@@ -232,7 +234,7 @@ class PlanShapeSpec extends SparkSpec {
       .select("vec_id", "c_id").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(kernel == win, s"kernel=$kernel window=$win")
-    assert(kernel(10L) == 0 && kernel(12L) == 0 && kernel(13L) == 0)
+    assert(kernel(10L) == 1 && kernel(12L) == 0 && kernel(13L) == 1)
   }
 
   test("nearestCentroid assign stage plans zero exchanges") {

@@ -118,6 +118,14 @@ def main():
         print(f"{t}: copied unchanged")
     for t, shifts in SHIFTS.items():
         src = pq.read_table(f"{SRC}/{t}.parquet")
+        # a regenerated/bigger sf0.1 with stale DOM sizes would make
+        # copy c's keys collide with copy c+1's — corrupt data with no
+        # diagnostic. Fail loudly instead.
+        for col, dom in shifts.items():
+            mx = pc.max(src.column(col)).as_py()
+            assert mx is None or mx < DOM[dom], (
+                f"{t}.{col} max {mx} exceeds domain {dom}={DOM[dom]}; "
+                f"update DOM to match the source tables")
         parts = []
         for c in range(COPIES):
             if t == "documents" and c > 0:
