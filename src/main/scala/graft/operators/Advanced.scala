@@ -192,6 +192,29 @@ object Advanced {
         count(lit(1)).as("n_lines"))
       .orderBy(col("l_returnflag"))
 
+  // ---------------------------------------------------------------- approx percentile
+  /** Approximate per-group quantiles via Spark's built-in
+    * `approx_percentile` (a Greenwald-Khanna-style mergeable sketch):
+    * the one-pass bounded-memory 100 TB answer to `q_percentile`'s
+    * exact interpolation, which must gather each group's full value
+    * set. `accuracy = 10000` bounds rank error to ≤ n/10000 per
+    * group. Approximate by construction → rows-only like
+    * `q_approx_distinct`; AdvancedSpec bounds each reported value
+    * between exact neighboring percentiles. */
+  def qApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        expr("approx_percentile(c_acctbal, array(0.5, 0.9, 0.99), 10000)")
+          .as("approx_bal"),
+        count(lit(1)).as("n_cust"))
+      .select(col("c_mktsegment"),
+        element_at(col("approx_bal"), 1).as("p50_bal"),
+        element_at(col("approx_bal"), 2).as("p90_bal"),
+        element_at(col("approx_bal"), 3).as("p99_bal"),
+        col("n_cust"))
+      .orderBy(col("c_mktsegment"))
+
   // ---------------------------------------------------------------- group topk
   /** Top-3 customers per segment via the typed bounded
     * `TopKAggregator` — map-side combine ships ≤k rows per partition
@@ -236,5 +259,6 @@ object Advanced {
     QueryDef("q_range_join", qRangeJoin _, Some(qRangeJoinSql)),
     QueryDef("q_pivot", qPivot _, Some(qPivotSql)),
     QueryDef("q_percentile", qPercentile _, Some(qPercentileSql)),
-    QueryDef("q_approx_distinct", qApproxDistinct _, None))
+    QueryDef("q_approx_distinct", qApproxDistinct _, None),
+    QueryDef("q_approx_percentile", qApproxPercentile _, None))
 }

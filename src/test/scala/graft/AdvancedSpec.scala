@@ -45,4 +45,34 @@ class AdvancedSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getDouble(1) <= r.getDouble(2)))
   }
+
+  test("approx_percentile within rank-error bound of the exact quantiles") {
+    // GK sketch guarantee at accuracy a: the reported value's RANK is
+    // within n/a of the target rank. Bound each reported value between
+    // the exact values at (p − ε) and (p + ε) with ε = 1/a plus one
+    // element of slack for interpolation on small groups.
+    val acc = 10000.0
+    val approx = Advanced.qApproxPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    approx.keys.foreach { seg =>
+      val vals = Tables.customer(spark, sf)
+        .filter(col("c_mktsegment") === seg)
+        .select("c_acctbal").collect().map(_.getDouble(0)).sorted
+      val n = vals.length
+      def exactAt(p: Double): Double =
+        vals(math.min(n - 1, math.max(0, math.round(p * (n - 1)).toInt)))
+      def bound(p: Double, got: Double): Unit = {
+        val eps = 1.0 / acc
+        val slack = 1 // interpolation slack in elements
+        val lo = vals(math.max(0, math.round((p - eps) * (n - 1)).toInt - slack))
+        val hi = vals(math.min(n - 1, math.round((p + eps) * (n - 1)).toInt + slack))
+        assert(got >= lo && got <= hi,
+          s"$seg p=$p: $got outside [$lo, $hi] (exact ${exactAt(p)}, n=$n)")
+      }
+      val (p50, p90, p99) = approx(seg)
+      bound(0.5, p50); bound(0.9, p90); bound(0.99, p99)
+      assert(p50 <= p90 && p90 <= p99, s"$seg: quantiles must be ordered")
+    }
+  }
 }
