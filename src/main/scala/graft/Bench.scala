@@ -110,7 +110,16 @@ object Bench {
     // and so the janino/JIT work — is SF-invariant), so run 1 of the
     // timed pair no longer bills codegen (r3 forensics: tfidf's 7.6
     // vs 2.4 s first-run skew was warmup, not work)
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
+    // warm at the smallest SF that lives NEXT TO the bench dir (so the
+    // policy is environment-independent, not tied to one machine's
+    // absolute layout); SPARK_GRAFT_WARM_DIR stays the override. If no
+    // sibling sf0.01 exists, warm at sfDir itself — still one untimed
+    // codegen pass per query, just a pricier one.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", {
+      val sib = new java.io.File(
+        new java.io.File(sfDir).getAbsoluteFile.getParentFile, "sf0.01")
+      if (sib.isDirectory) sib.getPath else sfDir
+    })
     val doWarm = new java.io.File(warmDir).isDirectory
     // an unwarmed run bills per-query codegen to run 1 — legal, but it
     // must be visible: the policy field records it and stderr flags it

@@ -82,21 +82,43 @@ object Multimodal {
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Decode with a quarantine channel: (decoded, rejected doc_ids).
-    * ONE decode per payload: both channels filter one persisted
-    * [[decodeAttempts]] frame. (The r3 form ran `decodeImage` once
-    * per side — at 100 TB image decode is the dominant CPU cost, so
-    * doubling it to split good/quarantine was real money.) The simple
-    * tuple API leaves the shared attempt frame cached for the session;
-    * callers that need to release it should call [[decodeAttempts]]
-    * directly and derive the two filters themselves. */
+  /** The two split channels plus ownership of the one persisted
+    * attempt frame backing them: `release()` unpersists it (blocking,
+    * so a per-ingest-batch loop frees each batch's entry before the
+    * next starts — a long-lived session calling the split per batch
+    * would otherwise accumulate one cache entry per call). */
+  case class DecodeSplit(
+      decoded: Dataset[DecodedMedia],
+      rejected: Dataset[Long],
+      private val attempts: Dataset[(Long, Option[DecodedMedia])]) {
+    def release(): Unit = attempts.unpersist(blocking = true)
+  }
+
+  /** Decode with a quarantine channel; the returned [[DecodeSplit]]
+    * owns the cache entry. ONE decode per payload: both channels
+    * filter one persisted [[decodeAttempts]] frame. (The r3 form ran
+    * `decodeImage` once per side — at 100 TB image decode is the
+    * dominant CPU cost, so doubling it to split good/quarantine was
+    * real money.) Consume both channels, then `release()`. */
+  def decodeSplit(ds: Dataset[RawMedia],
+      decodeCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DecodeSplit = {
+    import ds.sparkSession.implicits._
+    val attempts = decodeAttempts(ds, decodeCounter)
+    DecodeSplit(
+      attempts.flatMap(_._2),
+      attempts.flatMap(a => if (a._2.isEmpty) Some(a._1) else None),
+      attempts)
+  }
+
+  /** Tuple form of [[decodeSplit]] for one-shot callers; the attempt
+    * frame stays cached for the session (no release handle) — batch
+    * loops must use [[decodeSplit]] and `release()` per batch. */
   def decodeBatchSplit(ds: Dataset[RawMedia],
       decodeCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : (Dataset[DecodedMedia], Dataset[Long]) = {
-    import ds.sparkSession.implicits._
-    val attempts = decodeAttempts(ds, decodeCounter)
-    (attempts.flatMap(_._2),
-      attempts.flatMap(a => if (a._2.isEmpty) Some(a._1) else None))
+    val s = decodeSplit(ds, decodeCounter)
+    (s.decoded, s.rejected)
   }
 
   /** Resize output: same id, target dims, re-encoded PNG payload. */

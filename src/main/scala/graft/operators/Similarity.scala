@@ -108,8 +108,13 @@ object Similarity {
     * norm with [[driverNorm]] (bit-identical to the in-engine
     * `L2Norm` fold) when the frame doesn't carry one. */
   def collectCentroids(cent: DataFrame): Seq[(Int, Seq[Double], Double)] = {
+    // project by NAME before collecting: a caller frame with extra
+    // columns or a different column order must not silently misread
+    // (this is a public helper for the public ivfTopK kernel)
     val hasNorm = cent.columns.contains("cn")
-    cent.collect().toSeq.map { r =>
+    val proj =
+      if (hasNorm) cent.select("c_id", "cv", "cn") else cent.select("c_id", "cv")
+    proj.collect().toSeq.map { r =>
       val id = r.get(0) match {
         case i: Int => i
         case l: Long => l.toInt
@@ -448,7 +453,9 @@ object Similarity {
   /** Reusable Lloyd trainer over (vec_id, v, nrm) rows: k clusters
     * (init = k lowest-id vectors), `iters` assign/update rounds.
     * Returns (centroids with c_id/cv, final assignment with
-    * vec_id/v/cluster).
+    * vec_id/v/cluster). Vectors are expected non-null with one fixed
+    * width; rows violating that are excluded from centroid updates
+    * (see `update`) but still flow to the assignment output.
     *
     * Iteration shape: the k×dim centroid table (a few KB — tiny at
     * any corpus scale) is COLLECTED to the driver between rounds and
@@ -491,8 +498,15 @@ object Similarity {
     // landed, that explode had become the training bottleneck.
     // Decimal sums are order-free exact, so component means stay
     // bit-identical to the oracle's unnest/GROUP BY dim form.
+    // Malformed rows (null v, or width ≠ the probed dim) are excluded
+    // from the mean: a null component would be skipped by `sum` while
+    // still inflating a bare count(*) — dragging every component mean
+    // — and `element_at` past a short vector errors under ANSI. Such
+    // rows still appear in `assigned` (with whatever cluster the
+    // null-propagating argmax yields); they just don't train.
     def update(assigned: DataFrame): DataFrame =
       assigned
+        .filter(col("v").isNotNull && size(col("v")) === dim)
         .groupBy(col("cluster"))
         .agg(array((0 until dim).map { i =>
           (sum(element_at(col("v"), i + 1).cast("decimal(28,12)")).cast("double")

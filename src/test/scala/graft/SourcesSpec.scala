@@ -184,17 +184,23 @@ class SourcesSpec extends SparkSpec {
       Multimodal.RawMedia(2L, pngBytes(33, 47, 0xff8800)),
       Multimodal.RawMedia(3L, "definitely not an image".getBytes("UTF-8"))).toDS()
     val ctr = s.sparkContext.longAccumulator("decodes")
-    val (decoded, rejected) = Multimodal.decodeBatchSplit(raw, Some(ctr))
-    val d = decoded.collect().map(x => x.doc_id -> x).toMap
+    val cachedBefore = s.sparkContext.getPersistentRDDs.size
+    val split = Multimodal.decodeSplit(raw, Some(ctr))
+    val d = split.decoded.collect().map(x => x.doc_id -> x).toMap
     assert(d.keySet == Set(1L, 2L))
     assert(d(1L).width == 20 && d(1L).height == 10 && d(1L).channels == 3)
     assert(d(2L).width == 33 && d(2L).height == 47 && d(2L).channels == 3)
     assert(d.values.forall(m => m.n_bytes > 0))
     // the corrupt payload lands in the quarantine channel, not an error
-    assert(rejected.collect().toSeq == Seq(3L))
+    assert(split.rejected.collect().toSeq == Seq(3L))
     // both channels consumed, yet each payload decoded exactly once
     // (the quarantine side reads the persisted attempt frame)
     assert(ctr.value == 3,
       s"split must decode each payload exactly once, got ${ctr.value}")
+    // the split owns its cache entry: release() frees it, so a
+    // per-ingest-batch loop doesn't accumulate one entry per call
+    split.release()
+    assert(s.sparkContext.getPersistentRDDs.size == cachedBefore,
+      "release() must unpersist the attempt frame")
   }
 }
