@@ -21,6 +21,10 @@ object Bench {
     "text_repetition",      // Gopher-style top-bigram-share filter (round 3)
     "pipeline_decontaminate", // eval-split 5-gram collision probe (round 3)
     "q_sample_stratified_scalable", // range-exchange within-stratum rank (round 3)
+    "pipeline_pack_sequences", // two-level prefix-sum packing manifest (round 6)
+    "pipeline_mixture_sample", // zero-shuffle weighted source mixing (round 6)
+    "text_bm25",            // per-row tf + 1-row stats broadcast + top-k (round 6)
+    "dedup_chunk",          // corpus-wide dup-span share, chunk-hash join (round 6)
     "dedup_minhash",        // shingle + LSH band join
     "dedup_jaccard",        // adaptive set-similarity (bitmask | token join)
     "dedup_jaccard_ngram",  // trigram-set jaccard, hashed shingle equi-join (round 2)

@@ -854,8 +854,79 @@ object Dedup {
        |    / (a.nrm * b.nrm) >= 0.3
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------- chunk dedup
+  /** Disjoint-chunk width for [[dedupChunk]]: 8 tokens ≈ the
+    * granularity at which the synthetic docs (10-100 tokens) show
+    * shared spans without every doc colliding. */
+  private val ChunkLen = 8
+
+  /** Duplicated-span share — the practical approximation of exact
+    * substring dedup (the RefinedWeb/MassiveText curation pass that
+    * catches boilerplate and templated spans EXACT-doc dedup misses):
+    * each document's token stream is cut into disjoint [[ChunkLen]]
+    * -token chunks; a chunk occurrence is duplicated iff its content
+    * appears anywhere else in the corpus (including elsewhere in the
+    * same document). Per doc: chunk count, duplicated count, share —
+    * the score a pipeline thresholds to drop or trim docs.
+    *
+    * Plan shape: chunks are a per-row expression (transform over a
+    * static index range, NO explode before hashing), so the exploded
+    * frame carries (doc_id, md5) only — 16 bytes of content per chunk
+    * regardless of chunk text. Corpus-wide occurrence counts are one
+    * groupBy on the chunk hash; the count joins back on the same key
+    * (co-partitioned with the aggregate — AQE plans the join off the
+    * shuffle already keyed by ck); per-doc stats are one more
+    * aggregate. Three exchanges total, all ∝ chunk count — the
+    * minimal shape for corpus-wide span statistics. The full 128-bit
+    * md5 is the join key: at 100 TB chunk counts pass 2^40, where a
+    * 60-bit key would birthday-collide. */
+  /** PUBLIC kernel: per-doc duplicated-span stats for any (doc_id,
+    * text) frame — docs shorter than `chunkLen` tokens have no full
+    * chunk and are absent from the output. */
+  def chunkDupStats(docs: DataFrame, chunkLen: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(chunkLen >= 1, s"chunkLen must be >= 1, got $chunkLen")
+    val chunkArr = expr(
+      s"""CASE WHEN size(t) >= $chunkLen THEN
+         |  transform(sequence(0, size(t) div $chunkLen - 1),
+         |    j -> md5(concat_ws(' ', slice(t, j * $chunkLen + 1, $chunkLen))))
+         |ELSE array() END""".stripMargin)
+    val chunks = docs
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(chunkArr).as("ck"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // occurrence counts + join reuse
+    val counts = chunks.groupBy(col("ck")).agg(count(lit(1)).as("cnt"))
+    chunks.join(counts, "ck")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        rnd(sum(when(col("cnt") >= 2, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("dup_share"))
+  }
+
+  def dedupChunk(spark: SparkSession, dir: String): DataFrame =
+    chunkDupStats(Tables.documents(spark, dir), ChunkLen)
+      .orderBy(col("doc_id"))
+
+  private val dedupChunkSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |ch AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(tk[j * $ChunkLen + 1 : j * $ChunkLen + $ChunkLen], ' ')) AS ck
+       |  FROM (SELECT doc_id, tk,
+       |          unnest(range(0, len(tk) // $ChunkLen)) AS j FROM t)),
+       |c AS (SELECT ck, count(*) AS cnt FROM ch GROUP BY ck)
+       |SELECT ch.doc_id,
+       |  cast(count(*) as bigint) AS n_chunks,
+       |  cast(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) as bigint) AS n_dup_chunks,
+       |  ${rndSql("cast(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) as double) / count(*)", 6)} AS dup_share
+       |FROM ch JOIN c USING (ck)
+       |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_chunk", dedupChunk _, Some(dedupChunkSql)),
     QueryDef("dedup_exact", dedupExact _, Some(dedupExactSql)),
     QueryDef("dedup_jaccard", dedupJaccard _, Some(dedupJaccardSql)),
     QueryDef("dedup_jaccard_ngram", dedupJaccardNgram _, Some(dedupJaccardNgramSql)),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.CrossEngine.{md5Long, md5LongSql, rnd, rndSql}
@@ -150,7 +150,129 @@ object Pipelines {
        |WHERE ${md5LongSql("'decon:' || cast(d.doc_id as varchar)")} % 20 <> 0
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- sequence packing
+  /** Tokens per fixed-length training sequence. */
+  private val SeqLen = 512
+
+  /** Sequence packing — the batch-prep pass that turns a curated
+    * corpus into fixed-length training sequences: documents are
+    * concatenated in doc_id order into a token stream, the stream is
+    * cut every [[SeqLen]] tokens, and each document is accounted to
+    * the sequence containing its first token. Output is the packing
+    * manifest (per sequence: docs, tokens, id span) a loader consumes.
+    *
+    * The global running token count is a two-level prefix sum — the
+    * same shape that ranks `mr_sort` (MrCore.scala): range-partition
+    * by doc_id, local prefix within each partition, then a
+    * 32-row partition-total table (the ONLY globally-ordered window)
+    * broadcast back as offsets. No single-partition window ever sees
+    * the corpus, so the plan holds at any scale: each partition's
+    * prefix is executor-local, and the offset table is one row per
+    * partition regardless of corpus size. */
+  /** PUBLIC kernel: packing manifest for any (doc_id, text) frame. */
+  def packManifest(docs: DataFrame, seqLen: Int, partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val pid = expr("shiftright(mid, 33)") // partition id in the upper bits
+    val sorted = docs
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long").as("toks"))
+      .repartitionByRange(partitions, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("mid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK) // offsets + prefix reuse one sort
+    // per-partition token totals -> exclusive offsets (`partitions` rows)
+    val offs = sorted
+      .groupBy(pid.as("pid"))
+      .agg(sum(col("toks")).as("ptoks"))
+      .withColumn("off", coalesce(sum(col("ptoks")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("pid"), col("off"))
+    // local prefix: per-partition window keyed by the partition id —
+    // each window group IS one range partition, so group size =
+    // corpus/partitions by construction (tune partitions at scale)
+    val localBefore = Window.partitionBy(col("pid")).orderBy(col("mid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sorted
+      .withColumn("pid", pid)
+      .withColumn("lb", coalesce(sum(col("toks")).over(localBefore), lit(0L)))
+      .join(broadcast(offs), "pid")
+      .withColumn("seq_id", expr(s"(off + lb) div $seqLen"))
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packManifest(Tables.documents(spark, dir), SeqLen)
+      .orderBy(col("seq_id"))
+
+  private val packSequencesSql =
+    s"""WITH t AS (SELECT doc_id, cast(len($toksSql) as bigint) AS toks FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |    coalesce(sum(toks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM t)
+       |SELECT cast(cb // $SeqLen as bigint) AS seq_id,
+       |  cast(count(*) as bigint) AS n_docs,
+       |  cast(sum(toks) as bigint) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
+  // ---------------------------------------------------------------- mixture sampling
+  /** Deterministic weighted mixture sampling — the corpus-mixing pass
+    * that up/down-weights sources before training (e.g. books at 1.0,
+    * low-quality web at 0.1). Each source gets a rate from its index
+    * (a stand-in for a per-source config table); a document is kept
+    * iff a salted md5 of its id falls under the rate. Keep/drop is a
+    * pure per-row projection — ZERO shuffles at any corpus size, no
+    * RNG state, reproducible across runs and engines, and stable
+    * under corpus growth (a doc's fate never depends on other rows).
+    * Basis points (integer) rather than a double rate keep the
+    * comparison exact cross-engine. */
+  /** PUBLIC kernel: keep each row iff a salted md5 of its doc_id
+    * falls under `bp` basis points (of 10000). `bp` may be any
+    * integer expression — a literal rate, a per-source config-table
+    * lookup, or a quality score bucket. */
+  def sampleWeighted(docs: DataFrame, bp: Column, salt: String): DataFrame =
+    docs
+      .withColumn("bp", bp)
+      .filter(pmod(md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))),
+        lit(10000)) < col("bp"))
+
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val idx = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    val bp = when(pmod(idx, lit(4)) === 0, 10000)
+      .when(pmod(idx, lit(4)) === 1, 5000)
+      .when(pmod(idx, lit(4)) === 2, 2500)
+      .otherwise(1000)
+    sampleWeighted(Tables.documents(spark, dir), bp, "mix")
+      .select(col("doc_id"), col("source"),
+        (col("bp").cast("double") / 10000.0).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mixtureSampleSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, source,
+       |    CASE cast(regexp_extract(source, '([0-9]+)$$', 1) as int) % 4
+       |      WHEN 0 THEN 10000 WHEN 1 THEN 5000 WHEN 2 THEN 2500
+       |      ELSE 1000 END AS bp
+       |  FROM documents)
+       |SELECT doc_id, source, cast(bp as double) / 10000.0 AS weight
+       |FROM w
+       |WHERE ${md5LongSql("'mix:' || cast(doc_id as varchar)")} % 10000 < bp
+       |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pipeline_training_data", trainingData _, Some(trainingDataSql)),
-    QueryDef("pipeline_decontaminate", decontaminate _, Some(decontaminateSql)))
+    QueryDef("pipeline_decontaminate", decontaminate _, Some(decontaminateSql)),
+    QueryDef("pipeline_pack_sequences", packSequences _, Some(packSequencesSql)),
+    QueryDef("pipeline_mixture_sample", mixtureSample _, Some(mixtureSampleSql)))
 }

@@ -383,8 +383,90 @@ object TextAnalysis {
       .select(col("e.token").as("token"), col("e.min_count").as("min_count"))
       .orderBy(col("min_count").desc, col("token"))
 
+  // ---------------------------------------------------------------- bm25
+  /** BM25 retrieval scoring of the corpus against a fixed query term
+    * set — the standard relevance ranker for corpus search and
+    * quality-targeted subcorpus selection (e.g. "most on-topic docs
+    * for a domain probe"). k1/b are the textbook defaults.
+    *
+    * Cross-engine: idf is the LINEAR Robertson form
+    * (N - df + 0.5)/(df + 0.5) WITHOUT the ln wrapper — same
+    * rationale as tfidf's linear idf: ln differs in the last ULP
+    * between libm implementations, while this variant is built only
+    * from integer-derived values and correctly-rounded ops
+    * (bit-identical both engines; per-term monotone in df, so term
+    * discrimination is preserved). dl/avgdl is computed as
+    * dl*N/sum(dl) — integer products, one division.
+    *
+    * Plan shape: per-term tf and dl are per-row array expressions
+    * (NO explode — the query set is tiny and fixed, so tf_t is
+    * `size(filter(t, = term))`); corpus stats (N, Σdl, df_t) are one
+    * 1-row aggregate broadcast back; the ranking is a global top-100
+    * (TakeOrdered — k rows per partition cross the wire, never the
+    * corpus). At 100 TB: one scan + one 1-row aggregate + top-k. */
+  private val Bm25Terms = Seq("spark", "query", "join")
+  private val Bm25K1 = "1.2"
+  private val Bm25B = "0.75"
+  private val Bm25K1p1 = "2.2"
+
+  /** One query term's BM25 contribution — a single SQL string parsed
+    * by BOTH engines (Spark `expr`, DuckDB verbatim), so the
+    * arithmetic is structurally identical by construction. */
+  private def bm25TermSql(q: String): String =
+    s"""((cast(n as double) - df_$q + 0.5) / (cast(df_$q as double) + 0.5))
+       | * (cast(tf_$q as double) * $Bm25K1p1)
+       | / (tf_$q + $Bm25K1 * (1 - $Bm25B + $Bm25B * (dl * n / sdl)))"""
+      .stripMargin.replace("\n", " ")
+
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .select(col("doc_id") +: size(col("t")).cast("long").as("dl") +:
+        Bm25Terms.map(q =>
+          size(filter(col("t"), x => x === q)).cast("long").as(s"tf_$q")): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).as("sdl") +: Bm25Terms.map(q =>
+        sum(when(col(s"tf_$q") > 0, 1L).otherwise(0L)).as(s"df_$q"))): _*)
+    // every subexpression is forced to DOUBLE before any fractional
+    // literal touches it: a bare `0.5`/`2.2` is a DECIMAL literal on
+    // BOTH engines, and their decimal promotion/scale rules differ —
+    // the one NON-double-correctly-rounded path, and it showed up as
+    // last-ULP score drift in the 6th decimal
+    val score = Bm25Terms.map(q => expr(bm25TermSql(q))).reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select((Seq(col("doc_id"), col("dl")) ++
+        Bm25Terms.map(q => col(s"tf_$q")) :+ rnd(score, 6).as("bm25")): _*)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  private val textBm25Sql = {
+    val tfs = Bm25Terms.map(q =>
+      s"cast(len(list_filter($toksSql, x -> x = '$q')) as bigint) AS tf_$q")
+      .mkString(",\n       |    ")
+    val dfs = Bm25Terms.map(q =>
+      s"cast(sum(CASE WHEN tf_$q > 0 THEN 1 ELSE 0 END) as bigint) AS df_$q")
+      .mkString(", ")
+    val score = Bm25Terms.map(q => s"(${bm25TermSql(q)})").mkString(" + ")
+    s"""WITH perdoc AS (
+       |  SELECT doc_id, cast(len($toksSql) as bigint) AS dl,
+       |    $tfs
+       |  FROM documents),
+       |stats AS (
+       |  SELECT cast(count(*) as bigint) AS n, cast(sum(dl) as bigint) AS sdl,
+       |    $dfs
+       |  FROM perdoc)
+       |SELECT doc_id, dl, ${Bm25Terms.map(q => s"tf_$q").mkString(", ")},
+       |  ${rndSql(score, 6)} AS bm25
+       |FROM perdoc CROSS JOIN stats
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT 100""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mg_topk", mgTopkHeavyHitters _, None),
+    QueryDef("text_bm25", textBm25 _, Some(textBm25Sql)),
     QueryDef("text_stats", textStats _, Some(textStatsSql)),
     QueryDef("text_tfidf", textTfidf _, Some(textTfidfSql)),
     QueryDef("text_tokens_bpe", textTokensBpe _, Some(textTokensBpeSql)),

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Pipelines, TextAnalysis}
+
+/** Kernel-level specs for the round-6 pipeline operators: sequence
+  * packing, weighted mixture sampling, chunk-level dup-span stats,
+  * BM25. The registered queries are oracle-checked against DuckDB by
+  * Verify; these cover the PUBLIC kernels on planted inputs where the
+  * expected output is computable by hand, plus the invariants the
+  * oracle can't express (layout independence, subset stability).
+  */
+class PipelinesSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("packManifest: hand-computed manifest on a planted corpus") {
+    // token counts: 4, 3, 5, 2, 6 — with seqLen 8 the running stream
+    // cuts at 8 and 16: cum_before = 0,4,7,12,14 -> seq 0,0,0,1,1
+    val docs = docsDf(Seq(
+      1L -> "a b c d", 2L -> "e f g", 3L -> "h i j k l",
+      4L -> "m n", 5L -> "o p q r s t"))
+    val got = Pipelines.packManifest(docs, seqLen = 8)
+      .orderBy("seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 12L, 1L, 3L),  // docs 1-3: 4+3+5 tokens, doc 3 starts at 7 < 8
+      (1L, 2L, 8L, 4L, 5L)))  // docs 4-5 start at 12, 14 -> sequence 1
+  }
+
+  test("packManifest: partition-count invariance (two-level prefix sum is layout-free)") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val a = Pipelines.packManifest(docs, 512, partitions = 32)
+      .orderBy("seq_id").collect().toSeq
+    val b = Pipelines.packManifest(docs, 512, partitions = 5)
+      .orderBy("seq_id").collect().toSeq
+    assert(a == b, "manifest must not depend on the physical partition count")
+  }
+
+  test("packManifest: invariants at sf0.001 — contiguous ids, token conservation, ordered spans") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val m = Pipelines.packManifest(docs, 512).orderBy("seq_id").collect()
+    val totalToks = docs
+      .agg(sum(size(filter(split(col("text"), "\\s+"), x => x =!= ""))))
+      .head.getLong(0)
+    assert(m.map(_.getLong(0)).toSeq == (0L until m.length).toSeq,
+      "seq_ids must be contiguous from 0")
+    assert(m.map(_.getLong(2)).sum == totalToks,
+      "every corpus token must be accounted to exactly one sequence")
+    // doc spans are ordered and non-overlapping across sequences
+    m.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0).getLong(4) < w(1).getLong(3),
+          "sequence doc spans must be disjoint and increasing")
+    }
+    m.foreach(r => assert(r.getLong(3) <= r.getLong(4)))
+  }
+
+  test("sampleWeighted: deterministic, subset-stable, rate-plausible") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+    val kept = Pipelines.sampleWeighted(docs, lit(5000), "spec")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // determinism: same salt, same corpus -> same membership
+    val again = Pipelines.sampleWeighted(docs, lit(5000), "spec")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == again)
+    // subset stability: sampling a filtered corpus = intersection —
+    // a row's fate never depends on other rows (the property that
+    // makes the sample reproducible as the corpus grows)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val keptHalf = Pipelines.sampleWeighted(half, lit(5000), "spec")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptHalf == kept.filter(_ % 2 == 0))
+    // ~50% +- wide tolerance (n=50 at sf0.001)
+    val n = docs.count().toDouble
+    assert(kept.size > n * 0.25 && kept.size < n * 0.75,
+      s"5000bp sample kept ${kept.size} of $n")
+    // different salt -> different (independent) membership
+    val other = Pipelines.sampleWeighted(docs, lit(5000), "other-salt")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != kept)
+  }
+
+  test("chunkDupStats: planted spans — cross-doc copy, self-repetition, clean doc") {
+    val span = (1 to 8).map(i => s"w$i").mkString(" ") // one full chunk
+    val docs = docsDf(Seq(
+      // doc 1: span + unique tail chunk; doc 2 copies the span at a
+      // chunk-aligned position -> both flag 1 of 2 chunks
+      1L -> (span + " " + (1 to 8).map(i => s"u$i").mkString(" ")),
+      2L -> (span + " " + (1 to 8).map(i => s"v$i").mkString(" ")),
+      // doc 3 repeats ITS OWN chunk twice -> self-duplication counts
+      3L -> (Seq.fill(2)((1 to 8).map(i => s"s$i").mkString(" ")).mkString(" ")),
+      // doc 4: all-unique tokens -> zero dup chunks
+      4L -> (1 to 16).map(i => s"q$i").mkString(" "),
+      // doc 5: shorter than one chunk -> absent from the output
+      5L -> "tiny doc"))
+    val got = Dedup.chunkDupStats(docs, chunkLen = 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 2L), (4L, 2L, 0L)))
+  }
+
+  test("text_bm25: scores descend, are positive for term-bearing docs, tf columns honest") {
+    val out = TextAnalysis.textBm25(spark, sf).collect()
+    assert(out.nonEmpty)
+    val scores = out.map(_.getDouble(out.head.fieldIndex("bm25")))
+    assert(scores.sameElements(scores.sortBy(-_)), "output must be rank-ordered")
+    // spot-check one row's tf against a hand count
+    val row = out.head
+    val text = Tables.documents(spark, sf)
+      .filter(col("doc_id") === row.getLong(0)).head.getAs[String]("text")
+    val handTf = text.split("\\s+").count(_ == "spark").toLong
+    assert(row.getAs[Long]("tf_spark") == handTf)
+  }
+}

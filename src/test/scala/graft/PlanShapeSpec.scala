@@ -105,7 +105,8 @@ class PlanShapeSpec extends SparkSpec {
     "ann_bruteforce", "ann_bruteforce_agg", "ann_ivf", "ann_ivf_trained", "ann_kmeans",
     "ann_lsh",                            // broadcast query/centroid/hyperplane sets
     "mr_pagerank",                        // broadcast single-row node count
-    "text_tfidf")                         // broadcast single-row corpus size N
+    "text_tfidf",                         // broadcast single-row corpus size N
+    "text_bm25")                          // broadcast single-row (N, Σdl, df) stats
 
   test("AQE splits a skewed join partition at runtime (the no-salt skew path)") {
     val s = spark
