@@ -37,6 +37,7 @@ object Bench {
     "ann_bruteforce",       // broadcast query set scan
     "ann_bruteforce_agg",   // bounded TopKAggregator form of the same (round 5)
     "ann_ivf",              // clustered probe
+    "ann_pq",               // product-quantized ADC scan (round 6)
     "ann_ivf_trained",      // kmeans-trained IVF end-to-end (round 2)
     "ann_kmeans",           // iterative centroid training (5 Lloyd rounds)
     "mr_pagerank",          // iterative graph scatter/gather

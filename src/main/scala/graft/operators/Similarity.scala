@@ -639,8 +639,177 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- product quantization
+  /** PQ geometry: 64-dim vectors cut into [[PqM]] subspaces of
+    * [[PqSubDim]] dims, each coded against a [[PqK]]-entry codebook —
+    * one BYTE-SCALE code per subspace instead of 16 floats (64×
+    * compression). This is the memory story that makes 100 TB ANN
+    * fit: the scored corpus is codes, not vectors. */
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 16
+
+  /** Driver-side PQ codebook: cb(m)(c) = subspace-m sub-vector of the
+    * c-th lowest-id corpus vector (deterministic init codebook — the
+    * oracle-checkable configuration; per-subspace kmeans training is
+    * orthogonal: hand [[kmeansTrain]] the sub-vector frame and pass
+    * its centroids here, as the recall spec does). M×K×subdim doubles
+    * — a few KB at any corpus scale, like [[collectCentroids]]. */
+  def pqCodebook(e: DataFrame, m: Int = PqM, subDim: Int = PqSubDim,
+      k: Int = PqK): Seq[Seq[Seq[Double]]] = {
+    val rows = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("c_id"), col("v").as("cv"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    (0 until m).map(sub =>
+      rows.toSeq.map(_._2.slice(sub * subDim, sub * subDim + subDim)))
+  }
+
+  /** Subspace code: argmin over the codebook of squared L2 distance
+    * to `sub`, ties to the LOWEST code — the same seeded strict-
+    * comparison fold as [[nearestCentroid]] (equivalent to
+    * `row_number() OVER (ORDER BY dist2, c)` = 1), a pure per-row
+    * projection with zero exchanges. No NaN/null guards needed: the
+    * distance is a sum of squares, never a division. */
+  def pqCode(cb: Seq[Seq[Double]], sub: Column): Column = {
+    def d2(cv: Column): Column =
+      aggregate(zip_with(cv, sub, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    val seed = struct(lit(0).as("c"), d2(typedLit(cb.head)).as("d"))
+    val arr = array(cb.zipWithIndex.tail.map { case (cv, i) =>
+      struct(lit(i).as("c"), typedLit(cv).as("cv"))
+    }: _*)
+    aggregate(arr, seed, (acc, e) => {
+      val sd = d2(e.getField("cv"))
+      when(sd < acc.getField("d"),
+        struct(e.getField("c").as("c"), sd.as("d"))).otherwise(acc)
+    }).getField("c")
+  }
+
+  /** The stored form at scale: one code per subspace. Geometry
+    * (subspace count, widths) derives from the codebook's own shape,
+    * so trained or non-default-dim codebooks Just Work. */
+  def pqCodes(cb: Seq[Seq[Seq[Double]]], v: Column): Column = {
+    // an empty codebook only arises from an EMPTY corpus (it is
+    // always collected from one), so the projection never evaluates;
+    // a typed null keeps the plan buildable (EmptyInputSpec)
+    if (cb.exists(_.isEmpty)) return lit(null).cast("array<int>")
+    val widths = cb.map(_.head.length)
+    val starts = widths.scanLeft(0)(_ + _)
+    array(cb.indices.map(m =>
+      pqCode(cb(m), slice(v, starts(m) + 1, widths(m)))): _*)
+  }
+
+  /** Decoded approximation x̂: per-subspace codebook lookup,
+    * concatenated in subspace order. Scoring dot(q, x̂) is exactly
+    * asymmetric-distance (ADC) PQ search — the query stays
+    * unquantized. */
+  def pqReconstruct(cb: Seq[Seq[Seq[Double]]], v: Column): Column = {
+    if (cb.exists(_.isEmpty)) return lit(null).cast("array<double>") // see pqCodes
+    val widths = cb.map(_.head.length)
+    val starts = widths.scanLeft(0)(_ + _)
+    flatten(array(cb.indices.map { m =>
+      element_at(typedLit(cb(m)),
+        pqCode(cb(m), slice(v, starts(m) + 1, widths(m))) + 1)
+    }: _*))
+  }
+
+  /** PQ search as production systems actually run it: the ADC scan
+    * over reconstructed codes produces a SHORTLIST of `rerank × k`
+    * candidates per query, then only the shortlist's raw vectors are
+    * fetched (the equi-join on vec_id — at scale a point lookup into
+    * the vector store, ~rerank·k·|q| rows, never the corpus) and
+    * re-ranked by exact cosine. Quantization coarseness then costs
+    * recall only when a true neighbor falls OUT of the shortlist, not
+    * when ADC merely scrambles the order within it — the standard
+    * IVF-PQ quality/memory trade (Jégou et al.'s ADC + re-ranking).
+    * `vecs` needs (vec_id, v, nrm); `qs` needs (q_id, qv, qn). */
+  def pqTopKRerank(vecs: DataFrame, qs: DataFrame, cb: Seq[Seq[Seq[Double]]],
+      k: Int, rerank: Int): DataFrame = {
+    val enc = vecs
+      .select(col("vec_id"), pqReconstruct(cb, col("v")).as("rv"))
+      .withColumn("rn", VectorFunctions.norm(col("rv")))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = enc.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .withColumn("adc", try_divide(dot(col("qv"), col("rv")), col("qn") * col("rn")))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= k * rerank)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
+    val wExact = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .join(vecs.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        rnd(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** PQ top-k: brute-force ADC scan over the RECONSTRUCTED corpus —
+    * same plan as `ann_bruteforce` (broadcast query set, per-query
+    * window over corpus rows), but the corpus side is codes + a
+    * codebook literal, never raw vectors. Encode is a per-row
+    * projection (zero exchanges on any layout); the only shuffle is
+    * the per-query top-k. At 100 TB this is the scan you actually
+    * run when the raw vectors don't fit: 4 bytes/vector in flight
+    * instead of 256. Composes with IVF for sublinear probes. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cb = pqCodebook(e)
+    val enc = e
+      .select(col("vec_id"), pqReconstruct(cb, col("v")).as("rv"))
+      .withColumn("rn", VectorFunctions.norm(col("rv")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    enc.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("rv")) / (col("qn") * col("rn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        rnd(col("cos"), 6).as("cos_pq"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val annPqSql = {
+    val d2 = "list_reduce(list_transform(" +
+      s"list_slice(e.v, cb.m * $PqSubDim + 1, cb.m * $PqSubDim + $PqSubDim), " +
+      "(x, i) -> (x - cb.cv[i]) * (x - cb.cv[i])), (a, b) -> a + b)"
+    s"""WITH e AS ($vecsSql),
+       |cb AS (
+       |  SELECT t.m, e.vec_id AS c,
+       |    list_slice(e.v, t.m * $PqSubDim + 1, t.m * $PqSubDim + $PqSubDim) AS cv
+       |  FROM e, range(0, $PqM) t(m) WHERE e.vec_id < $PqK),
+       |codes AS (
+       |  SELECT vec_id, m, c FROM (
+       |    SELECT e.vec_id, cb.m, cb.c,
+       |      row_number() OVER (PARTITION BY e.vec_id, cb.m
+       |        ORDER BY $d2, cb.c) AS rn
+       |    FROM e CROSS JOIN cb)
+       |  WHERE rn = 1),
+       |recon AS (
+       |  SELECT codes.vec_id, flatten(list(cb.cv ORDER BY cb.m)) AS rv
+       |  FROM codes JOIN cb ON codes.m = cb.m AND codes.c = cb.c
+       |  GROUP BY codes.vec_id),
+       |r AS (SELECT vec_id, rv, ${sqlNrm("rv")} AS rn FROM recon),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.q_id, r.vec_id,
+       |    ${sqlDot("q.qv", "r.rv")} / (q.qn * r.rn) AS cos
+       |  FROM r CROSS JOIN q WHERE r.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) as int) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id AS neighbor_id, rank, ${rndSql("cos", 6)} AS cos_pq
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ann_pq", annPq _, Some(annPqSql)),
     QueryDef("ann_bruteforce", annBruteforce _, Some(annBruteforceSql)),
     QueryDef("ann_bruteforce_agg", annBruteforceAgg _,
       Some(annBruteforceSql)), // same oracle: bounded-agg == window form

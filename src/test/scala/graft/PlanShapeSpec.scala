@@ -103,6 +103,7 @@ class PlanShapeSpec extends SparkSpec {
   private val allowedNestedLoop = Set(
     "q_range_join",                       // 5-row literal bucket table
     "ann_bruteforce", "ann_bruteforce_agg", "ann_ivf", "ann_ivf_trained", "ann_kmeans",
+    "ann_pq",                             // broadcast query set, codes-only corpus side
     "ann_lsh",                            // broadcast query/centroid/hyperplane sets
     "mr_pagerank",                        // broadcast single-row node count
     "text_tfidf",                         // broadcast single-row corpus size N

@@ -147,6 +147,75 @@ class SimilarityRecallSpec extends SparkSpec {
       "probing the materialized index must reproduce ivfTopK exactly")
   }
 
+  test("PQ recall@10 vs brute force: trained codebook beats init, codes round-trip") {
+    val s = spark
+    import s.implicits._
+    val vecs = corpus.toDF("vec_id", "v")
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+      .persist()
+    val truth = Similarity.cosineTopKExact(
+        corpus.toDF("vec_id", "v"), queries.toDF("q_id", "qv"), K)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val M = 4
+    val subDim = Dim / M
+    def recallOf(cb: Seq[Seq[Seq[Double]]]): Double = {
+      val recon = vecs.select(col("vec_id"),
+        Similarity.pqReconstruct(cb, col("v")).as("v"))
+      val got = Similarity.cosineTopKExact(recon, queries.toDF("q_id", "qv"), K)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+
+    // init codebook: sub-vectors of the 16 lowest-id corpus vectors
+    val init = Similarity.pqCodebook(vecs, m = M, subDim = subDim, k = 16)
+    // trained codebook: per-subspace Lloyd on the sub-vector frame —
+    // the production path, reusing the SAME public trainer as IVF
+    val trained = (0 until M).map { m =>
+      val sub = vecs.select(col("vec_id"),
+        slice(col("v"), m * subDim + 1, subDim).as("v"))
+        .withColumn("nrm", VectorFunctions.norm(col("v")))
+      val (cent, _) = Similarity.kmeansTrain(sub, 16, iters = 2)
+      Similarity.collectCentroids(cent).map(_._2)
+    }
+    val rInit = recallOf(init)
+    val rTrained = recallOf(trained)
+    val qs = queries.toDF("q_id", "qv")
+      .withColumn("qn", VectorFunctions.norm(col("qv")))
+    def rerankRecall(cb: Seq[Seq[Seq[Double]]], rerank: Int): Double = {
+      val got = Similarity.pqTopKRerank(vecs, qs, cb, K, rerank)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val rr4 = rerankRecall(trained, 4)
+    val rr8 = rerankRecall(trained, 8)
+    info(f"PQ recall@$K: raw ADC init $rInit%.3f / trained $rTrained%.3f; " +
+      f"shortlist+exact-rerank ×4 $rr4%.3f, ×8 $rr8%.3f " +
+      f"(codes: $M bytes/vector vs ${Dim * 8})")
+    assert(rInit < 1.0, "corpus must stress the quantizer")
+    assert(rTrained >= rInit - 0.05,
+      "training the codebook must not lose recall vs the init codebook")
+    // raw ADC order is allowed to be coarse; the production pipeline
+    // (shortlist + exact re-rank) must recover the true neighbors
+    assert(rr4 > rTrained, "re-ranking must beat raw ADC order")
+    assert(rr8 >= 0.9, s"rerank ×8 recall floor: got $rr8")
+    assert(rr8 >= rr4, "recall must be monotone in the shortlist factor")
+
+    // codes are the stored form: reconstruct == codebook lookup of codes
+    val roundTrip = vecs.select(
+        Similarity.pqReconstruct(trained, col("v")).as("direct"),
+        transform(Similarity.pqCodes(trained, col("v")),
+          (c, m) => element_at(element_at(typedLit(trained), m + 1), c + 1))
+          .as("viaCodes"))
+      .filter(not(expr("direct = flatten(viaCodes)")))
+    assert(roundTrip.count() == 0,
+      "pqReconstruct must equal decoding pqCodes against the codebook")
+    vecs.unpersist()
+  }
+
   test("multi-table LSH recall on planted near-duplicates above 0.9; banding beats one band") {
     val s = spark
     import s.implicits._
