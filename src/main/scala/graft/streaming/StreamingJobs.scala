@@ -224,4 +224,16 @@ object StreamingJobs {
     graft.operators.Pipelines.fivegrams(docs)
       .join(broadcast(evalNgrams), col("s") === col("es"))
       .select(col("doc_id"), col("s").as("ngram"), col("eval_doc"))
+
+  /** Ingest-time weighted mixture sampling — the batch
+    * [[graft.operators.Pipelines.sampleWeighted]] rule applied at the
+    * stream head (one shared definition, like the 5-grams above). The
+    * keep/drop decision is a salted-hash projection of the row's own
+    * id: NO state, NO watermark, append-legal, and membership is
+    * identical to the batch pass — so a historical backfill and the
+    * live stream select the same corpus, the property that makes
+    * mid-stream re-weighting auditable. */
+  def mixtureSampleStream(docs: DataFrame,
+      bp: org.apache.spark.sql.Column, salt: String): DataFrame =
+    graft.operators.Pipelines.sampleWeighted(docs, bp, salt)
 }

@@ -314,6 +314,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "ingest-time flags must equal the batch run")
   }
 
+  test("stream mixture sampling: streamed membership equals the batch pass") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 400L).map(i => (i, s"src${i % 7}"))
+      .toDF("doc_id", "source")
+    val batch = graft.operators.Pipelines
+      .sampleWeighted(docs, lit(5000), "mixspec")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch.nonEmpty && batch.size < 400, s"got ${batch.size} of 400")
+
+    val tmp = java.nio.file.Files.createTempDirectory("mix-in").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val src = s.readStream.schema(docs.schema).parquet(tmp)
+    val q = StreamingJobs.mixtureSampleStream(src, lit(5000), "mixspec")
+      .writeStream.format("memory").queryName("mix_out")
+      .outputMode("append") // stateless projection: append-legal
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select doc_id from mix_out").collect()
+      .map(_.getLong(0)).toSet
+    assert(streamed == batch,
+      "ingest-time sample membership must equal the batch pass")
+  }
+
   test("restart from checkpoint: replayed input is not duplicated, new input is not lost") {
     // The Spark equivalence of the reference coordinator's
     // failure-retry loop (mr/src/coordinator.rs:108-135 re-issues
