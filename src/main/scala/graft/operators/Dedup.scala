@@ -882,8 +882,16 @@ object Dedup {
     * 60-bit key would birthday-collide. */
   /** PUBLIC kernel: per-doc duplicated-span stats for any (doc_id,
     * text) frame — docs shorter than `chunkLen` tokens have no full
-    * chunk and are absent from the output. */
-  def chunkDupStats(docs: DataFrame, chunkLen: Int): DataFrame = {
+    * chunk and are absent from the output.
+    *
+    * `cache` persists the exploded chunk frame so the occurrence
+    * count and the join probe share one tokenize+hash pass — right
+    * for one-shot use, but the entry lives until the session ends;
+    * long-lived per-batch callers should pass `cache = false`
+    * (chunking then runs twice, deterministically — see the
+    * decodeSplit release-handle precedent). */
+  def chunkDupStats(docs: DataFrame, chunkLen: Int,
+      cache: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(chunkLen >= 1, s"chunkLen must be >= 1, got $chunkLen")
     val chunkArr = expr(
@@ -891,10 +899,11 @@ object Dedup {
          |  transform(sequence(0, size(t) div $chunkLen - 1),
          |    j -> md5(concat_ws(' ', slice(t, j * $chunkLen + 1, $chunkLen))))
          |ELSE array() END""".stripMargin)
-    val chunks = docs
+    val chunks0 = docs
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), explode(chunkArr).as("ck"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // occurrence counts + join reuse
+    val chunks = // occurrence counts + join probe reuse one pass
+      if (cache) chunks0.persist(StorageLevel.MEMORY_AND_DISK) else chunks0
     val counts = chunks.groupBy(col("ck")).agg(count(lit(1)).as("cnt"))
     chunks.join(counts, "ck")
       .groupBy(col("doc_id"))

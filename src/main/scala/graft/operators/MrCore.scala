@@ -92,25 +92,17 @@ object MrCore {
     * table is globally ordered. */
   def mrSort(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val localIdx = expr("mid & 8589934591") // lower 33 bits
-    val pid = expr("shiftright(mid, 33)")
     val sorted = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("value"))
       .repartitionByRange(32, col("value").desc, col("event_id"))
       .sortWithinPartitions(col("value").desc, col("event_id"))
       .withColumn("mid", monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK) // offsets + rank reuse one sort
-    val offs = sorted
-      .groupBy(pid.as("pid"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("off", coalesce(sum(col("cnt")).over(
-        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("pid"), col("off"))
+    val offs = PrefixSum.partitionOffsets(sorted, lit(1L)) // Σ1 = row count
     sorted
-      .withColumn("pid", pid)
+      .withColumn("pid", PrefixSum.pid)
       .join(broadcast(offs), "pid")
-      .withColumn("rank", (col("off") + localIdx + 1).cast("int"))
+      .withColumn("rank", (col("off") + PrefixSum.localIdx + 1).cast("int"))
       .select(col("event_id"), col("user_id"), col("value"), col("rank"))
       .orderBy(col("rank"))
   }

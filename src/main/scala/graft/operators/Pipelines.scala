@@ -169,34 +169,43 @@ object Pipelines {
     * the corpus, so the plan holds at any scale: each partition's
     * prefix is executor-local, and the offset table is one row per
     * partition regardless of corpus size. */
-  /** PUBLIC kernel: packing manifest for any (doc_id, text) frame. */
-  def packManifest(docs: DataFrame, seqLen: Int, partitions: Int = 32): DataFrame = {
+  /** PUBLIC kernel: packing manifest for any (doc_id, text) frame.
+    * A manifest row exists for every sequence where some document
+    * STARTS: a document longer than `seqLen` spans the following
+    * sequence ids without emitting rows for them (the loader derives
+    * spanned sequences from the previous row's n_tokens), so seq_ids
+    * are contiguous exactly when every doc is shorter than `seqLen` —
+    * the normal case after length-capped curation.
+    *
+    * `cache` persists the sorted frame so the offsets pass and the
+    * prefix pass share one sort — the right call for one-shot use,
+    * but the entry lives until the session ends, so long-lived
+    * per-batch callers should pass `cache = false` (the sort then
+    * runs twice; both passes are deterministic, so the results are
+    * identical — see the decodeSplit release-handle precedent). */
+  def packManifest(docs: DataFrame, seqLen: Int, partitions: Int = 32,
+      cache: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
-    val pid = expr("shiftright(mid, 33)") // partition id in the upper bits
-    val sorted = docs
+    val sorted0 = docs
       .select(col("doc_id"),
         size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long").as("toks"))
       .repartitionByRange(partitions, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .withColumn("mid", monotonically_increasing_id())
-      .persist(StorageLevel.MEMORY_AND_DISK) // offsets + prefix reuse one sort
-    // per-partition token totals -> exclusive offsets (`partitions` rows)
-    val offs = sorted
-      .groupBy(pid.as("pid"))
-      .agg(sum(col("toks")).as("ptoks"))
-      .withColumn("off", coalesce(sum(col("ptoks")).over(
-        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("pid"), col("off"))
+    val sorted =
+      if (cache) sorted0.persist(StorageLevel.MEMORY_AND_DISK) else sorted0
+    // per-partition token totals -> exclusive offsets (`partitions`
+    // rows) — the shared mr_sort scaffolding (PrefixSum)
+    val offs = PrefixSum.partitionOffsets(sorted, col("toks"))
     // local prefix: per-partition window keyed by the partition id —
     // each window group IS one range partition, so group size =
     // corpus/partitions by construction (tune partitions at scale)
     val localBefore = Window.partitionBy(col("pid")).orderBy(col("mid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     sorted
-      .withColumn("pid", pid)
+      .withColumn("pid", PrefixSum.pid)
       .withColumn("lb", coalesce(sum(col("toks")).over(localBefore), lit(0L)))
       .join(broadcast(offs), "pid")
       .withColumn("seq_id", expr(s"(off + lb) div $seqLen"))
@@ -239,29 +248,33 @@ object Pipelines {
   /** PUBLIC kernel: keep each row iff a salted md5 of its doc_id
     * falls under `bp` basis points (of 10000). `bp` may be any
     * integer expression — a literal rate, a per-source config-table
-    * lookup, or a quality score bucket. */
+    * lookup, or a quality score bucket. The output schema is the
+    * input schema: the rate is evaluated inside the predicate, never
+    * materialized as a column (a caller's own `bp` column survives). */
   def sampleWeighted(docs: DataFrame, bp: Column, salt: String): DataFrame =
-    docs
-      .withColumn("bp", bp)
-      .filter(pmod(md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))),
-        lit(10000)) < col("bp"))
+    docs.filter(
+      pmod(md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))),
+        lit(10000)) < bp)
 
   def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
-    val idx = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    // try_cast: a source without trailing digits must fall through to
+    // the otherwise-rate, not raise CAST_INVALID_INPUT under ANSI —
+    // the synthetic srcN names always match, real source names won't
+    val idx = expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) as int)")
     val bp = when(pmod(idx, lit(4)) === 0, 10000)
       .when(pmod(idx, lit(4)) === 1, 5000)
       .when(pmod(idx, lit(4)) === 2, 2500)
       .otherwise(1000)
     sampleWeighted(Tables.documents(spark, dir), bp, "mix")
       .select(col("doc_id"), col("source"),
-        (col("bp").cast("double") / 10000.0).as("weight"))
+        (bp.cast("double") / 10000.0).as("weight"))
       .orderBy(col("doc_id"))
   }
 
   private val mixtureSampleSql =
     s"""WITH w AS (
        |  SELECT doc_id, source,
-       |    CASE cast(regexp_extract(source, '([0-9]+)$$', 1) as int) % 4
+       |    CASE try_cast(regexp_extract(source, '([0-9]+)$$', 1) as int) % 4
        |      WHEN 0 THEN 10000 WHEN 1 THEN 5000 WHEN 2 THEN 2500
        |      ELSE 1000 END AS bp
        |  FROM documents)

@@ -671,6 +671,13 @@ object Similarity {
     * projection with zero exchanges. No NaN/null guards needed: the
     * distance is a sum of squares, never a division. */
   def pqCode(cb: Seq[Seq[Double]], sub: Column): Column = {
+    // degenerate codebooks must keep the plan buildable: empty (only
+    // from an empty corpus — see pqCodes) -> typed null; one entry
+    // (a collapsed trained subspace: empty clusters drop out of the
+    // Lloyd update) -> code 0 without the fold (an empty struct
+    // array would fail analysis on getField). Mirrors nearestCentroid.
+    if (cb.isEmpty) return lit(null).cast("int")
+    if (cb.sizeIs == 1) return lit(0)
     def d2(cv: Column): Column =
       aggregate(zip_with(cv, sub, (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x)

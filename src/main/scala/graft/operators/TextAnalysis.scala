@@ -413,17 +413,25 @@ object TextAnalysis {
     * by BOTH engines (Spark `expr`, DuckDB verbatim), so the
     * arithmetic is structurally identical by construction. */
   private def bm25TermSql(q: String): String =
+    // nullif: a corpus whose every doc tokenizes to zero tokens has
+    // sdl = 0, and 0/0 raises DIVIDE_BY_ZERO under ANSI — null scores
+    // (propagated identically by both engines) are the honest answer
     s"""((cast(n as double) - df_$q + 0.5) / (cast(df_$q as double) + 0.5))
        | * (cast(tf_$q as double) * $Bm25K1p1)
-       | / (tf_$q + $Bm25K1 * (1 - $Bm25B + $Bm25B * (dl * n / sdl)))"""
+       | / (tf_$q + $Bm25K1 * (1 - $Bm25B + $Bm25B * (dl * n / nullif(sdl, 0))))"""
       .stripMargin.replace("\n", " ")
 
   def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the stats aggregate and the scoring projection are
+    // two consumers — without this the corpus scans (and the tf array
+    // expressions) run twice. Same session-cache precedent as tfidf's
+    // tf frame; rows are (id + 4 longs), tiny relative to the text.
     val perDoc = Tables.documents(spark, dir)
       .withColumn("t", toks)
       .select(col("doc_id") +: size(col("t")).cast("long").as("dl") +:
         Bm25Terms.map(q =>
           size(filter(col("t"), x => x === q)).cast("long").as(s"tf_$q")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = perDoc.agg(
       count(lit(1)).as("n"),
       (sum(col("dl")).as("sdl") +: Bm25Terms.map(q =>

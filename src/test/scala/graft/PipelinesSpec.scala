@@ -33,6 +33,33 @@ class PipelinesSpec extends SparkSpec {
       (1L, 2L, 8L, 4L, 5L)))  // docs 4-5 start at 12, 14 -> sequence 1
   }
 
+  test("packManifest: a doc spanning multiple sequences leaves documented seq_id gaps") {
+    // doc 2 is 20 tokens at seqLen 8: it starts in seq 0 and spans
+    // seqs 1-2 without any doc starting there — no manifest rows for
+    // 1-2 (the loader derives spanned seqs from n_tokens), and the
+    // next doc starts at cum 24 -> seq 3
+    val docs = docsDf(Seq(
+      1L -> "a b c d",
+      2L -> (1 to 20).map(i => s"w$i").mkString(" "),
+      3L -> "x y z"))
+    val got = Pipelines.packManifest(docs, seqLen = 8)
+      .orderBy("seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 2L, 24L), (3L, 1L, 3L)))
+  }
+
+  test("packManifest: cache=false (per-batch callers) computes the identical manifest") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val cached = Pipelines.packManifest(docs, 512)
+      .orderBy("seq_id").collect().toSeq
+    val cachedEntries = spark.sparkContext.getPersistentRDDs.size
+    val uncached = Pipelines.packManifest(docs, 512, cache = false)
+      .orderBy("seq_id").collect().toSeq
+    assert(uncached == cached)
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedEntries,
+      "cache=false must not add a session cache entry")
+  }
+
   test("packManifest: partition-count invariance (two-level prefix sum is layout-free)") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     val a = Pipelines.packManifest(docs, 512, partitions = 32)
@@ -48,8 +75,16 @@ class PipelinesSpec extends SparkSpec {
     val totalToks = docs
       .agg(sum(size(filter(split(col("text"), "\\s+"), x => x =!= ""))))
       .head.getLong(0)
+    // contiguity holds exactly when every doc is shorter than seqLen
+    // (longer docs leave documented gaps — see the planted gap case);
+    // verify the precondition so corpus drift can't silently turn
+    // this assert into a false invariant
+    val maxDoc = docs
+      .agg(max(size(filter(split(col("text"), "\\s+"), x => x =!= ""))))
+      .head.getInt(0)
+    assert(maxDoc < 512, s"precondition: sf docs must be < seqLen, got $maxDoc")
     assert(m.map(_.getLong(0)).toSeq == (0L until m.length).toSeq,
-      "seq_ids must be contiguous from 0")
+      "seq_ids must be contiguous from 0 when every doc is < seqLen")
     assert(m.map(_.getLong(2)).sum == totalToks,
       "every corpus token must be accounted to exactly one sequence")
     // doc spans are ordered and non-overlapping across sequences
@@ -84,6 +119,12 @@ class PipelinesSpec extends SparkSpec {
     val other = Pipelines.sampleWeighted(docs, lit(5000), "other-salt")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(other != kept)
+    // schema purity: output schema == input schema, and a caller's
+    // own `bp` column survives (the rate lives in the predicate)
+    val withBp = docs.withColumn("bp", lit(9999))
+    val sampled = Pipelines.sampleWeighted(withBp, lit(5000), "spec")
+    assert(sampled.columns.toSeq == withBp.columns.toSeq)
+    assert(sampled.select("bp").distinct().collect().map(_.getInt(0)).toSeq == Seq(9999))
   }
 
   test("chunkDupStats: planted spans — cross-doc copy, self-repetition, clean doc") {

@@ -216,6 +216,19 @@ class SimilarityRecallSpec extends SparkSpec {
     vecs.unpersist()
   }
 
+  test("pqCode degenerate codebooks: a collapsed single-entry subspace codes to 0") {
+    val s = spark
+    import s.implicits._
+    // subspace 0: two 1-wide entries; subspace 1: ONE entry (the
+    // collapsed-trained-subspace case — an empty struct array would
+    // fail analysis without the guard)
+    val cb = Seq(Seq(Seq(1.0), Seq(9.0)), Seq(Seq(2.0)))
+    val got = Seq((0L, Seq(8.5, 7.0))).toDF("vec_id", "v")
+      .select(Similarity.pqCodes(cb, col("v")).as("c"))
+      .head.getSeq[Int](0)
+    assert(got == Seq(1, 0)) // 8.5 nearer 9.0 -> code 1; singleton -> 0
+  }
+
   test("multi-table LSH recall on planted near-duplicates above 0.9; banding beats one band") {
     val s = spark
     import s.implicits._
