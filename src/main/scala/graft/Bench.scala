@@ -33,6 +33,7 @@ object Bench {
     "pipeline_fuzzy_dedup", // minhash candidates -> exact verify (round 2)
     "pipeline_dedup_clusters", // verified pairs -> connected components (round 2)
     "dedup_embedding",      // blocked pairwise vector math
+    "dedup_semantic",       // SemDeDup: kmeans clusters + in-cluster prune (round 6)
     "mg_topk",              // Misra-Gries heavy-hitter sketch, one pass (round 5)
     "ann_bruteforce",       // broadcast query set scan
     "ann_bruteforce_agg",   // bounded TopKAggregator form of the same (round 5)

@@ -639,6 +639,77 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- semantic dedup
+  /** Within-cluster cosine floor for [[dedupSemantic]]: vectors this
+    * close to a lower-id cluster-mate are semantic duplicates.
+    * Calibrated to the synthetic corpus, whose planted near-dup band
+    * sits at cos ≈ 0.3-0.5 (the `dedup_embedding` regime); on real
+    * text embeddings SemDeDup operates at ~0.95 — the threshold is
+    * data, not algorithm. */
+  private val SemDedupTau = 0.35
+
+  /** SemDeDup-style semantic deduplication (method: Abbas et al.,
+    * "SemDeDup", arXiv:2303.09540): cluster the corpus embeddings
+    * with [[kmeansTrain]] (2 Lloyd rounds — the `ann_ivf_trained`
+    * configuration, so the learned partitioning is shared
+    * infrastructure, not a bespoke pass), then compare vectors ONLY
+    * within their cluster and drop every vector that has a lower-id
+    * cluster-mate with cosine >= [[SemDedupTau]]. Output = the
+    * dropped rows with their keeper (`dup_of` = the LOWEST-id
+    * qualifying cluster-mate) — the delete-list a curation pipeline
+    * anti-joins against the corpus. Complements `dedup_embedding`
+    * (exact near-dup pairs inside label blocks): this one needs no
+    * labels and catches paraphrase-grade duplicates, the curation
+    * pass exact/minhash dedup cannot see.
+    *
+    * Scale shape: clustering first is the entire trick — the
+    * quadratic comparison is confined to cluster blocks. Training is
+    * `iters` linear passes with a zero-shuffle assign; the pair stage
+    * is ONE hash equi-join on cluster id (shuffle ∝ corpus, pairs ∝
+    * Σ|cluster|²). k grows with the corpus, so the per-cluster block
+    * stays bounded (at 100 TB, k ≈ n/10k holds blocks to ~10k rows;
+    * a skewed cluster is AQE-splittable because the join is a plain
+    * equi-join). No all-pairs stage exists at any scale. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val ev = vecs(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val (_, assigned) = kmeansTrain(ev, NCentroids, iters = 2)
+    val m = assigned.withColumn("nrm", VectorFunctions.norm(col("v")))
+    val a = m.select(col("vec_id").as("vec_a"), col("cluster"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = m.select(col("vec_id").as("vec_b"),
+      col("cluster").as("cluster_b"), col("v").as("vb"), col("nrm").as("nb"))
+    // rn=1 keeps the lowest-id qualifying keeper; the window is
+    // bounded by the cluster block size, never global
+    val w = Window.partitionBy(col("vec_a")).orderBy(col("vec_b"))
+    a.join(b, col("cluster") === col("cluster_b") && col("vec_b") < col("vec_a"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= SemDedupTau)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_a").as("vec_id"), col("cluster"),
+        col("vec_b").as("dup_of"), rnd(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val dedupSemanticSql = {
+    val pairCos = s"${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm)"
+    // cast the threshold to double explicitly: a bare fractional
+    // literal is DECIMAL on both engines with different promotion
+    // rules (the round-6 bm25 lesson, SURVEY §12)
+    s"""WITH ${kmeansCtesFor(2)},
+       |m AS (SELECT vec_id, v, cluster, ${sqlNrm("v")} AS nrm FROM a2),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, a.cluster, b.vec_id AS vec_b,
+       |    $pairCos AS cos,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY b.vec_id) AS rn
+       |  FROM m a JOIN m b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+       |  WHERE $pairCos >= cast($SemDedupTau as double))
+       |SELECT vec_a AS vec_id, cluster, vec_b AS dup_of,
+       |  ${rndSql("cos", 6)} AS cos_sim
+       |FROM pairs WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- product quantization
   /** PQ geometry: 64-dim vectors cut into [[PqM]] subspaces of
     * [[PqSubDim]] dims, each coded against a [[PqK]]-entry codebook —
@@ -823,5 +894,8 @@ object Similarity {
     QueryDef("ann_ivf", annIvf _, Some(annIvfSql)),
     QueryDef("ann_ivf_trained", annIvfTrained _, Some(annIvfTrainedSql)),
     QueryDef("ann_kmeans", annKmeans _, Some(annKmeansSql)),
-    QueryDef("ann_lsh", annLsh _, Some(annLshSql)))
+    QueryDef("ann_lsh", annLsh _, Some(annLshSql)),
+    // lives here (not Dedup.scala) because it runs on the shared
+    // kmeans/IVF clustering infrastructure
+    QueryDef("dedup_semantic", dedupSemantic _, Some(dedupSemanticSql)))
 }

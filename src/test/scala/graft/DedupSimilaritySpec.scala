@@ -100,4 +100,49 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("content_fp").collect().map(_.getLong(0))
     assert(fps.length == fps.distinct.length)
   }
+
+  test("semantic dedup: delete-list valid, survivors pairwise below tau") {
+    val tau = 0.35 // SemDedupTau (private in Similarity)
+    val dropped = Similarity.dedupSemantic(spark, sf).collect()
+    assert(dropped.nonEmpty) // non-vacuous at sf0.001 (69 planted)
+    // every dropped row names a LOWER-id keeper above the floor
+    dropped.foreach { r =>
+      assert(r.getLong(2) < r.getLong(0)) // dup_of < vec_id
+      assert(r.getDouble(3) >= tau)
+    }
+    // the SemDeDup guarantee: after applying the delete-list, no
+    // within-cluster pair >= tau survives (if y survived, every
+    // lower-id cluster-mate x — kept or dropped — had cos(x,y) < tau)
+    val del = dropped.map(_.getLong(0)).toSet
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val clusters = dropped.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // survivors' clusters come from re-running the same trainer
+    val (_, assigned) = Similarity.kmeansTrain(
+      Tables.embeddings(spark, sf)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", graft.functions.VectorFunctions.norm(col("v"))),
+      10, iters = 2)
+    val byCluster = assigned.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .filterNot { case (id, _) => del(id) }
+      .groupBy(_._2).values
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    byCluster.foreach { members =>
+      val ids = members.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        assert(cos(e(ids(i)), e(ids(j))) < tau,
+          s"surviving pair ${ids(i)},${ids(j)} above tau")
+    }
+    // and the reported cluster ids agree with the trainer's assignment
+    val asg = assigned.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    clusters.foreach { case (id, c) => assert(asg(id) == c) }
+  }
 }
