@@ -202,7 +202,8 @@ object Bench {
       } catch { case _: Throwable => () } // best-effort tmp hygiene
 
     def drive[T](name: String, rows: Seq[T],
-        build: org.apache.spark.sql.Dataset[T] => org.apache.spark.sql.DataFrame)(
+        build: org.apache.spark.sql.Dataset[T] => org.apache.spark.sql.DataFrame,
+        outputMode: String = "append")(
         implicit enc: org.apache.spark.sql.Encoder[T]): String = {
       // query handle outside the try: a failure mid-feed must STOP the
       // started query, or it keeps consuming scheduler threads and
@@ -214,7 +215,7 @@ object Bench {
         q = build(in.toDS()).writeStream
           .format("noop")
           .option("checkpointLocation", ckpt)
-          .outputMode("append")
+          .outputMode(outputMode)
           .start()
         val chunks = rows.grouped(math.max(1, rows.size / 10)).toSeq
         val t0 = System.nanoTime()
@@ -248,13 +249,26 @@ object Bench {
       .persist()
     evalNgrams.count() // materialize outside the timed region
 
+    // token feed for the streaming MG sketch: 32 shards (the
+    // state-key fan-out an executor-sharded deploy would use),
+    // capped like the other inputs so the number is per-row cost
+    val mgToks = docs.iterator
+      .flatMap { case (_, t) => t.toLowerCase.split("\\s+") }
+      .filter(_.nonEmpty).take(200000).zipWithIndex
+      .map { case (t, i) =>
+        StreamingJobs.MgTok(math.floorMod(t.hashCode, 32), i.toLong, t)
+      }.toSeq
+
     val parts = Seq(
       drive[StreamingJobs.Ev]("stream_sessionize", evs,
         ds => StreamingJobs.sessionize(ds).toDF()),
       drive[(Long, String)]("stream_minhash_dedup", docs,
         ds => StreamingJobs.minhashDedupStream(ds.toDF("doc_id", "text")).toDF()),
       drive[(Long, String)]("stream_decontaminate", docs,
-        ds => StreamingJobs.decontaminateStream(ds.toDF("doc_id", "text"), evalNgrams)))
+        ds => StreamingJobs.decontaminateStream(ds.toDF("doc_id", "text"), evalNgrams)),
+      drive[StreamingJobs.MgTok]("stream_mg_topk", mgToks,
+        ds => StreamingJobs.mgTopkStream(ds, 16).toDF(),
+        outputMode = "update"))
     evalNgrams.unpersist()
     parts.mkString("{", ",", "}")
   }

@@ -52,45 +52,20 @@ case class MisraGries(
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 
-  /** Keep ≤ k counters: subtract the (k+1)-th largest count from all
-    * and drop the non-positive — the batched MG decrement step. The
-    * per-row saturated path (update pushed size to exactly k+1) takes
-    * the O(k) min instead of the O(k log k) sort — at steady state
-    * that path runs once per input row, so its cost IS the sketch's
-    * throughput; the sort remains only for merge (size up to 2k),
-    * which runs once per partition pair. */
-  private def prune(buf: mutable.HashMap[String, Long]): Unit =
-    if (buf.size > k) {
-      val cStar =
-        if (buf.size == k + 1) buf.values.min
-        else buf.values.toArray.sortInPlace()(Ordering[Long].reverse).apply(k)
-      val dead = mutable.ArrayBuffer.empty[String]
-      buf.mapValuesInPlace((_, c) => c - cStar)
-      buf.foreach { case (s, c) => if (c <= 0) dead += s }
-      dead.foreach(buf.remove)
-    }
-
   override def update(buf: mutable.HashMap[String, Long],
       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val s = v.toString
-      buf.update(s, buf.getOrElse(s, 0L) + 1L)
-      prune(buf)
-    }
+    if (v != null) MgCore.add(buf, v.toString, k)
     buf
   }
 
   override def merge(buf: mutable.HashMap[String, Long],
-      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    other.foreach { case (s, c) => buf.update(s, buf.getOrElse(s, 0L) + c) }
-    prune(buf)
-    buf
-  }
+      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    MgCore.merge(buf, other, k)
 
   override def eval(buf: mutable.HashMap[String, Long]): Any =
     new GenericArrayData(
-      buf.toSeq.sortBy { case (s, c) => (-c, s) }.map { case (s, c) =>
+      MgCore.top(buf).map { case (s, c) =>
         InternalRow(UTF8String.fromString(s), c)
       })
 
@@ -130,6 +105,51 @@ case class MisraGries(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): MisraGries =
     copy(child = newChild)
+}
+
+/** THE Misra-Gries buffer operations — single definitions shared by
+  * the Catalyst aggregate above and the streaming sketch
+  * (`StreamingJobs.mgTopkStream`), so the two surfaces cannot drift:
+  * a sketch whose batch and streaming decrement steps disagreed would
+  * carry two different error guarantees under one name. */
+object MgCore {
+
+  /** Keep ≤ k counters: subtract the (k+1)-th largest count from all
+    * and drop the non-positive — the batched MG decrement step. The
+    * per-row saturated path (an add pushed size to exactly k+1) takes
+    * the O(k) min instead of the O(k log k) sort — at steady state
+    * that path runs once per input row, so its cost IS the sketch's
+    * throughput; the sort remains only for merge (size up to 2k),
+    * which runs once per partition pair. */
+  def prune(buf: mutable.HashMap[String, Long], k: Int): Unit =
+    if (buf.size > k) {
+      val cStar =
+        if (buf.size == k + 1) buf.values.min
+        else buf.values.toArray.sortInPlace()(Ordering[Long].reverse).apply(k)
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.mapValuesInPlace((_, c) => c - cStar)
+      buf.foreach { case (s, c) => if (c <= 0) dead += s }
+      dead.foreach(buf.remove)
+    }
+
+  /** One observation of `s`. */
+  def add(buf: mutable.HashMap[String, Long], s: String, k: Int): Unit = {
+    buf.update(s, buf.getOrElse(s, 0L) + 1L)
+    prune(buf, k)
+  }
+
+  /** Mergeable-summaries combine: add counts, one decrement step. */
+  def merge(buf: mutable.HashMap[String, Long],
+      other: scala.collection.Map[String, Long], k: Int)
+      : mutable.HashMap[String, Long] = {
+    other.foreach { case (s, c) => buf.update(s, buf.getOrElse(s, 0L) + c) }
+    prune(buf, k)
+    buf
+  }
+
+  /** Deterministic output order: count desc, then token. */
+  def top(buf: scala.collection.Map[String, Long]): Seq[(String, Long)] =
+    buf.toSeq.sortBy { case (s, c) => (-c, s) }
 }
 
 object FreqSketch {

@@ -236,4 +236,66 @@ object StreamingJobs {
   def mixtureSampleStream(docs: DataFrame,
       bp: org.apache.spark.sql.Column, salt: String): DataFrame =
     graft.operators.Pipelines.sampleWeighted(docs, bp, salt)
+
+  /** One observed token: `shard` is its state key (hash-disjoint:
+    * a token lives in exactly ONE shard), `seq` a deterministic
+    * processing order within the shard (MG output is order-dependent;
+    * a fixed fold order is what lets the spec prove streamed ==
+    * batch bit-for-bit). */
+  case class MgTok(shard: Int, seq: Long, tok: String)
+  /** Current sketch snapshot row for a shard after `n_seen` tokens. */
+  case class MgSnap(shard: Int, token: String, min_count: Long, n_seen: Long)
+  case class MgState(counts: Map[String, Long], n: Long)
+
+  /** Streaming heavy hitters — the Misra-Gries sketch
+    * (`functions.MisraGries`, same [[graft.functions.MgCore]] buffer
+    * ops, so the batch aggregate and this job share ONE decrement
+    * step and ONE guarantee) kept as flatMapGroupsWithState state:
+    * ≤ k counters per shard, emitted as a full snapshot per
+    * micro-batch (Update mode — downstream keeps the latest
+    * n_seen per shard).
+    *
+    * State/scale shape: tokens are hash-sharded upstream, so each
+    * shard's state is one ≤ k-entry map — total state = shards × k
+    * counters, independent of the corpus vocabulary (the entire point
+    * of MG over a counting dedup: "which tokens dominate this ingest
+    * stream" with bounded memory). Because shards partition the token
+    * space disjointly, a token's shard count IS its global count, and
+    * the per-shard guarantee (every token with count > n_shard/(k+1)
+    * survives; reported counts within n_shard/(k+1) of true) implies
+    * the global heavy-hitter guarantee with the SMALLER n_shard
+    * error. State is intentionally un-TTL'd like the minhash dedup
+    * bucket state: the sketch summarizes the whole ingest history.
+    *
+    * On a batch Dataset the same fold runs per complete group —
+    * StreamingSpec proves streamed == batch == guarantee. */
+  def mgTopkStream(toks: Dataset[MgTok], k: Int): Dataset[MgSnap] = {
+    import toks.sparkSession.implicits._
+    import graft.functions.MgCore
+    def fold(shard: Int, it: Iterator[MgTok], st: Option[MgState])
+        : (MgState, Iterator[MgSnap]) = {
+      val buf = scala.collection.mutable.HashMap.empty[String, Long]
+      st.foreach(s => s.counts.foreach { case (t, c) => buf.update(t, c) })
+      var n = st.map(_.n).getOrElse(0L)
+      // seq-sorted fold: the group iterator's order is unspecified
+      it.toArray.sortBy(_.seq).foreach { t => MgCore.add(buf, t.tok, k); n += 1 }
+      val next = MgState(buf.toMap, n)
+      (next, MgCore.top(buf).iterator.map { case (t, c) => MgSnap(shard, t, c, n) })
+    }
+    if (toks.isStreaming)
+      toks.groupByKey(_.shard)
+        .flatMapGroupsWithState[MgState, MgSnap](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (shard: Int, it: Iterator[MgTok], state: GroupState[MgState]) =>
+            val (next, out) = fold(shard, it, state.getOption)
+            state.update(next)
+            out
+        }
+    else
+      // batch twin: each shard is one complete group — the final
+      // snapshot (one emission, n_seen = shard total)
+      toks.groupByKey(_.shard).flatMapGroups { (shard, it) =>
+        fold(shard, it, None)._2
+      }
+  }
 }

@@ -340,6 +340,65 @@ class StreamingSpec extends SparkSpec {
       "ingest-time sample membership must equal the batch pass")
   }
 
+  test("streaming mg_topk: streamed == batch, MG guarantee holds, state bounded") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingJobs.{MgSnap, MgTok}
+    val k = 8
+    val nShards = 4
+    val toks = Tables.documents(s, sf).orderBy("doc_id").select("text")
+      .as[String].collect()
+      .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+    val data = toks.zipWithIndex.map { case (t, i) =>
+      MgTok(math.floorMod(t.hashCode, nShards), i.toLong, t)
+    }
+
+    val batchSnap = StreamingJobs.mgTopkStream(s.createDataset(data.toSeq), k)
+      .collect().map(m => (m.shard, m.token, m.min_count, m.n_seen)).toSet
+
+    val in = MemoryStream[MgTok](s)
+    val q = StreamingJobs.mgTopkStream(in.toDS(), k).writeStream
+      .format("memory").queryName("mg_stream_out")
+      .outputMode("update").start()
+    // contiguous seq ranges per micro-batch: the incremental fold over
+    // sorted chunks equals the batch twin's one sorted fold
+    data.grouped(data.length / 5 + 1).foreach { chunk =>
+      in.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val all = s.sql("select * from mg_stream_out").as[MgSnap].collect()
+    // final snapshot per shard = that shard's max-n_seen emission
+    // (n strictly increases per emission, so no ties)
+    val finalSnap = all.groupBy(_.shard).toSeq.flatMap { case (_, rs) =>
+      val nMax = rs.map(_.n_seen).max
+      rs.filter(_.n_seen == nMax).toSeq
+    }.map(m => (m.shard, m.token, m.min_count, m.n_seen)).toSet
+    assert(finalSnap == batchSnap)
+    assert(finalSnap.nonEmpty)
+
+    // state bounded: <= k counters per shard
+    finalSnap.groupBy(_._1).values.foreach(rs => assert(rs.size <= k))
+
+    // the MG guarantee per shard vs exact counts: every token with
+    // count > n/(k+1) present; every reported count within n/(k+1)
+    data.groupBy(_.shard).foreach { case (shard, ts) =>
+      val n = ts.length.toLong
+      val err = n / (k + 1)
+      val exact = ts.groupBy(_.tok).map { case (t, xs) => t -> xs.length.toLong }
+      val snap = finalSnap.filter(_._1 == shard)
+        .map(x => x._2 -> x._3).toMap
+      exact.foreach { case (t, c) =>
+        if (c > err)
+          assert(snap.contains(t),
+            s"heavy hitter '$t' (count $c > err $err) missing from shard $shard")
+        snap.get(t).foreach(rc => assert(rc <= c && rc >= c - err))
+      }
+      snap.foreach { case (t, rc) => assert(rc <= exact.getOrElse(t, 0L)) }
+    }
+  }
+
   test("restart from checkpoint: replayed input is not duplicated, new input is not lost") {
     // The Spark equivalence of the reference coordinator's
     // failure-retry loop (mr/src/coordinator.rs:108-135 re-issues
