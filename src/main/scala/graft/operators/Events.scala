@@ -168,6 +168,73 @@ object Events {
        |FROM sessions GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  // ---------------------------------------------------------------- scd2
+  /** SCD2 history build (gaps-and-islands run-length encoding): each
+    * user's event_type stream collapses into versioned dimension rows
+    * (valid_from, valid_to, is_current) — the slowly-changing-
+    * dimension compaction a lakehouse runs over CDC change rows to
+    * make "state as of time T" one range probe (the batch twin of the
+    * native as-of join's lookup side). Consecutive same-type events
+    * collapse into one version, so output ∝ CHANGES, not events.
+    *
+    * Scale: the flag/version windows share one (user_id, (us,
+    * event_id)) sort — one exchange; the run aggregate reuses the
+    * same user_id-prefixed keys; the valid_to lead window runs on the
+    * COMPACTED frame (≪ events). Integer epoch-micros time math
+    * only. `is_current` emitted as int 0/1 (cross-engine: parquet
+    * boolean round-trips as numpy bool_, which the driver's hash
+    * normalizer does not fold to int). */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull, 1L)
+          .when(lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(wRun))
+      .groupBy(col("user_id"), col("version"), col("event_type"))
+      .agg(min(col("us")).as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1).otherwise(0))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private val qScd2Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    CASE WHEN lag(event_type) OVER w IS NULL THEN 1
+      |         WHEN lag(event_type) OVER w <> event_type THEN 1
+      |         ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |runs AS (
+      |  SELECT user_id, event_type, us,
+      |    cast(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+      |      AS version
+      |  FROM flagged),
+      |agg AS (
+      |  SELECT user_id, version, event_type, min(us) AS valid_from,
+      |    count(*) AS n_events
+      |  FROM runs GROUP BY user_id, version, event_type),
+      |v AS (
+      |  SELECT user_id, version, event_type, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |      AS valid_to,
+      |    n_events
+      |  FROM agg)
+      |SELECT user_id, version, event_type, valid_from, valid_to, n_events,
+      |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
   // ---------------------------------------------------------------- sliding window
   /** Trailing 30-minute sliding count/sum per event via a RANGE
     * frame over epoch-micros — the batch form of a sliding stream
@@ -249,6 +316,7 @@ object Events {
     QueryDef("q_ohlc_bars", qOhlcBars _, Some(qOhlcBarsSql)),
     QueryDef("q_value_histogram", qValueHistogram _, Some(qValueHistogramSql)),
     QueryDef("q_sessionize", qSessionize _, Some(qSessionizeSql)),
+    QueryDef("q_scd2", qScd2 _, Some(qScd2Sql)),
     QueryDef("q_window_sliding", qWindowSliding _, Some(qWindowSlidingSql)),
     QueryDef("q_window_extras", qWindowExtras _, Some(qWindowExtrasSql)),
     QueryDef("q_funnel", qFunnel _, Some(qFunnelSql)))

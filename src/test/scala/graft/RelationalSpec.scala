@@ -75,4 +75,26 @@ class RelationalSpec extends SparkSpec {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("scd2: versions contiguous, intervals chain, one current row per user") {
+    val rows = graft.operators.Events.qScd2(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalEvents = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(5)).sum == totalEvents) // runs cover every event
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val hist = rs.sortBy(_.getLong(1))
+      // versions 1..V with no holes
+      assert(hist.map(_.getLong(1)).sameElements(1L to hist.length))
+      // exactly one open (current) interval, and it is the last
+      assert(hist.count(_.getInt(6) == 1) == 1)
+      assert(hist.last.getInt(6) == 1 && hist.last.isNullAt(4))
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(4) == b.getLong(3)) // valid_to == next valid_from
+          assert(a.getString(2) != b.getString(2)) // a version IS a change
+          assert(a.getLong(3) < b.getLong(3)) // strictly advancing time
+        case _ => ()
+      }
+    }
+  }
 }
