@@ -26,6 +26,7 @@ object Bench {
     "text_bm25",            // per-row tf + 1-row stats broadcast + top-k (round 6)
     "dedup_chunk",          // corpus-wide dup-span share, chunk-hash join (round 6)
     "dedup_minhash",        // shingle + LSH band join
+    "dedup_incremental",    // batch-vs-index bucket probe (round 6)
     "dedup_jaccard",        // adaptive set-similarity (bitmask | token join)
     "dedup_jaccard_ngram",  // trigram-set jaccard, hashed shingle equi-join (round 2)
     "dedup_simhash_banded", // banded signature candidates (round 2)

@@ -281,6 +281,112 @@ object Dedup {
       .select(col("doc_id") +: seedCols: _*)
   }
 
+  /** Band rows (doc_id, band, h0, h1) for an arbitrary documents
+    * frame — THE bucket-key projection shared by the streaming dedup,
+    * the incremental index, and the batch query (one definition, so
+    * an index built today and a probe run tomorrow cannot drift).
+    * Pure per-row like the signatures: zero exchanges on any layout.
+    * Null-signature docs (< 3 tokens, no shingles) drop out, matching
+    * the stream's null-rejecting band join. */
+  def minhashBandRows(docs: DataFrame): DataFrame =
+    minhashSignatures(docs)
+      .select(col("doc_id"), explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"), col(s"h${2 * b}").as("h0"), col(s"h${2 * b + 1}").as("h1"))
+      }: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"),
+        col("bd.h0").as("h0"), col("bd.h1").as("h1"))
+      .filter(col("h0").isNotNull && col("h1").isNotNull)
+
+  // ------------------------------------------------------- incremental dedup
+  /** Minhash band index over a corpus: one row per OCCUPIED bucket,
+    * carrying its canonical (min doc_id). This is the entire state an
+    * incremental dedup needs about a 100 TB corpus — ∝ occupied
+    * buckets (≤ 4 rows/doc before bucket collapse), not corpus bytes,
+    * and it never stores text. */
+  def minhashIndexFrame(corpus: DataFrame): DataFrame =
+    minhashBandRows(corpus).groupBy(col("band"), col("h0"), col("h1"))
+      .agg(min(col("doc_id")).as("canon"))
+
+  /** Build + atomically publish the index as a [[graft.sources.ManifestTable]]
+    * — readers during a rebuild/update see the old or the new complete
+    * index, never a half-written one. */
+  def writeMinhashIndex(corpus: DataFrame, path: String): Unit = {
+    val spark = corpus.sparkSession
+    val idx = minhashIndexFrame(corpus)
+    val v = graft.sources.ManifestTable.prepare(spark, path)(dir =>
+      idx.write.parquet(dir))
+    graft.sources.ManifestTable.publish(spark, path, v)
+  }
+
+  /** Fold an ingested batch into the index: min-merge its bucket
+    * canons with the current version, publish as the next version.
+    * Cost ∝ index + batch — the corpus is never re-scanned. (A plain
+    * key-replace upsert would be WRONG here: the merge is min(), not
+    * last-writer-wins.) */
+  def updateMinhashIndex(newDocs: DataFrame, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val merged = graft.sources.ManifestTable.read(spark, path)
+      .unionByName(minhashIndexFrame(newDocs))
+      .groupBy(col("band"), col("h0"), col("h1"))
+      .agg(min(col("canon")).as("canon"))
+    // lazy plan reads the CURRENT version while the new one writes:
+    // safe — publish retains the previous version dir for one commit
+    val v = graft.sources.ManifestTable.prepare(spark, path)(dir =>
+      merged.write.parquet(dir))
+    graft.sources.ManifestTable.publish(spark, path, v)
+  }
+
+  /** Dedup an ingest batch against an index WITHOUT re-scanning the
+    * corpus: collisions against the index's canons ∪ the batch itself
+    * (two new near-identical docs must flag each other even when the
+    * corpus has neither). Emits (doc_id, dup_of = bucket canonical,
+    * band) per colliding band, like the streaming dedup.
+    *
+    * Scale shape: the only joins are bucket equi-joins; the batch
+    * side is ingest-sized (broadcastable), the index side ∝ occupied
+    * buckets. The corpus' text is never touched. */
+  def dedupAgainstIndex(index: DataFrame, newDocs: DataFrame): DataFrame = {
+    val nb = minhashBandRows(newDocs)
+    val canon = index
+      .select(col("canon").as("doc_id"), col("band"), col("h0"), col("h1"))
+      .unionByName(nb)
+      .groupBy(col("band"), col("h0"), col("h1"))
+      .agg(min(col("doc_id")).as("canon"))
+    nb.join(canon, Seq("band", "h0", "h1"))
+      .filter(col("doc_id") > col("canon"))
+      .select(col("doc_id"), col("canon").as("dup_of"), col("band"))
+  }
+
+  /** Registered query: the last 20% of doc_ids arrive as the ingest
+    * batch, the first 80% are the already-indexed corpus. In-engine
+    * it composes [[minhashIndexFrame]] + [[dedupAgainstIndex]]; the
+    * file-backed write/update/probe path is spec-proven equal
+    * (DedupSimilaritySpec). The split point is a bounded driver
+    * scalar (max doc_id), integer math on both engines. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = docs.agg(max(col("doc_id"))).head.getLong(0) * 4 / 5
+    val idx = minhashIndexFrame(docs.filter(col("doc_id") < split))
+    dedupAgainstIndex(idx, docs.filter(col("doc_id") >= split))
+      .orderBy(col("doc_id"), col("band"))
+  }
+
+  // lazy: minhashCandidateCtes is declared further down the object
+  private lazy val dedupIncrementalSql =
+    s"""WITH $minhashCandidateCtes,
+       |split AS (SELECT max(doc_id) * 4 // 5 AS s FROM documents),
+       |occ AS (
+       |  SELECT band, h0, h1, min(doc_id) AS canon
+       |  FROM bands WHERE h0 IS NOT NULL AND h1 IS NOT NULL
+       |  GROUP BY band, h0, h1)
+       |SELECT b.doc_id, o.canon AS dup_of, b.band
+       |FROM bands b
+       |JOIN occ o ON b.band = o.band AND b.h0 = o.h0 AND b.h1 = o.h1
+       |CROSS JOIN split
+       |WHERE b.doc_id >= split.s AND b.doc_id > o.canon
+       |  AND b.h0 IS NOT NULL AND b.h1 IS NOT NULL
+       |ORDER BY b.doc_id, b.band""".stripMargin
+
   private def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
     // persisted: the band equi-join consumes this frame on BOTH sides;
     // one row per doc, so the cache is tiny while saving a full
@@ -940,6 +1046,7 @@ object Dedup {
     QueryDef("dedup_jaccard", dedupJaccard _, Some(dedupJaccardSql)),
     QueryDef("dedup_jaccard_ngram", dedupJaccardNgram _, Some(dedupJaccardNgramSql)),
     QueryDef("dedup_minhash", dedupMinhash _, Some(dedupMinhashSql)),
+    QueryDef("dedup_incremental", dedupIncremental _, Some(dedupIncrementalSql)),
     QueryDef("pipeline_fuzzy_dedup", pipelineFuzzyDedup _, Some(pipelineFuzzyDedupSql)),
     QueryDef("pipeline_dedup_clusters", pipelineDedupClusters _, Some(pipelineDedupClustersSql)),
     QueryDef("dedup_simhash", dedupSimhash _, Some(dedupSimhashSql)),

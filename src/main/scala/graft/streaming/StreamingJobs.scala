@@ -92,15 +92,9 @@ object StreamingJobs {
     * signature-derived expectation. */
   def minhashDedupStream(docs: DataFrame): Dataset[DupOut] = {
     import docs.sparkSession.implicits._
-    val sig = graft.operators.Dedup.minhashSignatures(docs)
-    val bands = sig.select(col("doc_id"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"), col(s"h${2 * b}").as("h0"), col(s"h${2 * b + 1}").as("h1"))
-        }: _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"),
-        col("bd.h0").as("h0"), col("bd.h1").as("h1"))
-      .filter(col("h0").isNotNull && col("h1").isNotNull) // shingle-less docs
-      .as[BandHit]
+    // shared bucket-key projection (Dedup.minhashBandRows) — the
+    // stream and the incremental batch index probe the SAME buckets
+    val bands = graft.operators.Dedup.minhashBandRows(docs).as[BandHit]
     bands
       .groupByKey(b => (b.band, b.h0, b.h1))
       .flatMapGroupsWithState[BucketState, DupOut](

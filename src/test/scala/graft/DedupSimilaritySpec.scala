@@ -101,6 +101,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fps.length == fps.distinct.length)
   }
 
+  test("incremental dedup: file-backed index path equals the inline query") {
+    import graft.sources.ManifestTable
+    val docs = Tables.documents(spark, sf)
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val split = maxId * 4 / 5
+    val corpus = docs.filter(col("doc_id") < split)
+    val batch = docs.filter(col("doc_id") >= split)
+
+    val inline = graft.operators.Dedup.dedupIncremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(inline.nonEmpty) // dup-dense synthetic corpus: non-vacuous
+
+    // one-shot: write the index, probe the whole batch
+    val tmp = java.nio.file.Files.createTempDirectory("mh-index").toString
+    graft.operators.Dedup.writeMinhashIndex(corpus, tmp)
+    val oneShot = graft.operators.Dedup
+      .dedupAgainstIndex(ManifestTable.read(spark, tmp), batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(oneShot == inline)
+
+    // two-step: probe/fold the first half, then probe the second —
+    // same union (id-ordered batches keep every bucket's canonical)
+    val v0 = ManifestTable.current(spark, tmp).get._1
+    val mid = (split + maxId) / 2
+    val b1 = batch.filter(col("doc_id") < mid)
+    val b2 = batch.filter(col("doc_id") >= mid)
+    val r1 = graft.operators.Dedup
+      .dedupAgainstIndex(ManifestTable.read(spark, tmp), b1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    graft.operators.Dedup.updateMinhashIndex(b1, tmp)
+    val r2 = graft.operators.Dedup
+      .dedupAgainstIndex(ManifestTable.read(spark, tmp), b2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert((r1 union r2) == inline)
+
+    // the fold-in advanced the manifest version atomically
+    assert(ManifestTable.current(spark, tmp).map(_._1).contains(v0 + 1))
+  }
+
   test("semantic dedup: delete-list valid, survivors pairwise below tau") {
     val tau = 0.35 // SemDedupTau (private in Similarity)
     val dropped = Similarity.dedupSemantic(spark, sf).collect()
