@@ -365,7 +365,9 @@ object Dedup {
     * scalar (max doc_id), integer math on both engines. */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val split = docs.agg(max(col("doc_id"))).head.getLong(0) * 4 / 5
+    // max over an empty corpus is NULL — treat as split 0 (empty batch)
+    val maxRow = docs.agg(max(col("doc_id"))).head
+    val split = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) * 4 / 5
     val idx = minhashIndexFrame(docs.filter(col("doc_id") < split))
     dedupAgainstIndex(idx, docs.filter(col("doc_id") >= split))
       .orderBy(col("doc_id"), col("band"))
