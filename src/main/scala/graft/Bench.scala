@@ -21,6 +21,9 @@ object Bench {
     "text_repetition",      // Gopher-style top-bigram-share filter (round 3)
     "pipeline_decontaminate", // eval-split 5-gram collision probe (round 3)
     "q_sample_stratified_scalable", // range-exchange within-stratum rank (round 3)
+    "q_resample",           // per-user dense grid + ignore-nulls ffill (round 6)
+    "q_skyline",            // two-level prefix-max Pareto frontier (round 6)
+    "q_stats_moments",      // exact integer power-sum moments (round 6)
     "pipeline_pack_sequences", // two-level prefix-sum packing manifest (round 6)
     "pipeline_mixture_sample", // zero-shuffle weighted source mixing (round 6)
     "text_bm25",            // per-row tf + 1-row stats broadcast + top-k (round 6)
@@ -43,6 +46,7 @@ object Bench {
     "ann_ivf_trained",      // kmeans-trained IVF end-to-end (round 2)
     "ann_kmeans",           // iterative centroid training (5 Lloyd rounds)
     "mr_pagerank",          // iterative graph scatter/gather
+    "graph_triangles",      // wedge join + closing probe (round 6)
     "mr_sort",              // full-table range-partitioned total sort (round 2)
     "q_asof_join_native")   // custom streaming-merge operator (round 2)
 

@@ -251,6 +251,95 @@ object Advanced {
       |ORDER BY c_mktsegment, rank""".stripMargin
 
   // ---------------------------------------------------------------- registry
+  // ---------------------------------------------------------------- unpivot
+  /** The inverse of `q_pivot`: melt wide measure columns into
+    * (metric, value) rows via the dedicated `Dataset.unpivot`
+    * operator (Spark plans it as a single generate — one pass, no
+    * join, no shuffle; the ORDER BY here is only for the oracle
+    * compare). The long form is what feeds generic per-metric
+    * pipelines (histograms, quality monitors) without one job per
+    * column. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_size").cast("double").as("p_size"), col("p_retailprice")),
+        "metric", "value")
+      .orderBy(col("p_partkey"), col("metric"))
+
+  private val qUnpivotSql =
+    """SELECT p_partkey, 'p_size' AS metric, cast(p_size as double) AS value
+      |FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+      |FROM part
+      |ORDER BY p_partkey, metric""".stripMargin
+
+  // ---------------------------------------------------------------- skyline
+  /** Global 2-D skyline (Pareto frontier) of `part`: minimize
+    * p_retailprice, maximize p_size — every part for which no other
+    * part is at-or-better on both axes and strictly better on one
+    * (Börzsönyi et al., ICDE 2001).
+    *
+    * The naive formulation is an all-pairs NOT EXISTS (the oracle —
+    * fine at oracle scale, quadratic at 100 TB). The engine side is
+    * O(n log n): a point is on the skyline iff its size equals the
+    * max size AT its price and strictly exceeds the max size over all
+    * STRICTLY CHEAPER prices — a per-price aggregate followed by an
+    * exclusive prefix-max in price order. The prefix-max runs
+    * two-level (the mr_sort/PrefixSum scaffolding): range-partition
+    * by price, per-partition local running max, and a
+    * partitions-sized offset table broadcast back — no
+    * single-partition window ever sees the price domain. */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    // one row per distinct price: its best (max) size
+    val perPrice = pts.groupBy(col("p_retailprice"))
+      .agg(max(col("p_size")).as("pmax"))
+    // two-level exclusive prefix-max over ascending price. Persisted:
+    // the offsets aggregate and the main pass both consume the frame,
+    // and `mid` must come from ONE materialization (a recompute could
+    // renumber rows if the scan split differently).
+    val sorted = perPrice
+      .repartitionByRange(32, col("p_retailprice"))
+      .sortWithinPartitions(col("p_retailprice"))
+      .withColumn("mid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-partition max -> exclusive running max over the 32-row
+    // partition table (driver-scale window, like PrefixSum.partitionOffsets)
+    val offs = sorted.groupBy(PrefixSum.pid.as("pid"))
+      .agg(max(col("pmax")).as("w"))
+      .withColumn("off", max(col("w")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("pid"), col("off"))
+    val localBefore = Window.partitionBy(col("pid")).orderBy(col("mid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = sorted
+      .withColumn("pid", PrefixSum.pid)
+      .withColumn("lmax", max(col("pmax")).over(localBefore))
+      .join(broadcast(offs), Seq("pid"))
+      // exclusive prefix-max over all strictly cheaper prices: null
+      // (no cheaper point) keeps the row — greatest() is null-skipping
+      .filter(col("lmax").isNull && col("off").isNull ||
+        col("pmax") > greatest(col("lmax"), col("off")))
+      .select(col("p_retailprice").as("f_price"), col("pmax").as("f_size"))
+    pts.join(frontier,
+        col("p_retailprice") === col("f_price") && col("p_size") === col("f_size"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+  }
+
+  private val qSkylineSql =
+    """SELECT p.p_partkey, p.p_retailprice, p.p_size
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      |ORDER BY p_retailprice, p_partkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_group_topk", qGroupTopk _, Some(qGroupTopkSql)),
     QueryDef("q_asof_join", qAsofJoin _, Some(qAsofJoinSql)),
@@ -258,6 +347,8 @@ object Advanced {
     QueryDef("q_asof_multi", qAsofMulti _, Some(qAsofMultiSql)),
     QueryDef("q_range_join", qRangeJoin _, Some(qRangeJoinSql)),
     QueryDef("q_pivot", qPivot _, Some(qPivotSql)),
+    QueryDef("q_unpivot", qUnpivot _, Some(qUnpivotSql)),
+    QueryDef("q_skyline", qSkyline _, Some(qSkylineSql)),
     QueryDef("q_percentile", qPercentile _, Some(qPercentileSql)),
     QueryDef("q_approx_distinct", qApproxDistinct _, None),
     QueryDef("q_approx_percentile", qApproxPercentile _, None))

@@ -309,6 +309,135 @@ object Events {
       |  FROM events GROUP BY user_id)
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- merge upsert
+  /** Batch CDC merge (the batch twin of `StreamSinks.foreachBatchUpsert`
+    * and SCD1 to `q_scd2`'s SCD2): a base snapshot — each user's
+    * latest state before the cutoff — merged with a change batch —
+    * each user's latest state at-or-after it. Source rows win on key
+    * collision (update), source-only keys insert, target-only keys
+    * carry over, and every output row is tagged with its merge op —
+    * MERGE INTO semantics as one full-outer join.
+    *
+    * Scale shape: both sides reduce to one row per user BEFORE the
+    * merge join (partitioned windows, state = one user's events), so
+    * the full-outer join is key-sized, not event-sized; at 100 TB the
+    * change batch is typically ingest-sized and broadcastable. */
+  def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    // 2024-01-16T00:00:00Z in epoch micros — integer on both engines
+    val cutUs = 1705363200000000L
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), unix_micros(col("ts")).as("us"),
+      col("event_id"), col("event_type"), col("value"))
+    def latest(side: DataFrame): DataFrame =
+      side.withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("us").desc, col("event_id").desc)))
+        .filter(col("rn") === 1).drop("rn")
+    val t = latest(ev.filter(col("us") < cutUs))
+      .select(col("user_id"), col("us").as("t_us"), col("event_id").as("t_eid"),
+        col("event_type").as("t_type"), col("value").as("t_value"))
+    val s = latest(ev.filter(col("us") >= cutUs))
+      .select(col("user_id"), col("us").as("s_us"), col("event_id").as("s_eid"),
+        col("event_type").as("s_type"), col("value").as("s_value"))
+    t.join(s, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        when(col("t_us").isNull, "insert")
+          .when(col("s_us").isNull, "keep").otherwise("update").as("op"),
+        coalesce(col("s_eid"), col("t_eid")).as("last_event_id"),
+        coalesce(col("s_us"), col("t_us")).as("last_us"),
+        coalesce(col("s_type"), col("t_type")).as("last_type"),
+        coalesce(col("s_value"), col("t_value")).as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val qMergeUpsertSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value
+      |  FROM events),
+      |t AS (
+      |  SELECT user_id, us AS t_us, event_id AS t_eid,
+      |         event_type AS t_type, value AS t_value
+      |  FROM ev WHERE us < 1705363200000000
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |    ORDER BY us DESC, event_id DESC) = 1),
+      |s AS (
+      |  SELECT user_id, us AS s_us, event_id AS s_eid,
+      |         event_type AS s_type, value AS s_value
+      |  FROM ev WHERE us >= 1705363200000000
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |    ORDER BY us DESC, event_id DESC) = 1)
+      |SELECT coalesce(t.user_id, s.user_id) AS user_id,
+      |  CASE WHEN t_us IS NULL THEN 'insert'
+      |       WHEN s_us IS NULL THEN 'keep' ELSE 'update' END AS op,
+      |  coalesce(s_eid, t_eid) AS last_event_id,
+      |  coalesce(s_us, t_us) AS last_us,
+      |  coalesce(s_type, t_type) AS last_type,
+      |  coalesce(s_value, t_value) AS last_value
+      |FROM t FULL JOIN s ON t.user_id = s.user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- resample
+  /** Hourly resample + forward fill per user: each user's observed
+    * series (last event value within each hour) re-gridded onto a
+    * dense hourly axis from their first to their last active hour,
+    * gaps carrying the last observed value forward — the
+    * gap-filling/alignment pass time-series pipelines run before any
+    * windowed model sees the data. Hours are integer epoch-hours
+    * (exact on both engines); the fill copies doubles, never sums
+    * them, so bit-determinism is free.
+    *
+    * Scale shape: everything partitions by user_id (per-hour last,
+    * bounds, grid explode, fill window) — state per task is one
+    * user's hours; the dense grid is emitted by `sequence()` inside
+    * the task, never materialized driver-side. */
+  def qResample(spark: SparkSession, dir: String): DataFrame = {
+    val UsPerHour = 3600000000L
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), unix_micros(col("ts")).as("us"),
+      col("event_id"), col("value"))
+      .withColumn("hr", col("us").divide(lit(UsPerHour)).cast("long"))
+    // last observation within each (user, hour)
+    val hourly = ev.withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("hr"))
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("hr"), col("value").as("v_obs"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .select(
+        col("user_id"), col("hr"),
+        last(col("v_obs"), ignoreNulls = true).over(
+          Window.partitionBy(col("user_id")).orderBy(col("hr"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("v_fill"),
+        col("v_obs").isNull.as("gap_filled"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
+  private val qResampleSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, value,
+      |         epoch_us(ts) // 3600000000 AS hr
+      |  FROM events),
+      |hourly AS (
+      |  SELECT user_id, hr, value AS v_obs FROM ev
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, hr
+      |    ORDER BY us DESC, event_id DESC) = 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(mn, mx)) AS hr
+      |  FROM (SELECT user_id, min(hr) AS mn, max(hr) AS mx
+      |        FROM ev GROUP BY user_id))
+      |SELECT g.user_id, g.hr,
+      |  last_value(h.v_obs IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill,
+      |  (h.v_obs IS NULL) AS gap_filled
+      |FROM grid g
+      |LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+      |ORDER BY g.user_id, g.hr""".stripMargin
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_json", qJson _, Some(qJsonSql)),
@@ -319,5 +448,7 @@ object Events {
     QueryDef("q_scd2", qScd2 _, Some(qScd2Sql)),
     QueryDef("q_window_sliding", qWindowSliding _, Some(qWindowSlidingSql)),
     QueryDef("q_window_extras", qWindowExtras _, Some(qWindowExtrasSql)),
-    QueryDef("q_funnel", qFunnel _, Some(qFunnelSql)))
+    QueryDef("q_funnel", qFunnel _, Some(qFunnelSql)),
+    QueryDef("q_merge_upsert", qMergeUpsert _, Some(qMergeUpsertSql)),
+    QueryDef("q_resample", qResample _, Some(qResampleSql)))
 }

@@ -253,6 +253,74 @@ object MrCore {
       |ORDER BY node""".stripMargin.replace("SCALE", scale)
   }
 
+  // ---------------------------------------------------------------- triangles
+  /** Per-node triangle counts on the supplier co-order graph
+    * (suppliers are adjacent when they co-supply ≥ 30 distinct
+    * orders — the threshold keeps the projection of a dense bipartite
+    * co-occurrence sparse). The second classic iterative-graph
+    * MapReduce application after PageRank, in its canonical two-join
+    * form (Suri & Vassilvitskii, WWW'11): edges oriented low-id →
+    * high-id, wedges a<b<c enumerated by one equi-join on the shared
+    * middle node, closed by a second equi-join against the edge set.
+    * Each triangle materializes exactly once.
+    *
+    * Scale shape: the bipartite projection groups by (s1, s2) —
+    * shuffle ∝ co-occurrence pairs (order sizes are bounded, so
+    * linear in lineitem); both triangle joins are equi-joins on node
+    * keys. Skewed hubs are bounded by the co-order threshold; the
+    * published refinement (degree-ordered orientation, enumerating
+    * wedges from the lowest-DEGREE vertex) drops in by re-ranking
+    * nodes before the joins if hub skew ever dominates. */
+  /** Per-node triangle counts over a canonical edge list
+    * (`s1` < `s2`, distinct) — the public kernel behind
+    * `graph_triangles`. Each triangle a<b<c is produced exactly once
+    * by the wedge join + closing probe; the explode credits all three
+    * corners. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val wedges = edges.select(col("s1").as("a"), col("s2").as("b"))
+      .join(edges.select(col("s1").as("b"), col("s2").as("c")), Seq("b"))
+    val tri = wedges.join(
+      edges.select(col("s1").as("a"), col("s2").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("node"))
+  }
+
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val co = li.select(col("l_orderkey"), col("l_suppkey").as("s1"))
+      .join(li.select(col("l_orderkey"), col("l_suppkey").as("s2")), Seq("l_orderkey"))
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 30)
+      .select(col("s1"), col("s2"))
+      // consumed three times (both wedge sides + the closing probe):
+      // persist, or the lineitem self-join runs three times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    triangleCounts(co)
+  }
+
+  private val graphTrianglesSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |co AS (
+      |  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 30),
+      |tri AS (
+      |  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+      |  FROM co e1
+      |  JOIN co e2 ON e1.s2 = e2.s1
+      |  JOIN co e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+      |nodes AS (
+      |  SELECT a AS node FROM tri
+      |  UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri)
+      |SELECT node, count(*) AS n_tri FROM nodes
+      |GROUP BY node ORDER BY node""".stripMargin
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mr_wordcount", mrWordcount _, Some(mrWordcountSql)),
@@ -261,5 +329,6 @@ object MrCore {
     QueryDef("mr_inverted_index", mrInvertedIndex _, Some(mrInvertedIndexSql)),
     QueryDef("mr_sort", mrSort _, Some(mrSortSql)),
     QueryDef("mr_partition_hist", mrPartitionHist _, Some(mrPartitionHistSql)),
-    QueryDef("mr_pagerank", mrPagerank _, Some(mrPagerankSql)))
+    QueryDef("mr_pagerank", mrPagerank _, Some(mrPagerankSql)),
+    QueryDef("graph_triangles", graphTriangles _, Some(graphTrianglesSql)))
 }

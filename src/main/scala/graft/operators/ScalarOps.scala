@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.functions.CrossEngine.{dsum, dsumSql, md5Long, md5LongSql}
+import graft.functions.CrossEngine.{dsum, dsumSql, md5Long, md5LongSql, rnd, rndSql}
 
 /** Scalar-function coverage extensions (SURVEY.md §2 B): regex
   * extraction, null-handling combinators, and deterministic
@@ -178,6 +178,61 @@ object ScalarOps {
        |  ON c_custkey = o_custkey
        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- moments
+  /** Per-group distribution profile — n, mean, population variance,
+    * skewness — from EXACT scaled-integer power sums: `value` has 2
+    * decimals, so Σv, Σv², Σv³ over v×100 are integers (decimal(38,0)
+    * accumulation — order-independent, overflow-free at any SF) and
+    * the float arithmetic happens once per GROUP on exact inputs, not
+    * once per row. One pass, one hash aggregate, no window — the
+    * moments a data-quality monitor computes per column at 100 TB.
+    * Both engines evaluate the identical IEEE expression tree on
+    * identical integer sums, so the doubles match bit-for-bit (the
+    * `rnd` guard is belt-and-braces for the final division). */
+  def qStatsMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("v100", expr("cast(floor(value * 100.0 + 0.5) as bigint)"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("cast(v100 as decimal(38,0))")).as("s1"),
+        sum(expr("cast(v100 * v100 as decimal(38,0))")).as("s2"),
+        sum(expr("cast(v100 * v100 * v100 as decimal(38,0))")).as("s3"))
+      .withColumn("mu", expr("cast(s1 as double) / cast(n as double) / 100.0"))
+      .withColumn("m2", expr("cast(s2 as double) / cast(n as double) / 10000.0"))
+      .withColumn("m3", expr("cast(s3 as double) / cast(n as double) / 1000000.0"))
+      .withColumn("varp", expr("m2 - mu * mu"))
+      .withColumn("skw",
+        expr("(m3 - 3.0 * mu * varp - mu * mu * mu) / (varp * sqrt(varp))"))
+      .select(col("event_type"), col("n"),
+        rnd(col("mu"), 6).as("mean"),
+        rnd(col("varp"), 6).as("var_pop"),
+        rnd(col("skw"), 6).as("skewness"))
+      .orderBy(col("event_type"))
+
+  private val qStatsMomentsSql =
+    s"""WITH g AS (
+       |  SELECT event_type, count(*) AS n,
+       |    sum(cast(v100 as decimal(38,0))) AS s1,
+       |    sum(cast(v100 * v100 as decimal(38,0))) AS s2,
+       |    sum(cast(v100 * v100 * v100 as decimal(38,0))) AS s3
+       |  FROM (SELECT event_type,
+       |          cast(floor(value * 100.0 + 0.5) as bigint) AS v100
+       |        FROM events)
+       |  GROUP BY event_type),
+       |d AS (
+       |  SELECT event_type, n,
+       |    cast(s1 as double) / cast(n as double) / 100.0 AS mu,
+       |    cast(s2 as double) / cast(n as double) / 10000.0 AS m2,
+       |    cast(s3 as double) / cast(n as double) / 1000000.0 AS m3
+       |  FROM g),
+       |v AS (SELECT event_type, n, mu, m3, m2 - mu * mu AS varp FROM d)
+       |SELECT event_type, n,
+       |  ${rndSql("mu", 6)} AS mean,
+       |  ${rndSql("varp", 6)} AS var_pop,
+       |  ${rndSql("(m3 - 3.0 * mu * varp - mu * mu * mu) / (varp * sqrt(varp))", 6)} AS skewness
+       |FROM v ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_sample", qSample _, Some(qSampleSql)),
@@ -185,5 +240,6 @@ object ScalarOps {
     QueryDef("q_sample_stratified_scalable", sampleStratifiedScalable _,
       Some(qSampleStratifiedSql)), // same oracle: proves semantic equality
     QueryDef("q_regex", qRegex _, Some(qRegexSql)),
-    QueryDef("q_null_handling", qNullHandling _, Some(qNullHandlingSql)))
+    QueryDef("q_null_handling", qNullHandling _, Some(qNullHandlingSql)),
+    QueryDef("q_stats_moments", qStatsMoments _, Some(qStatsMomentsSql)))
 }

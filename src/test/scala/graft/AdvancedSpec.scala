@@ -75,4 +75,30 @@ class AdvancedSpec extends SparkSpec {
       assert(p50 <= p90 && p90 <= p99, s"$seg: quantiles must be ordered")
     }
   }
+
+  test("unpivot doubles part's rows and pivots back to the originals") {
+    val df = Advanced.qUnpivot(spark, sf)
+    val nPart = Tables.part(spark, sf).count()
+    assert(df.count() == 2 * nPart)
+    val back = df.groupBy("p_partkey")
+      .pivot("metric", Seq("p_size", "p_retailprice")).agg(first("value"))
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+    val orig = Tables.part(spark, sf).select(col("p_partkey"),
+      col("p_size").cast("double").as("p_size"), col("p_retailprice"))
+    assert(back.except(orig).isEmpty && orig.except(back).isEmpty)
+  }
+
+  test("skyline is exactly the brute-force non-dominated set") {
+    val pts = Tables.part(spark, sf)
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    def dominated(p: (Long, Double, Int)) = pts.exists { q =>
+      q._2 <= p._2 && q._3 >= p._3 && (q._2 < p._2 || q._3 > p._3)
+    }
+    val expect = pts.filterNot(dominated).toSet
+    val got = Advanced.qSkyline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(got == expect, s"skyline ${got.size} vs brute force ${expect.size}")
+    assert(got.nonEmpty) // a frontier always exists on non-empty input
+  }
 }

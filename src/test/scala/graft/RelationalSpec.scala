@@ -76,6 +76,93 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("merge upsert: ops partition the key space; source rows win") {
+    import org.apache.spark.sql.functions.unix_micros
+    val cut = 1705363200000000L // mirrors qMergeUpsert's cutoff
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val tUsers = ev.filter(_._2 < cut).map(_._1).toSet
+    val sUsers = ev.filter(_._2 >= cut).map(_._1).toSet
+    assert(tUsers.nonEmpty && sUsers.nonEmpty, "cutoff must split the data")
+    val rows = graft.operators.Events.qMergeUpsert(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == (tUsers ++ sUsers))
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length) // one row/key
+    rows.foreach { r =>
+      val (u, op, lastUs) = (r.getLong(0), r.getString(1), r.getLong(3))
+      val expect =
+        if (tUsers(u) && sUsers(u)) "update"
+        else if (sUsers(u)) "insert" else "keep"
+      assert(op == expect, s"user $u: $op != $expect")
+      // merged state comes from the source side iff the source saw the key
+      assert((lastUs >= cut) == (op != "keep"), s"user $u: $op with us $lastUs")
+    }
+  }
+
+  test("resample: contiguous hourly grid, forward fill carries last value") {
+    import org.apache.spark.sql.functions.unix_micros
+    val UsPerHour = 3600000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val byUser = graft.operators.Events.qResample(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(byUser.keySet == ev.keySet)
+    byUser.foreach { case (u, rs) =>
+      val hrs = rs.map(_.getLong(1)).sorted
+      val evHrs = ev(u).map(_._2 / UsPerHour)
+      assert(hrs.head == evHrs.min && hrs.last == evHrs.max)
+      assert(hrs.sameElements(hrs.head to hrs.last), s"user $u grid has holes")
+      // recompute the fill: last event (by us, event_id) within each hour
+      val lastPerHour = ev(u).groupBy(_._2 / UsPerHour).map { case (h, es) =>
+        h -> es.maxBy(e => (e._2, e._3))._4
+      }
+      var carried: Option[Double] = None
+      rs.sortBy(_.getLong(1)).foreach { r =>
+        lastPerHour.get(r.getLong(1)) match {
+          case Some(v) =>
+            carried = Some(v)
+            assert(!r.getBoolean(3) && r.getDouble(2) == v)
+          case None =>
+            assert(r.getBoolean(3) && r.getDouble(2) == carried.get)
+        }
+      }
+    }
+  }
+
+  test("stats moments agree with Spark's built-in aggregates") {
+    val got = graft.operators.ScalarOps.qStatsMoments(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val ref = Tables.events(spark, sf).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), avg("value").as("m"),
+        var_pop("value").as("v"), skewness("value").as("s")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, (n, mean, varp, skew)) =>
+      val (rn, rm, rv, rs) = ref(k)
+      assert(n == rn)
+      assert(math.abs(mean - rm) < 1e-5, s"$k mean $mean vs $rm")
+      assert(math.abs(varp - rv) < 1e-4, s"$k var $varp vs $rv")
+      assert(math.abs(skew - rs) < 1e-4, s"$k skew $skew vs $rs")
+    }
+  }
+
+  test("triangle counts on a planted graph match hand enumeration") {
+    import TestSpark.spark.implicits._
+    // K4 on {1,2,3,4} — four triangles, every node on three of them —
+    // plus a pendant edge (4,5) and a disconnected edge (6,7):
+    // pendant/isolated nodes must not appear at all
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (6L, 7L)).toDF("s1", "s2")
+    val got = graft.operators.MrCore.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("scd2: versions contiguous, intervals chain, one current row per user") {
     val rows = graft.operators.Events.qScd2(spark, sf).collect()
     assert(rows.nonEmpty)
