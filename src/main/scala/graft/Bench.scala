@@ -27,6 +27,9 @@ object Bench {
     "pipeline_pack_sequences", // two-level prefix-sum packing manifest (round 6)
     "pipeline_mixture_sample", // zero-shuffle weighted source mixing (round 6)
     "text_bm25",            // per-row tf + 1-row stats broadcast + top-k (round 6)
+    "text_cms",             // Count-Min sketch matrix, one-pass imperative agg (round 6)
+    "bpe_train",            // 10-round vocab-table merge training loop (round 6)
+    "pipeline_hybrid_retrieval", // BM25 + cosine shortlists, RRF fusion (round 6)
     "dedup_chunk",          // corpus-wide dup-span share, chunk-hash join (round 6)
     "dedup_minhash",        // shingle + LSH band join
     "dedup_incremental",    // batch-vs-index bucket probe (round 6)
@@ -35,6 +38,7 @@ object Bench {
     "dedup_simhash_banded", // banded signature candidates (round 2)
     "dedup_simhash_wide",   // 60-bit signature, 12-bit bands (round 2)
     "pipeline_fuzzy_dedup", // minhash candidates -> exact verify (round 2)
+    "dedup_containment",    // directed containment on band candidates (round 6)
     "pipeline_dedup_clusters", // verified pairs -> connected components (round 2)
     "dedup_embedding",      // blocked pairwise vector math
     "dedup_semantic",       // SemDeDup: kmeans clusters + in-cluster prune (round 6)
@@ -273,6 +277,11 @@ object Bench {
         ds => StreamingJobs.decontaminateStream(ds.toDF("doc_id", "text"), evalNgrams)),
       drive[StreamingJobs.MgTok]("stream_mg_topk", mgToks,
         ds => StreamingJobs.mgTopkStream(ds, 16).toDF(),
+        outputMode = "update"),
+      drive[StreamingJobs.CmsTok]("stream_cms",
+        mgToks.map(t => StreamingJobs.CmsTok(t.shard, t.tok)),
+        ds => StreamingJobs.cmsStream(ds, 4, 1024,
+          Seq("join", "hash", "scan")).toDF(),
         outputMode = "update"))
     evalNgrams.unpersist()
     parts

@@ -3,6 +3,7 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
@@ -152,12 +153,154 @@ object MgCore {
     buf.toSeq.sortBy { case (s, c) => (-c, s) }
 }
 
+/** Count-Min sketch as a `TypedImperativeAggregate`: a depth×width
+  * counter matrix answering "about how often does item x occur?" for
+  * ANY x in fixed memory — the point-frequency complement to
+  * Misra-Gries (which only surfaces the heavy hitters) in the sketch
+  * family (HLL distinct / MG heavy hitters / GK quantiles / CMS
+  * frequencies).
+  *
+  * Each row i of the matrix is a hash-bucketed histogram: counter
+  * [i][h_i(x)] accumulates every occurrence of every item hashing
+  * there. An item's estimate is the MIN over rows of its counter —
+  * ≥ the true count always (counters only over-count, by colliding
+  * items), and ≤ true + εN with probability 1−δ for width = e/ε,
+  * depth = ln(1/δ) (Cormode & Muthukrishnan 2005).
+  *
+  * Unlike MG/HLL, the final matrix is merge-order INVARIANT — every
+  * counter is an exact sum, and partial-buffer merge is element-wise
+  * addition — so estimates are deterministic and the registered query
+  * (`text_cms`) is fully ORACLE-CHECKED: the bucket hash is the
+  * cross-engine md5 base hash + affine row mixes (the minhash
+  * construction), so DuckDB can recompute every counter the sketch
+  * builds. At 100 TB: one pass, depth×width longs per partition, no
+  * distinct-key state, merge cost independent of data.
+  */
+case class CountMinMatrix(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(depth >= 1 && depth <= CmsCore.MaxDepth,
+    s"cms depth must be in [1, ${CmsCore.MaxDepth}], got $depth")
+  require(width >= 2, s"cms width must be >= 2, got $width")
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_matrix"
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h1 = CmsCore.baseMod(v.toString)
+      var i = 0
+      while (i < depth) {
+        buf(i * width + CmsCore.bucket(i, h1, width)) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData((0 until depth).map { i =>
+      new GenericArrayData(
+        java.util.Arrays.copyOfRange(buf, i * width, (i + 1) * width))
+    })
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinMatrix =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinMatrix =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CountMinMatrix =
+    copy(child = newChild)
+}
+
+/** THE CMS bucket hash, defined once for three consumers: the
+  * aggregate's JVM update path, the Column-side probe expressions
+  * (estimate lookup), and the DuckDB oracle SQL. All three compute
+  * bucket_i(x) = ((A(i) · (md5_60(x) mod P) + B(i)) mod P) mod width
+  * with P = 2³¹−1 — the affine-mix-of-one-md5 construction the
+  * minhash kernel established (Dedup.scala): one md5 per item, d
+  * "independent" row hashes as integer mixes, every op exact on both
+  * engines. */
+object CmsCore {
+
+  val P = 2147483647L // 2^31 - 1
+  // distinct from Dedup's minhash seeds: a sketch sharing seeds with
+  // the LSH bands would correlate their collision patterns
+  val A: Seq[Long] = Seq(1299721L, 15485917L, 32452901L, 49979729L,
+    67867979L, 86028157L)
+  val B: Seq[Long] = Seq(104729L, 224737L, 350377L, 479939L,
+    611957L, 746777L)
+  val MaxDepth: Int = A.size
+
+  /** md5 60-bit base hash reduced mod P — the JVM twin of
+    * `CrossEngine.md5Long(c) % P` (first 15 lowercase hex digits of
+    * the UTF-8 md5, parsed base 16). */
+  def baseMod(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex digits = 7.5 bytes: 7 full bytes + the high nibble
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+    h % P
+  }
+
+  def bucket(i: Int, baseModP: Long, width: Int): Int =
+    (((A(i) * baseModP + B(i)) % P) % width).toInt
+
+  /** Column form of the same bucket, for probe lookups — on literal
+    * probes Catalyst constant-folds it to an int. */
+  def bucketCol(c: Column, i: Int, width: Int): Column =
+    ((lit(A(i)) * (CrossEngine.md5Long(c) % P) + lit(B(i))) % P) % width
+
+  /** DuckDB SQL form of the same bucket over expression `e`. */
+  def bucketSql(e: String, i: Int, width: Int): String =
+    s"(((${A(i)} * (${CrossEngine.md5LongSql(e)} % $P) + ${B(i)}) % $P) % $width)"
+}
+
 object FreqSketch {
 
   /** Column-level API: `df.agg(FreqSketch.mgTopk(col("token"), 16))`. */
   def mgTopk(c: Column, k: Int): Column =
     ColumnBridge.column(
       MisraGries(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** Column-level API: `df.agg(FreqSketch.cmsMatrix(col("token"), 4, 64))`
+    * → `array<array<long>>`, the depth×width counter matrix. */
+  def cmsMatrix(c: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(
+      CountMinMatrix(ColumnBridge.expression(c), depth, width)
+        .toAggregateExpression())
 
   /** Idempotent per-session SQL registration: `mg_topk(tok, 16)`. */
   def register(spark: SparkSession): Unit =

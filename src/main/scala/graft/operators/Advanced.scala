@@ -180,6 +180,56 @@ object Advanced {
        |FROM customer GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- winsorize
+  /** Per-group winsorization — the robust-statistics cleaning pass
+    * (clamp to [p10, p90] instead of dropping outliers) a feature/
+    * quality pipeline runs before any mean-based model sees the
+    * column. Two aggregates over one exchange shape: the per-group
+    * interpolated percentile bounds (broadcast back — groups are few)
+    * and the clamped re-aggregate.
+    *
+    * Cross-engine: the clamp `greatest(lo, least(v, hi))` picks one
+    * of three already-identical doubles; the winsorized mean would
+    * then be an ORDER-DEPENDENT double sum, so it is computed the
+    * dsum way — 4-decimal deterministic rounding of each clamped
+    * value, exact decimal accumulate, round in decimal space. */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val bounds = cust.groupBy(col("c_mktsegment").as("seg"))
+      .agg(
+        expr("percentile(c_acctbal, 0.1)").as("p_lo"),
+        expr("percentile(c_acctbal, 0.9)").as("p_hi"))
+    val clamped = greatest(col("p_lo"), least(col("c_acctbal"), col("p_hi")))
+    cust.join(broadcast(bounds), col("c_mktsegment") === col("seg"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(when(col("c_acctbal") < col("p_lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(col("c_acctbal") > col("p_hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+        rnd(first(col("p_lo")), 4).as("p_lo"),
+        rnd(first(col("p_hi")), 4).as("p_hi"),
+        (round(sum(rnd(clamped, 4).cast("decimal(28,6)")), 4).cast("double")
+          / count(lit(1))).as("winsor_mean"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val qWinsorizeSql =
+    s"""WITH bounds AS (
+       |  SELECT c_mktsegment AS seg,
+       |    quantile_cont(c_acctbal, 0.1) AS p_lo,
+       |    quantile_cont(c_acctbal, 0.9) AS p_hi
+       |  FROM customer GROUP BY c_mktsegment)
+       |SELECT c_mktsegment,
+       |  count(*) AS n_cust,
+       |  cast(sum(CASE WHEN c_acctbal < p_lo THEN 1 ELSE 0 END) as bigint) AS n_clamped_lo,
+       |  cast(sum(CASE WHEN c_acctbal > p_hi THEN 1 ELSE 0 END) as bigint) AS n_clamped_hi,
+       |  ${rndSql("any_value(p_lo)", 4)} AS p_lo,
+       |  ${rndSql("any_value(p_hi)", 4)} AS p_hi,
+       |  cast(round(sum(cast(${rndSql("greatest(p_lo, least(c_acctbal, p_hi))", 4)}
+       |    as decimal(28,6))), 4) as double) / count(*) AS winsor_mean
+       |FROM customer JOIN bounds ON c_mktsegment = seg
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------------- approx distinct
   /** HLL++ sketch aggregation — approximate by construction, so no
     * cross-engine oracle (driver records the weaker rows-only check);
@@ -350,6 +400,7 @@ object Advanced {
     QueryDef("q_unpivot", qUnpivot _, Some(qUnpivotSql)),
     QueryDef("q_skyline", qSkyline _, Some(qSkylineSql)),
     QueryDef("q_percentile", qPercentile _, Some(qPercentileSql)),
+    QueryDef("q_winsorize", qWinsorize _, Some(qWinsorizeSql)),
     QueryDef("q_approx_distinct", qApproxDistinct _, None),
     QueryDef("q_approx_percentile", qApproxPercentile _, None))
 }

@@ -490,6 +490,65 @@ object Dedup {
         rnd(col("jac"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  // ---------------------------------------------------------------- containment
+  /** Directed CONTAINMENT pairs on the minhash-band candidates:
+    * c(sub→sup) = |sub ∩ sup| / |sub| ≥ 0.9 — the asymmetric
+    * complement to jaccard (a short doc quoted wholesale inside a
+    * long one has high containment but low jaccard; jaccard-only
+    * dedup keeps both copies). Same two-stage scale shape as
+    * `pipeline_fuzzy_dedup`: the exact measure touches only band
+    * candidates, each candidate emits its two directions, and only
+    * the directed rows above threshold survive.
+    *
+    * Declared recall bound, documented honestly: symmetric minhash
+    * banding finds HIGH-JACCARD candidates, so a tiny-doc-in-huge-doc
+    * pair can be missed at the candidate stage; the full-recall scale
+    * structure for pure containment search is a shingle
+    * inverted-index join (the `dedup_chunk` machinery). The oracle
+    * scopes to the same candidate set, so the measure itself is
+    * hash-checked end to end. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val cand = minhashCandidatePairs(spark, dir)
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(toks).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val j = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("s_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("s_b")), "doc_b")
+      .withColumn("c", size(array_intersect(col("s_a"), col("s_b"))))
+      .withColumn("sza", size(col("s_a")))
+      .withColumn("szb", size(col("s_b")))
+    val dirs = j.select(col("doc_a").as("doc_sub"), col("doc_b").as("doc_sup"),
+        col("c"), (col("c").cast("double") / col("sza")).as("containment"))
+      .unionAll(j.select(col("doc_b").as("doc_sub"), col("doc_a").as("doc_sup"),
+        col("c"), (col("c").cast("double") / col("szb")).as("containment")))
+    dirs.filter(col("containment") >= 0.9)
+      .select(col("doc_sub"), col("doc_sup"), col("c").as("n_shared_tokens"),
+        rnd(col("containment"), 4).as("containment"))
+      .orderBy(col("doc_sub"), col("doc_sup"))
+  }
+
+  private val dedupContainmentSql =
+    s"""WITH $minhashCandidateCtes,
+       |sets AS (SELECT doc_id, list_distinct($toksSql) AS s FROM documents),
+       |j AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    cast(len(list_intersect(a.s, b.s)) as int) AS c,
+       |    cast(len(a.s) as int) AS sza, cast(len(b.s) as int) AS szb
+       |  FROM cand c
+       |  JOIN sets a ON c.doc_a = a.doc_id
+       |  JOIN sets b ON c.doc_b = b.doc_id),
+       |dirs AS (
+       |  SELECT doc_a AS doc_sub, doc_b AS doc_sup, c,
+       |    cast(c as double) / sza AS containment FROM j
+       |  UNION ALL
+       |  SELECT doc_b AS doc_sub, doc_a AS doc_sup, c,
+       |    cast(c as double) / szb AS containment FROM j)
+       |SELECT doc_sub, doc_sup, c AS n_shared_tokens,
+       |  ${rndSql("containment", 4)} AS containment
+       |FROM dirs WHERE containment >= 0.9
+       |ORDER BY doc_sub, doc_sup""".stripMargin
+
   // ---------------------------------------------------------------- clusters
   /** The step every production dedup actually needs AFTER pair
     * generation: the transitive closure. Near-dup similarity is not
@@ -559,14 +618,14 @@ object Dedup {
     * blocks are invisible to the SQL cache (clearCache never drops
     * them), and a maxRounds-long loop would otherwise hold every
     * round's label/edge copy in memory simultaneously. */
-  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+  private[operators] def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint()
     (out, sc.getPersistentRDDs.keySet.toSet -- before)
   }
 
-  private def freeBlocks(spark: SparkSession, ids: Set[Int]): Unit = {
+  private[operators] def freeBlocks(spark: SparkSession, ids: Set[Int]): Unit = {
     val sc = spark.sparkContext
     ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
   }
@@ -1050,6 +1109,7 @@ object Dedup {
     QueryDef("dedup_minhash", dedupMinhash _, Some(dedupMinhashSql)),
     QueryDef("dedup_incremental", dedupIncremental _, Some(dedupIncrementalSql)),
     QueryDef("pipeline_fuzzy_dedup", pipelineFuzzyDedup _, Some(pipelineFuzzyDedupSql)),
+    QueryDef("dedup_containment", dedupContainment _, Some(dedupContainmentSql)),
     QueryDef("pipeline_dedup_clusters", pipelineDedupClusters _, Some(pipelineDedupClustersSql)),
     QueryDef("dedup_simhash", dedupSimhash _, Some(dedupSimhashSql)),
     QueryDef("dedup_simhash_banded", dedupSimhashBanded _, Some(dedupSimhashSql)),

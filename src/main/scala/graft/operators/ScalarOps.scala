@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -81,13 +81,35 @@ object ScalarOps {
   def stratifiedSampleExact(df: DataFrame, strataCol: String, keyCol: String,
       numer: Int, denom: Int, partitions: Int = 32): DataFrame = {
     require(numer >= 0 && denom > 0, s"bad fraction $numer/$denom")
+    stratumRanked(df, strataCol, keyCol, partitions)(
+      // ⌈n·numer/denom⌉, integer-exact on both engines
+      (rank, n) => rank <= (n * numer + lit(denom - 1)) / denom)
+  }
+
+  /** PUBLIC per-stratum cap on the same rank kernel: keep at most
+    * `cap` rows per stratum, chosen in the same deterministic
+    * md5(keyCol) order — the web-curation "at most N documents per
+    * domain/source" quota (a fixed per-source budget, where the
+    * sampler above keeps a FRACTION: a 10× hotter domain still gets
+    * 10× more rows through a fraction; a cap flattens it). */
+  def capPerStratum(df: DataFrame, strataCol: String, keyCol: String,
+      cap: Int, partitions: Int = 32): DataFrame = {
+    require(cap >= 0, s"bad cap $cap")
+    stratumRanked(df, strataCol, keyCol, partitions)((rank, _) => rank <= cap)
+  }
+
+  /** The shared rank machinery of the two quota operators above:
+    * every input row + its deterministic 1-based md5-order rank
+    * within its stratum, filtered by `keep(rank, stratumSize)`. */
+  private def stratumRanked(df: DataFrame, strataCol: String, keyCol: String,
+      partitions: Int)(keep: (Column, Column) => Column): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // internal columns are namespaced: the kernel takes ARBITRARY
     // frames, and a caller column named "k"/"pid"/"n" must neither be
     // overwritten nor shadow the arithmetic
     val inCols = df.columns.toSeq
     require(!inCols.contains("sample_rank"),
-      "stratifiedSampleExact adds a sample_rank column; input already has one")
+      "the stratum-rank kernel adds a sample_rank column; input already has one")
     val (kC, midC, pidC) = ("__gr_k", "__gr_mid", "__gr_pid")
     val localIdx = expr(s"$midC & 8589934591") // lower 33 bits of the id
     val pid = expr(s"shiftright($midC, 33)")
@@ -119,9 +141,7 @@ object ScalarOps {
         col(pidC) === col("__gr_pid_r") && col(strataCol) <=> col("__gr_strat_r"))
       .withColumn("sample_rank",
         (col("__gr_off") + (localIdx - col("__gr_first")) + 1).cast("int"))
-      // ⌈n·numer/denom⌉, integer-exact on both engines
-      .filter(col("sample_rank") <=
-        expr(s"(__gr_n * $numer + ${denom - 1}) div $denom"))
+      .filter(keep(col("sample_rank"), col("__gr_n")))
       .select((inCols :+ "sample_rank").map(col): _*)
   }
 
@@ -133,6 +153,26 @@ object ScalarOps {
       Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("n_chars")),
       strataCol = "lang", keyCol = "doc_id", numer = 1, denom = 10)
       .orderBy(col("doc_id"))
+
+  /** Per-source document cap (≤ 15 per source, deterministic
+    * md5-order) — the domain-flattening curation quota, through
+    * [[capPerStratum]] on the same scalable rank kernel. */
+  def qDomainCap(spark: SparkSession, dir: String): DataFrame =
+    capPerStratum(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      strataCol = "source", keyCol = "doc_id", cap = 15)
+      .orderBy(col("doc_id"))
+
+  private val qDomainCapSql =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    cast(row_number() OVER (PARTITION BY source
+      |      ORDER BY md5('strat:' || cast(doc_id as varchar)), doc_id) as int)
+      |      AS sample_rank
+      |  FROM documents)
+      |SELECT doc_id, source, sample_rank FROM r
+      |WHERE sample_rank <= 15
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- regex
   /** Regex extraction/replacement over part names. */
@@ -233,13 +273,81 @@ object ScalarOps {
        |  ${rndSql("(m3 - 3.0 * mu * varp - mu * mu * mu) / (varp * sqrt(varp))", 6)} AS skewness
        |FROM v ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- corr
+  /** Per-group Pearson correlation + covariance from EXACT
+    * scaled-integer cross sums — the bivariate extension of
+    * `q_stats_moments`: 2-decimal doubles → ×100 bigints, the five
+    * sums Σx Σy Σx² Σy² Σxy accumulate in decimal(38,0)
+    * (order-independent, overflow-free), and the float math runs
+    * once per GROUP on exact inputs, so the result is bit-identical
+    * on any partitioning and both engines. One hash aggregate —
+    * feature-correlation profiling at 100 TB for the cost of a
+    * count. (Spark's own `corr` is a float-accumulating aggregate:
+    * its result depends on partition merge order.) */
+  def qCorr(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("x100", expr("cast(floor(l_quantity * 100.0 + 0.5) as bigint)"))
+      .withColumn("y100", expr("cast(floor(l_extendedprice * 100.0 + 0.5) as bigint)"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("cast(x100 as decimal(38,0))")).as("sx"),
+        sum(expr("cast(y100 as decimal(38,0))")).as("sy"),
+        sum(expr("cast(x100 * x100 as decimal(38,0))")).as("sxx"),
+        sum(expr("cast(y100 * y100 as decimal(38,0))")).as("syy"),
+        sum(expr("cast(x100 * y100 as decimal(38,0))")).as("sxy"))
+      .withColumn("mx", expr("cast(sx as double) / cast(n as double) / 100.0"))
+      .withColumn("my", expr("cast(sy as double) / cast(n as double) / 100.0"))
+      .withColumn("cov",
+        expr("cast(sxy as double) / cast(n as double) / 10000.0 - mx * my"))
+      .withColumn("vx",
+        expr("cast(sxx as double) / cast(n as double) / 10000.0 - mx * mx"))
+      .withColumn("vy",
+        expr("cast(syy as double) / cast(n as double) / 10000.0 - my * my"))
+      .select(col("l_returnflag"), col("n"),
+        rnd(col("cov"), 4).as("cov_pop"),
+        rnd(expr("cov / (sqrt(vx) * sqrt(vy))"), 6).as("corr"))
+      .orderBy(col("l_returnflag"))
+
+  private val qCorrSql =
+    s"""WITH g AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |    sum(cast(x100 as decimal(38,0))) AS sx,
+       |    sum(cast(y100 as decimal(38,0))) AS sy,
+       |    sum(cast(x100 * x100 as decimal(38,0))) AS sxx,
+       |    sum(cast(y100 * y100 as decimal(38,0))) AS syy,
+       |    sum(cast(x100 * y100 as decimal(38,0))) AS sxy
+       |  FROM (SELECT l_returnflag,
+       |          cast(floor(l_quantity * 100.0 + 0.5) as bigint) AS x100,
+       |          cast(floor(l_extendedprice * 100.0 + 0.5) as bigint) AS y100
+       |        FROM lineitem)
+       |  GROUP BY l_returnflag),
+       |d AS (
+       |  SELECT l_returnflag, n,
+       |    cast(sx as double) / cast(n as double) / 100.0 AS mx,
+       |    cast(sy as double) / cast(n as double) / 100.0 AS my,
+       |    cast(sxy as double) / cast(n as double) / 10000.0 AS mxy,
+       |    cast(sxx as double) / cast(n as double) / 10000.0 AS mxx,
+       |    cast(syy as double) / cast(n as double) / 10000.0 AS myy
+       |  FROM g),
+       |v AS (
+       |  SELECT l_returnflag, n, mxy - mx * my AS cov,
+       |    mxx - mx * mx AS vx, myy - my * my AS vy
+       |  FROM d)
+       |SELECT l_returnflag, n,
+       |  ${rndSql("cov", 4)} AS cov_pop,
+       |  ${rndSql("cov / (sqrt(vx) * sqrt(vy))", 6)} AS corr
+       |FROM v ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_sample", qSample _, Some(qSampleSql)),
     QueryDef("q_sample_stratified", qSampleStratified _, Some(qSampleStratifiedSql)),
     QueryDef("q_sample_stratified_scalable", sampleStratifiedScalable _,
       Some(qSampleStratifiedSql)), // same oracle: proves semantic equality
+    QueryDef("q_domain_cap", qDomainCap _, Some(qDomainCapSql)),
     QueryDef("q_regex", qRegex _, Some(qRegexSql)),
     QueryDef("q_null_handling", qNullHandling _, Some(qNullHandlingSql)),
-    QueryDef("q_stats_moments", qStatsMoments _, Some(qStatsMomentsSql)))
+    QueryDef("q_stats_moments", qStatsMoments _, Some(qStatsMomentsSql)),
+    QueryDef("q_corr", qCorr _, Some(qCorrSql)))
 }

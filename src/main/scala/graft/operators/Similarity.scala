@@ -885,6 +885,89 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- hybrid retrieval
+  /** Hybrid lexical+semantic retrieval with reciprocal-rank fusion
+    * (Cormack et al., SIGIR 2009) — the RAG-era corpus-search shape:
+    * a BM25 shortlist (TextAnalysis.bm25Frame, the SAME scoring frame
+    * `text_bm25` ranks) and an embedding-cosine shortlist (query =
+    * the corpus vector with vec_id 0, the synthetic corpus' documents
+    * ↔ embeddings linkage doc_id == vec_id) are fused by
+    * Σ 1/(60 + rank), missing-in-one-list contributing 0.
+    *
+    * Plan shape: each shortlist is an `orderBy().limit(K)` — a
+    * TakeOrdered, ≤ K rows per partition cross the wire, never a
+    * global sort — and the rank window then runs on the K-row result,
+    * not the corpus. The fusion join and final top-N touch ≤ 2K rows
+    * regardless of corpus size. At 100 TB the two shortlist scans are
+    * the only corpus-sized work, and they are independent single
+    * passes (the semantic one IVF/PQ-replaceable by the kernels in
+    * this file).
+    *
+    * Cross-engine: ranks are integers; each RRF term is one double
+    * division `1/(60+rank)` (DuckDB's bare `1.0` is DECIMAL, so the
+    * SQL casts to double first); the sum of two such terms is a
+    * single correctly-rounded add on both engines. */
+  private val HybridK = 100   // per-modality shortlist
+  private val HybridTopN = 50 // fused result size
+  private val RrfK = 60       // the standard RRF dampening constant
+
+  def pipelineHybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val rrfTerm: Column => Column =
+      r => coalesce(lit(1.0) / (lit(RrfK) + r), lit(0.0))
+    val lexW = Window.orderBy(col("bm25_raw").desc, col("doc_id"))
+    val lex = TextAnalysis.bm25Frame(spark, dir)
+      .select(col("doc_id"), col("bm25_raw"))
+      .orderBy(col("bm25_raw").desc, col("doc_id")).limit(HybridK)
+      .withColumn("lex_rank", row_number().over(lexW).cast("int"))
+    val e = vecs(spark, dir)
+    val q = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn")))
+    val semW = Window.orderBy(col("cos").desc, col("vec_id"))
+    val sem = e.filter(col("vec_id") =!= 0).crossJoin(q)
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .orderBy(col("cos").desc, col("vec_id")).limit(HybridK)
+      .withColumn("sem_rank", row_number().over(semW).cast("int"))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    lex.select(col("doc_id"), col("lex_rank"))
+      .join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        rrfTerm(col("lex_rank")) + rrfTerm(col("sem_rank")))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(HybridTopN)
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        rnd(col("rrf"), 9).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  private val pipelineHybridRetrievalSql = {
+    def rrfTermSql(r: String) =
+      s"coalesce(cast(1 as double) / ($RrfK + $r), cast(0 as double))"
+    s"""WITH ${TextAnalysis.Bm25SqlCtes},
+       |lexscored AS (
+       |  SELECT doc_id, ${TextAnalysis.Bm25SqlScore} AS bm25_raw
+       |  FROM perdoc CROSS JOIN stats),
+       |lex AS (
+       |  SELECT doc_id, cast(row_number() OVER
+       |    (ORDER BY bm25_raw DESC, doc_id) as int) AS lex_rank
+       |  FROM (SELECT * FROM lexscored
+       |        ORDER BY bm25_raw DESC, doc_id LIMIT $HybridK)),
+       |e AS ($vecsSql),
+       |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+       |semscored AS (
+       |  SELECT e.vec_id, ${sqlDot("q.qv", "e.v")} / (q.qn * e.nrm) AS cos
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+       |sem AS (
+       |  SELECT vec_id AS doc_id, cast(row_number() OVER
+       |    (ORDER BY cos DESC, vec_id) as int) AS sem_rank
+       |  FROM (SELECT * FROM semscored ORDER BY cos DESC, vec_id LIMIT $HybridK)),
+       |fused AS (
+       |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |    lex.lex_rank, sem.sem_rank,
+       |    ${rrfTermSql("lex.lex_rank")} + ${rrfTermSql("sem.sem_rank")} AS rrf
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id, lex_rank, sem_rank, ${rndSql("rrf", 9)} AS rrf
+       |FROM fused ORDER BY rrf DESC, doc_id LIMIT $HybridTopN""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ann_pq", annPq _, Some(annPqSql)),
@@ -897,5 +980,9 @@ object Similarity {
     QueryDef("ann_lsh", annLsh _, Some(annLshSql)),
     // lives here (not Dedup.scala) because it runs on the shared
     // kmeans/IVF clustering infrastructure
-    QueryDef("dedup_semantic", dedupSemantic _, Some(dedupSemanticSql)))
+    QueryDef("dedup_semantic", dedupSemantic _, Some(dedupSemanticSql)),
+    // lives here (not Pipelines.scala) because the semantic side and
+    // all vector SQL oracles are this file's infrastructure
+    QueryDef("pipeline_hybrid_retrieval", pipelineHybridRetrieval _,
+      Some(pipelineHybridRetrievalSql)))
 }

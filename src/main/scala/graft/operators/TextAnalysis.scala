@@ -421,7 +421,13 @@ object TextAnalysis {
        | / (tf_$q + $Bm25K1 * (1 - $Bm25B + $Bm25B * (dl * n / nullif(sdl, 0))))"""
       .stripMargin.replace("\n", " ")
 
-  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared BM25 scoring frame: per-doc (doc_id, dl, tf_*) plus
+    * the broadcast 1-row corpus stats, score UNROUNDED in `bm25_raw`.
+    * Two consumers: `textBm25` (the ranked query) and the hybrid
+    * retrieval fusion (`Similarity.pipelineHybridRetrieval`), which
+    * ranks by the raw score — one definition, so the two registrations
+    * cannot drift. */
+  def bm25Frame(spark: SparkSession, dir: String): DataFrame = {
     // persisted: the stats aggregate and the scoring projection are
     // two consumers — without this the corpus scans (and the tf array
     // expressions) run twice. Same session-cache precedent as tfidf's
@@ -443,37 +449,260 @@ object TextAnalysis {
     // last-ULP score drift in the 6th decimal
     val score = Bm25Terms.map(q => expr(bm25TermSql(q))).reduce(_ + _)
     perDoc.crossJoin(broadcast(stats))
-      .select((Seq(col("doc_id"), col("dl")) ++
-        Bm25Terms.map(q => col(s"tf_$q")) :+ rnd(score, 6).as("bm25")): _*)
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(100)
+      .withColumn("bm25_raw", score)
   }
 
-  private val textBm25Sql = {
+  def textBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Frame(spark, dir)
+      .select((Seq(col("doc_id"), col("dl")) ++
+        Bm25Terms.map(q => col(s"tf_$q")) :+ rnd(col("bm25_raw"), 6).as("bm25")): _*)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(100)
+
+  /** Oracle-side twins of [[bm25Frame]], public for the hybrid
+    * retrieval oracle: `Bm25SqlCtes` defines `perdoc`/`stats`,
+    * `Bm25SqlScore` is the raw score over their cross join. */
+  val Bm25SqlCtes: String = {
     val tfs = Bm25Terms.map(q =>
       s"cast(len(list_filter($toksSql, x -> x = '$q')) as bigint) AS tf_$q")
       .mkString(",\n       |    ")
     val dfs = Bm25Terms.map(q =>
       s"cast(sum(CASE WHEN tf_$q > 0 THEN 1 ELSE 0 END) as bigint) AS df_$q")
       .mkString(", ")
-    val score = Bm25Terms.map(q => s"(${bm25TermSql(q)})").mkString(" + ")
-    s"""WITH perdoc AS (
+    s"""perdoc AS (
        |  SELECT doc_id, cast(len($toksSql) as bigint) AS dl,
        |    $tfs
        |  FROM documents),
        |stats AS (
        |  SELECT cast(count(*) as bigint) AS n, cast(sum(dl) as bigint) AS sdl,
        |    $dfs
-       |  FROM perdoc)
+       |  FROM perdoc)""".stripMargin
+  }
+
+  val Bm25SqlScore: String =
+    Bm25Terms.map(q => s"(${bm25TermSql(q)})").mkString(" + ")
+
+  private val textBm25Sql =
+    s"""WITH $Bm25SqlCtes
        |SELECT doc_id, dl, ${Bm25Terms.map(q => s"tf_$q").mkString(", ")},
-       |  ${rndSql(score, 6)} AS bm25
+       |  ${rndSql(Bm25SqlScore, 6)} AS bm25
        |FROM perdoc CROSS JOIN stats
        |ORDER BY bm25 DESC, doc_id
        |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- cms
+  /** Count-Min point-frequency estimates for a fixed probe set — the
+    * sketch-family member that answers "about how often does THIS
+    * token occur" in one pass and depth×width longs of state (see
+    * `CountMinMatrix`). depth 4 × width 64 is deliberately SMALL
+    * relative to the vocabulary so collisions are real and the
+    * estimates genuinely over-count: the interesting regime, and the
+    * one the 100 TB deployment is in (width ≪ distinct tokens).
+    *
+    * Fully oracle-checked — the one sketch where that is possible:
+    * counters are exact sums (merge-order invariant), and the bucket
+    * hash is the cross-engine md5 + affine-mix construction, so
+    * DuckDB recomputes the matrix cells from first principles. The
+    * probe set includes an absent token: its estimate is pure
+    * collision mass, the sketch's ε·N error made visible. */
+  private val CmsDepth = 4
+  private val CmsWidth = 64
+  private val CmsProbes = Seq("join", "hash", "scan", "query", "nonesuch_token")
+
+  def textCms(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{CmsCore, FreqSketch}
+    val mat = Tables.documents(spark, dir)
+      .select(explode(toks).as("tok"))
+      .agg(FreqSketch.cmsMatrix(col("tok"), CmsDepth, CmsWidth).as("m"))
+    // probe lookups: bucket indices are constant-folded from the
+    // literal probes; each estimate is a min over depth matrix cells
+    val ests = CmsProbes.map { p =>
+      val cells = (0 until CmsDepth).map { i =>
+        element_at(element_at(col("m"), i + 1),
+          (CmsCore.bucketCol(lit(p), i, CmsWidth) + 1).cast("int"))
+      }
+      struct(lit(p).as("token"), least(cells: _*).as("est"))
+    }
+    mat.select(explode(array(ests: _*)).as("e"))
+      .select(col("e.token").as("token"), col("e.est").as("est"))
+      .orderBy(col("token"))
+  }
+
+  private val textCmsSql = {
+    import graft.functions.CmsCore
+    val d = CmsDepth
+    val aList = (0 until d).map(CmsCore.A).mkString("[", ",", "]")
+    val bList = (0 until d).map(CmsCore.B).mkString("[", ",", "]")
+    val iList = (1 to d).mkString("[", ",", "]")
+    val probeList = CmsProbes.map(p => s"'$p'").mkString("[", ",", "]")
+    def bkt(e: String) =
+      s"(((a * (${graft.functions.CrossEngine.md5LongSql(e)} % ${CmsCore.P}) + b) " +
+        s"% ${CmsCore.P}) % $CmsWidth)"
+    s"""WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+       |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+       |seeds AS (SELECT unnest($aList) AS a, unnest($bList) AS b,
+       |                 unnest($iList) AS i),
+       |cells AS (
+       |  SELECT i, ${bkt("tok")} AS bkt, c
+       |  FROM counts CROSS JOIN seeds),
+       |probes AS (SELECT unnest($probeList) AS token),
+       |pb AS (
+       |  SELECT token, i, ${bkt("token")} AS bkt
+       |  FROM probes CROSS JOIN seeds),
+       |rowest AS (
+       |  SELECT pb.token, pb.i, cast(coalesce(sum(cells.c), 0) as bigint) AS rc
+       |  FROM pb LEFT JOIN cells ON pb.i = cells.i AND pb.bkt = cells.bkt
+       |  GROUP BY pb.token, pb.i)
+       |SELECT token, min(rc) AS est
+       |FROM rowest GROUP BY token ORDER BY token""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- bpe train
+  /** Distributed BPE merge-rule training (Sennrich et al., ACL 2016)
+    * — the tokenizer-construction pass of an LLM data pipeline, and
+    * the only operator here whose OUTPUT is a learned artifact (the
+    * merge table a tokenizer ships with) rather than transformed
+    * data.
+    *
+    * Scale shape — the textbook trick that makes corpus-scale BPE
+    * tractable: training runs on the WORD-FREQUENCY TABLE, not the
+    * corpus. The corpus is touched exactly once (one wordcount
+    * shuffle); every Lloyd-style round after that shuffles only the
+    * vocabulary frame (∝ distinct words × symbols/word, independent
+    * of corpus size). Per round: adjacent-pair counts weighted by
+    * word frequency (explode + one hash aggregate), the argmax pair
+    * via `orderBy().limit(1)` (a 1-row TakeOrdered collect —
+    * bounded), then a per-row `aggregate` fold rewrites each word's
+    * symbol array with the merge applied greedily left-to-right
+    * (non-overlapping, the standard semantics). Vocab is
+    * localCheckpoint'd per round with superseded blocks freed — the
+    * pagerank/components loop hygiene.
+    *
+    * Fully ORACLE-CHECKED despite being iterative: the DuckDB twin
+    * unrolls every round as CTE stages (the kmeans unrolled-Lloyd
+    * precedent), with the greedy merge expressed as a
+    * bracket-encoded string `replace` (provably the same
+    * non-overlapping left-to-right semantics as the fold — both
+    * consume matched symbols and never rescan the replacement), and
+    * ties broken identically (count DESC, left, right). */
+  private val BpeMergeRounds = 10
+
+  /** Engine kernel: merge table from a (word, freq) frame. Symbols
+    * must not contain the control chars U+0001/U+0002 (the bracket encoding) —
+    * true of whitespace tokens by construction. */
+  def bpeTrainMerges(words: DataFrame, nMerges: Int): DataFrame = {
+    val spark = words.sparkSession
+    val charSplit = expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    var (vocab, vocabIds) = Dedup.checkpointTracked(
+      words.filter(length(col("word")) > 0)
+        .select(col("word"), col("freq"), charSplit.as("syms")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= nMerges && !exhausted) {
+      // adjacent pairs as zip(syms[0..n-2], syms[1..n-1]) — a TOTAL
+      // expression (slice of a too-short array is just empty), unlike
+      // an index-arithmetic transform, whose element_at can trip ANSI
+      // bounds checks on single-symbol rows however the plan is
+      // reordered around a guard filter
+      val top = vocab
+        .select(col("freq"), arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("r")).as("ps"))
+        .select(explode(col("ps")).as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect() // bounded: exactly the argmax row
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k, l, r, cnt))
+        // greedy left-to-right non-overlapping merge: replace the
+        // accumulator's last element when it is `l` and the current
+        // element is `r`; the merged symbol l+r can itself be the
+        // left side of a LATER round's pair, never re-matched within
+        // this fold (l+r != l for non-empty r)
+        val mergedSyms = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) =>
+            when(size(acc) > 0 && element_at(acc, lit(-1)) === lit(l)
+                && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x))))
+        val (next, nextIds) = Dedup.checkpointTracked(
+          vocab.withColumn("syms", mergedSyms))
+        Dedup.freeBlocks(spark, vocabIds)
+        vocab = next
+        vocabIds = nextIds
+      }
+      k += 1
+    }
+    Dedup.freeBlocks(spark, vocabIds)
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lft", "rgt", "pair_count")
+      .select(col("merge_rank"), col("lft"), col("rgt"),
+        concat(col("lft"), col("rgt")).as("merged"), col("pair_count"))
+      .orderBy(col("merge_rank"))
+  }
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainMerges(
+      Tables.documents(spark, dir)
+        .select(explode(toks).as("tok"))
+        .groupBy(lower(col("tok")).as("word"))
+        .agg(count(lit(1)).as("freq")),
+      BpeMergeRounds)
+
+  /** The unrolled oracle: one (p_k, m_k, v_k) CTE triple per round.
+    * Bracket encoding: each symbol is wrapped in chr(1)/chr(2) brackets, so the
+    * merge `replace` of <l><r> → <lr> can
+    * neither match a partial symbol (the closing bracket pins the
+    * symbol end) nor re-match its own output by reusing a shared
+    * boundary (each match consumes both full symbols). */
+  private val bpeTrainSql = {
+    def stage(k: Int): String = {
+      val prev = s"v${k - 1}"
+      s"""p$k AS (
+         |  SELECT pr.l AS l, pr.r AS r, sum(freq) AS cnt FROM (
+         |    SELECT freq, unnest(list_filter(
+         |      list_transform(syms, (x, i) -> {'l': x, 'r': syms[i+1]}),
+         |      t -> t.r IS NOT NULL)) AS pr
+         |    FROM $prev) GROUP BY pr.l, pr.r),
+         |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$k AS (
+         |  SELECT word, freq,
+         |    list_transform(
+         |      string_split(
+         |        replace(chr(1) || array_to_string(syms, chr(2) || chr(1)) || chr(2),
+         |                chr(1) || m$k.l || chr(2) || chr(1) || m$k.r || chr(2),
+         |                chr(1) || m$k.l || m$k.r || chr(2)),
+         |        chr(2) || chr(1)),
+         |      x -> replace(replace(x, chr(1), ''), chr(2), '')) AS syms
+         |  FROM $prev CROSS JOIN m$k)""".stripMargin
+    }
+    val stages = (1 to BpeMergeRounds).map(stage).mkString(",\n")
+    val union = (1 to BpeMergeRounds).map(k =>
+      s"SELECT $k AS merge_rank, l AS lft, r AS rgt, l || r AS merged, " +
+        s"cast(cnt as bigint) AS pair_count FROM m$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT lower(tok) AS word, cast(count(*) as bigint) AS freq
+       |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+       |  GROUP BY lower(tok)),
+       |v0 AS (
+       |  SELECT word, freq, regexp_split_to_array(word, '') AS syms
+       |  FROM words WHERE length(word) > 0),
+       |$stages
+       |$union
+       |ORDER BY merge_rank""".stripMargin
   }
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mg_topk", mgTopkHeavyHitters _, None),
+    QueryDef("bpe_train", bpeTrain _, Some(bpeTrainSql)),
+    QueryDef("text_cms", textCms _, Some(textCmsSql)),
     QueryDef("text_bm25", textBm25 _, Some(textBm25Sql)),
     QueryDef("text_stats", textStats _, Some(textStatsSql)),
     QueryDef("text_tfidf", textTfidf _, Some(textTfidfSql)),

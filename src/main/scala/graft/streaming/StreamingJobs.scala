@@ -263,6 +263,77 @@ object StreamingJobs {
     *
     * On a batch Dataset the same fold runs per complete group —
     * StreamingSpec proves streamed == batch == guarantee. */
+  /** One observed token for the streaming CMS (same hash-disjoint
+    * sharding contract as [[MgTok]]; no `seq` — CMS counters are
+    * exact sums, so the fold is ORDER-FREE, the property the batch
+    * oracle check exploits). */
+  case class CmsTok(shard: Int, tok: String)
+  /** One probe-cell snapshot: the shard's depth-`i` counter at the
+    * probe token's bucket after `n_seen` tokens. The GLOBAL estimate
+    * is min over i of (Σ over shards of cell) — sum matrices FIRST,
+    * then take the row min (shard-disjoint counts make the summed
+    * matrix exactly the single-sketch matrix; a min-then-sum would
+    * be wrong). */
+  case class CmsCell(shard: Int, token: String, i: Int, cell: Long, n_seen: Long)
+  case class CmsState(cells: Seq[Long], n: Long)
+
+  /** Streaming Count-Min frequency estimates — the
+    * `functions.CountMinMatrix` sketch as flatMapGroupsWithState
+    * state, one depth×width counter matrix per hash-disjoint token
+    * shard (same [[graft.functions.CmsCore]] bucket hash, so the
+    * batch aggregate, the Column probes, the DuckDB oracle, and this
+    * job cannot drift). Per micro-batch each shard emits its probe
+    * cells (Update mode); state = shards × depth × width longs,
+    * independent of vocabulary AND of stream length — the ingest-time
+    * answer to "how often has token x occurred so far" without
+    * per-key state. Un-TTL'd like the MG sketch: it summarizes the
+    * whole ingest history.
+    *
+    * On a batch Dataset the same fold runs per complete group —
+    * StreamingSpec proves streamed == batch == the Catalyst
+    * aggregate's matrix, exactly (no tolerance: sums commute). */
+  def cmsStream(toks: Dataset[CmsTok], depth: Int, width: Int,
+      probes: Seq[String]): Dataset[CmsCell] = {
+    import toks.sparkSession.implicits._
+    import graft.functions.CmsCore
+    val probeBuckets: Seq[(String, Seq[Int])] = probes.map { p =>
+      p -> (0 until depth).map(i => CmsCore.bucket(i, CmsCore.baseMod(p), width))
+    }
+    def fold(shard: Int, it: Iterator[CmsTok], st: Option[CmsState])
+        : (CmsState, Iterator[CmsCell]) = {
+      val cells = st.map(_.cells.toArray).getOrElse(new Array[Long](depth * width))
+      var n = st.map(_.n).getOrElse(0L)
+      it.foreach { t =>
+        val h = CmsCore.baseMod(t.tok)
+        var i = 0
+        while (i < depth) {
+          cells(i * width + CmsCore.bucket(i, h, width)) += 1L
+          i += 1
+        }
+        n += 1
+      }
+      val next = CmsState(cells.toSeq, n)
+      (next, probeBuckets.iterator.flatMap { case (p, bks) =>
+        bks.zipWithIndex.map { case (b, i) =>
+          CmsCell(shard, p, i, cells(i * width + b), n)
+        }
+      })
+    }
+    if (toks.isStreaming)
+      toks.groupByKey(_.shard)
+        .flatMapGroupsWithState[CmsState, CmsCell](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (shard: Int, it: Iterator[CmsTok], state: GroupState[CmsState]) =>
+            val (next, out) = fold(shard, it, state.getOption)
+            state.update(next)
+            out
+        }
+    else
+      toks.groupByKey(_.shard).flatMapGroups { (shard, it) =>
+        fold(shard, it, None)._2
+      }
+  }
+
   def mgTopkStream(toks: Dataset[MgTok], k: Int): Dataset[MgSnap] = {
     import toks.sparkSession.implicits._
     import graft.functions.MgCore

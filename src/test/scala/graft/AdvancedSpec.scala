@@ -101,4 +101,21 @@ class AdvancedSpec extends SparkSpec {
     assert(got == expect, s"skyline ${got.size} vs brute force ${expect.size}")
     assert(got.nonEmpty) // a frontier always exists on non-empty input
   }
+
+  test("winsorized mean sits inside the clamp bounds; clamp counts consistent") {
+    val rows = Advanced.qWinsorize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // (c_mktsegment, n_cust, n_clamped_lo, n_clamped_hi, p_lo, p_hi, winsor_mean)
+      val (n, nLo, nHi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (lo, hi, mean) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(lo <= hi)
+      // every clamped value lies in [p_lo, p_hi], so the mean must too
+      // (1e-3 headroom for the 4-decimal deterministic roundings)
+      assert(mean >= lo - 1e-3 && mean <= hi + 1e-3,
+        s"${r.getString(0)}: mean $mean outside [$lo, $hi]")
+      assert(nLo + nHi <= n)
+      assert(nLo > 0 || nHi > 0, "p10/p90 clamps must bite on a real segment")
+    }
+  }
 }

@@ -184,4 +184,29 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     clusters.foreach { case (id, c) => assert(asg(id) == c) }
   }
+
+  test("hybrid retrieval: rrf is the rank-reciprocal sum of its shortlists") {
+    val rows = Similarity.pipelineHybridRetrieval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // (doc_id, lex_rank, sem_rank, rrf)
+      val lex = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val sem = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(lex.nonEmpty || sem.nonEmpty,
+        "a fused row must come from at least one shortlist")
+      val expect = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        sem.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-8,
+        s"doc ${r.getLong(0)}: rrf ${r.getDouble(3)} != $expect")
+    }
+    // each shortlist contributes each rank at most once, from 1..100
+    Seq(1, 2).foreach { c =>
+      val ranks = rows.flatMap(r => if (r.isNullAt(c)) None else Some(r.getInt(c)))
+      assert(ranks.distinct.length == ranks.length)
+      assert(ranks.forall(x => x >= 1 && x <= 100))
+    }
+    // the fusion is ordered by rrf descending
+    val rrfs = rows.map(_.getDouble(3))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+  }
 }

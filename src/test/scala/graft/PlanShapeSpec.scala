@@ -61,6 +61,24 @@ class PlanShapeSpec extends SparkSpec {
       s"exact ceil-quota per stratum violated: $counts")
   }
 
+  test("capPerStratum: at most cap rows per stratum, same rows as the window form") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 2000L).map(i => (i, s"s${i % 3}"))
+    val df = rows.toDF("id", "grp")
+    val got = graft.operators.ScalarOps.capPerStratum(df, "grp", "id", cap = 7)
+    val expect = df
+      .withColumn("sample_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+          .orderBy(md5(concat(lit("strat:"), col("id").cast("string"))), col("id"))))
+      .filter(col("sample_rank") <= 7)
+      .select("id", "grp", "sample_rank")
+    assert(got.collect().map(_.toSeq).toSet == expect.collect().map(_.toSeq).toSet)
+    val counts = got.groupBy("grp").count().collect().map(_.getLong(1))
+    assert(counts.length == 3 && counts.forall(_ == 7L),
+      "cap must flatten every stratum to exactly cap rows")
+  }
+
   test("stratifiedSampleExact keeps NULL strata and tolerates colliding column names") {
     val s = spark
     import s.implicits._
@@ -107,7 +125,8 @@ class PlanShapeSpec extends SparkSpec {
     "ann_lsh",                            // broadcast query/centroid/hyperplane sets
     "mr_pagerank",                        // broadcast single-row node count
     "text_tfidf",                         // broadcast single-row corpus size N
-    "text_bm25")                          // broadcast single-row (N, Σdl, df) stats
+    "text_bm25",                          // broadcast single-row (N, Σdl, df) stats
+    "pipeline_hybrid_retrieval")          // bm25 stats row + 1-row query vector
 
   test("AQE splits a skewed join partition at runtime (the no-salt skew path)") {
     val s = spark

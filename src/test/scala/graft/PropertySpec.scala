@@ -307,6 +307,99 @@ class PropertySpec extends SparkSpec {
     assert(viaSql <= k && viaSql > 0)
   }
 
+  test("Count-Min sketch: overestimate-only, merge-order invariant, bucket parity") {
+    val s = spark
+    import graft.functions.CmsCore
+    val depth = 3
+    val width = 8 // deliberately << vocabulary so collisions are real
+    val toks = Tables.documents(s, sf)
+      .select(explode(filter(split(col("text"), "\\s+"), t => t =!= "")).as("tok"))
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    def matrix(parts: Int): Seq[Seq[Long]] =
+      toks.repartition(parts)
+        .agg(graft.functions.FreqSketch.cmsMatrix(col("tok"), depth, width).as("m"))
+        .head.getSeq[scala.collection.Seq[Long]](0).map(_.toSeq).toSeq
+    val m1 = matrix(1)
+    assert(m1 == matrix(13),
+      "CMS counters are exact sums — the matrix must be merge-order invariant")
+    assert(m1.forall(_.sum == n), "every depth row must preserve total mass")
+    exact.foreach { case (t, tru) =>
+      val h = CmsCore.baseMod(t)
+      val est = (0 until depth).map(i => m1(i)(CmsCore.bucket(i, h, width))).min
+      assert(est >= tru, s"CMS underestimated '$t': $est < $tru")
+      assert(est <= n)
+    }
+    // the Column-side probe buckets must equal the JVM update-path ones
+    val sample = exact.keys.toSeq.sorted.take(8)
+    val colBuckets = s.range(1).select(
+      sample.flatMap(t => (0 until depth).map(i =>
+        CmsCore.bucketCol(lit(t), i, width).cast("int"))): _*)
+      .head.toSeq.map(_.asInstanceOf[Int])
+    val jvmBuckets = sample.flatMap(t => (0 until depth).map(i =>
+      CmsCore.bucket(i, CmsCore.baseMod(t), width)))
+    assert(colBuckets == jvmBuckets,
+      "probe-expression buckets drifted from the aggregate's buckets")
+  }
+
+  /** Sequential reference BPE: index-skipping greedy merge — the
+    * standard formulation, deliberately a DIFFERENT shape from the
+    * engine's accumulator fold (equivalence is the point). */
+  private def refBpe(words: Map[String, Long], n: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = words.filter(_._1.nonEmpty)
+      .groupMapReduce { case (w, _) => w.map(_.toString).toVector } (_._2)(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var k = 1
+    var done = false
+    while (k <= n && !done) {
+      val pairs = vocab.toSeq
+        .flatMap { case (syms, f) => syms.zip(syms.tail).map(p => p -> f) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), c) = pairs.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((k, l, r, c))
+        vocab = vocab.toSeq.map { case (syms, f) =>
+          val m = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              m += l + r; i += 2
+            } else { m += syms(i); i += 1 }
+          }
+          (m.toVector, f)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+      k += 1
+    }
+    out.toSeq
+  }
+
+  private val bpeWordsGen: Gen[List[(String, Long)]] =
+    Gen.listOfN(8, Gen.zip(
+      Gen.choose(1, 6).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b")).map(_.mkString)),
+      Gen.choose(1L, 9L)))
+
+  test("property: bpe_train merge table equals sequential reference BPE") {
+    val s = spark
+    import s.implicits._
+    forAll(bpeWordsGen) { words =>
+      whenever(words.nonEmpty) {
+        val agg = words.groupMapReduce(_._1)(_._2)(_ + _)
+        val expect = refBpe(agg, 4)
+          .map { case (k, l, r, c) => (k, l, r, l + r, c) }
+        val got = graft.operators.TextAnalysis
+          .bpeTrainMerges(agg.toSeq.toDF("word", "freq"), 4)
+          .collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4))).toSeq
+        assert(got == expect, s"words=$agg")
+      }
+    }
+  }
+
   test("property: MapReduce.run equals sequential map+reduce") {
     val s = spark
     import s.implicits._

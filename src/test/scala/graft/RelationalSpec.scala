@@ -151,6 +151,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("correlation from power sums agrees with Spark's built-in corr") {
+    val got = graft.operators.ScalarOps.qCorr(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val ref = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        covar_pop("l_quantity", "l_extendedprice").as("cv"),
+        corr("l_quantity", "l_extendedprice").as("c")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == ref.keySet && got.nonEmpty)
+    got.foreach { case (k, (n, cv, c)) =>
+      val (rn, rcv, rc) = ref(k)
+      assert(n == rn)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(math.abs(cv - rcv) / math.max(1.0, math.abs(rcv)) < 1e-4,
+        s"$k cov $cv vs $rcv")
+      assert(math.abs(c - rc) < 1e-4, s"$k corr $c vs $rc")
+    }
+  }
+
   test("triangle counts on a planted graph match hand enumeration") {
     import TestSpark.spark.implicits._
     // K4 on {1,2,3,4} — four triangles, every node on three of them —

@@ -399,6 +399,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming cms: streamed == batch == Catalyst aggregate, estimates >= exact") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.CmsCore
+    import graft.streaming.StreamingJobs.{CmsCell, CmsTok}
+    val (depth, width, nShards) = (3, 16, 4)
+    val toks = Tables.documents(s, sf).orderBy("doc_id").select("text")
+      .as[String].collect()
+      .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+    val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val probes = exact.keys.toSeq.sorted.take(6) :+ "absent_probe_token"
+    val data = toks.map(t => CmsTok(math.floorMod(t.hashCode, nShards), t))
+
+    def globalEst(cells: Seq[CmsCell]): Map[String, Long] =
+      // sum matrices across shards FIRST, then min over depth rows
+      cells.groupBy(c => (c.token, c.i)).map { case ((t, i), cs) => (t, i) -> cs.map(_.cell).sum }
+        .groupBy(_._1._1).map { case (t, m) => t -> m.values.min }
+
+    val batchCells = StreamingJobs
+      .cmsStream(s.createDataset(data.toSeq), depth, width, probes).collect().toSeq
+
+    val in = MemoryStream[CmsTok](s)
+    val q = StreamingJobs.cmsStream(in.toDS(), depth, width, probes).writeStream
+      .format("memory").queryName("cms_stream_out")
+      .outputMode("update").start()
+    data.grouped(data.length / 5 + 1).foreach { chunk =>
+      in.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val all = s.sql("select * from cms_stream_out").as[CmsCell].collect()
+    val finalCells = all.groupBy(_.shard).toSeq.flatMap { case (_, rs) =>
+      val nMax = rs.map(_.n_seen).max
+      rs.filter(_.n_seen == nMax).toSeq
+    }
+
+    // streamed final snapshot == the batch twin, cell for cell
+    assert(finalCells.map(c => (c.shard, c.token, c.i, c.cell)).toSet ==
+      batchCells.map(c => (c.shard, c.token, c.i, c.cell)).toSet)
+
+    // == the Catalyst aggregate's matrix probed at the same buckets
+    val mat = s.createDataset(toks.toSeq).toDF("tok")
+      .agg(graft.functions.FreqSketch.cmsMatrix(col("tok"), depth, width).as("m"))
+      .head.getSeq[scala.collection.Seq[Long]](0).map(_.toSeq)
+    val est = globalEst(finalCells.toSeq)
+    probes.foreach { p =>
+      val h = CmsCore.baseMod(p)
+      val aggEst = (0 until depth).map(i => mat(i)(CmsCore.bucket(i, h, width))).min
+      assert(est(p) == aggEst, s"probe '$p': streamed $est vs aggregate $aggEst")
+      assert(est(p) >= exact.getOrElse(p, 0L), s"probe '$p' underestimated")
+    }
+  }
+
   test("restart from checkpoint: replayed input is not duplicated, new input is not lost") {
     // The Spark equivalence of the reference coordinator's
     // failure-retry loop (mr/src/coordinator.rs:108-135 re-issues
