@@ -29,6 +29,7 @@ object Bench {
     "text_bm25",            // per-row tf + 1-row stats broadcast + top-k (round 6)
     "text_cms",             // Count-Min sketch matrix, one-pass imperative agg (round 6)
     "bpe_train",            // 10-round vocab-table merge training loop (round 6)
+    "bpe_tokenize",         // train + vocab-join token counting (round 6)
     "pipeline_hybrid_retrieval", // BM25 + cosine shortlists, RRF fusion (round 6)
     "dedup_chunk",          // corpus-wide dup-span share, chunk-hash join (round 6)
     "dedup_minhash",        // shingle + LSH band join

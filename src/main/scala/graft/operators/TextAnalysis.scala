@@ -590,7 +590,19 @@ object TextAnalysis {
   /** Engine kernel: merge table from a (word, freq) frame. Symbols
     * must not contain the control chars U+0001/U+0002 (the bracket encoding) —
     * true of whitespace tokens by construction. */
-  def bpeTrainMerges(words: DataFrame, nMerges: Int): DataFrame = {
+  def bpeTrainMerges(words: DataFrame, nMerges: Int): DataFrame =
+    bpeTrainFull(words, nMerges)._1
+
+  /** Train + keep the trained artifacts: (merge table, final vocab
+    * (word, freq, syms)) — the vocab is each distinct word's
+    * tokenization under the learned merges, which is what APPLYING
+    * the tokenizer needs (`bpe_tokenize` joins it back to the
+    * corpus; re-running the merge folds per occurrence would redo
+    * per-word work ∝ corpus instead of ∝ vocabulary). The returned
+    * vocab frame is localCheckpoint-backed: it stays valid after
+    * this call, and its blocks are session-owned like the other
+    * persisted kernels'. */
+  def bpeTrainFull(words: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
     val spark = words.sparkSession
     val charSplit = expr(
       "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
@@ -639,12 +651,13 @@ object TextAnalysis {
       }
       k += 1
     }
-    Dedup.freeBlocks(spark, vocabIds)
     import spark.implicits._
-    merges.toSeq.toDF("merge_rank", "lft", "rgt", "pair_count")
+    val mergeTable = merges.toSeq.toDF("merge_rank", "lft", "rgt", "pair_count")
       .select(col("merge_rank"), col("lft"), col("rgt"),
         concat(col("lft"), col("rgt")).as("merged"), col("pair_count"))
       .orderBy(col("merge_rank"))
+    // the final vocab's blocks stay live — it is a returned artifact
+    (mergeTable, vocab)
   }
 
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
@@ -661,7 +674,10 @@ object TextAnalysis {
     * neither match a partial symbol (the closing bracket pins the
     * symbol end) nor re-match its own output by reusing a shared
     * boundary (each match consumes both full symbols). */
-  private val bpeTrainSql = {
+  /** The shared CTE chain `words, v0, (p_k, m_k, v_k)*` — used by
+    * both the merge-table oracle and the tokenize oracle (whose
+    * applied vocab IS the final v-stage). */
+  private val bpeStagesSql = {
     def stage(k: Int): String = {
       val prev = s"v${k - 1}"
       s"""p$k AS (
@@ -683,25 +699,77 @@ object TextAnalysis {
          |  FROM $prev CROSS JOIN m$k)""".stripMargin
     }
     val stages = (1 to BpeMergeRounds).map(stage).mkString(",\n")
-    val union = (1 to BpeMergeRounds).map(k =>
-      s"SELECT $k AS merge_rank, l AS lft, r AS rgt, l || r AS merged, " +
-        s"cast(cnt as bigint) AS pair_count FROM m$k")
-      .mkString("\nUNION ALL\n")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT lower(tok) AS word, cast(count(*) as bigint) AS freq
        |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
        |  GROUP BY lower(tok)),
        |v0 AS (
        |  SELECT word, freq, regexp_split_to_array(word, '') AS syms
        |  FROM words WHERE length(word) > 0),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  private val bpeTrainSql = {
+    val union = (1 to BpeMergeRounds).map(k =>
+      s"SELECT $k AS merge_rank, l AS lft, r AS rgt, l || r AS merged, " +
+        s"cast(cnt as bigint) AS pair_count FROM m$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeStagesSql
        |$union
        |ORDER BY merge_rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- bpe apply
+  /** Token-budget estimation under the LEARNED tokenizer — the pass
+    * that prices a corpus in training tokens before any batch is
+    * built (data mixing, cost projection, sequence packing all
+    * consume it): train the merge table (`bpeTrainFull`), then count
+    * each document's tokens under it.
+    *
+    * Scale shape: application does NOT re-run the merge folds per
+    * occurrence — the training loop's final vocab frame already
+    * holds every DISTINCT word's tokenization, so applying the
+    * tokenizer is one equi-join of corpus tokens against the
+    * vocab (∝ vocabulary, broadcastable in practice) + one doc-keyed
+    * aggregate. Per-word work is paid once per distinct word, not
+    * once per occurrence. */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(toks).as("tok"))
+      .groupBy(lower(col("tok")).as("word"))
+      .agg(count(lit(1)).as("freq"))
+    val (_, vocab) = bpeTrainFull(words, BpeMergeRounds)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("word"))
+      .join(vocab.select(col("word"), size(col("syms")).as("n_syms"),
+        length(col("word")).as("wlen")), "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_ws_tokens"),
+        sum(col("n_syms")).as("n_bpe_tokens"),
+        sum(col("wlen")).as("n_word_chars"))
+      .withColumn("chars_per_token",
+        rnd(col("n_word_chars").cast("double") / col("n_bpe_tokens"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bpeTokenizeSql =
+    s"""WITH $bpeStagesSql
+       |SELECT t.doc_id, count(*) AS n_ws_tokens,
+       |  cast(sum(len(v.syms)) as bigint) AS n_bpe_tokens,
+       |  cast(sum(length(v.word)) as bigint) AS n_word_chars,
+       |  ${rndSql("cast(sum(length(v.word)) as double) / sum(len(v.syms))", 4)}
+       |    AS chars_per_token
+       |FROM (SELECT doc_id, lower(tok) AS word
+       |      FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)) t
+       |JOIN v$BpeMergeRounds v USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mg_topk", mgTopkHeavyHitters _, None),
     QueryDef("bpe_train", bpeTrain _, Some(bpeTrainSql)),
+    QueryDef("bpe_tokenize", bpeTokenize _, Some(bpeTokenizeSql)),
     QueryDef("text_cms", textCms _, Some(textCmsSql)),
     QueryDef("text_bm25", textBm25 _, Some(textBm25Sql)),
     QueryDef("text_stats", textStats _, Some(textStatsSql)),

@@ -400,6 +400,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bpe_tokenize conserves characters and compresses vs raw symbols") {
+    val s = spark
+    val rows = graft.operators.TextAnalysis.bpeTokenize(s, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nWs, nBpe, nChars) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // every word is >= 1 symbol, and merges only shrink symbol counts
+      assert(nBpe >= nWs, s"doc ${r.getLong(0)}: fewer symbols than words")
+      assert(nBpe <= nChars, s"doc ${r.getLong(0)}: more symbols than chars")
+    }
+    // chars under the tokenizer == non-whitespace chars of the doc
+    // (text_stats computes the same quantity independently)
+    val stats = graft.operators.TextAnalysis.textStats(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    rows.foreach(r => assert(r.getLong(3) == stats(r.getLong(0)),
+      s"doc ${r.getLong(0)}: char mass not conserved"))
+    // 10 learned merges must actually compress the corpus
+    assert(rows.map(_.getLong(2)).sum < rows.map(_.getLong(3)).sum)
+  }
+
   test("property: MapReduce.run equals sequential map+reduce") {
     val s = spark
     import s.implicits._
