@@ -52,6 +52,7 @@ object Bench {
     "ann_kmeans",           // iterative centroid training (5 Lloyd rounds)
     "mr_pagerank",          // iterative graph scatter/gather
     "graph_triangles",      // wedge join + closing probe (round 6)
+    "graph_bfs",            // 4-round frontier BFS on the co-order graph (round 6)
     "mr_sort",              // full-table range-partitioned total sort (round 2)
     "q_asof_join_native")   // custom streaming-merge operator (round 2)
 
@@ -259,6 +260,14 @@ object Bench {
       .persist()
     evalNgrams.count() // materialize outside the timed region
 
+    // arrival-ordered (source, seq, doc_id) feed for the streaming
+    // admission quota
+    val capDocs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id")).limit(20000)
+      .as[(Long, String)].collect().toSeq.zipWithIndex
+      .map { case ((id, src), i) => StreamingJobs.CapDoc(src, i.toLong, id) }
+
     // token feed for the streaming MG sketch: 32 shards (the
     // state-key fan-out an executor-sharded deploy would use),
     // capped like the other inputs so the number is per-row cost
@@ -283,7 +292,9 @@ object Bench {
         mgToks.map(t => StreamingJobs.CmsTok(t.shard, t.tok)),
         ds => StreamingJobs.cmsStream(ds, 4, 1024,
           Seq("join", "hash", "scan")).toDF(),
-        outputMode = "update"))
+        outputMode = "update"),
+      drive[StreamingJobs.CapDoc]("stream_domain_cap", capDocs,
+        ds => StreamingJobs.capPerSourceStream(ds, 200).toDF()))
     evalNgrams.unpersist()
     parts
   }

@@ -286,29 +286,98 @@ object MrCore {
       .orderBy(col("node"))
   }
 
-  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+  /** The supplier co-order graph: the TOP-2000 co-supply pairs by
+    * (shared orders DESC, s1, s2) — a deterministic TakeOrdered, so
+    * the graph has the same density at EVERY scale factor (a fixed
+    * absolute threshold empties out as the supplier domain grows and
+    * co-supply counts thin — measured: ≥30 gives 455 edges at
+    * sf0.01 and ZERO above it) and the downstream wedge join is
+    * size-bounded by construction. Persisted: every consumer uses it
+    * several times (triangles: both wedge sides + closing probe;
+    * BFS: one probe per round). Shared by `graph_triangles` and
+    * `graph_bfs`. */
+  private val CoOrderTopEdges = 2000
+  private def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val co = li.select(col("l_orderkey"), col("l_suppkey").as("s1"))
+    li.select(col("l_orderkey"), col("l_suppkey").as("s1"))
       .join(li.select(col("l_orderkey"), col("l_suppkey").as("s2")), Seq("l_orderkey"))
       .filter(col("s1") < col("s2"))
       .groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 30)
+      .orderBy(col("shared").desc, col("s1"), col("s2"))
+      .limit(CoOrderTopEdges)
       .select(col("s1"), col("s2"))
-      // consumed three times (both wedge sides + the closing probe):
-      // persist, or the lineitem self-join runs three times
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    triangleCounts(co)
   }
 
-  private val graphTrianglesSql =
-    """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCounts(coOrderEdges(spark, dir))
+
+  // ---------------------------------------------------------------- bfs
+  /** Frontier BFS distances (≤ 4 hops) from the minimum node of the
+    * co-order graph — the canonical iterative-MR graph traversal next
+    * to pagerank: per round, the CURRENT frontier (nodes at the
+    * previous distance) joins the src-partitioned edge set once, and
+    * a min-aggregate merges newly reached nodes; rounds shuffle
+    * frontier-sized frames, never the graph. Distances are
+    * localCheckpoint'd per round with superseded blocks freed (the
+    * components-loop hygiene). The fixed 4-hop cap is what makes the
+    * iterative plan ORACLE-CHECKABLE: the DuckDB twin is a recursive
+    * CTE with UNION-distinct semantics (rows bounded by nodes ×
+    * depths, no path explosion) and the same depth guard, min(dist)
+    * per node = the BFS distance. */
+  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val co = coOrderEdges(spark, dir)
+    val edges = co
+      .unionAll(co.select(col("s2").as("s1"), col("s1").as("s2")))
+      .repartition(col("s1"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcRow = edges.agg(min(col("s1"))).head() // bounded: one scalar
+    if (srcRow.isNullAt(0))
+      return spark.range(0).select(col("id").as("node"), lit(0).as("dist"))
+    val src = srcRow.getLong(0)
+    var (dist, distIds) = Dedup.checkpointTracked(
+      spark.range(1).select(lit(src).as("node"), lit(0).as("dist")))
+    (1 to 4).foreach { k =>
+      val frontier = dist.filter(col("dist") === k - 1)
+      val next = frontier.join(edges, col("node") === col("s1"))
+        .select(col("s2").as("node"), lit(k).as("dist"))
+      val (merged, mergedIds) = Dedup.checkpointTracked(
+        dist.unionAll(next).groupBy(col("node")).agg(min(col("dist")).as("dist")))
+      Dedup.freeBlocks(spark, distIds)
+      dist = merged
+      distIds = mergedIds
+    }
+    dist.orderBy(col("node"))
+  }
+
+  private val coOrderSqlCtes =
+    s"""li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
       |co AS (
-      |  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
-      |  FROM li a JOIN li b
-      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-      |  GROUP BY 1, 2 HAVING count(*) >= 30),
+      |  SELECT s1, s2 FROM (
+      |    SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS shared
+      |    FROM li a JOIN li b
+      |      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |    GROUP BY 1, 2
+      |    ORDER BY shared DESC, s1, s2 LIMIT $CoOrderTopEdges))""".stripMargin
+
+  private val graphBfsSql =
+    s"""WITH RECURSIVE $coOrderSqlCtes,
+       |sym AS (SELECT s1, s2 FROM co UNION ALL SELECT s2, s1 FROM co),
+       |walk(node, dist) AS (
+       |  SELECT min(s1), 0 FROM sym
+       |  UNION
+       |  SELECT e.s2, w.dist + 1
+       |  FROM walk w JOIN sym e ON e.s1 = w.node
+       |  WHERE w.dist < 4)
+       |SELECT node, cast(min(dist) as int) AS dist
+       |FROM walk WHERE node IS NOT NULL
+       |GROUP BY node ORDER BY node""".stripMargin
+
+  private val graphTrianglesSql =
+    s"""WITH $coOrderSqlCtes,
       |tri AS (
       |  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
       |  FROM co e1
@@ -330,5 +399,6 @@ object MrCore {
     QueryDef("mr_sort", mrSort _, Some(mrSortSql)),
     QueryDef("mr_partition_hist", mrPartitionHist _, Some(mrPartitionHistSql)),
     QueryDef("mr_pagerank", mrPagerank _, Some(mrPagerankSql)),
-    QueryDef("graph_triangles", graphTriangles _, Some(graphTrianglesSql)))
+    QueryDef("graph_triangles", graphTriangles _, Some(graphTrianglesSql)),
+    QueryDef("graph_bfs", graphBfs _, Some(graphBfsSql)))
 }

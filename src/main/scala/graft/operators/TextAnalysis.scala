@@ -589,9 +589,19 @@ object TextAnalysis {
 
   /** Engine kernel: merge table from a (word, freq) frame. Symbols
     * must not contain the control chars U+0001/U+0002 (the bracket encoding) —
-    * true of whitespace tokens by construction. */
-  def bpeTrainMerges(words: DataFrame, nMerges: Int): DataFrame =
-    bpeTrainFull(words, nMerges)._1
+    * true of whitespace tokens by construction. The merge table is
+    * driver-materialized, so this wrapper FREES the final vocab's
+    * checkpoint blocks before returning (callers who need the vocab
+    * use [[bpeTrainFull]], which transfers block ownership instead —
+    * without this split, every merge-only call would leak one
+    * vocab-sized block set into the session). */
+  def bpeTrainMerges(words: DataFrame, nMerges: Int): DataFrame = {
+    val (merges, vocab, ids) = bpeTrainCore(words, nMerges)
+    // force the (tiny, driver-built) merge table before dropping the
+    // vocab blocks it no longer depends on
+    Dedup.freeBlocks(vocab.sparkSession, ids)
+    merges
+  }
 
   /** Train + keep the trained artifacts: (merge table, final vocab
     * (word, freq, syms)) — the vocab is each distinct word's
@@ -603,6 +613,12 @@ object TextAnalysis {
     * this call, and its blocks are session-owned like the other
     * persisted kernels'. */
   def bpeTrainFull(words: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
+    val (merges, vocab, _) = bpeTrainCore(words, nMerges)
+    (merges, vocab)
+  }
+
+  private def bpeTrainCore(words: DataFrame, nMerges: Int)
+      : (DataFrame, DataFrame, Set[Int]) = {
     val spark = words.sparkSession
     val charSplit = expr(
       "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
@@ -656,8 +672,10 @@ object TextAnalysis {
       .select(col("merge_rank"), col("lft"), col("rgt"),
         concat(col("lft"), col("rgt")).as("merged"), col("pair_count"))
       .orderBy(col("merge_rank"))
-    // the final vocab's blocks stay live — it is a returned artifact
-    (mergeTable, vocab)
+    // the final vocab's blocks stay live here — ownership passes to
+    // the caller (bpeTrainMerges frees them; bpeTrainFull hands the
+    // vocab out as an artifact)
+    (mergeTable, vocab, vocabIds)
   }
 
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =

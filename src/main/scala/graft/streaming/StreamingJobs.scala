@@ -263,6 +263,57 @@ object StreamingJobs {
     *
     * On a batch Dataset the same fold runs per complete group —
     * StreamingSpec proves streamed == batch == guarantee. */
+  /** One arriving document for the streaming source quota: `seq` is
+    * the deterministic arrival order within its source (admission is
+    * order-dependent by design — "first N win"). */
+  case class CapDoc(source: String, seq: Long, doc_id: Long)
+  /** An ADMITTED document and its 1-based admission rank. */
+  case class CapKept(doc_id: Long, source: String, admit_rank: Long)
+
+  /** Streaming per-source admission quota — the ingest-time twin of
+    * the batch `q_domain_cap`: admit the first `cap` documents per
+    * source in arrival order, drop the rest. State is ONE long per
+    * source (the admitted count) — independent of document count —
+    * and emissions are append-only (each doc decided exactly once on
+    * arrival), so the job composes with any downstream append
+    * pipeline. Batch picks by deterministic md5 order over the full
+    * corpus; a stream cannot (it would have to hold every doc), so
+    * arrival order IS the streaming quota's contract — documented,
+    * not hidden. Un-TTL'd state like the sketches: one counter per
+    * source summarizes the whole ingest history.
+    *
+    * On a batch Dataset the same fold runs per complete group —
+    * StreamingSpec proves streamed == batch == the first-cap prefix
+    * per source. */
+  def capPerSourceStream(docs: Dataset[CapDoc], cap: Int): Dataset[CapKept] = {
+    import docs.sparkSession.implicits._
+    require(cap >= 0, s"bad cap $cap")
+    def fold(src: String, it: Iterator[CapDoc], st: Option[Long])
+        : (Long, Iterator[CapKept]) = {
+      var n = st.getOrElse(0L)
+      val kept = scala.collection.mutable.ArrayBuffer.empty[CapKept]
+      // seq-sorted: the group iterator's order is unspecified, the
+      // admission contract is arrival (seq) order
+      it.toArray.sortBy(_.seq).foreach { d =>
+        if (n < cap) { n += 1; kept += CapKept(d.doc_id, src, n) }
+      }
+      (n, kept.iterator)
+    }
+    if (docs.isStreaming)
+      docs.groupByKey(_.source)
+        .flatMapGroupsWithState[Long, CapKept](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (src: String, it: Iterator[CapDoc], state: GroupState[Long]) =>
+            val (n, out) = fold(src, it, state.getOption)
+            state.update(n)
+            out
+        }
+    else
+      docs.groupByKey(_.source).flatMapGroups { (src, it) =>
+        fold(src, it, None)._2
+      }
+  }
+
   /** One observed token for the streaming CMS (same hash-disjoint
     * sharding contract as [[MgTok]]; no `seq` — CMS counters are
     * exact sums, so the fold is ORDER-FREE, the property the batch

@@ -79,6 +79,29 @@ class PlanShapeSpec extends SparkSpec {
       "cap must flatten every stratum to exactly cap rows")
   }
 
+  test("hybrid retrieval shortlists are TakeOrdered, never a global sort") {
+    val plan = graft.operators.Similarity.pipelineHybridRetrieval(spark, sf)
+      .queryExecution.executedPlan.toString
+    // both corpus-sized ranking stages must be TakeOrdered (<= K rows
+    // per partition cross the wire); the remaining Sorts in the plan
+    // all sit above limits (the <= 100-row shortlist windows, the
+    // <= 200-row fusion join, the <= 50-row output order)
+    val shortlists = "TakeOrderedAndProject\\(limit=100".r
+      .findAllIn(plan).size
+    assert(shortlists >= 2,
+      s"expected 2 TakeOrdered shortlists, found $shortlists in:\n$plan")
+    assert(!plan.contains("Window [") ||
+      !plan.contains("windowspecdefinition(doc"), // no corpus-wide window
+      s"unexpected corpus window in:\n$plan")
+  }
+
+  test("domain cap plans the same range exchange as the stratified sampler") {
+    val plan = graft.operators.ScalarOps.qDomainCap(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"expected the stratum-rank range exchange in:\n$plan")
+  }
+
   test("stratifiedSampleExact keeps NULL strata and tolerates colliding column names") {
     val s = spark
     import s.implicits._

@@ -453,6 +453,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming source quota: streamed == batch == first-cap prefix per source") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingJobs.{CapDoc, CapKept}
+    val cap = 7
+    val docs = Tables.documents(s, sf).orderBy("doc_id")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val data = docs.zipWithIndex.map { case ((id, src), i) =>
+      CapDoc(src, i.toLong, id)
+    }
+    val expect = data.groupBy(_.source).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy(_.seq).take(cap).zipWithIndex
+        .map { case (d, i) => CapKept(d.doc_id, src, i + 1L) }.toSeq
+    }.toSet
+
+    val batch = StreamingJobs.capPerSourceStream(s.createDataset(data.toSeq), cap)
+      .collect().toSet
+    assert(batch == expect)
+
+    val in = MemoryStream[CapDoc](s)
+    val q = StreamingJobs.capPerSourceStream(in.toDS(), cap).writeStream
+      .format("memory").queryName("cap_stream_out")
+      .outputMode("append").start()
+    data.grouped(data.length / 5 + 1).foreach { chunk =>
+      in.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+    q.stop()
+    val streamed = s.sql("select * from cap_stream_out").as[CapKept].collect().toSet
+    assert(streamed == expect,
+      s"streamed ${streamed.size} vs expected ${expect.size}")
+    // state = one counter row per source, not per document
+    val nSources = data.map(_.source).distinct.length
+    assert(stateRows == nSources.toLong,
+      s"state rows $stateRows != sources $nSources")
+  }
+
   test("restart from checkpoint: replayed input is not duplicated, new input is not lost") {
     // The Spark equivalence of the reference coordinator's
     // failure-retry loop (mr/src/coordinator.rs:108-135 re-issues
