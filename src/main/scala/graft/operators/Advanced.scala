@@ -195,10 +195,13 @@ object Advanced {
     * value, exact decimal accumulate, round in decimal space. */
   def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
+    // bounds ROUNDED to 4 decimals before any comparison or clamp —
+    // same last-ULP interpolation hazard (and same fix) as
+    // `q_bucketize`'s decile boundaries
     val bounds = cust.groupBy(col("c_mktsegment").as("seg"))
       .agg(
-        expr("percentile(c_acctbal, 0.1)").as("p_lo"),
-        expr("percentile(c_acctbal, 0.9)").as("p_hi"))
+        rnd(expr("percentile(c_acctbal, 0.1)"), 4).as("p_lo"),
+        rnd(expr("percentile(c_acctbal, 0.9)"), 4).as("p_hi"))
     val clamped = greatest(col("p_lo"), least(col("c_acctbal"), col("p_hi")))
     cust.join(broadcast(bounds), col("c_mktsegment") === col("seg"))
       .groupBy(col("c_mktsegment"))
@@ -216,8 +219,8 @@ object Advanced {
   private val qWinsorizeSql =
     s"""WITH bounds AS (
        |  SELECT c_mktsegment AS seg,
-       |    quantile_cont(c_acctbal, 0.1) AS p_lo,
-       |    quantile_cont(c_acctbal, 0.9) AS p_hi
+       |    ${rndSql("quantile_cont(c_acctbal, 0.1)", 4)} AS p_lo,
+       |    ${rndSql("quantile_cont(c_acctbal, 0.9)", 4)} AS p_hi
        |  FROM customer GROUP BY c_mktsegment)
        |SELECT c_mktsegment,
        |  count(*) AS n_cust,
@@ -229,6 +232,64 @@ object Advanced {
        |    as decimal(28,6))), 4) as double) / count(*) AS winsor_mean
        |FROM customer JOIN bounds ON c_mktsegment = seg
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- bucketize
+  /** Per-group equi-DEPTH binning (decile assignment) — the feature-
+    * engineering pass that turns a raw measure into a rank feature,
+    * and the complement to `q_value_histogram`'s equi-WIDTH buckets:
+    * depth buckets adapt to the distribution (each holds ~10%), width
+    * buckets to the range. Per-segment decile boundaries (one
+    * 9-quantile aggregate) broadcast back onto the rows; the decile
+    * is a pure expression fold over the boundary array (1 + #
+    * boundaries strictly below the value — ties go DOWN, both
+    * engines); output is the bounded per-(group, decile) profile.
+    * Same exact-percentile scale caveat as `q_percentile`, same
+    * declared scale path (the GK sketch in `q_approx_percentile`). */
+  def qBucketize(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val qs = (1 to 9).map(i => s"0.$i").mkString(", ")
+    // boundaries are ROUNDED to 4 decimals before any comparison:
+    // the engines' interpolation formulas differ by a last ULP even
+    // between EQUAL neighbors (lower + f*(upper-lower) returns the
+    // value exactly; a*(1-f)+b*f does not), and a raw-boundary
+    // comparison flips a row's bucket on that ULP. With 2-decimal
+    // data, 4-decimal rounding has 0.005 of slack on either side —
+    // ULP noise cannot cross it.
+    val bnds = cust.groupBy(col("c_mktsegment").as("seg"))
+      .agg(expr(s"percentile(c_acctbal, array($qs))").as("raw"))
+      .select(col("seg"),
+        expr("transform(raw, b -> floor(b * 1e4 + 0.5) / 1e4)").as("bnds"))
+    cust.join(broadcast(bnds), col("c_mktsegment") === col("seg"))
+      .withColumn("decile", expr(
+        "1 + aggregate(bnds, 0, (acc, b) -> acc + " +
+          "(case when c_acctbal > b then 1 else 0 end))"))
+      .groupBy(col("c_mktsegment"), col("decile"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        rnd(min(col("c_acctbal")), 4).as("lo"),
+        rnd(max(col("c_acctbal")), 4).as("hi"))
+      .orderBy(col("c_mktsegment"), col("decile"))
+  }
+
+  private val qBucketizeSql = {
+    val qs = (1 to 9).map(i => s"0.$i").mkString(", ")
+    s"""WITH bnds AS (
+       |  SELECT c_mktsegment AS seg,
+       |    list_transform(quantile_cont(c_acctbal, [$qs]),
+       |      b -> floor(b * 1e4 + 0.5) / 1e4) AS bnds
+       |  FROM customer GROUP BY c_mktsegment),
+       |assigned AS (
+       |  SELECT c_mktsegment, c_acctbal,
+       |    cast(1 + list_sum(list_transform(bnds,
+       |      b -> CASE WHEN c_acctbal > b THEN 1 ELSE 0 END)) as int) AS decile
+       |  FROM customer JOIN bnds ON c_mktsegment = seg)
+       |SELECT c_mktsegment, decile, count(*) AS n_cust,
+       |  ${rndSql("min(c_acctbal)", 4)} AS lo,
+       |  ${rndSql("max(c_acctbal)", 4)} AS hi
+       |FROM assigned
+       |GROUP BY c_mktsegment, decile
+       |ORDER BY c_mktsegment, decile""".stripMargin
+  }
 
   // ---------------------------------------------------------------- approx distinct
   /** HLL++ sketch aggregation — approximate by construction, so no
@@ -401,6 +462,7 @@ object Advanced {
     QueryDef("q_skyline", qSkyline _, Some(qSkylineSql)),
     QueryDef("q_percentile", qPercentile _, Some(qPercentileSql)),
     QueryDef("q_winsorize", qWinsorize _, Some(qWinsorizeSql)),
+    QueryDef("q_bucketize", qBucketize _, Some(qBucketizeSql)),
     QueryDef("q_approx_distinct", qApproxDistinct _, None),
     QueryDef("q_approx_percentile", qApproxPercentile _, None))
 }

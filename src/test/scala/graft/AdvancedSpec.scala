@@ -102,6 +102,29 @@ class AdvancedSpec extends SparkSpec {
     assert(got.nonEmpty) // a frontier always exists on non-empty input
   }
 
+  test("equi-depth deciles partition each segment into ordered ~10% buckets") {
+    val rows = Advanced.qBucketize(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val segTotals = Tables.customer(spark, sf).groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (seg, ds) =>
+      val n = segTotals(seg)
+      assert(ds.map(_._2).sorted.toSeq == (1 to 10),
+        s"$seg: missing deciles ${ds.map(_._2).sorted.toSeq}")
+      assert(ds.map(_._3).sum == n, s"$seg: decile counts must cover the segment")
+      // equi-depth: every decile holds roughly a tenth
+      ds.foreach { case (_, d, c, _, _) =>
+        assert(c >= n / 20 && c <= n / 5, s"$seg decile $d holds $c of $n")
+      }
+      // value ranges are ordered and non-overlapping across deciles
+      val byD = ds.sortBy(_._2)
+      byD.zip(byD.tail).foreach { case ((_, d, _, _, hi), (_, _, _, lo2, _)) =>
+        assert(hi <= lo2 + 1e-9, s"$seg: decile $d hi $hi > next lo $lo2")
+      }
+    }
+  }
+
   test("winsorized mean sits inside the clamp bounds; clamp counts consistent") {
     val rows = Advanced.qWinsorize(spark, sf).collect()
     assert(rows.nonEmpty)
