@@ -242,14 +242,16 @@ case class CountMinMatrix(
     copy(child = newChild)
 }
 
-/** THE CMS bucket hash, defined once for three consumers: the
-  * aggregate's JVM update path, the Column-side probe expressions
-  * (estimate lookup), and the DuckDB oracle SQL. All three compute
+/** THE CMS bucket hash, defined once for three JVM/plan consumers:
+  * the aggregate's update path, the Column-side probe expressions
+  * (estimate lookup), and the streaming job's state fold. All compute
   * bucket_i(x) = ((A(i) · (md5_60(x) mod P) + B(i)) mod P) mod width
   * with P = 2³¹−1 — the affine-mix-of-one-md5 construction the
   * minhash kernel established (Dedup.scala): one md5 per item, d
   * "independent" row hashes as integer mixes, every op exact on both
-  * engines. */
+  * engines. The DuckDB oracle mirrors the formula from the SAME A/B
+  * constant lists (interpolated into its seeds CTE), so the
+  * constants are single-sourced even where the SQL text is not. */
 object CmsCore {
 
   val P = 2147483647L // 2^31 - 1
@@ -282,10 +284,6 @@ object CmsCore {
     * probes Catalyst constant-folds it to an int. */
   def bucketCol(c: Column, i: Int, width: Int): Column =
     ((lit(A(i)) * (CrossEngine.md5Long(c) % P) + lit(B(i))) % P) % width
-
-  /** DuckDB SQL form of the same bucket over expression `e`. */
-  def bucketSql(e: String, i: Int, width: Int): String =
-    s"(((${A(i)} * (${CrossEngine.md5LongSql(e)} % $P) + ${B(i)}) % $P) % $width)"
 }
 
 object FreqSketch {

@@ -518,10 +518,18 @@ object Dedup {
       .withColumn("c", size(array_intersect(col("s_a"), col("s_b"))))
       .withColumn("sza", size(col("s_a")))
       .withColumn("szb", size(col("s_b")))
-    val dirs = j.select(col("doc_a").as("doc_sub"), col("doc_b").as("doc_sup"),
-        col("c"), (col("c").cast("double") / col("sza")).as("containment"))
-      .unionAll(j.select(col("doc_b").as("doc_sub"), col("doc_a").as("doc_sup"),
-        col("c"), (col("c").cast("double") / col("szb")).as("containment")))
+    // both directions from ONE pass over j: a unionAll of two
+    // projections would re-plan the candidate join and re-run the
+    // dominant array_intersect per pair (ReuseExchange dedups
+    // shuffles, not join+projection subtrees)
+    val dirs = j.select(explode(array(
+        struct(col("doc_a").as("doc_sub"), col("doc_b").as("doc_sup"),
+          col("c"), (col("c").cast("double") / col("sza")).as("containment")),
+        struct(col("doc_b").as("doc_sub"), col("doc_a").as("doc_sup"),
+          col("c"), (col("c").cast("double") / col("szb")).as("containment"))))
+        .as("d"))
+      .select(col("d.doc_sub"), col("d.doc_sup"), col("d.c"),
+        col("d.containment"))
     dirs.filter(col("containment") >= 0.9)
       .select(col("doc_sub"), col("doc_sup"), col("c").as("n_shared_tokens"),
         rnd(col("containment"), 4).as("containment"))

@@ -706,15 +706,20 @@ object TextAnalysis {
          |    FROM $prev) GROUP BY pr.l, pr.r),
          |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
          |v$k AS (
+         |  -- LEFT JOIN ON TRUE, not CROSS JOIN: when merges exhaust
+         |  -- before round $k (m$k empty), the vocab must pass through
+         |  -- unchanged — a cross join would empty every later stage
+         |  -- and falsely zero the tokenize oracle's final-vocab join
          |  SELECT word, freq,
+         |    CASE WHEN m$k.l IS NULL THEN syms ELSE
          |    list_transform(
          |      string_split(
          |        replace(chr(1) || array_to_string(syms, chr(2) || chr(1)) || chr(2),
          |                chr(1) || m$k.l || chr(2) || chr(1) || m$k.r || chr(2),
          |                chr(1) || m$k.l || m$k.r || chr(2)),
          |        chr(2) || chr(1)),
-         |      x -> replace(replace(x, chr(1), ''), chr(2), '')) AS syms
-         |  FROM $prev CROSS JOIN m$k)""".stripMargin
+         |      x -> replace(replace(x, chr(1), ''), chr(2), '')) END AS syms
+         |  FROM $prev LEFT JOIN m$k ON TRUE)""".stripMargin
     }
     val stages = (1 to BpeMergeRounds).map(stage).mkString(",\n")
     s"""words AS (
@@ -752,6 +757,14 @@ object TextAnalysis {
     * aggregate. Per-word work is paid once per distinct word, not
     * once per occurrence. */
   def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    // the corpus IS tokenized twice (once for the word-frequency
+    // training input, once for the application join) — deliberately:
+    // persisting one shared exploded (doc_id, word) frame was tried
+    // and MEASURED SLOWER (9.3 s vs 7.0 s at sf1, same run) — caching the
+    // token explosion materializes ~n_tokens rows, which costs more
+    // than a second columnar scan + re-explode; the training side
+    // also aggregates straight into vocabulary-sized state, so the
+    // map-side combine never materializes the explosion at all
     val words = Tables.documents(spark, dir)
       .select(explode(toks).as("tok"))
       .groupBy(lower(col("tok")).as("word"))

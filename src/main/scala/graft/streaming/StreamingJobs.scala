@@ -290,14 +290,25 @@ object StreamingJobs {
     require(cap >= 0, s"bad cap $cap")
     def fold(src: String, it: Iterator[CapDoc], st: Option[Long])
         : (Long, Iterator[CapKept]) = {
-      var n = st.getOrElse(0L)
-      val kept = scala.collection.mutable.ArrayBuffer.empty[CapKept]
-      // seq-sorted: the group iterator's order is unspecified, the
-      // admission contract is arrival (seq) order
-      it.toArray.sortBy(_.seq).foreach { d =>
-        if (n < cap) { n += 1; kept += CapKept(d.doc_id, src, n) }
+      val n = st.getOrElse(0L)
+      val room = math.max(0L, cap - n).toInt
+      if (room == 0) { it.foreach(_ => ()); return (n, Iterator.empty) }
+      // only the `room` smallest seqs can be admitted, so keep a
+      // size-bounded max-heap instead of materializing and sorting
+      // the whole group: on the batch path a group is an ENTIRE
+      // source's documents, and O(group) working memory would
+      // contradict the operator's own bounded-state claim
+      val pq = scala.collection.mutable.PriorityQueue.empty[CapDoc](
+        Ordering.by(_.seq))
+      it.foreach { d =>
+        if (pq.size < room) pq.enqueue(d)
+        else if (d.seq < pq.head.seq) { pq.dequeue(); pq.enqueue(d) }
       }
-      (n, kept.iterator)
+      val kept = pq.dequeueAll.reverse // ascending seq = arrival order
+      (n + kept.size,
+        kept.iterator.zipWithIndex.map { case (d, i) =>
+          CapKept(d.doc_id, src, n + i + 1)
+        })
     }
     if (docs.isStreaming)
       docs.groupByKey(_.source)
@@ -347,6 +358,12 @@ object StreamingJobs {
       probes: Seq[String]): Dataset[CmsCell] = {
     import toks.sparkSession.implicits._
     import graft.functions.CmsCore
+    // same plan-time contract as the batch CountMinMatrix aggregate:
+    // an oversized depth must fail here with a readable message, not
+    // as an IndexOutOfBounds inside an executor task mid-stream
+    require(depth >= 1 && depth <= CmsCore.MaxDepth,
+      s"cms depth must be in [1, ${CmsCore.MaxDepth}], got $depth")
+    require(width >= 2, s"cms width must be >= 2, got $width")
     val probeBuckets: Seq[(String, Seq[Int])] = probes.map { p =>
       p -> (0 until depth).map(i => CmsCore.bucket(i, CmsCore.baseMod(p), width))
     }
