@@ -135,6 +135,150 @@ object Sources {
     fs.delete(bak, true)
   }
 
+  // ---------------------------------------------------------------- z-order
+  /** Layout metadata for a z-ordered table: the per-dimension value
+    * bounds the writer bucketized against, carried in a `_zmeta.json`
+    * sidecar so readers reconstruct the exact same bucket mapping. */
+  case class ZMeta(colA: String, colB: String, minA: Double, maxA: Double,
+      minB: Double, maxB: Double, bits: Int, prefixBits: Int)
+
+  /** Morton (Z) interleave of two bucket ranks (each in
+    * [0, 2^bits)): a's bit i lands at position 2i+1, b's at 2i — a
+    * pure integer Column expression (codegen'd, zero shuffle). */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    (0 until bits).map { i =>
+      (shiftright(a, i) % 2) * lit(1L << (2 * i + 1)) +
+        (shiftright(b, i) % 2) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+  }
+
+  /** Z-ORDERED parquet layout: rows are bucketized on two numeric
+    * dimensions, bit-interleaved into a Morton code, directory-
+    * partitioned by the code's top `prefixBits` bits and sorted by
+    * the full code within files. Each directory is therefore a
+    * RECTANGLE in (a, b) space — the property 1-D layouts lack: a
+    * range-partition on `a` alone answers b-constrained queries by
+    * scanning everything, while a z-prefix directory set stays small
+    * for boxes narrow in EITHER dimension ([[readZBox]] proves it by
+    * enumeration + partition pruning). The sort inside each file
+    * additionally gives parquet row-group min/max locality on both
+    * dims. This is the multi-dimensional member of the layout
+    * family: bucketing (equi-join co-location), the manifest table
+    * (atomic publish), the IVF index (cluster pruning), z-order
+    * (2-D range pruning).
+    *
+    * Nulls bucket to 0 (kept, not dropped — they land in the lowest
+    * cell and every box probe adds an explicit null guard via its
+    * residual filter). Bounds are computed here (one 1-row aggregate)
+    * and carried in the sidecar. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      bits: Int = 8, prefixBits: Int = 6): ZMeta = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 20, s"bits out of range: $bits")
+    require(prefixBits >= 1 && prefixBits <= 2 * bits,
+      s"prefixBits out of range: $prefixBits")
+    val b = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    require(!b.isNullAt(0) && !b.isNullAt(2),
+      "z-order needs at least one non-null row per dimension")
+    val meta = ZMeta(colA, colB, b.getDouble(0), b.getDouble(1),
+      b.getDouble(2), b.getDouble(3), bits, prefixBits)
+    def bucket(c: String, lo: Double, hi: Double) = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(lit((1L << bits) - 1), greatest(lit(0L),
+        floor((coalesce(col(c).cast("double"), lit(lo)) - lo)
+          / span * (1L << bits)).cast("long")))
+    }
+    val z = zValue(bucket(colA, meta.minA, meta.maxA),
+      bucket(colB, meta.minB, meta.maxB), bits)
+    df.withColumn("__z", z)
+      .withColumn("z_prefix",
+        shiftright(col("__z"), 2 * bits - prefixBits).cast("int"))
+      .repartition(col("z_prefix"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).partitionBy("z_prefix").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_zmeta.json"), true)
+    out.write(
+      s"""{"colA":"${meta.colA}","colB":"${meta.colB}","minA":${meta.minA},"maxA":${meta.maxA},"minB":${meta.minB},"maxB":${meta.maxB},"bits":${meta.bits},"prefixBits":${meta.prefixBits}}"""
+        .getBytes("UTF-8"))
+    out.close()
+    meta
+  }
+
+  private def readZMeta(spark: SparkSession, path: String): ZMeta = {
+    val p = new org.apache.hadoop.fs.Path(path, "_zmeta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    in.readFully(bytes)
+    in.close()
+    val s = new String(bytes, "UTF-8")
+    def str(k: String) =
+      s.replaceAll(s""".*"$k":"([^"]*)".*""", "$1")
+    def num(k: String) =
+      s.replaceAll(s""".*"$k":([-0-9.eE]+)[,}].*""", "$1").toDouble
+    ZMeta(str("colA"), str("colB"), num("minA"), num("maxA"),
+      num("minB"), num("maxB"), num("bits").toInt, num("prefixBits").toInt)
+  }
+
+  /** Box query over a z-ordered layout: enumerate the 2^prefixBits
+    * z-prefix cells DRIVER-SIDE (each decodes to a rectangle in
+    * bucket space — de-interleave the prefix, the remaining low bits
+    * span the rest of the cell), keep only cells intersecting the
+    * query box, and read with an IN partition filter (directory
+    * pruning — the plan's PartitionFilters) plus the exact residual
+    * range filter. Returns (frame, cellsRead, cellsTotal) so callers
+    * and the spec can see the pruning ratio. */
+  def readZBox(spark: SparkSession, path: String,
+      loA: Double, hiA: Double, loB: Double, hiB: Double)
+      : (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions._
+    val m = readZMeta(spark, path)
+    def bucketOf(v: Double, lo: Double, hi: Double): Long = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      math.min((1L << m.bits) - 1,
+        math.max(0L, math.floor((v - lo) / span * (1L << m.bits)).toLong))
+    }
+    val (bLoA, bHiA) = (bucketOf(loA, m.minA, m.maxA), bucketOf(hiA, m.minA, m.maxA))
+    val (bLoB, bHiB) = (bucketOf(loB, m.minB, m.maxB), bucketOf(hiB, m.minB, m.maxB))
+    // de-interleave a prefix: bit 2i+1 of the z code is a's bit i.
+    // A prefix of length prefixBits fixes the TOP ceil/floor halves
+    // of the two dimensions' bucket bits; the unfixed low bits range
+    // over the whole cell.
+    val total = 1 << m.prefixBits
+    val aFixed = (m.prefixBits + 1) / 2 // a holds the odd (higher) positions
+    val bFixed = m.prefixBits / 2
+    val cells = (0 until total).filter { p =>
+      var aHi = 0L
+      var bHi = 0L
+      (0 until m.prefixBits).foreach { j =>
+        // bit j of the prefix (from its LOW end) is z-bit (2*bits-1-…)
+        val zPos = 2 * m.bits - m.prefixBits + j
+        val bit = (p >> j) & 1
+        if (zPos % 2 == 1) aHi |= bit.toLong << (zPos / 2)
+        else bHi |= bit.toLong << (zPos / 2)
+      }
+      val aLo = aHi
+      val aHiFull = aHi | ((1L << (m.bits - aFixed)) - 1)
+      val bLo = bHi
+      val bHiFull = bHi | ((1L << (m.bits - bFixed)) - 1)
+      aHiFull >= bLoA && aLo <= bHiA && bHiFull >= bLoB && bLo <= bHiB
+    }
+    val prefixFilter =
+      if (cells.isEmpty) lit(false) else col("z_prefix").isin(cells: _*)
+    val reader = spark.read.parquet(path)
+      .filter(prefixFilter)
+      .filter(col(m.colA).cast("double").between(loA, hiA) &&
+        col(m.colB).cast("double").between(loB, hiB))
+    (reader, cells.size, total)
+  }
+
   /** Register every test table as a temp view so the full surface is
     * reachable through plain `spark.sql(...)`. */
   def createViews(spark: SparkSession, dir: String): Unit =

@@ -203,4 +203,44 @@ class SourcesSpec extends SparkSpec {
     assert(s.sparkContext.getPersistentRDDs.size == cachedBefore,
       "release() must unpersist the attempt frame")
   }
+
+  test("z-ordered layout prunes cells for boxes narrow in EITHER dimension") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString + "/tbl"
+    val df = Tables.events(s, sf)
+      .select(col("event_id"), col("user_id").cast("double").as("u"), col("value").as("v"))
+    Sources.writeZOrdered(df, dir, "u", "v", bits = 8, prefixBits = 6)
+    val (uLo, uHi, vLo, vHi) = {
+      val r = df.agg(min("u"), max("u"), min("v"), max("v")).head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    def expect(la: Double, ha: Double, lb: Double, hb: Double): Set[Long] =
+      df.filter(col("u").between(la, ha) && col("v").between(lb, hb))
+        .select("event_id").collect().map(_.getLong(0)).toSet
+
+    // box narrow in u (10% of the u range), full v
+    val ua = uLo + (uHi - uLo) * 0.4
+    val ub = uLo + (uHi - uLo) * 0.5
+    val (r1, c1, tot) = Sources.readZBox(s, dir, ua, ub, vLo, vHi)
+    assert(r1.select("event_id").collect().map(_.getLong(0)).toSet ==
+      expect(ua, ub, vLo, vHi), "u-narrow box must return exactly the box rows")
+    assert(c1 <= tot / 2, s"u-narrow box read $c1 of $tot cells")
+
+    // box narrow in v — the dimension a 1-D layout on u cannot prune
+    val va = vLo + (vHi - vLo) * 0.4
+    val vb = vLo + (vHi - vLo) * 0.5
+    val (r2, c2, _) = Sources.readZBox(s, dir, uLo, uHi, va, vb)
+    assert(r2.select("event_id").collect().map(_.getLong(0)).toSet ==
+      expect(uLo, uHi, va, vb), "v-narrow box must return exactly the box rows")
+    assert(c2 <= tot / 2, s"v-narrow box read $c2 of $tot cells")
+
+    // the cell pruning is real partition pruning, visible in the plan
+    val plan = r1.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("z_prefix"),
+      s"expected z_prefix partition filters in:\n$plan")
+
+    // a box outside the data space reads nothing
+    val (r3, c3, _) = Sources.readZBox(s, dir, uHi + 10, uHi + 20, vLo, vHi)
+    assert(c3 <= tot && r3.count() == 0)
+  }
 }
