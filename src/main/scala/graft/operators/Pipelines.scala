@@ -283,7 +283,67 @@ object Pipelines {
        |WHERE ${md5LongSql("'mix:' || cast(doc_id as varchar)")} % 10000 < bp
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- curate v2
+  /** The round-6 curation chain as ONE declarative plan — domain cap
+    * → exact dedup → weighted mixture — composing this round's quota
+    * kernels the way a production corpus build runs them: flatten hot
+    * sources first (`capPerStratum`, budget not fraction), dedup the
+    * survivors (md5 grouping, keep min doc_id), then re-weight
+    * languages at fixed basis points (`sampleWeighted`, subset-stable
+    * — so the mixture decision commutes with the stages before it and
+    * a backfill selects the same corpus). Output is the bounded
+    * per-(source, lang) corpus manifest a training run consumes.
+    *
+    * Plan shape: the cap's range exchange + block table, one md5
+    * exchange for dedup, a pure-projection mixture filter, one final
+    * aggregate — no stage sees more than the prior stage's survivors.
+    * Complements `pipeline_training_data` (quality → dedup → sample):
+    * between them every §2 curation kernel appears in a composed,
+    * oracle-checked chain. */
+  def pipelineCurateV2(spark: SparkSession, dir: String): DataFrame = {
+    val capped = ScalarOps.capPerStratum(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          col("n_chars")),
+      strataCol = "source", keyCol = "doc_id", cap = 15)
+      .drop("sample_rank")
+    val deduped = capped
+      .withColumn("__h", md5(col("text")))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__h")).orderBy(col("doc_id"))))
+      .filter(col("__rk") === 1).drop("__h", "__rk")
+    val bp = when(col("lang") === "en", 8000)
+      .when(col("lang") === "de", 5000).otherwise(2500)
+    sampleWeighted(deduped, bp, "curate2")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  private val pipelineCurateV2Sql =
+    s"""WITH capped AS (
+       |  SELECT doc_id, source, lang, text, n_chars FROM (
+       |    SELECT doc_id, source, lang, text, n_chars,
+       |      row_number() OVER (PARTITION BY source
+       |        ORDER BY md5('strat:' || cast(doc_id as varchar)), doc_id) AS rk
+       |    FROM documents) WHERE rk <= 15),
+       |deduped AS (
+       |  SELECT doc_id, source, lang, n_chars FROM (
+       |    SELECT doc_id, source, lang, n_chars,
+       |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk2
+       |    FROM capped) WHERE rk2 = 1),
+       |mixed AS (
+       |  SELECT * FROM deduped
+       |  WHERE ${md5LongSql("'curate2:' || cast(doc_id as varchar)")} % 10000 <
+       |    CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000 ELSE 2500 END)
+       |SELECT source, lang, count(*) AS n_docs,
+       |  cast(sum(n_chars) as bigint) AS sum_chars
+       |FROM mixed GROUP BY source, lang
+       |ORDER BY source, lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("pipeline_curate_v2", pipelineCurateV2 _, Some(pipelineCurateV2Sql)),
     QueryDef("pipeline_training_data", trainingData _, Some(trainingDataSql)),
     QueryDef("pipeline_decontaminate", decontaminate _, Some(decontaminateSql)),
     QueryDef("pipeline_pack_sequences", packSequences _, Some(packSequencesSql)),

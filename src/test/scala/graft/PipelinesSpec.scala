@@ -158,4 +158,31 @@ class PipelinesSpec extends SparkSpec {
     val handTf = text.split("\\s+").count(_ == "spark").toLong
     assert(row.getAs[Long]("tf_spark") == handTf)
   }
+
+  test("curate v2: every stage only removes rows; mixture commutes by subset-stability") {
+    val s = spark
+    val docs = Tables.documents(s, sf)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val out = Pipelines.pipelineCurateV2(s, sf).collect()
+    assert(out.nonEmpty)
+    // per-source budget: after the cap no source exceeds 15 docs
+    out.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.map(_.getLong(2)).sum <= 15, s"source $src exceeds the cap")
+    }
+    // subset-stability: the mixture's doc-level decision is the same
+    // whether applied to the full corpus or the capped+deduped subset,
+    // so the chain's survivors == (capped+deduped) ∩ mixture(full)
+    val bp = when(col("lang") === "en", 8000)
+      .when(col("lang") === "de", 5000).otherwise(2500)
+    val fullMix = Pipelines.sampleWeighted(docs, bp, "curate2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val n = out.map(_.getLong(2)).sum
+    val nViaIntersection = Pipelines
+      .sampleWeighted(docs.filter(col("doc_id").isin(fullMix.toSeq: _*)), bp, "curate2")
+      .count()
+    assert(nViaIntersection == fullMix.size,
+      "sampling a pre-sampled frame must be the identity (subset-stable)")
+    assert(n <= fullMix.size,
+      "chain survivors are a subset of the full-corpus mixture selection")
+  }
 }
