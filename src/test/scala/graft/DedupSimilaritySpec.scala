@@ -17,6 +17,76 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) >= 0.8))
   }
 
+  test("two-stage jaccard fallback: precision 1.0 and high-J recall vs the exact baseline") {
+    val s = spark
+    import s.implicits._
+    // a corpus the bitmask path cannot take (vocab > 64): 80 distinct
+    // tokens; planted pairs at J = 1.0 and J ≈ 0.9, plus disjoint docs
+    val vocab = (0 until 80).map(i => f"w$i%02d")
+    def doc(ids: Seq[Int]) = ids.map(vocab).mkString(" ")
+    val docs = Seq(
+      (0L, "en", doc(0 until 20)),
+      (1L, "en", doc(0 until 20)),            // J=1.0 with doc 0
+      (2L, "en", doc(0 until 18) ++ " " ++ doc(Seq(20, 21))), // J=18/22≈0.82
+      (3L, "en", doc(30 until 50)),
+      (4L, "en", doc(Seq(30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48, 50))), // J=19/21≈0.90
+      (5L, "en", doc(60 until 80)),           // disjoint from all
+      (6L, "fr", doc(0 until 20))             // cross-lang: never paired
+    ).toDF("doc_id", "lang", "text")
+    val t = docs.select(col("doc_id"), col("lang"),
+      array_distinct(filter(split(col("text"), "\\s+"), x => x =!= "")).as("s"))
+    val exact = Dedup.jaccardTokenJoinExact(t).collect().toSeq
+    val two = Dedup.jaccardTwoStage(t).collect().toSeq
+    // precision 1.0: every two-stage pair is an exact pair, same jaccard
+    assert(two.toSet.subsetOf(exact.toSet),
+      s"two-stage emitted a non-exact pair: ${two.toSet -- exact.toSet}")
+    // recall at the high-J band this corpus plants: identical docs
+    // share every minhash (J=1.0 ⇒ miss probability 0), J≈0.9 pairs
+    // miss with probability (1-J²)⁴ ≈ 0.1% — both must be present
+    val twoPairs = two.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twoPairs.contains((0L, 1L)), "J=1.0 pair must always be found")
+    assert(twoPairs.contains((3L, 4L)), "J=0.90 pair expected (miss prob ~0.1%)")
+    assert(exact.size >= two.size)
+  }
+
+  test("multi-word-mask jaccard tier equals the exact token-join baseline") {
+    val s = spark
+    import s.implicits._
+    // 100-token vocab (> 64 forces the 2-word mask), dup-dense: many
+    // overlapping subsets so intra (J=1.0) and inter groups both occur
+    val vocab = (0 until 100).map(i => f"t$i%03d")
+    def doc(ids: Seq[Int]) = ids.map(vocab).mkString(" ")
+    // sliding 20-token windows over an 80-token ring: every lang sees
+    // all 80 tokens; d and d+20 share a window (J=1.0 intra groups),
+    // adjacent windows overlap at J=16/24≈0.67 (below threshold), and
+    // doc 200 plants an inter pair at J=19/21≈0.905 with doc 0
+    val docs = (0 until 30).map { d =>
+      (d.toLong, "en", doc((d * 4 until d * 4 + 20).map(_ % 80)))
+    } ++ (0 until 30).map { d =>
+      (100L + d, "fr", doc((d * 4 until d * 4 + 20).map(_ % 80)))
+    } ++ Seq((200L, "en", doc((0 until 19) :+ 50)))
+    val t = docs.toDF("doc_id", "lang", "text").select(col("doc_id"), col("lang"),
+      array_distinct(filter(split(col("text"), "\\s+"), x => x =!= "")).as("s"))
+    val langVocab = t.select(col("lang"), explode(col("s")).as("tok")).distinct()
+      .groupBy(col("lang")).agg(sort_array(collect_set(col("tok"))).as("v"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    assert(langVocab.exists(_._2.size > 64), "corpus must force the multi-word tier")
+    val exact = Dedup.jaccardTokenJoinExact(t).collect().toSeq
+    val mask = Dedup.jaccardMaskWide(spark, t, langVocab).collect().toSeq
+    assert(exact.nonEmpty, "corpus should contain qualifying pairs")
+    assert(mask == exact,
+      s"mask tier must have total recall: ${exact.size} exact vs ${mask.size} mask")
+  }
+
+  test("clustered dedup_embedding equals the exact all-pairs baseline when k = 1") {
+    // at sf0.01 (n=500 < 2560) the corpus-scaled k is 1, so the
+    // cluster scope degenerates to the label blocks — outputs equal
+    val exact = Dedup.dedupEmbeddingExact(spark, sf).collect().toSeq
+    val clustered = Similarity.dedupEmbeddingClustered(spark, sf).collect().toSeq
+    assert(exact.nonEmpty, "corpus should contain qualifying pairs")
+    assert(clustered == exact)
+  }
+
   test("minhash candidates are a superset of exact-duplicate docs") {
     // any pair with identical text must share all 4 bands
     val mh = Dedup.dedupMinhash(spark, sf)

@@ -124,8 +124,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("banded simhash finds exactly the all-pairs simhash results") {
+    // the 16-bit pigeonhole demo kernel — the registered
+    // dedup_simhash_banded routes to the 60-bit config since round 7
     val exact = Dedup.dedupSimhash(spark, sf).collect().toSeq
-    val banded = Dedup.dedupSimhashBanded(spark, sf).collect().toSeq
+    val banded = Dedup.dedupSimhashBanded16(spark, sf).collect().toSeq
     assert(exact.nonEmpty, "corpus should contain near-dup pairs")
     assert(banded == exact,
       s"pigeonhole recall must be total: ${exact.size} exact vs ${banded.size} banded")
