@@ -96,10 +96,9 @@ object Bench {
     // later queries' caches (round-2 forensics: the driver's pagerank
     // 23 s vs 9.7 s isolated came from exactly this interference)
     def isolate(): Unit = {
-      spark.catalog.clearCache()
       // blocking: the next timed run must not start while the previous
       // run's blocks are still draining from the block manager
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      CacheHygiene.sweep(spark, blocking = true)
       System.gc() // stabilize: old-gen garbage from run N must not bill run N+1
     }
 

@@ -26,6 +26,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release each query's internal persists/checkpoints: a full
+      // 100+-query dump would otherwise accumulate every kernel's
+      // cached frames in one block manager (non-blocking: the next
+      // query may start while stale blocks drain)
+      CacheHygiene.sweep(spark, blocking = false)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

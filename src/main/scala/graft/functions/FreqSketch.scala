@@ -164,8 +164,17 @@ object MgCore {
   * [i][h_i(x)] accumulates every occurrence of every item hashing
   * there. An item's estimate is the MIN over rows of its counter —
   * ≥ the true count always (counters only over-count, by colliding
-  * items), and ≤ true + εN with probability 1−δ for width = e/ε,
-  * depth = ln(1/δ) (Cormode & Muthukrishnan 2005).
+  * items). The classical ≤ true + εN with probability 1−δ bound
+  * (width = e/ε, depth = ln(1/δ); Cormode & Muthukrishnan 2005)
+  * assumes INDEPENDENT row hashes; here every row is an affine mix
+  * of ONE 60-bit md5 base hash reduced mod p = 2³¹−1 (the
+  * cross-engine determinism trade), so two items colliding in the
+  * base hash collide in EVERY row and the bound holds only
+  * approximately — base collisions become non-negligible as the
+  * distinct-item count approaches √p ≈ 46k. The overestimate-only
+  * guarantee is construction-level and unaffected; vocabularies
+  * beyond that scale should salt independent md5s per row and give
+  * up the shared-base oracle form.
   *
   * Unlike MG/HLL, the final matrix is merge-order INVARIANT — every
   * counter is an exact sum, and partial-buffer merge is element-wise

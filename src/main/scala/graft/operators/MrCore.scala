@@ -292,10 +292,13 @@ object MrCore {
     * absolute threshold empties out as the supplier domain grows and
     * co-supply counts thin — measured: ≥30 gives 455 edges at
     * sf0.01 and ZERO above it) and the downstream wedge join is
-    * size-bounded by construction. Persisted: every consumer uses it
-    * several times (triangles: both wedge sides + closing probe;
-    * BFS: one probe per round). Shared by `graph_triangles` and
-    * `graph_bfs`. */
+    * size-bounded by construction. Persisted PER CALL: every consumer
+    * of one returned plan uses it several times (triangles: both
+    * wedge sides + closing probe; BFS: one probe per round) — but
+    * nothing is shared ACROSS calls, so `graph_triangles` and
+    * `graph_bfs` each build their own copy, released by the caller's
+    * [[graft.CacheHygiene.sweep]] (Verify/Bench sweep between
+    * queries; EmptyInputSpec asserts full release). */
   private val CoOrderTopEdges = 2000
   private def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)

@@ -307,12 +307,19 @@ object Pipelines {
           col("n_chars")),
       strataCol = "source", keyCol = "doc_id", cap = 15)
       .drop("sample_rank")
+    // exact dedup as a keep-lowest-doc_id AGGREGATE, not a window:
+    // same single md5 exchange, but min_by gets map-side partial
+    // aggregation (each input partition pre-reduces to one candidate
+    // per hash before the shuffle), where the row_number form had to
+    // shuffle every duplicate row and sort each hash group (round-7)
     val deduped = capped
-      .withColumn("__h", md5(col("text")))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__h")).orderBy(col("doc_id"))))
-      .filter(col("__rk") === 1).drop("__h", "__rk")
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min_by(
+        struct(col("doc_id"), col("source"), col("lang"), col("text"),
+          col("n_chars")),
+        col("doc_id")).as("__r"))
+      .select(col("__r.doc_id"), col("__r.source"), col("__r.lang"),
+        col("__r.text"), col("__r.n_chars"))
     val bp = when(col("lang") === "en", 8000)
       .when(col("lang") === "de", 5000).otherwise(2500)
     sampleWeighted(deduped, bp, "curate2")

@@ -1019,14 +1019,22 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id")).limit(HybridK)
       .withColumn("sem_rank", row_number().over(semW).cast("int"))
       .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    // cut AND present in the same order, on the same quantity — the
+    // RAW rrf — in both engines (the oracle mirrors this two-step
+    // shape); rounding to 9 decimals happens strictly after ordering,
+    // so it can only affect displayed values, never membership or
+    // order. (Distinct RRF sums differ by ≥ 1/(K+HybridK)⁴ ≈ 1.5e-9
+    // > the 1e-9 rounding grid, so rounded-order would coincide
+    // anyway — but equality should not rest on that thin margin.)
     lex.select(col("doc_id"), col("lex_rank"))
       .join(sem, Seq("doc_id"), "full_outer")
-      .withColumn("rrf",
+      .withColumn("rrf_raw",
         rrfTerm(col("lex_rank")) + rrfTerm(col("sem_rank")))
-      .orderBy(col("rrf").desc, col("doc_id")).limit(HybridTopN)
+      .orderBy(col("rrf_raw").desc, col("doc_id")).limit(HybridTopN)
       .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
-        rnd(col("rrf"), 9).as("rrf"))
-      .orderBy(col("rrf").desc, col("doc_id"))
+        rnd(col("rrf_raw"), 9).as("rrf"), col("rrf_raw"))
+      .orderBy(col("rrf_raw").desc, col("doc_id"))
+      .drop("rrf_raw")
   }
 
   private val pipelineHybridRetrievalSql = {
@@ -1054,9 +1062,12 @@ object Similarity {
        |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
        |    lex.lex_rank, sem.sem_rank,
        |    ${rrfTermSql("lex.lex_rank")} + ${rrfTermSql("sem.sem_rank")} AS rrf
-       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
-       |SELECT doc_id, lex_rank, sem_rank, ${rndSql("rrf", 9)} AS rrf
-       |FROM fused ORDER BY rrf DESC, doc_id LIMIT $HybridTopN""".stripMargin
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+       |sel AS (
+       |  SELECT doc_id, lex_rank, sem_rank, rrf AS rrf_raw
+       |  FROM fused ORDER BY rrf DESC, doc_id LIMIT $HybridTopN)
+       |SELECT doc_id, lex_rank, sem_rank, ${rndSql("rrf_raw", 9)} AS rrf
+       |FROM sel ORDER BY rrf_raw DESC, doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- registry

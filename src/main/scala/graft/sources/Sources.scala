@@ -203,10 +203,18 @@ object Sources {
       .write.mode(SaveMode.Overwrite).partitionBy("z_prefix").parquet(path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    // real JSON writer/reader (Jackson ships with Spark): a column
+    // name containing a quote, backslash, or regex metacharacter
+    // round-trips correctly where the earlier hand-rolled string
+    // interpolation + regex extraction could corrupt or mis-parse
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("colA", meta.colA); root.put("colB", meta.colB)
+    root.put("minA", meta.minA); root.put("maxA", meta.maxA)
+    root.put("minB", meta.minB); root.put("maxB", meta.maxB)
+    root.put("bits", meta.bits); root.put("prefixBits", meta.prefixBits)
     val out = fs.create(new org.apache.hadoop.fs.Path(path, "_zmeta.json"), true)
-    out.write(
-      s"""{"colA":"${meta.colA}","colB":"${meta.colB}","minA":${meta.minA},"maxA":${meta.maxA},"minB":${meta.minB},"maxB":${meta.maxB},"bits":${meta.bits},"prefixBits":${meta.prefixBits}}"""
-        .getBytes("UTF-8"))
+    out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
     out.close()
     meta
   }
@@ -218,13 +226,12 @@ object Sources {
     val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
     in.readFully(bytes)
     in.close()
-    val s = new String(bytes, "UTF-8")
-    def str(k: String) =
-      s.replaceAll(s""".*"$k":"([^"]*)".*""", "$1")
-    def num(k: String) =
-      s.replaceAll(s""".*"$k":([-0-9.eE]+)[,}].*""", "$1").toDouble
-    ZMeta(str("colA"), str("colB"), num("minA"), num("maxA"),
-      num("minB"), num("maxB"), num("bits").toInt, num("prefixBits").toInt)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(bytes, "UTF-8"))
+    ZMeta(node.get("colA").asText(), node.get("colB").asText(),
+      node.get("minA").asDouble(), node.get("maxA").asDouble(),
+      node.get("minB").asDouble(), node.get("maxB").asDouble(),
+      node.get("bits").asInt(), node.get("prefixBits").asInt())
   }
 
   /** Box query over a z-ordered layout: enumerate the 2^prefixBits

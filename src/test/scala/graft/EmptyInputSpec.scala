@@ -17,8 +17,17 @@ class EmptyInputSpec extends SparkSpec {
 
   test("all queries run on empty tables") {
     val failures = SparkEntry.allDefs.flatMap { d =>
-      try { d.run(spark, emptyDir).count(); None }
-      catch { case e: Throwable => Some(s"${d.name}: ${e.getMessage}") }
+      val r =
+        try { d.run(spark, emptyDir).count(); None }
+        catch { case e: Throwable => Some(s"${d.name}: ${e.getMessage}") }
+      // release-handle discipline: one sweep must fully release every
+      // internal persist/localCheckpoint a query creates — the
+      // invariant that keeps a 100+-query session from accumulating
+      // orphaned blocks (the persist calls run on empty inputs too,
+      // so this exercises every kernel's cache sites)
+      CacheHygiene.sweep(spark)
+      if (!CacheHygiene.clean(spark))
+        Some(s"${d.name}: orphaned cache entries after sweep") else r
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
