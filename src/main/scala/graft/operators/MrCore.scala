@@ -253,6 +253,120 @@ object MrCore {
       |ORDER BY node""".stripMargin.replace("SCALE", scale)
   }
 
+  // ------------------------------------------------- convergence kernels
+  /** Convergence-driven PageRank over an arbitrary directed edge
+    * frame (`src`, `dst`) — the open-ended public API next to the
+    * fixed-3-round oracle query above (`mr_pagerank` keeps its
+    * unrolled form: a FIXED depth is what makes it oracle-checkable).
+    *
+    * Loop discipline (the `connectedComponents` pattern): edges are
+    * src-partitioned + persisted once with outdeg riding on the same
+    * exchange; ranks advance `checkEvery` rounds per eager
+    * `localCheckpoint`, so lineage depth is bounded by `checkEvery`
+    * (not total rounds) and each superseded checkpoint's blocks are
+    * freed immediately. Driver actions: one node count + one L1-delta
+    * scalar per check — never per-node data.
+    *
+    * Semantics: standard damped PageRank on the node set src ∪ dst;
+    * dangling nodes (no out-edges) keep their teleport share and
+    * their mass is NOT redistributed (the simple variant — Σrank < 1
+    * when dangling nodes exist). Convergence = L1 distance between
+    * consecutive checked iterates ≤ `tol`; the walk stops early or at
+    * `maxIter`, whichever first. The returned frame is checkpointed —
+    * callers release its blocks with [[graft.CacheHygiene.sweep]];
+    * every internal frame is already unpersisted on return. */
+  def pageRank(edges0: DataFrame, damping: Double = 0.85,
+      tol: Double = 1e-6, maxIter: Int = 20, checkEvery: Int = 5): DataFrame = {
+    require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    require(tol >= 0, s"tol must be >= 0, got $tol")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    val spark = edges0.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val edges = edges0.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .withColumn("outdeg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .sortWithinPartitions(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // bounded: one scalar
+    if (n == 0) {
+      edges.unpersist(blocking = false); nodes.unpersist(blocking = false)
+      return spark.range(0).select(col("id").as("node"), lit(0.0).as("rank"))
+    }
+    val tele = (1.0 - damping) / n
+    var (ranks, rankIds) =
+      Dedup.checkpointTracked(nodes.withColumn("rank", lit(1.0 / n)))
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val span = math.min(checkEvery, maxIter - it)
+      var cur = ranks
+      for (_ <- 1 to span) {
+        val contribs = edges.join(cur, col("src") === col("node")).drop("node")
+          .select(col("dst"), (col("rank") / col("outdeg")).as("contrib"))
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+        cur = nodes.join(contribs, col("node") === col("dst"), "left_outer")
+          .select(col("node"),
+            (lit(tele) + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+      }
+      val (next, nextIds) = Dedup.checkpointTracked(cur)
+      val delta = ranks.select(col("node"), col("rank").as("r0"))
+        .join(next.select(col("node"), col("rank").as("r1")), Seq("node"))
+        .agg(sum(abs(col("r1") - col("r0")))).head().getDouble(0)
+      Dedup.freeBlocks(spark, rankIds)
+      ranks = next; rankIds = nextIds
+      it += span
+      converged = delta <= tol
+    }
+    edges.unpersist(blocking = false); nodes.unpersist(blocking = false)
+    ranks.orderBy(col("node"))
+  }
+
+  /** Frontier BFS distances from `srcNode` over an arbitrary directed
+    * edge frame (`src`, `dst`) — the open-ended public API behind the
+    * fixed-4-hop `graph_bfs` oracle query (pass both directions for
+    * an undirected graph, as `graphBfs` does). Runs to frontier
+    * exhaustion or `maxDepth`, whichever first; per level, the
+    * frontier joins the src-partitioned persisted edge set once and a
+    * min-aggregate merges newly reached nodes — frontier-sized
+    * shuffles, never the graph. Distances are localCheckpoint'd per
+    * level with superseded blocks freed; one frontier-count scalar
+    * per level is the loop's only driver action (the level-sync BFS
+    * contract). The returned frame is checkpointed — callers release
+    * it with [[graft.CacheHygiene.sweep]]; internal frames are
+    * unpersisted on return. */
+  def bfs(edges0: DataFrame, srcNode: Long,
+      maxDepth: Int = Int.MaxValue): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val spark = edges0.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val edges = edges0.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var (dist, distIds) = Dedup.checkpointTracked(
+      spark.range(1).select(lit(srcNode).as("node"), lit(0).as("dist")))
+    var k = 0
+    var exhausted = false
+    while (k < maxDepth && !exhausted) {
+      k += 1
+      val frontier = dist.filter(col("dist") === k - 1)
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(k).as("dist"))
+      val (merged, mergedIds) = Dedup.checkpointTracked(
+        dist.unionAll(next).groupBy(col("node")).agg(min(col("dist")).as("dist")))
+      Dedup.freeBlocks(spark, distIds)
+      dist = merged
+      distIds = mergedIds
+      // bounded scalar: did this level reach anything new?
+      exhausted = merged.filter(col("dist") === k).limit(1).count() == 0
+    }
+    edges.unpersist(blocking = false)
+    dist.orderBy(col("node"))
+  }
+
   // ---------------------------------------------------------------- triangles
   /** Per-node triangle counts on the supplier co-order graph
     * (suppliers are adjacent when they co-supply ≥ 30 distinct
@@ -286,6 +400,48 @@ object MrCore {
       .orderBy(col("node"))
   }
 
+  /** DEGREE-ORDERED triangle counting (the Suri-Vassilvitskii
+    * refinement the id-ordered kernel above documents): re-orient
+    * every edge from its (degree, id)-smaller endpoint, so wedges are
+    * enumerated from each triangle's LOWEST-DEGREE corner. A hub of
+    * degree d contributes C(d, 2) wedges under id-ordering when its
+    * id is low; under degree-ordering its wedge count is bounded by
+    * its higher-ordered neighbors only — total wedge work O(m^{3/2})
+    * on any graph (no edge cap needed). Triangle counts are IDENTICAL
+    * to the id-ordered form — each triangle materializes exactly once
+    * from its unique order-minimal corner under ANY total order —
+    * property-tested on a planted hub graph (IterativeSpec).
+    *
+    * No integer rank is ever computed: ordering compares the
+    * (degree, id) STRUCT directly, so there is no global
+    * rank-assignment exchange — degrees ride along the edge rows and
+    * the two triangle joins stay plain equi-joins. Input: canonical
+    * (`s1` < `s2`, distinct) edges, like [[triangleCounts]]. */
+  def triangleCountsDegreeOrdered(edges: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = edges.unionAll(edges.select(col("s2").as("s1"), col("s1").as("s2")))
+    val deg = sym.groupBy(col("s1")).agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.select(col("s1"), col("d").as("d1")), "s1")
+      .join(deg.select(col("s1").as("s2"), col("d").as("d2")), "s2")
+    val lowFirst = struct(col("d1"), col("s1")) < struct(col("d2"), col("s2"))
+    // persisted: wedge enumeration consumes it on both sides and the
+    // closing probe on a third — released by the caller's sweep
+    val oriented = withDeg.select(
+        when(lowFirst, col("s1")).otherwise(col("s2")).as("u"),
+        when(lowFirst, col("s2")).otherwise(col("s1")).as("v"),
+        when(lowFirst, col("d2")).otherwise(col("d1")).as("dv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.select(col("u"), col("v").as("b"), col("dv").as("db"))
+      .join(oriented.select(col("u"), col("v").as("c"), col("dv").as("dc")), Seq("u"))
+      .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+    val tri = wedges.join(
+      oriented.select(col("v").as("c"), col("u").as("b")), Seq("b", "c"))
+    tri.select(explode(array(col("u"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("node"))
+  }
+
   /** The supplier co-order graph: the TOP-2000 co-supply pairs by
     * (shared orders DESC, s1, s2) — a deterministic TakeOrdered, so
     * the graph has the same density at EVERY scale factor (a fixed
@@ -314,8 +470,10 @@ object MrCore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  // degree-ordered since round 7: identical counts (oracle unchanged),
+  // hub-skew-robust wedge enumeration — see triangleCountsDegreeOrdered
   def graphTriangles(spark: SparkSession, dir: String): DataFrame =
-    triangleCounts(coOrderEdges(spark, dir))
+    triangleCountsDegreeOrdered(coOrderEdges(spark, dir))
 
   // ---------------------------------------------------------------- bfs
   /** Frontier BFS distances (≤ 4 hops) from the minimum node of the
@@ -331,29 +489,16 @@ object MrCore {
     * depths, no path explosion) and the same depth guard, min(dist)
     * per node = the BFS distance. */
   def graphBfs(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val co = coOrderEdges(spark, dir)
-    val edges = co
-      .unionAll(co.select(col("s2").as("s1"), col("s1").as("s2")))
-      .repartition(col("s1"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val srcRow = edges.agg(min(col("s1"))).head() // bounded: one scalar
+    val sym = co.unionAll(co.select(col("s2").as("s1"), col("s1").as("s2")))
+    val srcRow = sym.agg(min(col("s1"))).head() // bounded: one scalar
     if (srcRow.isNullAt(0))
       return spark.range(0).select(col("id").as("node"), lit(0).as("dist"))
-    val src = srcRow.getLong(0)
-    var (dist, distIds) = Dedup.checkpointTracked(
-      spark.range(1).select(lit(src).as("node"), lit(0).as("dist")))
-    (1 to 4).foreach { k =>
-      val frontier = dist.filter(col("dist") === k - 1)
-      val next = frontier.join(edges, col("node") === col("s1"))
-        .select(col("s2").as("node"), lit(k).as("dist"))
-      val (merged, mergedIds) = Dedup.checkpointTracked(
-        dist.unionAll(next).groupBy(col("node")).agg(min(col("dist")).as("dist")))
-      Dedup.freeBlocks(spark, distIds)
-      dist = merged
-      distIds = mergedIds
-    }
-    dist.orderBy(col("node"))
+    // the open-ended kernel at the oracle's fixed 4-hop depth —
+    // identical distances (the kernel's early exit only skips levels
+    // that would reach nothing)
+    bfs(sym.select(col("s1").as("src"), col("s2").as("dst")),
+      srcRow.getLong(0), maxDepth = 4)
   }
 
   private val coOrderSqlCtes =

@@ -26,6 +26,90 @@ class IterativeSpec extends SparkSpec {
     assert(sAvg > cAvg * 2, s"supplier avg $sAvg vs customer avg $cAvg")
   }
 
+  test("pageRank kernel converges to the driver-side reference on a random graph") {
+    val s = spark
+    import s.implicits._
+    // deterministic "random" digraph: 40 nodes, ~160 edges
+    val rng = new scala.util.Random(42)
+    val edges = (0 until 160).map { _ =>
+      (rng.nextInt(40).toLong, rng.nextInt(40).toLong)
+    }.filter { case (a, b) => a != b }.distinct
+    val df = MrCore.pageRank(edges.toDF("src", "dst"),
+      damping = 0.85, tol = 1e-10, maxIter = 100, checkEvery = 5)
+    val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver-side reference: same formula, iterated far past the tol
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val out = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val outdeg = out.view.mapValues(_.size.toDouble).toMap
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    (1 to 300).foreach { _ =>
+      val contrib = scala.collection.mutable.Map[Long, Double]()
+      out.foreach { case (src, dsts) =>
+        val c = pr(src) / outdeg(src)
+        dsts.foreach(d => contrib(d) = contrib.getOrElse(d, 0.0) + c)
+      }
+      pr = nodes.map(nd => nd -> (0.15 / n + 0.85 * contrib.getOrElse(nd, 0.0))).toMap
+    }
+    assert(got.keySet == pr.keySet)
+    val maxErr = pr.map { case (k, v) => math.abs(got(k) - v) }.max
+    assert(maxErr < 1e-7, s"kernel vs reference max |diff| = $maxErr")
+    CacheHygiene.sweep(spark)
+  }
+
+  test("bfs kernel matches driver-side BFS and exhausts early") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val und = (0 until 120).map { _ =>
+      (rng.nextInt(60).toLong, rng.nextInt(60).toLong)
+    }.filter { case (a, b) => a != b }.distinct
+    val sym = (und ++ und.map(_.swap)).distinct
+    val src = sym.map(_._1).min
+    val df = MrCore.bfs(sym.toDF("src", "dst"), src) // unbounded depth
+    val got = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // driver-side level BFS
+    val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var dist = Map(src -> 0)
+    var frontier = Seq(src)
+    var k = 0
+    while (frontier.nonEmpty) {
+      k += 1
+      val next = frontier.flatMap(nd => adj.getOrElse(nd, Nil))
+        .filterNot(dist.contains).distinct
+      next.foreach(nd => dist += nd -> k)
+      frontier = next
+    }
+    assert(got == dist, s"kernel ${got.size} nodes vs reference ${dist.size}")
+    // a depth cap below the eccentricity truncates consistently
+    val capped = MrCore.bfs(sym.toDF("src", "dst"), src, maxDepth = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped == dist.filter(_._2 <= 1))
+    CacheHygiene.sweep(spark)
+  }
+
+  test("degree-ordered triangle counts equal id-ordered on a planted hub graph") {
+    val s = spark
+    import s.implicits._
+    // hub 0 adjacent to every node (worst case for id-ordering: the
+    // hub has the LOWEST id, so id-ordered wedges at the hub are
+    // C(n,2)); ring edges close a triangle at every consecutive pair
+    val n = 40L
+    val hub = (1L until n).map(i => (0L, i))
+    val ring = (1L until n - 1).map(i => (i, i + 1))
+    val edges = (hub ++ ring).map { case (a, b) =>
+      (math.min(a, b), math.max(a, b))
+    }.distinct.toDF("s1", "s2")
+    val idOrdered = MrCore.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val degOrdered = MrCore.triangleCountsDegreeOrdered(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idOrdered.nonEmpty && idOrdered.values.sum / 3 == n - 2,
+      s"hub-ring graph must contain ${n - 2} triangles")
+    assert(degOrdered == idOrdered)
+    CacheHygiene.sweep(spark)
+  }
+
   test("kmeans: every vector accounted for, centroids finite") {
     val df = Similarity.annKmeans(spark, sf).collect()
     val total = df.map(_.getLong(1)).sum
