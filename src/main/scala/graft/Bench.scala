@@ -41,7 +41,9 @@ object Bench {
     "pipeline_fuzzy_dedup", // minhash candidates -> exact verify (round 2)
     "dedup_containment",    // directed containment on band candidates (round 6)
     "pipeline_dedup_clusters", // verified pairs -> connected components (round 2)
-    "dedup_embedding",      // blocked pairwise vector math
+    "dedup_embedding",      // cluster-scoped embedding near-dup pairs (round 7)
+    "dedup_embedding_exact", // all-pairs baseline within label blocks (round 7)
+    "mm_feature_knn",       // payload features -> trained IVF top-k (round 7)
     "dedup_semantic",       // SemDeDup: kmeans clusters + in-cluster prune (round 6)
     "mg_topk",              // Misra-Gries heavy-hitter sketch, one pass (round 5)
     "ann_bruteforce",       // broadcast query set scan

@@ -288,7 +288,7 @@ object Multimodal {
   /** Oracle-checked twin of the typed `sampleFrames` API (chunk=64,
     * stride=2): the one-row→many-frames multimodal shape, expressed
     * declaratively (`sequence` + `explode` — stays in codegen) so
-    * DuckDB can check it. MultimodalSpec proves the typed flatMap
+    * DuckDB can check it. SourcesSpec proves the typed flatMap
     * API produces exactly these rows. */
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
     val (chunk, stride) = (64, 2)
@@ -317,7 +317,55 @@ object Multimodal {
       |  cast(greatest(least(64, len - frame_no * 64), 0) as bigint) AS n_bytes
       |FROM f ORDER BY doc_id, frame_no""".stripMargin
 
+  // ------------------------------------------------- feature → ANN bridge
+  /** Multimodal → similarity END TO END (round 7): opaque payloads →
+    * [[featureBatch]] byte-histogram features → kmeans-trained IVF
+    * top-k — the full media-retrieval pipeline as ONE registered
+    * query, on the shared ANN infrastructure (`kmeansTrain`,
+    * `ivfTopK`) rather than a bespoke scorer. Rows-only by declared
+    * design (the 16-bin histogram math in SQL would re-implement the
+    * typed kernel, not check it); SourcesSpec proves the IVF
+    * machinery EXACT on these features at nprobe = nlist (parity
+    * with `cosineTopKExact`) and measures the nprobe=2 recall floor.
+    *
+    * Scale shape: feature extraction is a narrow per-partition map;
+    * training is `iters` linear passes; the probe scans ~nprobe/nlist
+    * of the corpus via the zero-shuffle assignment. Nothing here is
+    * corpus-quadratic. */
+  private val FeatKnnK = 5
+  private val FeatKnnCentroids = 8
+  private val FeatKnnProbe = 2
+
+  /** (vec_id, v, nrm) feature-vector frame for the kNN query — the
+    * histogram floats widened to the double vector space the ANN
+    * kernels operate in. Zero-byte payloads (all-zero histogram, no
+    * direction) are excluded. */
+  def featureVectors(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    featureBatch(asBinary(spark, dir))
+      .filter(col("n_bytes") > 0)
+      .select(col("doc_id").as("vec_id"),
+        transform(col("byte_hist"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+  }
+
+  def mmFeatureKnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // persisted: kmeans training passes + corpus assign + query set
+    // all consume this one extraction (released by the caller's sweep)
+    val feats = featureVectors(spark, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (cent, _) = Similarity.kmeansTrain(feats, FeatKnnCentroids, iters = 2)
+    Similarity.ivfTopK(
+      feats,
+      feats.filter(col("vec_id") < FeatKnnK)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")),
+      Similarity.collectCentroids(cent), FeatKnnProbe, FeatKnnK)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mm_binary_meta", mmBinaryMeta _, Some(mmBinaryMetaSql)),
-    QueryDef("mm_frame_sample", mmFrameSample _, Some(mmFrameSampleSql)))
+    QueryDef("mm_frame_sample", mmFrameSample _, Some(mmFrameSampleSql)),
+    // rows-only: spec-proven parity with the exact kernel (see above)
+    QueryDef("mm_feature_knn", mmFeatureKnn _, None))
 }

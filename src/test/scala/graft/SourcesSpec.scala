@@ -115,6 +115,32 @@ class SourcesSpec extends SparkSpec {
     assert(strided.map(_.frame_no).toSeq == Seq(0, 2))
   }
 
+  test("mm_feature_knn: IVF machinery exact at full probe, bounded recall at nprobe=2") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val feats = Multimodal.featureVectors(spark, sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = feats.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val (cent, _) = Similarity.kmeansTrain(feats, 8, iters = 2)
+    val cents = Similarity.collectCentroids(cent)
+    val exact = Similarity.cosineTopKExact(
+      feats.select(col("vec_id"), col("v")),
+      queries.select(col("q_id"), col("qv")), 5).collect().toSeq
+    // parity: probing EVERY cluster makes IVF a partitioned exact scan
+    val full = Similarity.ivfTopK(feats, queries, cents, cents.size, 5)
+      .collect().toSeq
+    assert(full == exact, "full-probe IVF must equal the exact kernel")
+    // the registered nprobe=2 configuration: recall floor on the
+    // text-byte histograms (near-collinear vectors — the hard case)
+    val probed = Similarity.ivfTopK(feats, queries, cents, 2, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = probed.intersect(exactSet).size.toDouble / exactSet.size
+    assert(recall >= 0.5, s"nprobe=2 recall $recall below floor")
+    CacheHygiene.sweep(spark)
+  }
+
   test("multimodal resize: real bilinear rescale + PNG re-encode") {
     val s = spark
     import s.implicits._
