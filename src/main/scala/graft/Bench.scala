@@ -255,6 +255,24 @@ object Bench {
       .select(col("doc_id"), col("text"))
       .orderBy(col("doc_id")).limit(20000)
       .as[(Long, String)].collect().toSeq
+    // minhash-dedup feed: 10 key-shifted token-tagged copies (the
+    // scalegen transform — cross-copy near-dup density stays ZERO, so
+    // state and emissions scale like a real corpus). Round-7 forensic:
+    // at 5k docs / 10 batches the ~0.65 s fixed per-batch cost (plan +
+    // 2-stage schedule + state commit) dominated and "784 rows/s" was
+    // measuring the harness, not the job — per-row signature cost is
+    // ~0.4 ms. 50k rows amortize the same 10 batches.
+    val mhShift = docs.map(_._1).max + 1
+    val mhDocs = (0 until 10).flatMap { c =>
+      if (c == 0) docs
+      else {
+        val tag = ('q' + c).toChar
+        docs.map { case (id, t) =>
+          (id + mhShift * c,
+            t.split("\\s+").filter(_.nonEmpty).map(_ + tag).mkString(" "))
+        }
+      }
+    }
     val evalNgrams = graft.operators.Pipelines
       .fivegrams(docs.filter(_._1 < 20).toDF("doc_id", "text"))
       .select(col("s").as("es"), col("doc_id").as("eval_doc")).distinct()
@@ -282,7 +300,7 @@ object Bench {
     val parts = Seq(
       drive[StreamingJobs.Ev]("stream_sessionize", evs,
         ds => StreamingJobs.sessionize(ds).toDF()),
-      drive[(Long, String)]("stream_minhash_dedup", docs,
+      drive[(Long, String)]("stream_minhash_dedup", mhDocs,
         ds => StreamingJobs.minhashDedupStream(ds.toDF("doc_id", "text")).toDF()),
       drive[(Long, String)]("stream_decontaminate", docs,
         ds => StreamingJobs.decontaminateStream(ds.toDF("doc_id", "text"), evalNgrams)),

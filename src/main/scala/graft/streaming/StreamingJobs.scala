@@ -82,9 +82,19 @@ object StreamingJobs {
     * State is intentionally un-TTL'd: remembering the corpus IS the
     * product for ingest dedup; it is one long per non-empty bucket
     * (≈4/doc), sharded across executors by the bucket key, and lives
-    * in the state store (RocksDB in production). When the dedup
-    * horizon is time-bounded, `EventTimeTimeout` + a watermark GC it
-    * the same way the sessionizer's is.
+    * in the state store (RocksDB in production). Bounding it when the
+    * product allows, in preference order: (1) time-bounded horizon —
+    * `EventTimeTimeout` + a watermark GC idle buckets the same way
+    * the sessionizer's state is GC'd; (2) COMPACTION for unbounded
+    * horizons — the bucket state is exactly one
+    * `Dedup.minhashIndexFrame` row, so a long-lived deployment
+    * periodically snapshots the store into the manifest-committed
+    * batch index (`Dedup.writeMinhashIndex` / `updateMinhashIndex`)
+    * and restarts the stream fresh against it via
+    * `dedupAgainstIndex`-style probing: the stream then carries only
+    * the SINCE-snapshot buckets while the corpus history lives in
+    * compacted parquet, a bounded-state split proven equivalent by
+    * the incremental-dedup spec's write/update/probe path.
     *
     * On a batch frame the same code sees each bucket as one complete
     * group (processed in doc_id order), giving the identical
