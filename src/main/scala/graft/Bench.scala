@@ -183,9 +183,38 @@ object Bench {
           System.err.println(s"[bench] streaming section failed: ${e.getMessage}")
           Seq.empty
         }
+    // FAST TIER (round 7): the ~60 registered queries outside the
+    // headline get ONE warmed timed run each — no min-of-2 (they are
+    // sub-second; a 2x-noise sample still catches an order-of-
+    // magnitude regression, which is what the long tail needs).
+    // Subset mode skips it, like streaming. Per-query seconds go to
+    // BENCH_DETAIL.json; stdout carries only the compact rollup so
+    // the driver's bounded tail window keeps parsing.
+    val fastResults: Seq[(String, Double)] =
+      if (sys.env.contains("SPARK_GRAFT_QUERIES")) Seq.empty
+      else SparkEntry.queries.keys.toSeq.sorted.filterNot(selected.contains)
+        .map { name =>
+          val fn = SparkEntry.queries(name)
+          if (doWarm) {
+            try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] fast warmup of $name failed: ${e.getMessage}")
+            }
+            isolate()
+          }
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] fast $name failed: ${e.getMessage}"); false
+            }
+          val dt = (System.nanoTime() - t0) / 1e9
+          isolate()
+          name -> (if (ok) dt else -1.0)
+        }
     val policy =
       if (doWarm) "warm-sf0.01+min-of-2-cold" else "min-of-2-cold"
-    printLine(results, streaming, policy, sfDir)
+    printLine(results, fastResults, streaming, policy, sfDir)
     spark.stop()
     // a failed query must not masquerade as a speedup (its -1 is
     // excluded from the total): surface it in the exit code — a
@@ -335,6 +364,7 @@ object Bench {
     * streaming rows/sec/batches — goes to BENCH_DETAIL.json in the
     * CWD, tracked in-repo for round-over-round comparison. */
   private def printLine(results: Seq[(String, (Double, Double))],
+      fastResults: Seq[(String, Double)],
       streaming: Seq[StreamResult], policy: String, sfDir: String): Unit = {
     val qs = results.map { case (k, v) => s""""$k":${"%.3f".format(best(v))}""" }
       .mkString("{", ",", "}")
@@ -355,10 +385,17 @@ object Bench {
       else s""""${s.name}":{"failed":true}"""
     }.mkString("{", ",", "}")
     val head = s""""metric":"total","value":${"%.3f".format(total)},"unit":"sec","policy":"$policy""""
+    // compact fast-tier rollup for stdout; per-query detail below
+    val fastOkSecs = fastResults.map(_._2).filter(_ >= 0)
+    val fastShort = s""""fast":{"n":${fastResults.size},""" +
+      s""""failed":${fastResults.count(_._2 < 0)},""" +
+      s""""sec":${"%.3f".format(fastOkSecs.sum)}}"""
+    val fastFull = fastResults.map { case (k, v) =>
+      s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     val tail = s""""failed":$failed,"sf":"$sfDir""""
-    println(s"""{$head,"queries":$qs,"streaming":$streamShort,$tail}""")
+    println(s"""{$head,"queries":$qs,$fastShort,"streaming":$streamShort,$tail}""")
     val detail =
-      s"""{$head,"queries":$qs,"runs":$runs,"streaming":$streamFull,$tail}"""
+      s"""{$head,"queries":$qs,"runs":$runs,"fast":$fastFull,"streaming":$streamFull,$tail}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => // detail file is best-effort; the

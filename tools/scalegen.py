@@ -74,8 +74,18 @@ def shifted_copy(tbl, shifts, c):
     return pa.table(cols, schema=tbl.schema)
 
 
+def copy_tag(c):
+    """Copy 1..9 keep the original single-char 'r'..'z' tags (so a
+    10-copy run reproduces testdata-sf1 byte-identically); copies >= 10
+    get a two-char lowercase tag ('aa', 'ab', ...) for sf10+."""
+    if c <= 9:
+        return chr(ord("q") + c)
+    k = c - 10
+    return chr(ord("a") + k // 26) + chr(ord("a") + k % 26)
+
+
 def perturb_documents(tbl, c):
-    tag = chr(ord("q") + c)  # 'r'..'z' for copies 1..9
+    tag = copy_tag(c)
     texts = tbl.column("text").to_pylist()
     new_texts = [" ".join(t + tag for t in s.split()) for s in texts]
     cols = {}
