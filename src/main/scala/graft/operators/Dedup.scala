@@ -242,41 +242,145 @@ object Dedup {
     * the τ = 0.8 threshold, ≤ 0.13% at J = 0.9, → 0 as J → 1. The
     * total-recall exact form stays available as
     * [[jaccardTokenJoinExact]] (the oracle/spec baseline);
-    * DedupSimilaritySpec measures the two-stage form against it. */
+    * DedupSimilaritySpec measures the two-stage form against it.
+    *
+    * Round 7 sf10 lessons (two, both measured):
+    *
+    * 1. The core runs over DISTINCT (lang, sorted-set) GROUPS, not
+    * docs — the bitmask tiers' trick. Identical sets collide in every
+    * band, so doc-level banding hands the verifier a candidate list
+    * quadratic in each set's multiplicity for pairs the measure
+    * resolves as J = 1.0 by construction. Identical-set pairs come
+    * out as intra-group expansions (output-bounded, total recall);
+    * winners expand members the same way.
+    *
+    * 2. The groups are first partitioned by CONNECTED COMPONENT of
+    * the token co-occurrence graph (star edges: each set's tokens →
+    * the set's first sorted token; J > 0 requires a shared token, so
+    * qualifying pairs NEVER cross components — the decomposition is
+    * lossless). Components whose vocabulary fits 64 bits take the
+    * EXACT mask path against the component vocabulary (popcount
+    * jaccard over distinct sets — total recall, ~ns per pair);
+    * larger components keep the minhash banding with its documented
+    * recall bound. This is what survives a dense-block corpus:
+    * 500 k docs of ~22-token sets drawn from 31-token vocabulary
+    * blocks degenerate EVERY hash-candidate scheme — measured at
+    * sf10: minhash banding 329 M candidate pairs, df-ordered prefix
+    * filtering 724 M, each candidate paying a ~µs string-array
+    * intersect (670 s; 117× for 10× data) — while per-component
+    * masks pay ~ns popcounts on the same pair space. A natural
+    * corpus co-occurs into one giant component and runs the banding
+    * path unchanged; the component pass costs one vocabulary-sized
+    * label propagation ([[connectedComponentsOfPairs]], the shared
+    * CC kernel — star edges keep it ∝ distinct (token, anchor)
+    * links, never corpus bytes). */
   def jaccardTwoStage(t0: DataFrame): DataFrame = {
-    val t = t0.withColumn("sz", size(col("s")))
+    // sort_array: `s` is array_distinct output, whose order follows
+    // first token occurrence — the same set must be ONE group key.
+    // gid = min member doc_id: unique across groups (doc → one group)
+    // and orderable, so gid < gid_b dedupes candidate pairs.
+    val groups = t0.filter(size(col("s")) > 0) // 0/0 jaccard undefined
+      .groupBy(col("lang"), sort_array(col("s")).as("s"))
+      .agg(collect_list(col("doc_id")).as("members"),
+        min(col("doc_id")).as("gid"), count(lit(1)).as("n"))
+      .withColumn("sz", size(col("s")))
+      .withColumn("anchor", element_at(col("s"), 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val intra = groups.filter(col("n") >= 2)
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jac", lit(1.0d))
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+    // ---- token co-occurrence components (lang-scoped node ids; the
+    //  separator keeps (lang, tok) → node injective) ----
+    def nodeId(l: Column, tk: Column): Column = concat_ws("\u0001", l, tk)
+    val ccEdges = groups
+      .select(col("lang"), col("anchor"), explode(col("s")).as("tok"))
+      .filter(col("tok") =!= col("anchor"))
+      .select(nodeId(col("lang"), col("tok")).as("doc_a"),
+        nodeId(col("lang"), col("anchor")).as("doc_b"))
+      .distinct()
+    val labels = connectedComponentsOfPairs(ccEdges) // (node, lab)
+    // token → component; an un-edged token (appears only in
+    // single-token sets) is its own singleton component
+    val tokComp = groups.select(col("lang"), explode(col("s")).as("tok")).distinct()
+      .withColumn("node", nodeId(col("lang"), col("tok")))
+      .join(labels, Seq("node"), "left")
+      .select(col("lang"), col("tok"), coalesce(col("lab"), col("node")).as("comp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val compSz = tokComp.groupBy(col("comp")).agg(count(lit(1)).as("vsz"))
+    // set → component via its anchor token (all of a set's tokens
+    // share one component by construction)
+    val gc = groups
+      .join(tokComp.select(col("lang"), col("tok").as("anchor"), col("comp")),
+        Seq("lang", "anchor"))
+      .join(compSz, Seq("comp"))
+    // ---- ≤64-token components: exact masks vs the component vocab.
+    // vocab arrays exist ONLY for small components (bounded ≤ 64
+    // strings each — never a collect_list over a natural vocabulary)
+    val compVocab = tokComp.join(compSz.filter(col("vsz") <= 64), Seq("comp"))
+      .groupBy(col("comp")).agg(sort_array(collect_list(col("tok"))).as("vocab"))
+    val sm = gc.filter(col("vsz") <= 64).join(compVocab, Seq("comp"))
+      .withColumn("mask", expr(
+        """aggregate(
+          |  transform(s, tk -> shiftleft(1L, cast(array_position(vocab, tk) as int) - 1)),
+          |  0L, (acc, x) -> acc | x)""".stripMargin))
+    val xa = sm.select(col("comp"), col("gid").as("gid_a"), col("sz").as("sza"),
+      col("mask").as("ma"), col("members").as("mem_a"))
+    val xb = sm.select(col("comp").as("comp_b"), col("gid").as("gid_b"),
+      col("sz").as("szb"), col("mask").as("mb"), col("members").as("mem_b"))
+    val smallPairs = xa.join(xb, col("comp") === col("comp_b") &&
+        col("gid_a") < col("gid_b") &&
+        col("sza") * 5 >= col("szb") * 4 && col("szb") * 5 >= col("sza") * 4)
+      .withColumn("c", expr("bit_count(ma & mb)"))
+      .withColumn("u", col("sza") + col("szb") - col("c"))
+      .filter(col("c") * 5 >= col("u") * 4) // J >= 0.8, integer-exact
+      .withColumn("jac", col("c").cast("double") / col("u"))
+      .select(explode(col("mem_a")).as("da"), col("mem_b"), col("jac"))
+      .select(col("da"), explode(col("mem_b")).as("db"), col("jac"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jac"))
+    // ---- larger components: minhash banding (the natural-corpus path)
+    val big = gc.filter(col("vsz") > 64)
     val seedCols = (0 until 8).map { s =>
       expr(s"array_min(transform(hb, h -> (${MinhashA(s)}L * h + ${MinhashB(s)}L) % ${MinhashP}L))").as(s"h$s")
     }
-    val sig = t
+    val sig = big
       .withColumn("hb", expr(s"transform(s, tok -> $md5LongLambda % ${MinhashP}L)"))
-      .select(Seq(col("doc_id"), col("lang"), col("sz")) ++ seedCols: _*)
+      .select(Seq(col("gid"), col("lang"), col("sz")) ++ seedCols: _*)
     val bands = sig
-      .select(col("doc_id"), col("lang"), col("sz"),
+      .select(col("gid"), col("lang"), col("sz"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"), col(s"h${2 * b}").as("h0"), col(s"h${2 * b + 1}").as("h1"))
         }: _*)).as("bd"))
-      .select(col("doc_id"), col("lang"), col("sz"), col("bd.band").as("band"),
+      .select(col("gid"), col("lang"), col("sz"), col("bd.band").as("band"),
         col("bd.h0").as("h0"), col("bd.h1").as("h1"))
-      .filter(col("h0").isNotNull && col("h1").isNotNull) // empty token sets drop out
-    val x = bands.select(col("doc_id").as("doc_a"), col("lang"), col("sz").as("sza"),
+    val x = bands.select(col("gid").as("gid_a"), col("lang"), col("sz").as("sza"),
       col("band"), col("h0"), col("h1"))
-    val y = bands.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+    val y = bands.select(col("gid").as("gid_b"), col("lang").as("lang_b"),
       col("sz").as("szb"), col("band").as("band_b"), col("h0").as("g0"), col("h1").as("g1"))
     // size-band predicate is implied by J >= 0.8 (min >= 0.8 * max):
     // prunes candidates at join-probe time, before the distinct
     val cand = x.join(y, col("lang") === col("lang_b") && col("band") === col("band_b") &&
         col("h0") === col("g0") && col("h1") === col("g1") &&
-        col("doc_a") < col("doc_b") &&
+        col("gid_a") < col("gid_b") &&
         col("sza") * 5 >= col("szb") * 4 && col("szb") * 5 >= col("sza") * 4)
-      .select(col("doc_a"), col("doc_b")).distinct()
-    val sa = t0.select(col("doc_id").as("doc_a"), col("s").as("s_a"))
-    val sb = t0.select(col("doc_id").as("doc_b"), col("s").as("s_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("gid_a"), col("gid_b")).distinct()
+    val ga = groups.select(col("gid").as("gid_a"), col("s").as("s_a"),
+      col("members").as("mem_a"))
+    val gb = groups.select(col("gid").as("gid_b"), col("s").as("s_b"),
+      col("members").as("mem_b"))
+    val inter = cand.join(ga, "gid_a").join(gb, "gid_b")
       .withColumn("c", size(array_intersect(col("s_a"), col("s_b"))))
       .withColumn("u", size(array_union(col("s_a"), col("s_b"))))
+      .filter(col("c") * 5 >= col("u") * 4) // J >= 0.8, integer-exact
       .withColumn("jac", col("c").cast("double") / col("u"))
-      .filter(col("jac") >= 0.8)
+      .select(explode(col("mem_a")).as("da"), col("mem_b"), col("jac"))
+      .select(col("da"), explode(col("mem_b")).as("db"), col("jac"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jac"))
+    intra.unionAll(smallPairs).unionAll(inter)
       .select(col("doc_a"), col("doc_b"), rnd(col("jac"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -24,6 +24,16 @@ object Similarity {
 
   private val NQueries = 5    // query set: vec_id < 5
   private val NCentroids = 10 // centroids: vec_id < 10
+
+  /** Target vectors per kmeans cluster for the corpus-scaled dedup
+    * clusterings ([[dedupEmbeddingClustered]], [[dedupSemantic]]) —
+    * the knob that keeps the pairwise stage output-bounded: k =
+    * ⌈n / target⌉ clusters hold every compare block to ~target rows,
+    * so pair work is ∝ n · target (linear in the corpus) instead of
+    * n². 2560 ≈ 256 rows per (label, cluster) block on this 10-label
+    * corpus. Declared BEFORE the oracle-SQL vals that interpolate it
+    * (a forward val reference would silently bake 0 into the SQL). */
+  private val DedupClusterRows = 2560
   private val NProbe = 2
   private val TopK = 5
 
@@ -672,13 +682,21 @@ object Similarity {
     * quadratic comparison is confined to cluster blocks. Training is
     * `iters` linear passes with a zero-shuffle assign; the pair stage
     * is ONE hash equi-join on cluster id (shuffle ∝ corpus, pairs ∝
-    * Σ|cluster|²). k grows with the corpus, so the per-cluster block
-    * stays bounded (at 100 TB, k ≈ n/10k holds blocks to ~10k rows;
-    * a skewed cluster is AQE-splittable because the join is a plain
-    * equi-join). No all-pairs stage exists at any scale. */
+    * Σ|cluster|²). k grows with the corpus (round 7, the sf10
+    * lesson: the fixed-k form left blocks ∝ n and the pair stage
+    * quadratic — 37× for 10× data; k = max([[NCentroids]],
+    * ⌈n / [[DedupClusterRows]]⌉) holds blocks to ~2.5k rows so pair
+    * work is linear, and at sf ≤ 1 where ⌈n/2560⌉ ≤ 10 the k —
+    * hence the gate output — is unchanged). A skewed cluster is
+    * AQE-splittable because the join is a plain equi-join. No
+    * all-pairs stage exists at any scale. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val ev = vecs(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
-    val (_, assigned) = kmeansTrain(ev, NCentroids, iters = 2)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val k = math.max(NCentroids.toLong,
+      math.ceil(ev.count() / DedupClusterRows.toDouble).toLong).toInt
+    val (_, assigned) = kmeansTrain(ev, k, iters = 2)
     val m = assigned.withColumn("nrm", VectorFunctions.norm(col("v")))
     val a = m.select(col("vec_id").as("vec_a"), col("cluster"),
       col("v").as("va"), col("nrm").as("na"))
@@ -699,10 +717,15 @@ object Similarity {
 
   private val dedupSemanticSql = {
     val pairCos = s"${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm)"
+    // corpus-scaled k as a scalar subquery — the dedup_embedding
+    // pattern; greatest() keeps the sf ≤ 1 gate output identical to
+    // the fixed-k history
+    val kSql = s"SELECT greatest($NCentroids, " +
+      s"cast(ceil(count(*) / $DedupClusterRows.0) as int)) FROM embeddings"
     // cast the threshold to double explicitly: a bare fractional
     // literal is DECIMAL on both engines with different promotion
     // rules (the round-6 bm25 lesson, SURVEY §12)
-    s"""WITH ${kmeansCtesFor(2)},
+    s"""WITH ${kmeansCtes(2, kSql)},
        |m AS (SELECT vec_id, v, cluster, ${sqlNrm("v")} AS nrm FROM a2),
        |pairs AS (
        |  SELECT a.vec_id AS vec_a, a.cluster, b.vec_id AS vec_b,
@@ -717,14 +740,6 @@ object Similarity {
   }
 
   // ------------------------------------------------- clustered embedding dedup
-  /** Target vectors per kmeans cluster for [[dedupEmbeddingClustered]]
-    * — the knob that keeps the pairwise stage output-bounded: k =
-    * ⌈n / target⌉ clusters hold every compare block to ~target rows,
-    * so pair work is ∝ n · target (linear in the corpus) instead of
-    * n². 2560 ≈ 256 rows per (label, cluster) block on this 10-label
-    * corpus. */
-  private val DedupClusterRows = 2560
-
   /** The registered `dedup_embedding` since round 7: embedding-cosine
     * near-dup pairs within (label, kmeans-cluster) blocks — the
     * SemDeDup trade (Abbas et al., arXiv:2303.09540) applied to the

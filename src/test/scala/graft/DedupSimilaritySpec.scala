@@ -49,6 +49,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.size >= two.size)
   }
 
+  test("two-stage small components are EXACT; one big component keeps banding recall") {
+    val s = spark
+    import s.implicits._
+    // 40 disjoint 30-token vocabulary blocks (global vocab 1200 ≫ 512
+    // — the dispatcher would take this path) + one 80-token CHAINED
+    // block whose sets overlap into a single > 64-token component.
+    // Small components must reproduce the exact baseline VERBATIM
+    // (mask path, total recall); the big component keeps the minhash
+    // recall bound, so the J=1.0 planted pair there must still appear.
+    def blockDoc(b: Int, ids: Seq[Int]) = ids.map(i => f"b${b}%02d_t$i%02d").mkString(" ")
+    val smallDocs = (0 until 40).flatMap { b =>
+      val base = 1000L * b
+      Seq(
+        (base + 0, "en", blockDoc(b, 0 until 20)),
+        (base + 1, "en", blockDoc(b, 0 until 20)),          // J=1.0
+        (base + 2, "en", blockDoc(b, (0 until 18) ++ Seq(20, 21))), // J=18/22
+        (base + 3, "en", blockDoc(b, 5 until 25)))          // J=15/25 vs doc0
+    }
+    val chain = (0 until 20).map { i => // windows [3i, 3i+20) over 80 toks
+      (100000L + i, "en", (3 * i until 3 * i + 20).map(t => f"big_t$t%02d").mkString(" "))
+    } :+ (200000L, "en", (0 until 20).map(t => f"big_t$t%02d").mkString(" ")) // dup of window 0
+    val docs = (smallDocs ++ chain).toDF("doc_id", "lang", "text")
+    val t = docs.select(col("doc_id"), col("lang"),
+      array_distinct(filter(split(col("text"), "\\s+"), x => x =!= "")).as("s"))
+    val exact = Dedup.jaccardTokenJoinExact(t).collect().toSeq
+    val two = Dedup.jaccardTwoStage(t).collect().toSeq
+    assert(two.toSet.subsetOf(exact.toSet),
+      s"two-stage emitted a non-exact pair: ${two.toSet -- exact.toSet}")
+    // every exact pair among the small blocks must be present (mask
+    // path total recall); doc ids < 100000 are the small blocks
+    val smallExact = exact.filter(r => r.getLong(0) < 100000L).toSet
+    val smallTwo = two.filter(r => r.getLong(0) < 100000L).toSet
+    assert(smallTwo == smallExact,
+      s"small-component path missed exact pairs: ${smallExact -- smallTwo}")
+    // the planted J=1.0 pair in the big chained component survives
+    // banding (identical sets group together: total recall via intra)
+    assert(two.map(r => (r.getLong(0), r.getLong(1))).contains((100000L, 200000L)))
+  }
+
   test("multi-word-mask jaccard tier equals the exact token-join baseline") {
     val s = spark
     import s.implicits._
