@@ -134,6 +134,115 @@ object Similarity {
     }.sortBy(_._1)
   }
 
+  // ------------------------------------------- two-level (coarse/fine) assign
+  /** Driver-side Σ a(i)·b(i) with the EXACT sequential fold
+    * `DotProduct` generates — like [[driverNorm]], values computed
+    * here must be bit-identical to what either engine would compute
+    * from the same inputs. */
+  def driverDot(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = math.min(a.size, b.size)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Coarse/fine split of a centroid list for the corpus-scaled
+    * clusterings: the g = ⌈√k⌉ LOWEST-id centroids are the coarse
+    * representatives, and every centroid belongs to the group of its
+    * nearest representative (cosine argmax; a representative belongs
+    * to its OWN group by definition, so no group is empty and the
+    * fine step is total). Returns (representative, members) pairs
+    * ordered by rep id, members ordered by c_id.
+    *
+    * The argmax here runs on the DRIVER but must agree bit-for-bit
+    * with the oracle's in-DuckDB `row_number() OVER (ORDER BY
+    * dot/(rn·cn) DESC, rep_id)` over the same centroid table (the
+    * centroids themselves are already proven bit-equal across
+    * engines by the Lloyd-chain oracles): same fold order
+    * ([[driverDot]]/[[driverNorm]]), same operand order in the
+    * denominator, strictly-greater replacement (exact ties keep the
+    * lowest rep id), NaN above every finite (both engines' DESC
+    * order), and a zero denominator maps to the engines' NULL —
+    * never beating a real cosine, with an all-null row keeping the
+    * lowest rep id. */
+  def coarseGroups(cents: Seq[(Int, Seq[Double], Double)])
+      : Seq[((Int, Seq[Double], Double), Seq[(Int, Seq[Double], Double)])] = {
+    require(cents.nonEmpty, "coarseGroups needs at least one centroid")
+    val sorted = cents.sortBy(_._1)
+    val g = math.ceil(math.sqrt(sorted.size.toDouble)).toInt
+    val reps = sorted.take(g)
+    val repIds = reps.map(_._1).toSet
+    // engine `>` with NaN largest; NaN > NaN is false
+    def gtEngine(a: Double, b: Double): Boolean =
+      if (a.isNaN) !b.isNaN else if (b.isNaN) false else a > b
+    def cos(r: (Int, Seq[Double], Double), c: (Int, Seq[Double], Double))
+        : java.lang.Double = {
+      val den = r._3 * c._3
+      if (den == 0.0) null else java.lang.Double.valueOf(driverDot(r._2, c._2) / den)
+    }
+    val byGroup = sorted.map { c =>
+      val grp =
+        if (repIds.contains(c._1)) c._1
+        else {
+          var bestId = reps.head._1
+          var bestS = cos(reps.head, c)
+          for (r <- reps.tail) {
+            val s = cos(r, c)
+            if ((s != null && bestS != null && gtEngine(s, bestS))
+                || (bestS == null && s != null)) {
+              bestId = r._1; bestS = s
+            }
+          }
+          bestId
+        }
+      grp -> c
+    }
+    byGroup.groupBy(_._1).toSeq.sortBy(_._1).map { case (gid, ms) =>
+      (reps.find(_._1 == gid).get, ms.map(_._2))
+    }
+  }
+
+  /** Adds `cluster` = nearest-centroid id via the TWO-LEVEL probe:
+    * nearest coarse representative first (g = ⌈√k⌉ cosines), then
+    * exact argmax within that representative's group (~√k cosines) —
+    * n·2√k work instead of the flat kernel's n·k, which turns
+    * quadratic once k scales with the corpus (k = ⌈n/2560⌉ made the
+    * flat assign the n²/2560 growing term of the sf10 decade). Still
+    * a PURE PROJECTION (zero exchanges): the same k×dim centroid
+    * literal volume as [[nearestCentroid]], just factored into a
+    * coarse fold plus per-group folds behind a CASE.
+    *
+    * Two SEPARATE projections keep the coarse argmax evaluated once
+    * per row: `CollapseProject` won't inline a non-cheap expression
+    * referenced by every CASE branch (inlining would re-evaluate the
+    * g-way fold per branch — n·g² ≈ n·k again).
+    *
+    * The probe is approximate in the IVF sense (a vector near a
+    * group boundary may assign to a different fine centroid than the
+    * flat argmax) but the PROCEDURE is deterministic and replicated
+    * verbatim by the oracle CTEs ([[kmeans2lAssignCtes]]), so
+    * hash-gates hold end to end; near-duplicate vectors follow the
+    * same probe path, which is what the dedup consumers need. */
+  def assignTwoLevel(df: DataFrame, cents: Seq[(Int, Seq[Double], Double)],
+      v: Column, nrm: Column): DataFrame = {
+    // empty centroids ⇒ empty corpus: match nearestCentroid's typed-
+    // null degradation so the plan stays buildable (EmptyInputSpec)
+    if (cents.isEmpty)
+      return df.withColumn("cluster", lit(null).cast("int"))
+    val groups = coarseGroups(cents)
+    val reps = groups.map(_._1)
+    val withGrp = df.withColumn("_g2l", nearestCentroid(reps, v, nrm))
+    val fine = groups.map { case (rep, mem) =>
+      (rep._1, nearestCentroid(mem, v, nrm))
+    }
+    val chain = fine.tail.foldLeft(
+        when(col("_g2l") === lit(fine.head._1), fine.head._2)) {
+      case (acc, (rid, e)) => acc.when(col("_g2l") === lit(rid), e)
+    }.otherwise(lit(null).cast("int"))
+    withGrp.withColumn("cluster", chain).drop("_g2l")
+  }
+
   private val vecsSql =
     """SELECT vec_id, label,
       |    list_transform(embedding, x -> cast(x as double)) AS v,
@@ -477,7 +586,22 @@ object Similarity {
     * persisted once and reused by all `iters+1` jobs. Collected
     * doubles round-trip exactly, so cross-engine bit-determinism is
     * unaffected. */
-  def kmeansTrain(e0: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+  def kmeansTrain(e0: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) =
+    kmeansTrainImpl(e0, k, iters, twoLevel = false)
+
+  /** [[kmeansTrain]] with the [[assignTwoLevel]] coarse/fine probe in
+    * place of the flat argmax — the trainer for the corpus-scaled
+    * clusterings ([[dedupSemantic]], [[dedupEmbeddingClustered]]),
+    * where k = ⌈n/2560⌉ makes the flat n·k assign quadratic in the
+    * corpus. Fixed-k consumers (`ann_kmeans`, the IVF family) keep
+    * the flat trainer: k = 10 is cheaper than any two-level split
+    * and their oracles stay untouched. */
+  def kmeansTrainTwoLevel(e0: DataFrame, k: Int, iters: Int)
+      : (DataFrame, DataFrame) =
+    kmeansTrainImpl(e0, k, iters, twoLevel = true)
+
+  private def kmeansTrainImpl(e0: DataFrame, k: Int, iters: Int,
+      twoLevel: Boolean): (DataFrame, DataFrame) = {
     require(iters >= 1, s"kmeansTrain needs iters >= 1, got $iters " +
       "(the assigned frame comes from the final iteration)")
     val spark = e0.sparkSession
@@ -490,7 +614,9 @@ object Similarity {
     // hash-shuffled + sorted the expansion, per Lloyd round, per
     // consumer: 50 corpus-sized shuffles at 5 rounds × 2 consumers.)
     def assign(cents: Seq[(Int, Seq[Double], Double)]): DataFrame =
-      e.withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
+      (if (twoLevel) assignTwoLevel(e, cents, col("v"), col("nrm"))
+       else e.withColumn("cluster",
+         nearestCentroid(cents, col("v"), col("nrm"))))
         .select(col("vec_id"), col("v"), col("cluster"))
 
     // dim probe: one row off the (already persisted) corpus — the
@@ -576,6 +702,70 @@ object Similarity {
          |        ORDER BY ${sqlDot("c.cv", "en.v")} / (${sqlNrm("c.cv")} * en.nrm) DESC, c.c_id) AS rn
          |    FROM en CROSS JOIN c${i - 1} c)
          |  WHERE rn = 1),
+         |u$i AS (
+         |  SELECT cluster, dim,
+         |    cast(sum(cast(x as decimal(28,12))) as double) / count(*) AS m
+         |  FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a$i)
+         |  GROUP BY cluster, dim),
+         |c$i AS (SELECT cluster AS c_id, list(m ORDER BY dim) AS cv FROM u$i GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""en AS ($vecsSql),
+       |c0 AS (SELECT cast(vec_id as int) AS c_id, v AS cv FROM en WHERE vec_id < ($kSql)),
+       |$rounds""".stripMargin
+  }
+
+  /** CTE block replicating ONE [[assignTwoLevel]] probe of `en`
+    * against the centroid CTE `centCte`, producing `$outCte` with
+    * `carry` columns + `cluster`. Mirrors the kernel step for step:
+    * `r` = the ⌈√|cent|⌉ lowest-id centroids (the coarse reps), `g` =
+    * every centroid mapped to its nearest rep (reps to themselves —
+    * the same self-membership rule [[coarseGroups]] applies, so the
+    * fine join is total), `ac` = per-vector nearest rep, out = exact
+    * argmax within the chosen group. Every cosine is the shared
+    * fold-order expression; every argmax is `row_number ORDER BY cos
+    * DESC, id` — the tie/NaN/NULL semantics [[nearestCentroid]]'s
+    * fold reproduces. */
+  private def kmeans2lAssignCtes(sfx: String, centCte: String,
+      carry: Seq[String], outCte: String): String = {
+    val acCols = carry.map(c => s"en.$c").mkString(", ")
+    val outInner = carry.map(c => s"ac.$c").mkString(", ")
+    s"""r$sfx AS (
+       |  SELECT c_id, cv, ${sqlNrm("cv")} AS cn FROM (
+       |    SELECT c_id, cv, row_number() OVER (ORDER BY c_id) AS rn FROM $centCte)
+       |  WHERE rn <= (SELECT cast(ceil(sqrt(count(*))) as int) FROM $centCte)),
+       |g$sfx AS (
+       |  SELECT c_id, cv, cn, grp FROM (
+       |    SELECT c.c_id, c.cv, ${sqlNrm("c.cv")} AS cn,
+       |      CASE WHEN c.c_id IN (SELECT c_id FROM r$sfx) THEN c.c_id
+       |        ELSE r.c_id END AS grp,
+       |      row_number() OVER (PARTITION BY c.c_id
+       |        ORDER BY ${sqlDot("r.cv", "c.cv")} / (r.cn * ${sqlNrm("c.cv")}) DESC, r.c_id) AS rr
+       |    FROM $centCte c CROSS JOIN r$sfx r)
+       |  WHERE rr = 1),
+       |ac$sfx AS (
+       |  SELECT $acCols, en.nrm AS _nrm, grp FROM (
+       |    SELECT en.*, r.c_id AS grp,
+       |      row_number() OVER (PARTITION BY en.vec_id
+       |        ORDER BY ${sqlDot("r.cv", "en.v")} / (r.cn * en.nrm) DESC, r.c_id) AS rr
+       |    FROM en CROSS JOIN r$sfx r) en
+       |  WHERE rr = 1),
+       |$outCte AS (
+       |  SELECT ${carry.mkString(", ")}, cluster FROM (
+       |    SELECT $outInner, g.c_id AS cluster,
+       |      row_number() OVER (PARTITION BY ac.vec_id
+       |        ORDER BY ${sqlDot("g.cv", "ac.v")} / (g.cn * ac._nrm) DESC, g.c_id) AS rn
+       |    FROM ac$sfx ac JOIN g$sfx g ON g.grp = ac.grp)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** Unrolled Lloyd chain like [[kmeansCtes]] but with the TWO-LEVEL
+    * assign per round — the oracle twin of [[kmeansTrainTwoLevel]].
+    * Ends with `c$iters` / `a$iters` (a$i = vec_id, v, cluster). */
+  private def kmeans2lCtes(iters: Int, kSql: String): String = {
+    val rounds = (1 to iters).map { i =>
+      val assign = kmeans2lAssignCtes(i.toString, s"c${i - 1}",
+        Seq("vec_id", "v"), s"a$i")
+      s"""$assign,
          |u$i AS (
          |  SELECT cluster, dim,
          |    cast(sum(cast(x as decimal(28,12))) as double) / count(*) AS m
@@ -696,7 +886,7 @@ object Similarity {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val k = math.max(NCentroids.toLong,
       math.ceil(ev.count() / DedupClusterRows.toDouble).toLong).toInt
-    val (_, assigned) = kmeansTrain(ev, k, iters = 2)
+    val (_, assigned) = kmeansTrainTwoLevel(ev, k, iters = 2)
     val m = assigned.withColumn("nrm", VectorFunctions.norm(col("v")))
     val a = m.select(col("vec_id").as("vec_a"), col("cluster"),
       col("v").as("va"), col("nrm").as("na"))
@@ -725,7 +915,7 @@ object Similarity {
     // cast the threshold to double explicitly: a bare fractional
     // literal is DECIMAL on both engines with different promotion
     // rules (the round-6 bm25 lesson, SURVEY §12)
-    s"""WITH ${kmeansCtes(2, kSql)},
+    s"""WITH ${kmeans2lCtes(2, kSql)},
        |m AS (SELECT vec_id, v, cluster, ${sqlNrm("v")} AS nrm FROM a2),
        |pairs AS (
        |  SELECT a.vec_id AS vec_a, a.cluster, b.vec_id AS vec_b,
@@ -777,12 +967,12 @@ object Similarity {
     val k = math.max(1L,
       math.ceil(e.count() / DedupClusterRows.toDouble).toLong).toInt
     val (cent, _) =
-      kmeansTrain(e.select(col("vec_id"), col("v"), col("nrm")), k, iters = 2)
+      kmeansTrainTwoLevel(e.select(col("vec_id"), col("v"), col("nrm")), k, iters = 2)
     // assign against the FINAL centroids with the zero-shuffle
-    // projection (collectCentroids recomputes cn with driverNorm —
-    // bit-identical to the oracle's in-engine fold over the same cv)
-    val m = e.withColumn("cluster",
-      nearestCentroid(collectCentroids(cent), col("v"), col("nrm")))
+    // TWO-LEVEL projection (collectCentroids recomputes cn with
+    // driverNorm — bit-identical to the oracle's in-engine fold over
+    // the same cv)
+    val m = assignTwoLevel(e, collectCentroids(cent), col("v"), col("nrm"))
     val a = m.select(col("vec_id").as("vec_a"), col("label"), col("cluster"),
       col("v").as("va"), col("nrm").as("na"))
     val b = m.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
@@ -798,16 +988,8 @@ object Similarity {
   private val dedupEmbeddingClusteredSql = {
     val kSql = s"SELECT greatest(1, cast(ceil(count(*) / $DedupClusterRows.0) as int)) FROM embeddings"
     val pairCos = s"${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm)"
-    s"""WITH ${kmeansCtes(2, kSql)},
-       |cent AS (SELECT c_id, cv, ${sqlNrm("cv")} AS cn FROM c2),
-       |assigned AS (
-       |  SELECT vec_id, label, v, nrm, cluster FROM (
-       |    SELECT en.vec_id, en.label, en.v, en.nrm, cent.c_id AS cluster,
-       |      row_number() OVER (PARTITION BY en.vec_id
-       |        ORDER BY ${sqlDot("cent.cv", "en.v")} / (cent.cn * en.nrm) DESC, cent.c_id)
-       |        AS crank
-       |    FROM en CROSS JOIN cent)
-       |  WHERE crank = 1)
+    s"""WITH ${kmeans2lCtes(2, kSql)},
+       |${kmeans2lAssignCtes("f", "c2", Seq("vec_id", "label", "v", "nrm"), "assigned")}
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ${rndSql(pairCos, 6)} AS cos_sim
        |FROM assigned a JOIN assigned b

@@ -268,7 +268,7 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val clusters = dropped.map(r => r.getLong(0) -> r.getInt(1)).toMap
     // survivors' clusters come from re-running the same trainer
-    val (_, assigned) = Similarity.kmeansTrain(
+    val (_, assigned) = Similarity.kmeansTrainTwoLevel(
       Tables.embeddings(spark, sf)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -148,6 +148,7 @@ class PlanShapeSpec extends SparkSpec {
     "ann_bruteforce", "ann_bruteforce_agg", "ann_ivf", "ann_ivf_trained", "ann_kmeans",
     "ann_pq",                             // broadcast query set, codes-only corpus side
     "ann_lsh",                            // broadcast query/centroid/hyperplane sets
+    "mm_feature_knn",                     // ivfTopK: same broadcast query set as ann_ivf
     "mr_pagerank",                        // broadcast single-row node count
     "text_tfidf",                         // broadcast single-row corpus size N
     "text_bm25",                          // broadcast single-row (N, Σdl, df) stats

@@ -18,6 +18,17 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qnames))
   }
 
+  test("no oracle SQL bakes a zero constant into a division") {
+    // a Scala forward val reference inside an interpolated SQL string
+    // silently bakes 0 (e.g. `count(*) / 0.0`) — the SQL still parses
+    // and the mismatch only surfaces as a hash failure at check time
+    val divZero = "/\\s*0(\\.0)?\\s*[,)\\s]".r
+    val offenders = SparkEntry.oracleSql.collect {
+      case (name, sql) if divZero.findFirstIn(sql).isDefined => name
+    }
+    assert(offenders.isEmpty, s"zero divisor baked into: ${offenders.mkString(", ")}")
+  }
+
   test("q1 aggregates are exact and grouped") {
     val rows = Relational.q1PricingSummary(spark, sf).collect()
     assert(rows.nonEmpty)
