@@ -998,6 +998,98 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- knn join
+  /** Corpus-wide k-NN JOIN (round 7): every vector's [[TopK]] nearest
+    * neighbors — the kNN-graph construction primitive behind
+    * SemDeDup-style semantic dedup, NN-descent seeding, kNN-LM
+    * retrieval graphs, and graph-based clustering. Distinct from the
+    * `ann_*` queries (a small broadcast query SET probing the
+    * corpus): here the query set IS the corpus, so neither side is
+    * broadcastable and the brute-force form is n² at any scale.
+    *
+    * Shape: cluster with the shared [[kmeansTrainTwoLevel]] (2 Lloyd
+    * rounds, corpus-scaled k = ⌈n / [[DedupClusterRows]]⌉ — blocks
+    * stay ~2.5k rows), assign with the zero-shuffle two-level probe,
+    * then ONE hash equi-join on cluster id scores each vector
+    * against its cluster-mates and the BOUNDED `TopKAggregator`
+    * ranks per query (≤ k rows per partition per query cross the
+    * wire — never a corpus-sized window sort). Total pair work is
+    * ∝ n · [[DedupClusterRows]] (linear), shuffle = the one cluster
+    * exchange + the bounded rank exchange. A skewed cluster is
+    * AQE-splittable (plain equi-join).
+    *
+    * The probe is nprobe=1 BY CONSTRUCTION (neighbors come from the
+    * query's own cluster only) — the IVF recall trade stated rather
+    * than hidden: a true neighbor in an adjacent cluster is not
+    * listed; SimilarityRecallSpec measures this form's recall
+    * against `cosineTopKExact` truth and floors it. At 100 TB the
+    * cluster id is the write-once partition key ([[writeIvfIndex]])
+    * and this join is a partition-local scan.
+    *
+    * Oracle replicates the full pipeline (scalar-subquery k,
+    * two-level Lloyd CTE chain, two-level assignment, in-cluster
+    * pairs, rank ≤ k) — hash-checked end to end. */
+  def annKnnJoin(spark: SparkSession, dir: String): DataFrame =
+    knnJoin(vecs(spark, dir).select(col("vec_id"), col("v"), col("nrm")),
+      TopK, NCentroids, DedupClusterRows)
+
+  /** PUBLIC parameterized kNN-join kernel over a (vec_id, v, nrm)
+    * frame: clusters = max(kFloor, ⌈n/clusterRows⌉) via the shared
+    * two-level trainer, neighbors ranked in-cluster through the
+    * bounded aggregator. `annKnnJoin` is its registered query form;
+    * SimilarityRecallSpec measures its recall against
+    * `cosineTopKExact` truth on a planted-cluster corpus. */
+  def knnJoin(e0: DataFrame, topK: Int, kFloor: Int,
+      clusterRows: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val e = e0.persist(StorageLevel.MEMORY_AND_DISK)
+    val k = math.max(kFloor.toLong,
+      math.ceil(e.count() / clusterRows.toDouble).toLong).toInt
+    val (cent, _) = kmeansTrainTwoLevel(e, k, iters = 2)
+    val m = assignTwoLevel(e, collectCentroids(cent), col("v"), col("nrm"))
+    val a = m.select(col("vec_id").as("q_id"), col("cluster"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val b = m.select(col("vec_id"), col("cluster").as("cluster_b"),
+      col("v"), col("nrm"))
+    val topk = new graft.functions.TopKAggregator(topK).toColumn
+    a.join(b, col("cluster") === col("cluster_b") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topk.name("topk"))
+      .toDF("q_id", "topk")
+      .select(col("q_id"),
+        posexplode(arrays_zip(col("topk.ids"), col("topk.scores"))).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.ids").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        rnd(col("e.scores"), 6).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val annKnnJoinSql = {
+    val kSql = s"SELECT greatest($NCentroids, " +
+      s"cast(ceil(count(*) / $DedupClusterRows.0) as int)) FROM embeddings"
+    s"""WITH ${kmeans2lCtes(2, kSql)},
+       |${kmeans2lAssignCtes("f", "c2", Seq("vec_id", "v", "nrm"), "assigned")},
+       |scored AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id,
+       |    ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) as int) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id AS neighbor_id, rank,
+       |  ${rndSql("cos", 6)} AS cos_sim
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- product quantization
   /** PQ geometry: 64-dim vectors cut into [[PqM]] subspaces of
     * [[PqSubDim]] dims, each coded against a [[PqK]]-entry codebook —
@@ -1277,6 +1369,7 @@ object Similarity {
     QueryDef("ann_ivf_trained", annIvfTrained _, Some(annIvfTrainedSql)),
     QueryDef("ann_kmeans", annKmeans _, Some(annKmeansSql)),
     QueryDef("ann_lsh", annLsh _, Some(annLshSql)),
+    QueryDef("ann_knn_join", annKnnJoin _, Some(annKnnJoinSql)),
     // lives here (not Dedup.scala) because it runs on the shared
     // kmeans/IVF clustering infrastructure
     QueryDef("dedup_semantic", dedupSemantic _, Some(dedupSemanticSql)),

@@ -264,4 +264,49 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(c4 < allPairs / 4,
       s"candidates must stay far below all-pairs: $c4 vs $allPairs")
   }
+
+  test("kNN join: planted near-dups recovered at rank 1, recall vs exact floored") {
+    val s = spark
+    import s.implicits._
+    val vecs = corpus.toDF("vec_id", "v")
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    // clusterRows = 60 → k = ceil(600/60) = 10, matching the planted
+    // cluster structure (kFloor 1 keeps the corpus-derived k)
+    val graph = Similarity.knnJoin(
+      vecs.select(col("vec_id"), col("v"), col("nrm")), 10, 1, 60)
+      .persist()
+    val got = graph.select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // every planted near-dup (even/odd member pair, cos ≥ ~0.999)
+    // must be its twin's rank-1 neighbor: the pair is same-cluster
+    // by construction unless the probe splits it, and rank-1 is what
+    // the dedup/NN-graph consumers read first
+    val rank1 = graph.filter(col("rank") === 1)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twins = for {
+      c <- 0 until NClusters
+      t <- 0 until PerCluster / 2
+    } yield ((2 * t) * NClusters + c).toLong -> ((2 * t + 1) * NClusters + c).toLong
+    val twinHits = twins.count { case (a, b) =>
+      rank1.get(a).contains(b) || rank1.get(b).contains(a)
+    }
+    info(f"kNN join: twin-at-rank-1 ${twinHits * 100.0 / twins.size}%.1f%% of ${twins.size} pairs")
+    assert(twinHits.toDouble / twins.size >= 0.95,
+      s"planted twins must dominate rank 1: $twinHits/${twins.size}")
+
+    // recall@10 vs exact truth over ALL corpus vectors as queries
+    // (in-cluster probe: boundary vectors lose cross-cluster
+    // neighbors — the declared nprobe=1 trade, floored not hidden)
+    val truth = Similarity.cosineTopKExact(
+        corpus.toDF("vec_id", "v"),
+        corpus.toDF("q_id", "qv"), 10)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"kNN join recall@10 vs exact: $recall%.3f")
+    assert(recall >= 0.7, s"kNN join recall floor: got $recall")
+    graph.unpersist()
+  }
 }
