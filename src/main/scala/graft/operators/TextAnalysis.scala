@@ -797,8 +797,112 @@ object TextAnalysis {
        |JOIN v$BpeMergeRounds v USING (word)
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- rule filter
+  /** Gopher/C4-style RULE filter (round 7): the named-threshold
+    * document gate every production corpus build runs before the
+    * expensive stages (method: Rae et al., "Gopher", arXiv:2112.11446
+    * §A1.1; Raffel et al., C4, arXiv:1910.10683 §2.2 — thresholds
+    * recalibrated to this synthetic corpus so both outcomes occur;
+    * real-corpus values are config, not algorithm). Five rules, each
+    * a pure per-row codegen'd expression — no shuffle at any corpus
+    * size, trivially streamable:
+    *
+    *   1. word_count      — n_words ∈ [20, 90]
+    *   2. mean_word_len   — mean token length ∈ [3, 6]
+    *   3. distinct_ratio  — distinct/total tokens ≥ 0.35 (the
+    *      within-doc repetition gate; `text_repetition` measures the
+    *      same axis continuously)
+    *   4. stopwords       — ≥ 2 stopword hits (token occurrences,
+    *      not distinct types — the Gopher form)
+    *   5. top_word_share  — most-frequent token ≤ 15% of the doc
+    *
+    * Output: the measured metrics, per-rule pass booleans, `keep`,
+    * and `fail_reason` = FIRST failed rule's name (NULL when kept) —
+    * the reason column is what makes rejection auditable downstream
+    * (a filter that only drops rows can't be debugged at 100 TB).
+    * Unlike `text_quality` (a continuous score for ranking), this is
+    * the hard gate with named causes. All comparisons are on raw
+    * integer-derived doubles (exact on both engines). */
+  def textFilterQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityRules(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** The rule projection over any frame with (doc_id, text) — shared
+    * by the registered query and the streaming twin
+    * (`StreamingJobs.qualityFilterStream`): stateless per-row
+    * expressions, so batch and ingest-time gating select identical
+    * documents. */
+  def qualityRules(docs: DataFrame): DataFrame = {
+    val t = col("t")
+    val nW = size(t)
+    val meanLen = length(regexp_replace(col("text"), "\\s+", ""))
+      .cast("double") / nW
+    val distinctRatio = size(array_distinct(t)).cast("double") / nW
+    val stopHits = size(filter(t, x => x.isin(Stopwords: _*)))
+    val topShare = array_max(transform(array_distinct(t),
+      x => size(filter(t, y => y === x)))).cast("double") / nW
+    val rWords = nW >= 20 && nW <= 90
+    val rMean = meanLen >= 3.0d && meanLen <= 6.0d
+    val rDistinct = distinctRatio >= 0.35d
+    val rStop = stopHits >= 2
+    val rTop = topShare <= 0.15d
+    docs
+      .withColumn("t", toks)
+      .select(
+        col("doc_id"),
+        nW.as("n_words"),
+        rnd(meanLen, 4).as("mean_word_len"),
+        rnd(distinctRatio, 4).as("distinct_ratio"),
+        stopHits.as("stop_hits"),
+        rnd(topShare, 4).as("top_word_share"),
+        rWords.as("r_word_count"),
+        rMean.as("r_mean_word_len"),
+        rDistinct.as("r_distinct_ratio"),
+        rStop.as("r_stopwords"),
+        rTop.as("r_top_word_share"),
+        (rWords && rMean && rDistinct && rStop && rTop).as("keep"),
+        when(!rWords, "word_count").when(!rMean, "mean_word_len")
+          .when(!rDistinct, "distinct_ratio").when(!rStop, "stopwords")
+          .when(!rTop, "top_word_share").as("fail_reason"))
+  }
+
+  private val textFilterQualitySql = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    val nW = s"len($toksSql)"
+    val meanLen =
+      s"cast(length(regexp_replace(text, '\\s+', '', 'g')) as double) / $nW"
+    val distinctRatio = s"cast(len(list_distinct($toksSql)) as double) / $nW"
+    val stopHits = s"len(list_filter($toksSql, t -> t IN ($stopList)))"
+    val topShare = s"cast(list_max(list_transform(list_distinct($toksSql), " +
+      s"x -> len(list_filter($toksSql, y -> y = x)))) as double) / $nW"
+    val rWords = s"($nW >= 20 AND $nW <= 90)"
+    val rMean = s"($meanLen >= cast(3.0 as double) AND $meanLen <= cast(6.0 as double))"
+    val rDistinct = s"($distinctRatio >= cast(0.35 as double))"
+    val rStop = s"($stopHits >= 2)"
+    val rTop = s"($topShare <= cast(0.15 as double))"
+    s"""SELECT doc_id,
+       |  cast($nW as int) AS n_words,
+       |  ${rndSql(meanLen, 4)} AS mean_word_len,
+       |  ${rndSql(distinctRatio, 4)} AS distinct_ratio,
+       |  cast($stopHits as int) AS stop_hits,
+       |  ${rndSql(topShare, 4)} AS top_word_share,
+       |  $rWords AS r_word_count,
+       |  $rMean AS r_mean_word_len,
+       |  $rDistinct AS r_distinct_ratio,
+       |  $rStop AS r_stopwords,
+       |  $rTop AS r_top_word_share,
+       |  ($rWords AND $rMean AND $rDistinct AND $rStop AND $rTop) AS keep,
+       |  CASE WHEN NOT $rWords THEN 'word_count'
+       |    WHEN NOT $rMean THEN 'mean_word_len'
+       |    WHEN NOT $rDistinct THEN 'distinct_ratio'
+       |    WHEN NOT $rStop THEN 'stopwords'
+       |    WHEN NOT $rTop THEN 'top_word_share' END AS fail_reason
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mg_topk", mgTopkHeavyHitters _, None),
+    QueryDef("text_filter_quality", textFilterQuality _,
+      Some(textFilterQualitySql)),
     QueryDef("bpe_train", bpeTrain _, Some(bpeTrainSql)),
     QueryDef("bpe_tokenize", bpeTokenize _, Some(bpeTokenizeSql)),
     QueryDef("text_cms", textCms _, Some(textCmsSql)),

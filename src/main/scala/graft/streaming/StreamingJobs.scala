@@ -241,6 +241,17 @@ object StreamingJobs {
       bp: org.apache.spark.sql.Column, salt: String): DataFrame =
     graft.operators.Pipelines.sampleWeighted(docs, bp, salt)
 
+  /** Ingest-time quality gating — the batch
+    * [[graft.operators.TextAnalysis.qualityRules]] projection applied
+    * at the stream head (ONE shared rule definition): every arriving
+    * document is measured, gated, and tagged with its `fail_reason`
+    * before anything downstream pays for it. Stateless per-row
+    * expressions — no watermark, append-legal — so the stream admits
+    * exactly the documents the batch gate would keep, and rejected
+    * docs carry their named cause into the quarantine sink. */
+  def qualityFilterStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.qualityRules(docs)
+
   /** One observed token: `shard` is its state key (hash-disjoint:
     * a token lives in exactly ONE shard), `seq` a deterministic
     * processing order within the shard (MG output is order-dependent;

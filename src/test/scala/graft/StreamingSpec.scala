@@ -340,6 +340,33 @@ class StreamingSpec extends SparkSpec {
       "ingest-time sample membership must equal the batch pass")
   }
 
+  test("stream quality filter: streamed gate equals the batch rules, reasons carried") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(s, sf).select("doc_id", "text")
+    val batch = graft.operators.TextAnalysis.qualityRules(docs)
+      .select("doc_id", "keep", "fail_reason").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2)))).toSet
+
+    val tmp = java.nio.file.Files.createTempDirectory("qf-in").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val src = s.readStream.schema(docs.schema).parquet(tmp)
+    val q = StreamingJobs.qualityFilterStream(src)
+      .select("doc_id", "keep", "fail_reason")
+      .writeStream.format("memory").queryName("qf_out")
+      .outputMode("append") // stateless projection: append-legal
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select doc_id, keep, fail_reason from qf_out").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2)))).toSet
+    assert(streamed == batch,
+      "ingest-time gate decisions must equal the batch rules")
+    assert(streamed.exists(_._2) && streamed.exists(!_._2),
+      "gate must discriminate on the corpus")
+  }
+
   test("streaming mg_topk: streamed == batch, MG guarantee holds, state bounded") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Rule semantics of `text_filter_quality` (SURVEY.md §2 D33h): the
+  * oracle hash-check proves cross-engine equality; this spec proves
+  * the rules MEAN what they claim on planted documents, and that the
+  * gate discriminates (both outcomes occur) on the real corpus.
+  */
+class TextFilterSpec extends SparkSpec {
+
+  /** Planted docs exercising each rule in isolation (documents
+    * schema: doc_id, text, lang, source, n_chars). */
+  private def planted(): String = {
+    val s = spark
+    import s.implicits._
+    val ok = (0 until 30).map(i => s"word$i").mkString(" ") +
+      " the a of it goes on" // 36 words, has stopwords, all distinct
+    val docs = Seq(
+      (0L, ok),                                        // passes all
+      (1L, "too short the a"),                         // word_count (4)
+      (2L, ("x " * 40).trim + " the a"),               // mean len ~1 (also top/distinct)
+      (3L, (0 until 40).map(i => s"extraordinarily$i").mkString(" ") + " the a"), // mean_word_len > 6
+      (4L, (0 until 40).map(i => s"word$i").mkString(" ")), // no stopwords
+      // 64 words, 12 distinct (ratio 0.19), mean len 4.8, top share
+      // 6/64 — ONLY distinct_ratio fails
+      (5L, ((0 until 10).flatMap(i => Seq.fill(6)(s"alpha$i")) ++
+        Seq("the", "a", "the", "a")).mkString(" "))
+    ).map { case (id, text) =>
+      (id, text, "en", "src0", text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("tfq").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("each rule fires on its planted document with the right fail_reason") {
+    val out = TextAnalysis.textFilterQuality(spark, planted())
+      .select("doc_id", "keep", "fail_reason").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.getString(2)))).toMap
+    assert(out(0L) == (true, None), s"doc 0 must pass: ${out(0L)}")
+    assert(out(1L) == (false, Some("word_count")))
+    // doc 2: 42 words pass count; mean len ~1.2 fails FIRST (fixed order)
+    assert(out(2L) == (false, Some("mean_word_len")))
+    assert(out(3L) == (false, Some("mean_word_len")))
+    assert(out(4L) == (false, Some("stopwords")))
+    assert(out(5L) == (false, Some("distinct_ratio")))
+  }
+
+  test("keep == conjunction of rule booleans; fail_reason null iff kept; gate discriminates") {
+    val df = TextAnalysis.textFilterQuality(spark, sf).persist()
+    val bad = df.filter(
+      col("keep") =!= (col("r_word_count") && col("r_mean_word_len") &&
+        col("r_distinct_ratio") && col("r_stopwords") && col("r_top_word_share")) ||
+      (col("keep") && col("fail_reason").isNotNull) ||
+      (!col("keep") && col("fail_reason").isNull))
+    assert(bad.count() == 0, "keep/fail_reason must be consistent with the rules")
+    val kept = df.filter(col("keep")).count()
+    val dropped = df.filter(!col("keep")).count()
+    info(s"sf0.001 corpus: $kept kept, $dropped dropped")
+    assert(kept > 0 && dropped > 0,
+      s"thresholds must discriminate on the corpus: $kept kept / $dropped dropped")
+    df.unpersist()
+  }
+}
