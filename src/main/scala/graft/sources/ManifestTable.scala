@@ -66,6 +66,33 @@ object ManifestTable {
     spark.read.parquet(new Path(path, d).toString)
   }
 
+  /** Versions currently readable on disk, ascending — the published
+    * version plus every retained predecessor (time travel is bounded
+    * by [[publish]]'s retention; with the default `retain = 1` that
+    * is the previous version, kept for in-flight readers). */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val cur = current(spark, path).map(_._1).getOrElse(return Nil)
+    fs.listStatus(root).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("data-"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("data-").toLong).toOption)
+      .filter(_ <= cur) // an unpublished staged successor is not readable state
+      .sorted
+  }
+
+  /** Time-travel read of retained version `v` (Iceberg-style
+    * snapshot read, bounded by retention): the data dirs are
+    * immutable once published, so a retained version is exactly the
+    * table as committed at version `v`. Throws on a GC'd or
+    * never-published version, listing what IS readable. */
+  def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
+    val have = versions(spark, path)
+    require(have.contains(v),
+      s"version $v not readable at $path (retained: ${have.mkString(",")})")
+    spark.read.parquet(new Path(path, dataDirName(v)).toString)
+  }
+
   /** Phase 1: stage the next version by materializing a complete data
     * dir through `write` (handed the target dir path). Returns the
     * staged version; nothing is visible to readers yet. A crashed
@@ -82,8 +109,13 @@ object ManifestTable {
 
   /** Phase 2: publish staged version `v` — THE commit is the one
     * atomic rename of MANIFEST.tmp over MANIFEST. Then GC data dirs
-    * older than v−1 (v−1 is retained for in-flight readers). */
-  def publish(spark: SparkSession, path: String, v: Long): Unit = {
+    * older than v−`retain` (the default keeps v−1 for in-flight
+    * readers; a larger `retain` is the time-travel window
+    * [[readVersion]] reads from — the storage cost is `retain` full
+    * copies, the price any snapshot-isolated table format pays for
+    * full-rewrite commits). */
+  def publish(spark: SparkSession, path: String, v: Long,
+      retain: Int = 1): Unit = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     require(fs.exists(new Path(root, dataDirName(v))),
@@ -101,7 +133,7 @@ object ManifestTable {
       if (n.startsWith("data-")) {
         val dv = scala.util.Try(n.stripPrefix("data-").toLong)
           .getOrElse(Long.MaxValue)
-        if (dv < v - 1) fs.delete(st.getPath, true)
+        if (dv < v - retain) fs.delete(st.getPath, true)
       }
     }
   }

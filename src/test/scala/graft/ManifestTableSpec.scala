@@ -74,6 +74,43 @@ class ManifestTableSpec extends SparkSpec {
     assert(stateOf(t) == (0 until 4).map(i => (i.toLong, s"v$i")).toSet)
   }
 
+  test("time travel: retained versions readable as committed, GC'd/staged ones refused") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable()
+    // commits at retain=3: after publishing v, dirs < v−3 are GC'd —
+    // so after version 4 the readable window is {1, 2, 3, 4}
+    (0 until 5).foreach { i =>
+      val v = ManifestTable.prepare(s, t) { dir =>
+        Seq((i.toLong, s"v$i")).toDF("k", "v")
+          .write.mode(SaveMode.Overwrite).parquet(dir)
+      }
+      ManifestTable.publish(s, t, v, retain = 3)
+    }
+    assert(ManifestTable.versions(s, t) == Seq(1L, 2L, 3L, 4L),
+      s"retain=3 window, got ${ManifestTable.versions(s, t)}")
+    // each retained snapshot reads EXACTLY as committed (dirs are
+    // immutable once published — this is what makes travel sound)
+    (1 to 4).foreach { v =>
+      val got = ManifestTable.readVersion(s, t, v.toLong)
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((v.toLong, s"v$v")), s"version $v: got $got")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.readVersion(s, t, 0L) // GC'd
+    }
+    // a staged-but-unpublished successor is not readable state
+    ManifestTable.prepare(s, t) { dir =>
+      Seq((99L, "orphan")).toDF("k", "v")
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+    assert(ManifestTable.versions(s, t) == Seq(1L, 2L, 3L, 4L),
+      "an unpublished staged version must not appear in the window")
+    intercept[IllegalArgumentException] {
+      ManifestTable.readVersion(s, t, 5L)
+    }
+  }
+
   test("compact rewrites files, never the visible row set") {
     val s = spark
     import s.implicits._
