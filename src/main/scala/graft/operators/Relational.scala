@@ -503,8 +503,92 @@ object Relational {
        |FROM orders GROUP BY o_year, o_month
        |ORDER BY o_year, o_month""".stripMargin
 
+  // ---------------------------------------------------------------- skew-salted join
+  /** Skew-mitigated equi-join by SALTING (round 7; SURVEY §4's
+    * "salting for skew" as a named API rather than advice): the
+    * classic two-sided transform — hot fact keys get a per-ROW salt
+    * in [0, salts) and the dim rows for those keys are exploded into
+    * `salts` copies, so the join key becomes (key, salt) and one hot
+    * key's rows spread over `salts` reducers instead of one giant
+    * straggler partition. Cold keys keep salt 0 (dim side 1 copy) —
+    * one join, no union, no broadcast requirement on either side.
+    * The result multiset is exactly the plain join's (salts are
+    * join-local and dropped), which is what the oracle checks.
+    *
+    * Hot-key probe: one map-side-combined count aggregate; "hot" =
+    * count ≥ hotFactor × the mean per-key count (scale-stable — an
+    * absolute threshold silently flips cold at 10× data), capped at
+    * the top 1000 by count for driver safety (an uncapped set is
+    * bounded only by n/threshold; keys past the cap just take the
+    * cold path — mechanism preserved, result identical). `saltFrom`
+    * must be a per-row expression (a unique id column) — salting by
+    * the KEY would put every row of a hot key in the same bucket and
+    * spread nothing.
+    *
+    * vs AQE skew-join: AQE splits oversized shuffle partitions at
+    * runtime and is the first line of defense; explicit salting is
+    * the portable form that also covers the cases AQE cannot touch
+    * (aggregation-before-join pipelines, sinks keyed by the join
+    * key, deterministic partition layout for a downstream write). */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, saltFrom: Column, hotFactor: Double = 1.1,
+      salts: Int = 8): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val counts = fact.groupBy(col(factKey)).agg(count(lit(1)).as("_c"))
+      .persist()
+    // mean per-key count: tiny 1-row aggregate of the probe frame
+    // (coalesce: sum over an EMPTY fact is null — the empty-input
+    // sweep would NPE on getDouble)
+    val mean = counts.agg(coalesce(sum(col("_c")).cast("double")
+      / count(lit(1)), lit(0.0)).as("m")).head.getDouble(0)
+    val hot = counts.filter(col("_c") >= lit(mean * hotFactor))
+      .orderBy(col("_c").desc, col(factKey)).limit(1000)
+      .select(col(factKey)).collect().map(_.get(0)).toSeq
+    counts.unpersist()
+    if (hot.isEmpty) return fact.join(dim, col(factKey) === col(dimKey))
+    val fSalted = fact.withColumn("_fsalt",
+      when(col(factKey).isin(hot: _*),
+        pmod(crc32(saltFrom.cast("string")), lit(salts)).cast("int"))
+        .otherwise(lit(0)))
+    val dSalted = dim
+      .withColumn("_ds",
+        when(col(dimKey).isin(hot: _*),
+          sequence(lit(0), lit(salts - 1)))
+          .otherwise(array(lit(0))))
+      .withColumn("_dsalt", explode(col("_ds"))).drop("_ds")
+    fSalted.join(dSalted,
+        col(factKey) === col(dimKey) && col("_fsalt") === col("_dsalt"))
+      .drop("_fsalt", "_dsalt")
+  }
+
+  /** Registered skew-salted join: events (fact) ⋈ customer segment
+    * (dim) on user_id with the salting kernel, then a per-user
+    * rollup. hotFactor 1.1 marks the busier users hot on the real
+    * corpus, so BOTH branches (salted hot keys, salt-0 cold keys)
+    * run in the checked query at every SF — the oracle's plain join
+    * proves the salt transform is result-invariant end to end. */
+  def qJoinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    saltedEquiJoin(ev, cust, "user_id", "c_custkey",
+        saltFrom = col("event_id"))
+      .groupBy(col("user_id"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val qJoinSkewSaltedSql =
+    s"""SELECT user_id, c_mktsegment, count(*) AS n_events,
+       |  ${dsumSql("value", "total_value")}
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY user_id, c_mktsegment
+       |ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_join_skew_salted", qJoinSkewSalted _, Some(qJoinSkewSaltedSql)),
     QueryDef("q1_pricing_summary", q1PricingSummary _, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority _, Some(q3Sql)),
     QueryDef("q5_local_supplier", q5LocalSupplier _, Some(q5Sql)),

@@ -216,4 +216,36 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+
+  test("salted join: planted 100:1 skew — result equals plain join, hot key spreads ~salts×") {
+    val s = spark
+    import s.implicits._
+    val salts = 8
+    // key 0: 4000 rows (the straggler); keys 1..40: 40 rows each
+    val fact = ((0 until 4000).map(i => (i.toLong, 0L)) ++
+      (for (k <- 1 to 40; j <- 0 until 40)
+        yield ((10000 + k * 100 + j).toLong, k.toLong)))
+      .toDF("row_id", "k")
+    val dim = (0 to 40).map(k => (k.toLong, s"d$k")).toDF("dk", "payload")
+
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = graft.operators.Relational
+      .saltedEquiJoin(fact, dim, "k", "dk", saltFrom = col("row_id"),
+        hotFactor = 2.0, salts = salts)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain, "salting must be result-invariant")
+
+    // the spread property: replicate the kernel's salt assignment and
+    // measure the largest (key, salt) bucket of the hot key — it must
+    // be ~1/salts of the unsalted 4000-row straggler
+    val maxBucket = fact.filter(col("k") === 0L)
+      .withColumn("_s", pmod(crc32(col("row_id").cast("string")), lit(salts)))
+      .groupBy("_s").count().agg(max("count")).head.getLong(0)
+    info(s"hot key: 4000 rows unsalted -> max salted bucket $maxBucket")
+    assert(maxBucket < 4000 / salts * 2,
+      s"salting must spread the hot key: max bucket $maxBucket")
+  }
 }
