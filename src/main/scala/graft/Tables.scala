@@ -49,7 +49,20 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case _ => df // already a usable timestamp (e.g. re-written data)
+      // Parquet timestamp[us] with no timezone reads as TIMESTAMP_NTZ;
+      // downstream event-time code (unix_micros, watermarks) needs
+      // TimestampType. With the session TZ pinned to UTC the cast is the
+      // identity on the stored micros, so oracle hashes are unchanged.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => df
+      // Fail HERE, not 15 call sites downstream: every event-time
+      // operator assumes TimestampType `ts`, and a silent pass-through
+      // of a new writer type (the round-7 NTZ lesson) breaks them all.
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other; " +
+          "extend Tables.events to normalize it to TimestampType")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

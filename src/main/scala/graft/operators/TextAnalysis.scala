@@ -838,8 +838,24 @@ object TextAnalysis {
       .cast("double") / nW
     val distinctRatio = size(array_distinct(t)).cast("double") / nW
     val stopHits = size(filter(t, x => x.isin(Stopwords: _*)))
-    val topShare = array_max(transform(array_distinct(t),
-      x => size(filter(t, y => y === x)))).cast("double") / nW
+    // Max token frequency as the longest run in the SORTED token array
+    // (one O(n log n) sort + O(n) fold per row) — the nested
+    // filter-in-transform form was O(tokens × distinct tokens) per doc,
+    // quadratic on web-scale documents. Same value, so the oracle SQL
+    // and every hash are unchanged.
+    val maxTokenCount = aggregate(
+      array_sort(t),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+        lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val topShare =
+      when(nW > 0, maxTokenCount.cast("double") / nW)
     val rWords = nW >= 20 && nW <= 90
     val rMean = meanLen >= 3.0d && meanLen <= 6.0d
     val rDistinct = distinctRatio >= 0.35d
