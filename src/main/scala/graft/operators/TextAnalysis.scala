@@ -129,7 +129,7 @@ object TextAnalysis {
       .agg(
         sum((col("pos") + 1) * (ascii(col("tok")) + length(col("tok"))))
           .as("positional_fp"),
-        first(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"))
+        first(graft.functions.CrossEngine.md5Long(col("text")))
           .as("content_fp"))
       .orderBy(col("doc_id"))
   }

@@ -217,6 +217,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bandedHammingPairsSubset equals all-pairs for any config with agree >= 2") {
+    val s = spark
+    import s.implicits._
+    // the generalized pigeonhole (hamming <= h over `bands` bands =>
+    // some (bands - h)-subset of bands matches exactly) must hold for
+    // arbitrary uneven band splits, and the subset join must emit each
+    // pair exactly once despite multi-subset collisions
+    val cfgGen: Gen[(Int, Int, Int, List[Long])] = for {
+      bits <- Gen.choose(12, 48)
+      bands <- Gen.choose(3, 6)
+      maxHamming <- Gen.choose(0, bands - 2) // agree >= 2
+      n <- Gen.choose(10, 35)
+      base <- Gen.listOfN(n, Gen.choose(Long.MinValue, Long.MaxValue))
+      flips <- Gen.listOfN(n, Gen.choose(0, maxHamming))
+    } yield {
+      val mask = (1L << bits) - 1
+      val bases = base.map(_ & mask)
+      val clones = bases.zip(flips).map { case (b, f) =>
+        (0 until f).foldLeft(b)((acc, i) => acc ^ (1L << ((b.toInt.abs + i * 7) % bits)))
+      }
+      (bits, bands, maxHamming, bases ++ clones)
+    }
+    forAll(cfgGen) { case (bits, bands, maxHamming, sigs) =>
+      val df = sigs.zipWithIndex
+        .map { case (sh, i) => (i.toLong, "x", sh) }.toDF("doc_id", "block", "sh")
+      val got = graft.operators.Dedup
+        .bandedHammingPairsSubset(df, bits, bands, maxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val expect = (for {
+        (a, i) <- sigs.zipWithIndex
+        (b, j) <- sigs.zipWithIndex
+        if i < j
+        h = java.lang.Long.bitCount(a ^ b)
+        if h <= maxHamming
+      } yield (i.toLong, j.toLong, h)).toSet
+      assert(got.length == got.toSet.size,
+        s"bits=$bits bands=$bands maxHamming=$maxHamming: duplicate pairs emitted")
+      assert(got.toSet == expect,
+        s"bits=$bits bands=$bands maxHamming=$maxHamming: " +
+          s"missing=${(expect -- got.toSet).take(3)} extra=${(got.toSet -- expect).take(3)}")
+    }
+  }
+
   test("property: connectedComponents equals union-find on random graphs") {
     val s = spark
     import s.implicits._
