@@ -808,6 +808,87 @@ object Dedup {
        |FROM dirs WHERE containment >= 0.9
        |ORDER BY doc_sub, doc_sup""".stripMargin
 
+  // ------------------------------------------------- containment, full recall
+  /** FULL-RECALL directed containment pairs (round 8) — closes the
+    * recall gap `dedup_containment` documents: symmetric minhash
+    * banding finds high-JACCARD candidates, so a tiny-doc-quoted-in-
+    * huge-doc pair (high containment, low jaccard) can be missed at
+    * its candidate stage. This operator finds EVERY pair with
+    * c(sub→sup) = |sub ∩ sup| / |sub| ≥ 0.9 over distinct token
+    * sets, via PREFIX FILTERING (the SSJoin/PPJoin family —
+    * Chaudhuri et al., ICDE 2006; Xiao et al., WWW 2008):
+    *
+    * with cmin = ⌈0.9·|sub|⌉ shared tokens required, at most
+    * |sub| − cmin of sub's tokens lie outside sup, so among sub's
+    * first |sub| − cmin + 1 tokens IN ANY FIXED GLOBAL ORDER at
+    * least one is in sup — joining just that prefix against the full
+    * inverted index has total recall, and ordering tokens RAREST-
+    * FIRST (ascending document frequency, then token) makes the
+    * joined prefix tokens precisely the low-df ones, so posting-list
+    * collisions stay small. Exact verification then touches only
+    * candidates. The oracle is the brute-force ALL-PAIRS containment
+    * — hash-equality IS the full-recall proof (O(n²) oracle side, so
+    * an sf ≤ 1 check like the other all-pairs twins).
+    *
+    * Plan: token explode (persisted, pays for df + rank + index),
+    * per-doc prefix via a doc-keyed window over the global (df, tok)
+    * order, prefix ⋈ index equi-join on token, distinct, exact
+    * verify on the candidate set only. At 100 TB: everything is
+    * token- or doc-keyed; the inherent cost driver is posting-list
+    * skew on rare-token collisions, the documented price of EXACT
+    * full recall (the banded operator stays the cheap probabilistic
+    * path). */
+  def dedupContainmentExact(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsExact(Tables.documents(spark, dir))
+
+  /** The prefix-filter kernel over an ARBITRARY documents frame
+    * (needs `doc_id`, `text`) — see [[dedupContainmentExact]]. */
+  def containmentPairsExact(docs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sets = docs
+      .select(col("doc_id"), array_distinct(toks).as("s"))
+      .filter(size(col("s")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tokens = sets.select(col("doc_id"), size(col("s")).as("sz"),
+        explode(col("s")).as("tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // k = sz − ⌈0.9·sz⌉ + 1 prefix tokens, integer-exact
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val prefix = tokens.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
+      .select(col("doc_id").as("doc_sub"), col("tok"))
+    val cand = prefix
+      .join(tokens.select(col("doc_id").as("doc_sup"), col("tok")), "tok")
+      .filter(col("doc_sub") =!= col("doc_sup"))
+      .select(col("doc_sub"), col("doc_sup"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_sub"), col("s").as("s_sub")), "doc_sub")
+      .join(sets.select(col("doc_id").as("doc_sup"), col("s").as("s_sup")), "doc_sup")
+      .withColumn("c", size(array_intersect(col("s_sub"), col("s_sup"))))
+      .withColumn("containment", col("c").cast("double") / size(col("s_sub")))
+      .filter(col("containment") >= 0.9d)
+      .select(col("doc_sub"), col("doc_sup"), col("c").as("n_shared_tokens"),
+        rnd(col("containment"), 4).as("containment"))
+      .orderBy(col("doc_sub"), col("doc_sup"))
+  }
+
+  private val dedupContainmentExactSql =
+    s"""WITH sets AS (
+       |  SELECT doc_id, list_distinct($toksSql) AS s FROM documents
+       |  WHERE len(list_distinct($toksSql)) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
+       |    cast(len(list_intersect(a.s, b.s)) as int) AS c,
+       |    cast(len(a.s) as int) AS sza
+       |  FROM sets a JOIN sets b ON a.doc_id <> b.doc_id)
+       |SELECT doc_sub, doc_sup, c AS n_shared_tokens,
+       |  ${rndSql("cast(c as double) / sza", 4)} AS containment
+       |FROM pairs WHERE cast(c as double) / sza >= 0.9
+       |ORDER BY doc_sub, doc_sup""".stripMargin
+
   // ---------------------------------------------------------------- clusters
   /** The step every production dedup actually needs AFTER pair
     * generation: the transitive closure. Near-dup similarity is not
@@ -1471,6 +1552,8 @@ object Dedup {
     QueryDef("dedup_incremental", dedupIncremental _, Some(dedupIncrementalSql)),
     QueryDef("pipeline_fuzzy_dedup", pipelineFuzzyDedup _, Some(pipelineFuzzyDedupSql)),
     QueryDef("dedup_containment", dedupContainment _, Some(dedupContainmentSql)),
+    QueryDef("dedup_containment_exact", dedupContainmentExact _,
+      Some(dedupContainmentExactSql)),
     QueryDef("pipeline_dedup_clusters", pipelineDedupClusters _, Some(pipelineDedupClustersSql)),
     QueryDef("dedup_simhash", dedupSimhash _, Some(dedupSimhashSql)),
     QueryDef("dedup_simhash_banded", dedupSimhashBanded _, Some(dedupSimhashWideSql)),

@@ -170,6 +170,90 @@ object TextAnalysis {
        |WHERE bigram IS NOT NULL
        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- lm score
+  /** Corpus-LM fluency scoring (round 8) — the CCNet-style quality
+    * signal (Wenzek et al., "CCNet", LREC 2020 §4.3: score text with
+    * a language model, filter/bucket on the score; their KenLM
+    * 5-gram becomes a bigram model here — same role, SQL-expressible
+    * both engines). A document whose word transitions are typical of
+    * the corpus scores high; word-salad/boilerplate scores low —
+    * the statistical complement to the rule gate
+    * (`text_filter_quality`) and the repetition share
+    * (`text_repetition`).
+    *
+    * Model = the corpus's own bigram MLE, p(cur|prev) =
+    * c(prev,cur)/c(prev·) — training corpus scored by its own LM
+    * (CCNet scores crawl text under a wiki LM; with one corpus it is
+    * self-scored — the ranking signal, not a held-out perplexity).
+    * Scored as the per-doc MEAN of p(cur|prev) over its bigrams, in
+    * the scaled-integer discipline: each probability becomes
+    * ⌊c_bi·1e9 / c_uni⌋ (integer division, exact both engines), the
+    * per-doc sum accumulates in bigint (order-independent), and ONE
+    * double division + deterministic rounding happens per doc. A
+    * production variant sums logs (perplexity proper); ln() differs
+    * in the last ULP between libms, so the cross-engine-checkable
+    * form averages linear probabilities — same direction, same use.
+    *
+    * Shape at scale: the exploded bigram frame is persisted once and
+    * pays for all three consumers (context counts, bigram counts, the
+    * score join); both count tables are wordcount-shaped map-side-
+    * combined aggregates ∝ DISTINCT bigrams (vocab-bounded, far
+    * smaller than the corpus; broadcastable when the vocabulary is);
+    * the score join is keyed (prev, cur), co-partitioned with the
+    * bigram count's own exchange; the final aggregate is doc-keyed.
+    * No window, no n². Docs with < 2 tokens have no bigrams and no
+    * score row (documented; the corpus's 20-90-word docs all score).
+    */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScore(Tables.documents(spark, dir))
+
+  /** The corpus-LM scoring kernel over an ARBITRARY documents frame
+    * (needs `doc_id`, `text`) — see [[textLmScore]]. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(t, 1, size(t) - 1),
+          |  (x, i) -> struct(x AS prev, element_at(t, i + 2) AS cur))"""
+          .stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = pairs.groupBy(col("prev")).agg(count(lit(1)).as("c_uni"))
+    val bi = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c_bi"))
+    val probs = bi.join(uni, "prev")
+      .select(col("prev"), col("cur"),
+        expr("(c_bi * 1000000000L) div c_uni").as("p9"))
+    pairs.join(probs, Seq("prev", "cur"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p9")).as("sp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        rnd(col("sp").cast("double") / (col("n_bigrams") * lit(1e9d)), 6)
+          .as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textLmScoreSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok,
+       |    generate_subscripts($toksSql, 1) AS pos
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, prev, cur FROM (
+       |    SELECT doc_id, tok AS prev,
+       |      lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS cur
+       |    FROM tok)
+       |  WHERE cur IS NOT NULL),
+       |uni AS (SELECT prev, count(*) AS c_uni FROM bg GROUP BY prev),
+       |bi AS (SELECT prev, cur, count(*) AS c_bi FROM bg GROUP BY prev, cur),
+       |probs AS (
+       |  SELECT b.prev, b.cur, (b.c_bi * 1000000000) // u.c_uni AS p9
+       |  FROM bi b JOIN uni u USING (prev))
+       |SELECT g.doc_id, count(*) AS n_bigrams,
+       |  ${rndSql("cast(sum(p.p9) as double) / (count(*) * 1e9)", 6)} AS lm_score
+       |FROM bg g JOIN probs p USING (prev, cur)
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- repetition
   /** Repetition filtering — the published Gopher/MassiveText rule
     * family: a document whose single most frequent bigram covers a
@@ -932,5 +1016,6 @@ object TextAnalysis {
     QueryDef("text_repetition", textRepetition _, Some(textRepetitionSql)),
     QueryDef("text_redact", textRedact _, Some(textRedactSql)),
     QueryDef("text_vocab", textVocab _, Some(textVocabSql)),
-    QueryDef("text_ngrams", textNgrams _, Some(textNgramsSql)))
+    QueryDef("text_ngrams", textNgrams _, Some(textNgramsSql)),
+    QueryDef("text_lm_score", textLmScore _, Some(textLmScoreSql)))
 }

@@ -318,4 +318,64 @@ class DedupSimilaritySpec extends SparkSpec {
     val rrfs = rows.map(_.getDouble(3))
     assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
   }
+
+  test("containment exact: prefix-filter equals brute force, incl. the tiny-in-huge pair banding misses") {
+    val s = spark
+    import s.implicits._
+    // planted: doc 1 is a 5-token quote fully inside 40-token doc 2
+    // (containment 1.0, jaccard 0.125 — the pair symmetric banding is
+    // blind to), doc 3 shares 4/5 of doc 1 (c = 0.8 < 0.9, excluded),
+    // doc 4 is disjoint, doc 5 duplicates doc 1 exactly (both
+    // directions emitted)
+    val quote = (1 to 5).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),
+      (2L, quote + " " + (1 to 35).map(i => s"w$i").mkString(" ")),
+      (3L, (1 to 4).map(i => s"q$i").mkString(" ") + " z1"),
+      (4L, (1 to 9).map(i => s"x$i").mkString(" ")),
+      (5L, quote)
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentPairsExact(docs)
+      .select("doc_sub", "doc_sup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over distinct token sets
+    val sets = Seq(
+      1L -> (1 to 5).map(i => s"q$i").toSet,
+      2L -> ((1 to 5).map(i => s"q$i") ++ (1 to 35).map(i => s"w$i")).toSet,
+      3L -> ((1 to 4).map(i => s"q$i").toSet + "z1"),
+      4L -> (1 to 9).map(i => s"x$i").toSet,
+      5L -> (1 to 5).map(i => s"q$i").toSet)
+    val expect = (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a != b && (sa & sb).size.toDouble / sa.size >= 0.9
+    } yield (a, b)).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    assert(got.contains((1L, 2L)), "the tiny-in-huge pair must be found")
+    assert(got.contains((1L, 5L)) && got.contains((5L, 1L)),
+      "exact duplicates emit both directions")
+    assert(!got.contains((3L, 1L)), "c = 0.8 stays below the 0.9 gate")
+  }
+
+  test("lm score: bigram-MLE mean probability, hand-computed on a planted corpus") {
+    val s = spark
+    import s.implicits._
+    // corpus bigrams: "a b" x3 (docs 1,1,2), "b a" x1 (doc 1), "a c" x1 (doc 2)
+    // contexts: a -> 4, b -> 1
+    val docs = Seq((1L, "a b a b"), (2L, "a b a c")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def p9(cBi: Long, cUni: Long): Long = cBi * 1000000000L / cUni
+    // doc 1: bigrams (a,b),(b,a),(a,b) -> p(b|a)=3/4 twice, p(a|b)=1/1
+    val d1 = (p9(3, 4) + p9(1, 1) + p9(3, 4)).toDouble / (3 * 1e9)
+    // doc 2: (a,b),(b,a),(a,c) -> 3/4, 1/1, 1/4
+    val d2 = (p9(3, 4) + p9(1, 1) + p9(1, 4)).toDouble / (3 * 1e9)
+    assert(got(1L)._1 == 3 && got(2L)._1 == 3)
+    assert(math.abs(got(1L)._2 - math.floor(d1 * 1e6 + 0.5) / 1e6) < 1e-12)
+    assert(math.abs(got(2L)._2 - math.floor(d2 * 1e6 + 0.5) / 1e6) < 1e-12)
+    // and on real data: scores in (0, 1], defined for every doc
+    val corpus = graft.operators.TextAnalysis.lmScore(
+      graft.Tables.documents(spark, sf))
+    val scores = corpus.select("lm_score").as[Double].collect()
+    assert(scores.nonEmpty && scores.forall(x => x > 0.0 && x <= 1.0))
+  }
 }
