@@ -52,6 +52,13 @@ def main():
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
     con = duckdb.connect()
+    # Bound the oracle's own resources: a big-SF oracle join that
+    # spills must not fill the root disk (the sf10 pagerank oracle
+    # spilled >70 GB of join temp before dying — that oracle stays an
+    # sf<=1 check; see SCALING.md).
+    con.sql("SET memory_limit='48GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    con.sql("SET max_temp_directory_size='60GB'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         p = os.path.join(sf_dir, f"{t}.parquet")
