@@ -852,6 +852,57 @@ object Dedup {
     val tokens = sets.select(col("doc_id"), size(col("s")).as("sz"),
         explode(col("s")).as("tok"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // vocab probe, the jaccard-ladder dispatch: when the GLOBAL
+    // vocabulary fits one machine word, exact verification is a
+    // single popcount over 64-bit set masks and prefix filtering is
+    // pointless anyway (round-8 measurement on this 31-token corpus:
+    // at containment ≥ 0.9 a third of ALL ordered pairs qualify, so
+    // no candidate filter can prune below the output — the prefix
+    // path paid 406 s at sf0.1 on µs-scale string-array intersects
+    // where the mask path pays ns-scale popcounts over the ~4k
+    // DISTINCT sets and expands to doc pairs afterwards).
+    val vocab = tokens.select(col("tok")).distinct()
+    if (vocab.count() <= 64) containmentMasks(sets, tokens, vocab)
+    else containmentPrefix(sets, tokens)
+  }
+
+  /** Vocab ≤ 64 tier: sets become single-long bitmasks (global token
+    * index ⋈ bit_or), the ~|distinct sets|² comparisons are one
+    * popcount-AND each over the broadcast distinct-mask table, and
+    * qualifying MASK pairs expand back to doc pairs — work ∝
+    * distinct-set pairs + true output, never doc² string intersects.
+    * Same output and rounding as the prefix tier (one double
+    * division + rnd per pair). */
+  private def containmentMasks(sets: DataFrame, tokens: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = sets.sparkSession
+    import spark.implicits._
+    // ≤ 64 rows by the dispatch probe: a bounded driver collect
+    val idx = vocab.orderBy(col("tok")).as[String].collect().zipWithIndex
+    val idxDf = broadcast(idx.toSeq.toDF("tok", "tid"))
+    val masks = tokens.join(idxDf, "tok")
+      .groupBy(col("doc_id"))
+      .agg(expr("bit_or(shiftleft(1L, tid))").as("m"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dm = masks.select(col("m")).distinct()
+    val maskPairs = dm.select(col("m").as("ma"))
+      .crossJoin(broadcast(dm.select(col("m").as("mb"))))
+      .withColumn("c", expr("cast(bit_count(ma & mb) as int)"))
+      .withColumn("sza", expr("cast(bit_count(ma) as int)"))
+      .filter(col("c").cast("double") / col("sza") >= 0.9d)
+    maskPairs
+      .join(masks.select(col("doc_id").as("doc_sub"), col("m").as("ma")), "ma")
+      .join(masks.select(col("doc_id").as("doc_sup"), col("m").as("mb")), "mb")
+      .filter(col("doc_sub") =!= col("doc_sup"))
+      .select(col("doc_sub"), col("doc_sup"), col("c").as("n_shared_tokens"),
+        rnd(col("c").cast("double") / col("sza"), 4).as("containment"))
+      .orderBy(col("doc_sub"), col("doc_sup"))
+  }
+
+  /** Natural-vocabulary tier: the prefix-filter inverted-index join
+    * (see [[dedupContainmentExact]]'s scaladoc for the bound). */
+  private def containmentPrefix(sets: DataFrame, tokens: DataFrame): DataFrame = {
     val dfreq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // k = sz − ⌈0.9·sz⌉ + 1 prefix tokens, integer-exact
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
@@ -1254,12 +1305,16 @@ object Dedup {
     * Trade: explode factor C(bands, agree) rows per doc vs collision
     * mass ∝ n²/2^(agree·width) — at 60 bits / hamming ≤ 4, the 6-band
     * agree-2 config pays 15 rows/doc (vs 5) for 2²⁰-bucket keys (vs
-    * 2¹²) — 256× the selectivity where the corpus has outgrown the
-    * single-band buckets (measured: the 5×12 config hit 84.5 s at
-    * sf10, ≈22× its sf1 cost, on exactly this saturation).
-    * `agree == 1` degenerates to the single-band kernel and is
-    * delegated. Multi-subset collisions dedup by the same
-    * first-matching filter, lifted from bands to subsets. */
+    * 2¹²), 256× the per-bucket selectivity. MEASURED at sf10 (500k
+    * docs, isolated min-of-2): 160.1 s vs the single-band join's
+    * 63.3 s — on THIS corpus candidate mass does not dominate, the
+    * banding explode + shuffle does, so the registered queries stay
+    * single-band and this kernel is the documented option for
+    * corpora where collisions genuinely dominate (dup-dense buckets,
+    * higher maxHamming, narrower signatures). `agree == 1`
+    * degenerates to the single-band kernel and is delegated.
+    * Multi-subset collisions dedup by the same first-matching
+    * filter, lifted from bands to subsets. */
   def bandedHammingPairsSubset(sigs: DataFrame, bits: Int, bands: Int,
       maxHamming: Int): DataFrame = {
     val agree = bands - maxHamming
@@ -1368,7 +1423,18 @@ object Dedup {
   // (measured ≈22× cost for 10× data crossing sf1 → sf10) and the
   // 6-band agree-2 subset join takes over: same hamming ≤ 4 output
   // (one oracle), 2²⁰-bucket keys for a 3× explode.
-  private val WideSubsetMinDocs = 150000L
+  // Round-8 A/B at sf10 (500k docs, isolated min-of-2 runs): the
+  // single-band 5×12 join measures 63.3 s, the 6-band agree-2 subset
+  // join 160.1 s — the round-7 "band buckets saturating" hypothesis
+  // for the 84.5 s sf10 reading was WRONG about where the time goes:
+  // candidate verification is not the dominant term on this corpus,
+  // the banding explode + shuffle mass is, so tripling the exploded
+  // rows (15 subset keys/doc vs 5 bands/doc) costs 2.5× however few
+  // candidates survive. The registered query therefore stays on the
+  // single-band kernel at every SF; [[bandedHammingPairsSubset]]
+  // remains the public, property-tested option for corpora where
+  // collision mass genuinely dominates (dup-dense buckets, higher
+  // maxHamming, narrower signatures).
   def dedupSimhashWide(spark: SparkSession, dir: String): DataFrame = {
     val sig = Tables.documents(spark, dir)
       .filter(col("text").rlike("\\S")) // cheap raw-text form of size(t)>0 (see simhashSignatures)
@@ -1376,14 +1442,9 @@ object Dedup {
       .withColumn("th", transform(col("t"), tok => md5Long(tok)))
       .select(col("doc_id"), col("lang"), expr(simhashSigExpr(WideBits)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // self-joined
-    val blocked = sig.select(col("doc_id"), col("lang").as("block"), col("sh"))
-    // one scalar probe on the frame the join materializes anyway
-    if (sig.count() > WideSubsetMinDocs)
-      bandedHammingPairsSubset(blocked,
-        bits = WideBits, bands = WideBands + 1, maxHamming = WideBands - 1)
-    else
-      bandedHammingPairs(blocked,
-        bits = WideBits, bands = WideBands, maxHamming = WideBands - 1)
+    bandedHammingPairs(
+      sig.select(col("doc_id"), col("lang").as("block"), col("sh")),
+      bits = WideBits, bands = WideBands, maxHamming = WideBands - 1)
   }
 
   private val dedupSimhashWideSql = {

@@ -356,6 +356,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!got.contains((3L, 1L)), "c = 0.8 stays below the 0.9 gate")
   }
 
+  test("containment exact: natural-vocab prefix tier equals brute force (vocab > 64)") {
+    val s = spark
+    import s.implicits._
+    // vocab = 20 quote + 60 filler + 9 disjoint + 2 unique = 91 > 64,
+    // so the prefix-filter tier runs. doc 1 (quote + 1 unique token,
+    // 21 tokens) is 20/21 = 0.952-contained in doc 2 (quote + 60
+    // filler); doc 3 is disjoint; doc 4 duplicates doc 1.
+    val quote = (1 to 20).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote + " u1"),
+      (2L, quote + " " + (1 to 60).map(i => s"w$i").mkString(" ")),
+      (3L, (1 to 9).map(i => s"x$i").mkString(" ") + " u3"),
+      (4L, quote + " u1")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentPairsExact(docs)
+      .select("doc_sub", "doc_sup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = Seq(
+      1L -> ((1 to 20).map(i => s"q$i").toSet + "u1"),
+      2L -> ((1 to 20).map(i => s"q$i") ++ (1 to 60).map(i => s"w$i")).toSet,
+      3L -> ((1 to 9).map(i => s"x$i").toSet + "u3"),
+      4L -> ((1 to 20).map(i => s"q$i").toSet + "u1"))
+    val expect = (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a != b && (sa & sb).size.toDouble / sa.size >= 0.9
+    } yield (a, b)).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    assert(got.contains((1L, 2L)), "the 0.952-contained quote pair must be found")
+  }
+
   test("lm score: bigram-MLE mean probability, hand-computed on a planted corpus") {
     val s = spark
     import s.implicits._

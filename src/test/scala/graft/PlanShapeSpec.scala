@@ -152,7 +152,13 @@ class PlanShapeSpec extends SparkSpec {
     "mr_pagerank",                        // broadcast single-row node count
     "text_tfidf",                         // broadcast single-row corpus size N
     "text_bm25",                          // broadcast single-row (N, Σdl, df) stats
-    "pipeline_hybrid_retrieval")          // bm25 stats row + 1-row query vector
+    "pipeline_hybrid_retrieval",          // bm25 stats row + 1-row query vector
+    "dedup_containment_exact")            // mask tier: broadcast DISTINCT-mask
+                                          // table (|distinct sets| rows, one
+                                          // long each) against itself — the
+                                          // deliberate ns-per-cell popcount
+                                          // cross that replaced 406 s of
+                                          // per-pair string intersects
 
   test("AQE splits a skewed join partition at runtime (the no-salt skew path)") {
     val s = spark
