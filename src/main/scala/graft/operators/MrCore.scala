@@ -524,6 +524,48 @@ object MrCore {
        |FROM walk WHERE node IS NOT NULL
        |GROUP BY node ORDER BY node""".stripMargin
 
+  // ---------------------------------------------------------------- components
+  /** Connected components of the co-order graph — the third classic
+    * iterative-graph kernel registered next to pagerank/bfs, and the
+    * ORACLE-PAIRED registration of the [[graft.operators.Dedup
+    * .connectedComponents]] kernel that clusters every dedup family
+    * (there it is spec-verified via the cluster queries' oracles;
+    * here the labels themselves are hash-checked against a recursive
+    * CTE). Output: each node, its component label (= component's
+    * minimum node id, the kernel contract), and the component size.
+    *
+    * Scale shape: the kernel's min-label loop shuffles label-sized
+    * frames against src-partitioned edges, localCheckpoints each
+    * round and frees superseded blocks, and falls back to the
+    * O(log n)-round star-contraction kernel past the round cap; the
+    * size column is one groupBy on the final labels. The oracle's
+    * recursive CTE enumerates reachable-pairs (fine on the bounded
+    * top-2000-edge graph, impossible at scale) — the iterative
+    * kernel IS the scale answer the CTE can't be. */
+  def graphCc(spark: SparkSession, dir: String): DataFrame = {
+    val co = coOrderEdges(spark, dir)
+    val nodes = co.select(col("s1").as("node"))
+      .unionAll(co.select(col("s2").as("node"))).distinct()
+    val pairs = co.select(col("s1").as("doc_a"), col("s2").as("doc_b"))
+    val labels = Dedup.connectedComponents(nodes, pairs)
+      .select(col("node"), col("lab").as("comp"))
+    val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, Seq("comp"))
+      .select(col("node"), col("comp"), col("comp_size"))
+      .orderBy(col("node"))
+  }
+
+  private val graphCcSql =
+    s"""WITH RECURSIVE $coOrderSqlCtes,
+       |sym AS (SELECT s1 AS u, s2 AS v FROM co UNION ALL SELECT s2, s1 FROM co),
+       |reach(node, m) AS (
+       |  SELECT u, u FROM sym
+       |  UNION
+       |  SELECT s.u, r.m FROM sym s JOIN reach r ON s.v = r.node),
+       |lab AS (SELECT node, min(m) AS comp FROM reach GROUP BY node)
+       |SELECT node, comp, count(*) OVER (PARTITION BY comp) AS comp_size
+       |FROM lab ORDER BY node""".stripMargin
+
   private val graphTrianglesSql =
     s"""WITH $coOrderSqlCtes,
       |tri AS (
@@ -548,5 +590,6 @@ object MrCore {
     QueryDef("mr_partition_hist", mrPartitionHist _, Some(mrPartitionHistSql)),
     QueryDef("mr_pagerank", mrPagerank _, Some(mrPagerankSql)),
     QueryDef("graph_triangles", graphTriangles _, Some(graphTrianglesSql)),
-    QueryDef("graph_bfs", graphBfs _, Some(graphBfsSql)))
+    QueryDef("graph_bfs", graphBfs _, Some(graphBfsSql)),
+    QueryDef("graph_cc", graphCc _, Some(graphCcSql)))
 }

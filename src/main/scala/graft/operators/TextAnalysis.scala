@@ -467,6 +467,58 @@ object TextAnalysis {
       .select(col("e.token").as("token"), col("e.min_count").as("min_count"))
       .orderBy(col("min_count").desc, col("token"))
 
+  // ---------------------------------------------------------------- heavy hitters (exact)
+  /** Heavy-hitter threshold divisor: report tokens with
+    * count > n_tokens / 30 (a >3.33% corpus share — splits this
+    * corpus's near-uniform ~31-token vocabulary non-trivially, ~13
+    * in / ~18 out at sf0.01, so the oracle exercises both sides of
+    * the threshold). */
+  private val HhDivisor = 30
+
+  /** EXACT corpus heavy hitters by two-pass sketch-prune + verify —
+    * the hash-green companion to the rows-only `mg_topk`: pass 1 is
+    * one streaming scan computing the Misra-Gries summary AND the
+    * exact total token count in a single aggregate; pass 2 recounts
+    * ONLY the sketch's candidates and keeps those whose exact count
+    * clears n/30. MG with k = 2·30−1 = 59 counters contains every
+    * token of true count > n/(k+1) = n/60 — a strict superset of the
+    * n/30 report set — so recall is total BY THE SKETCH GUARANTEE and
+    * the exact recount removes the false positives: the output is
+    * identical to a full wordcount + HAVING, which is exactly what
+    * the oracle runs.
+    *
+    * Scale shape (the reason this beats the one-pass wordcount at
+    * 100 TB): neither pass carries distinct-key-sized state. Pass 1
+    * shuffles ≤ 59 counters per partition partial; pass 2's groupBy
+    * runs AFTER an `isin(candidates)` filter (≤ 59 literals,
+    * driver-bounded by the sketch size, analogous to the top-1000
+    * hot-key collect in `saltedEquiJoin`), so its map-side partials
+    * hold ≤ 59 keys and the exchange is ~59 rows per partition —
+    * vs. a vocabulary-sized wordcount shuffle. */
+  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir).select(explode(toks).as("token"))
+    val probe = tk.agg(
+      graft.functions.FreqSketch.mgTopk(col("token"), 2 * HhDivisor - 1).as("hh"),
+      count(lit(1)).as("n")).head()
+    val n = probe.getLong(1)
+    val cands = probe.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    tk.filter(col("token").isin(cands: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * HhDivisor > n)
+      .select(col("token"), col("cnt"),
+        rnd(col("cnt").cast("double") / n, 4).as("share"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  private val textHeavyHittersSql =
+    s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents),
+       |tot AS (SELECT count(*) AS n FROM tk)
+       |SELECT token, count(*) AS cnt,
+       |  ${rndSql("cast(count(*) as double) / any_value(n)", 4)} AS share
+       |FROM tk CROSS JOIN tot
+       |GROUP BY token HAVING count(*) * $HhDivisor > any_value(n)
+       |ORDER BY cnt DESC, token""".stripMargin
+
   // ---------------------------------------------------------------- bm25
   /** BM25 retrieval scoring of the corpus against a fixed query term
     * set — the standard relevance ranker for corpus search and
@@ -1001,6 +1053,8 @@ object TextAnalysis {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mg_topk", mgTopkHeavyHitters _, None),
+    QueryDef("text_heavy_hitters", textHeavyHitters _,
+      Some(textHeavyHittersSql)),
     QueryDef("text_filter_quality", textFilterQuality _,
       Some(textFilterQualitySql)),
     QueryDef("bpe_train", bpeTrain _, Some(bpeTrainSql)),

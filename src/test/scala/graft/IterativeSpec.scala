@@ -110,6 +110,23 @@ class IterativeSpec extends SparkSpec {
     CacheHygiene.sweep(spark)
   }
 
+  test("graph_cc: labels are component minima with consistent sizes") {
+    val df = MrCore.graphCc(spark, sf).persist()
+    try {
+      assert(df.count() > 0, "co-order graph must be non-empty at sf0.001")
+      // label contract: comp = min node id of the component
+      assert(df.filter(col("comp") > col("node")).count() == 0)
+      val badMin = df.groupBy("comp")
+        .agg(min("node").as("mn"), count(lit(1)).as("n"))
+        .filter(col("mn") =!= col("comp"))
+      assert(badMin.count() == 0, "every label must be its component's minimum")
+      // comp_size agrees with the actual member count per label
+      val badSize = df.groupBy("comp", "comp_size").agg(count(lit(1)).as("n"))
+        .filter(col("n") =!= col("comp_size"))
+      assert(badSize.count() == 0)
+    } finally df.unpersist()
+  }
+
   test("kmeans: every vector accounted for, centroids finite") {
     val df = Similarity.annKmeans(spark, sf).collect()
     val total = df.map(_.getLong(1)).sum

@@ -350,6 +350,35 @@ class PropertySpec extends SparkSpec {
     assert(viaSql <= k && viaSql > 0)
   }
 
+  test("text_heavy_hitters: two-pass sketch-prune+verify == exact wordcount+HAVING") {
+    val s = spark
+    import s.implicits._
+    def exactHh(dir: String): Map[String, Long] = {
+      val tk = Tables.documents(s, dir)
+        .select(explode(filter(split(col("text"), "\\s+"), t => t =!= "")).as("tok"))
+      val n = tk.count()
+      tk.groupBy("tok").count().filter(col("count") * 30 > n)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    def got(dir: String): Map[String, Long] =
+      graft.operators.TextAnalysis.textHeavyHitters(s, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // real corpus
+    assert(got(sf) == exactHh(sf))
+    // planted corpus with vocabulary ≫ the 59-counter sketch, so the
+    // MG buffer decrements for real (the real-recall regime): 400
+    // singleton tokens as noise docs + 2 genuinely heavy tokens
+    val noise = (0 until 400).map(i => (i.toLong, s"rare$i"))
+    val heavy = Seq((400L, ("hot " * 300).trim), (401L, ("warm " * 200).trim))
+    val dir = java.nio.file.Files.createTempDirectory("hh").toString
+    (noise ++ heavy).map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val g = got(dir)
+    assert(g == exactHh(dir) && g.keySet == Set("hot", "warm"),
+      s"planted heavy hitters must be exactly {hot, warm}: $g")
+  }
+
   test("Count-Min sketch: overestimate-only, merge-order invariant, bucket parity") {
     val s = spark
     import graft.functions.CmsCore
