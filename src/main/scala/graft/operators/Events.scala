@@ -438,6 +438,61 @@ object Events {
       |LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
       |ORDER BY g.user_id, g.hr""".stripMargin
 
+  // ---------------------------------------------------------------- retention
+  /** Daily cohort retention matrix — the product-analytics staple
+    * missing between sessionize (within-visit) and funnel (ordered
+    * steps): users are grouped into cohorts by the epoch-day of
+    * their FIRST event, and each later active day is credited to
+    * (cohort_day, day_offset); `retention` is that cell's user count
+    * over the cohort's size. Integer epoch-days end to end — the one
+    * division is the final ratio, rounded by the cross-engine rule.
+    *
+    * Scale shape: distinct (user, day) prunes to ≤ users × days rows
+    * in one exchange; the cohort day is a per-user window min on the
+    * SAME user partitioning (no second exchange of the wide frame);
+    * the matrix is a (cohort, offset) hash aggregate whose result is
+    * cohorts × offsets — tiny — so the final sizes join broadcasts.
+    * Nothing holds per-event state past the first distinct. */
+  def qRetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val UsPerDay = 86400000000L
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"),
+        unix_micros(col("ts")).divide(lit(UsPerDay)).cast("long").as("day"))
+      .distinct()
+    val withCohort = userDays.withColumn("cohort_day",
+      min(col("day")).over(Window.partitionBy(col("user_id"))))
+    val cells = withCohort
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = cells.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("cohort_size"))
+    cells.join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_users"),
+        rnd(col("n_users").cast("double") / col("cohort_size"), 4).as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  private val qRetentionCohortsSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, day,
+      |    min(day) OVER (PARTITION BY user_id) AS cohort_day
+      |  FROM ud),
+      |cells AS (
+      |  SELECT cohort_day, day - cohort_day AS day_offset,
+      |    count(*) AS n_users
+      |  FROM c GROUP BY 1, 2),
+      |sizes AS (
+      |  SELECT cohort_day, n_users AS cohort_size
+      |  FROM cells WHERE day_offset = 0)
+      |SELECT cells.cohort_day, day_offset, n_users,
+      |  floor((cast(n_users as double) / cohort_size) * 1e4 + 0.5) / 1e4
+      |    AS retention
+      |FROM cells JOIN sizes USING (cohort_day)
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_json", qJson _, Some(qJsonSql)),
@@ -450,5 +505,7 @@ object Events {
     QueryDef("q_window_extras", qWindowExtras _, Some(qWindowExtrasSql)),
     QueryDef("q_funnel", qFunnel _, Some(qFunnelSql)),
     QueryDef("q_merge_upsert", qMergeUpsert _, Some(qMergeUpsertSql)),
-    QueryDef("q_resample", qResample _, Some(qResampleSql)))
+    QueryDef("q_resample", qResample _, Some(qResampleSql)),
+    QueryDef("q_retention_cohorts", qRetentionCohorts _,
+      Some(qRetentionCohortsSql)))
 }

@@ -283,6 +283,52 @@ object Pipelines {
        |WHERE ${md5LongSql("'mix:' || cast(doc_id as varchar)")} % 10000 < bp
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- shuffle-shard
+  /** Training-shard count for the registered query (thousands on a
+    * real corpus — the shard is the unit a data loader streams, so
+    * the count scales with corpus size and per-shard state shrinks
+    * as shards multiply). */
+  private val ShuffleShards = 8
+
+  /** Deterministic global shuffle into training shards — the LAST
+    * pass of every corpus build: training wants documents in an
+    * order uncorrelated with the curation order (source/time locality
+    * in the input becomes correlated batches downstream), delivered
+    * as N shard files each internally ordered. A salted md5 of the
+    * doc id IS the permutation: shard = h mod N, position = rank of h
+    * within the shard. No RNG state, reproducible across engines and
+    * runs, and a re-run after adding documents leaves every surviving
+    * (doc, shard) assignment unchanged (positions shift only within
+    * the affected shard — the property that makes incremental corpus
+    * rebuilds diffable).
+    *
+    * Plan shape = the physical shard-writer plan: one hash exchange
+    * on `shard`, one per-shard sort (the window's partitionBy IS the
+    * exchange; no global sort anywhere). At 100 TB: shards number in
+    * the thousands, each task sorts corpus/N ids — bounded by
+    * choosing N, which is exactly the knob the loader dictates. */
+  def shuffleShard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5Long(concat(lit("shard1:"), col("doc_id").cast("string")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(ShuffleShards)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  private val shuffleShardSql =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ${md5LongSql("'shard1:' || cast(doc_id as varchar)")} AS h
+       |  FROM documents)
+       |SELECT doc_id, cast(h % $ShuffleShards as int) AS shard,
+       |  cast(row_number() OVER (PARTITION BY h % $ShuffleShards
+       |    ORDER BY h, doc_id) as int) AS pos
+       |FROM h ORDER BY shard, pos""".stripMargin
+
   // ---------------------------------------------------------------- curate v2
   /** The round-6 curation chain as ONE declarative plan — domain cap
     * → exact dedup → weighted mixture — composing this round's quota
@@ -354,5 +400,6 @@ object Pipelines {
     QueryDef("pipeline_training_data", trainingData _, Some(trainingDataSql)),
     QueryDef("pipeline_decontaminate", decontaminate _, Some(decontaminateSql)),
     QueryDef("pipeline_pack_sequences", packSequences _, Some(packSequencesSql)),
-    QueryDef("pipeline_mixture_sample", mixtureSample _, Some(mixtureSampleSql)))
+    QueryDef("pipeline_mixture_sample", mixtureSample _, Some(mixtureSampleSql)),
+    QueryDef("pipeline_shuffle_shard", shuffleShard _, Some(shuffleShardSql)))
 }

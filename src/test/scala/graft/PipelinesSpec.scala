@@ -127,6 +127,32 @@ class PipelinesSpec extends SparkSpec {
     assert(sampled.select("bp").distinct().collect().map(_.getInt(0)).toSeq == Seq(9999))
   }
 
+  test("shuffleShard: exact partition of the corpus, contiguous positions, decorrelated order") {
+    val df = Pipelines.shuffleShard(spark, sf).persist()
+    try {
+      val nDocs = graft.Tables.documents(spark, sf).count()
+      // every doc exactly once, across all shards
+      assert(df.count() == nDocs)
+      assert(df.select("doc_id").distinct().count() == nDocs)
+      // positions are 1..size within each shard (no gaps, no dups)
+      val badPos = df.groupBy("shard").agg(
+        count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"),
+        countDistinct("pos").as("nd"))
+        .filter(col("mn") =!= 1 || col("mx") =!= col("n") || col("nd") =!= col("n"))
+      assert(badPos.count() == 0, "per-shard positions must be 1..size")
+      // the permutation decorrelates input order: consecutive doc_ids
+      // must not stay neighbors (a corpus-order passthrough would put
+      // doc i and i+1 at adjacent global positions)
+      val sameShardAdjacent = df.as("a").join(df.as("b"),
+          col("a.doc_id") + 1 === col("b.doc_id") &&
+          col("a.shard") === col("b.shard") &&
+          (col("b.pos") - col("a.pos")).between(-1, 1))
+        .count()
+      assert(sameShardAdjacent < nDocs / 10,
+        s"hash shuffle left $sameShardAdjacent/$nDocs consecutive ids adjacent")
+    } finally df.unpersist()
+  }
+
   test("chunkDupStats: planted spans — cross-doc copy, self-repetition, clean doc") {
     val span = (1 to 8).map(i => s"w$i").mkString(" ") // one full chunk
     val docs = docsDf(Seq(

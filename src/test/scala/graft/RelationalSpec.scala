@@ -70,6 +70,25 @@ class RelationalSpec extends SparkSpec {
     assert(df.filter(col("duration_us") < 0).count() == 0)
   }
 
+  test("retention cohorts: offset-0 diagonal is full, cells never exceed cohort size") {
+    val rows = Events.qRetentionCohorts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (c, cells) =>
+      val zero = cells.find(_.getLong(1) == 0L)
+      assert(zero.isDefined, s"cohort $c missing its offset-0 cell")
+      assert(zero.get.getDouble(3) == 1.0, s"cohort $c offset-0 retention != 1")
+      val size = zero.get.getLong(2)
+      cells.foreach { r =>
+        assert(r.getLong(2) <= size && r.getDouble(3) <= 1.0,
+          s"cohort $c offset ${r.getLong(1)}: cell exceeds cohort size")
+      }
+    }
+    // cohort sizes sum to the distinct-user count (cohorts partition users)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_.getLong(1) == 0L).get.getLong(2)).sum == users)
+  }
+
   test("q5 plan broadcasts dimension tables") {
     val plan = Relational.q5LocalSupplier(spark, sf)
       .queryExecution.executedPlan.toString
