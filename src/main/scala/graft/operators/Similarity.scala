@@ -292,6 +292,51 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- range search
+  /** Cosine threshold for [[annRangeSearch]]: ~p99 of this corpus's
+    * query-to-corpus cosine distribution, so each query matches a
+    * few dozen vectors at sf0.01 — both sides of the cut exercised. */
+  private val RangeTau = 0.25
+
+  /** Range (radius) similarity search — ALL corpus vectors within
+    * cosine ≥ τ of each query, the other half of the vector-search
+    * API surface next to top-k: top-k bounds the RESULT SIZE (rank
+    * cutoff), range search bounds the SIMILARITY (every sufficiently
+    * close match, however many or few). Retrieval wants top-k;
+    * near-dup mining and contamination sweeps want range.
+    *
+    * Scale shape — and why this needs NO ranking machinery: a range
+    * search is a pure SELECTION. Broadcast query set, one corpus
+    * scan, per-row cosine folds, a filter — zero exchanges, no
+    * window, no TopK state; output ∝ true matches. The threshold
+    * compares the RAW cosine (the fold order shared with the oracle
+    * is the bit-determinism contract; rounding happens only in the
+    * emitted column, like the top-k family's rank ordering). With a
+    * corpus-sized query set this becomes [[knnJoin]]'s blocked
+    * self-join with the filter in place of the bounded rank. */
+  def annRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .filter(col("cos") >= RangeTau)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        rnd(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
+  private val annRangeSearchSql =
+    s"""WITH e AS ($vecsSql),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    ${dotSql("q.qv", "e.v")} / (q.qn * e.nrm) AS cos
+       |  FROM e JOIN q ON e.vec_id <> q.q_id)
+       |SELECT q_id, vec_id AS neighbor_id, ${rndSql("cos", 6)} AS cos_sim
+       |FROM scored WHERE cos >= $RangeTau
+       |ORDER BY q_id, neighbor_id""".stripMargin
+
   // ---------------------------------------------------------------- bounded topk kernel
   /** PUBLIC scalable exact top-k kernel: cosine top-k of `vectors`
     * for each row of broadcast `queries`, ranked through the BOUNDED
@@ -1370,6 +1415,7 @@ object Similarity {
     QueryDef("ann_kmeans", annKmeans _, Some(annKmeansSql)),
     QueryDef("ann_lsh", annLsh _, Some(annLshSql)),
     QueryDef("ann_knn_join", annKnnJoin _, Some(annKnnJoinSql)),
+    QueryDef("ann_range_search", annRangeSearch _, Some(annRangeSearchSql)),
     // lives here (not Dedup.scala) because it runs on the shared
     // kmeans/IVF clustering infrastructure
     QueryDef("dedup_semantic", dedupSemantic _, Some(dedupSemanticSql)),

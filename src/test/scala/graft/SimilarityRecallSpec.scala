@@ -265,6 +265,24 @@ class SimilarityRecallSpec extends SparkSpec {
       s"candidates must stay far below all-pairs: $c4 vs $allPairs")
   }
 
+  test("range search: threshold respected, consistent with top-k above the cut") {
+    import org.apache.spark.sql.functions._
+    val range = graft.operators.Similarity.annRangeSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(range.nonEmpty, "tau must admit matches at sf0.001")
+    assert(range.values.forall(_ >= 0.25), "every match must clear tau")
+    // every brute-force top-k neighbor above tau must be in the range
+    // result with the same rounded cosine (selection ⊇ ranking ∩ cut)
+    val topk = graft.operators.Similarity.annBruteforce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .filter(_._2 >= 0.25)
+    assert(topk.nonEmpty, "some top-k neighbors must clear tau")
+    topk.foreach { case (key, cos) =>
+      assert(range.get(key).contains(cos),
+        s"top-k neighbor $key (cos $cos) missing or drifted in range result")
+    }
+  }
+
   test("kNN join: planted near-dups recovered at rank 1, recall vs exact floored") {
     val s = spark
     import s.implicits._
