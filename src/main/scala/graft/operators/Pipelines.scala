@@ -307,9 +307,24 @@ object Pipelines {
     * exchange; no global sort anywhere). At 100 TB: shards number in
     * the thousands, each task sorts corpus/N ids — bounded by
     * choosing N, which is exactly the knob the loader dictates. */
+  /** The seeded permutation hash — ONE definition under both the
+    * batch shuffle and the ingest-time stream router, so a document
+    * routes to the same shard whether it arrives in a backfill or on
+    * the live stream (the property that lets the two write paths
+    * share output files). */
+  private def shardHash(docId: Column, salt: String): Column =
+    md5Long(concat(lit(s"$salt:"), docId.cast("string")))
+
+  /** PUBLIC shard-routing expression: deterministic shard of one
+    * document — a pure projection, usable per-row in batch or
+    * streaming ([[graft.streaming.StreamingJobs.shardAssignStream]]). */
+  def shardOf(docId: Column, shards: Int = ShuffleShards,
+      salt: String = "shard1"): Column =
+    pmod(shardHash(docId, salt), lit(shards)).cast("int")
+
   def shuffleShard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = md5Long(concat(lit("shard1:"), col("doc_id").cast("string")))
+    val h = shardHash(col("doc_id"), "shard1")
     Tables.documents(spark, dir)
       .select(col("doc_id"), h.as("h"))
       .withColumn("shard", pmod(col("h"), lit(ShuffleShards)).cast("int"))

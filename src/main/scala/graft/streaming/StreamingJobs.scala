@@ -252,6 +252,19 @@ object StreamingJobs {
   def qualityFilterStream(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.qualityRules(docs)
 
+  /** Ingest-time shard routing — the batch permutation's assignment
+    * half ([[graft.operators.Pipelines.shardOf]], ONE shared hash
+    * definition) applied at the stream head: every arriving document
+    * is stamped with the training shard the batch shuffle would give
+    * it, so live ingest and backfill write the same shard files.
+    * Stateless per-row projection — no watermark, append-legal.
+    * (In-shard POSITIONS are a batch concern: they are ranks over the
+    * finished shard; a stream only routes.) */
+  def shardAssignStream(docs: DataFrame, shards: Int = 8): DataFrame =
+    docs.withColumn("shard",
+      graft.operators.Pipelines.shardOf(
+        org.apache.spark.sql.functions.col("doc_id"), shards))
+
   /** One observed token: `shard` is its state key (hash-disjoint:
     * a token lives in exactly ONE shard), `seq` a deterministic
     * processing order within the shard (MG output is order-dependent;

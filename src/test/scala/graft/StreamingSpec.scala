@@ -367,6 +367,32 @@ class StreamingSpec extends SparkSpec {
       "gate must discriminate on the corpus")
   }
 
+  test("stream shard assign: routed shards equal the batch permutation's assignment") {
+    val s = spark
+    import s.implicits._
+    val batch = graft.operators.Pipelines.shuffleShard(s, sf)
+      .select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+
+    val docs = Tables.documents(s, sf).select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("shard-in").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val src = s.readStream.schema(docs.schema).parquet(tmp)
+    val q = StreamingJobs.shardAssignStream(src)
+      .select("doc_id", "shard")
+      .writeStream.format("memory").queryName("shard_out")
+      .outputMode("append") // stateless projection: append-legal
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select doc_id, shard from shard_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(streamed == batch,
+      "ingest-time shard routing must equal the batch permutation")
+    assert(streamed.map(_._2).size > 1, "routing must use multiple shards")
+  }
+
   test("streaming mg_topk: streamed == batch, MG guarantee holds, state bounded") {
     val s = spark
     import s.implicits._
