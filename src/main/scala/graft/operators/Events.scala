@@ -438,6 +438,59 @@ object Events {
       |LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
       |ORDER BY g.user_id, g.hr""".stripMargin
 
+  // ---------------------------------------------------------------- outliers
+  /** Per-user z-score outlier detection over event values — the
+    * telemetry anomaly sweep (per-entity baseline, not a global
+    * threshold: a value normal for one user is anomalous for
+    * another). Emits only the anomalies: events more than 3
+    * population-σ from their user's mean.
+    *
+    * Cross-engine determinism by the dsum discipline, extended to
+    * second moments: Σv and Σv² accumulate in decimal
+    * (order-independent and exact — decimal(18,6)² is decimal
+    * arithmetic on both engines), cast to double once, and every
+    * double op after that is the IDENTICAL expression tree on both
+    * engines — so mean/σ/z are bit-equal and even the z > 3 boundary
+    * filter agrees exactly (no rounding before the comparison).
+    *
+    * Scale shape: one groupBy(user) for the 3-column moment row
+    * (map-side combined), joined back on the same user key; the
+    * z projection and filter are per-row — output ∝ anomalies.
+    * σ = 0 groups (constant series) and singletons are excluded by
+    * the variance guard, not by a null-producing division. */
+  def qOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val dec = col("value").cast("decimal(18,6)")
+    val stats = ev.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      sum(dec).cast("double").as("s"),
+      sum(dec * dec).cast("double").as("q"))
+    val mean = col("s") / col("n")
+    val variance = (col("q") - col("s") * col("s") / col("n")) / col("n")
+    val z = (col("value") - mean) / sqrt(variance)
+    ev.join(stats, Seq("user_id"))
+      .filter(col("n") >= 2 && variance > 0 && abs(z) > 3)
+      .select(col("event_id"), col("user_id"), col("value"),
+        rnd(z, 4).as("zscore"))
+      .orderBy(col("event_id"))
+  }
+
+  private val qOutliersSql =
+    """WITH st AS (
+      |  SELECT user_id, count(*) AS n,
+      |    cast(sum(cast(value as decimal(18,6))) as double) AS s,
+      |    cast(sum(cast(value as decimal(18,6)) * cast(value as decimal(18,6)))
+      |      as double) AS q
+      |  FROM events GROUP BY user_id)
+      |SELECT e.event_id, e.user_id, e.value,
+      |  floor(((e.value - s / n) / sqrt((q - s * s / n) / n)) * 1e4 + 0.5) / 1e4
+      |    AS zscore
+      |FROM events e JOIN st USING (user_id)
+      |WHERE n >= 2 AND (q - s * s / n) / n > 0
+      |  AND abs((e.value - s / n) / sqrt((q - s * s / n) / n)) > 3
+      |ORDER BY e.event_id""".stripMargin
+
   // ---------------------------------------------------------------- retention
   /** Daily cohort retention matrix — the product-analytics staple
     * missing between sessionize (within-visit) and funnel (ordered
@@ -507,5 +560,6 @@ object Events {
     QueryDef("q_merge_upsert", qMergeUpsert _, Some(qMergeUpsertSql)),
     QueryDef("q_resample", qResample _, Some(qResampleSql)),
     QueryDef("q_retention_cohorts", qRetentionCohorts _,
-      Some(qRetentionCohortsSql)))
+      Some(qRetentionCohortsSql)),
+    QueryDef("q_outliers", qOutliers _, Some(qOutliersSql)))
 }

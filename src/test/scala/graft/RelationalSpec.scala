@@ -89,6 +89,30 @@ class RelationalSpec extends SparkSpec {
     assert(byCohort.values.map(_.find(_.getLong(1) == 0L).get.getLong(2)).sum == users)
   }
 
+  test("outliers: planted spike flagged, constant series excluded, baseline is per-user") {
+    val s = spark
+    import s.implicits._
+    // user 1: twenty 10.0s + one 1000.0 spike (z ≈ +4.47);
+    // user 2: constant series (σ = 0 — the variance guard's case);
+    // user 3: all values equal user 1's spike — normal FOR THEM
+    val rows =
+      (0 until 20).map(i => (i.toLong, 1L, 10.0)) ++ Seq((20L, 1L, 1000.0)) ++
+      (21 until 31).map(i => (i.toLong, 2L, 5.0)) ++
+      (31 until 41).map(i => (i.toLong, 3L, 1000.0 + (i % 2)))
+    val dir = java.nio.file.Files.createTempDirectory("outl").toString
+    rows.toDF("event_id", "user_id", "value")
+      .select(col("event_id"),
+        org.apache.spark.sql.functions.expr(
+          "timestamp_micros(1700000000000000 + event_id * 1000000)").as("ts"),
+        col("user_id"), lit("view").as("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.Events.qOutliers(s, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(20L),
+      s"exactly the planted spike must be flagged: ${out.mkString(",")}")
+    assert(out.head.getDouble(3) > 3.0 && out.head.getDouble(3) < 5.0)
+  }
+
   test("q5 plan broadcasts dimension tables") {
     val plan = Relational.q5LocalSupplier(spark, sf)
       .queryExecution.executedPlan.toString
