@@ -438,6 +438,105 @@ object Events {
       |LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
       |ORDER BY g.user_id, g.hr""".stripMargin
 
+  // ---------------------------------------------------------------- interval join
+  /** Purchases joined to the SAME user's views in the preceding hour
+    * — ONE definition under both surfaces: the streaming job
+    * ([[graft.streaming.StreamingJobs.purchaseViewJoin]] delegates
+    * here) gets two-sided watermarks for state GC; a batch frame gets
+    * the plain equi-join on user with the interval predicate pushed
+    * into the join condition. Inner-join semantics on both: a
+    * purchase with no qualifying view emits nothing. */
+  def purchaseViewJoin(events: DataFrame): DataFrame = {
+    val base = events.select(col("ts"), col("user_id"), col("event_type"))
+    val (p0, v0) =
+      if (events.isStreaming)
+        (base.withWatermark("ts", "1 hour"), base.withWatermark("ts", "2 hours"))
+      else (base, base)
+    val p = p0.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val v = v0.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    p.join(v, expr(
+      "p_user = v_user AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"))
+  }
+
+  /** The interval join as an ORACLE-PAIRED registered query — the
+    * batch twin that hash-checks the join semantics the streaming job
+    * runs (until now stream-vs-batch equality was spec-only; this
+    * pins the batch side to DuckDB too): per purchase, the count of
+    * the user's views in the preceding hour. Integer epoch-micros in
+    * the output; the 1-hour interval is exactly 3.6e9 micros on both
+    * engines.
+    *
+    * Scale shape: equi-join on user_id (the interval predicate rides
+    * the join as a post-condition on the sorted streams), then a
+    * (user, purchase-ts) hash aggregate — everything partitions by
+    * user; no per-event state beyond the join buffers. */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    purchaseViewJoin(Tables.events(spark, dir))
+      .groupBy(col("p_user"), col("p_ts"))
+      .agg(count(lit(1)).as("n_views"))
+      .select(col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("p_us"), col("n_views"))
+      .orderBy(col("user_id"), col("p_us"))
+
+  private val qIntervalJoinSql =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
+      |           WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, epoch_us(ts) AS v_us FROM events
+      |      WHERE event_type = 'view')
+      |SELECT p.user_id, p.p_us, count(*) AS n_views
+      |FROM p JOIN v ON p.user_id = v.user_id
+      |  AND v.v_us >= p.p_us - 3600000000 AND v.v_us <= p.p_us
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- active users
+  /** Rolling active-user counts — DAU and trailing-7-day WAU per
+    * observed day, the engagement dashboard staple whose WAU half is
+    * genuinely hard at scale (rolling DISTINCT does not decompose:
+    * you cannot sum daily distincts). The exact shape here: distinct
+    * (user, day) first — the one exchange that touches event volume —
+    * then a tiny observed-day grid (broadcast) joined by day-range
+    * against the pruned pairs, and a distinct count per grid day.
+    * Work ∝ users × days × 7 after pruning, regardless of event
+    * count. At 100 TB the same plan holds (the grid stays tiny);
+    * when users × days itself is too wide, the published relaxation
+    * is per-day HLL sketches merged over the window (`q_approx_
+    * distinct`'s machinery) — documented, not silently swapped, since
+    * this query's contract is exact counts. */
+  def qActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val UsPerDay = 86400000000L
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        unix_micros(col("ts")).divide(lit(UsPerDay)).cast("long").as("day"))
+      .distinct()
+    val days = ud.select(col("day").as("d")).distinct()
+    val dau = ud.groupBy(col("day").as("d"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ud.join(broadcast(days),
+        col("day").between(col("d") - 6, col("d")))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("d"))
+      .select(col("d").as("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  private val qActiveUsersSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |days AS (SELECT DISTINCT day AS d FROM ud),
+      |dau AS (SELECT day AS d, count(DISTINCT user_id) AS dau
+      |        FROM ud GROUP BY 1),
+      |wau AS (
+      |  SELECT days.d, count(DISTINCT ud.user_id) AS wau
+      |  FROM ud JOIN days ON ud.day BETWEEN days.d - 6 AND days.d
+      |  GROUP BY 1)
+      |SELECT dau.d AS day, dau, wau
+      |FROM dau JOIN wau ON dau.d = wau.d
+      |ORDER BY day""".stripMargin
+
   // ---------------------------------------------------------------- outliers
   /** Per-user z-score outlier detection over event values — the
     * telemetry anomaly sweep (per-entity baseline, not a global
@@ -561,5 +660,7 @@ object Events {
     QueryDef("q_resample", qResample _, Some(qResampleSql)),
     QueryDef("q_retention_cohorts", qRetentionCohorts _,
       Some(qRetentionCohortsSql)),
-    QueryDef("q_outliers", qOutliers _, Some(qOutliersSql)))
+    QueryDef("q_outliers", qOutliers _, Some(qOutliersSql)),
+    QueryDef("q_interval_join", qIntervalJoin _, Some(qIntervalJoinSql)),
+    QueryDef("q_active_users", qActiveUsers _, Some(qActiveUsersSql)))
 }

@@ -51,19 +51,12 @@ object StreamingJobs {
     * sides' state: a view older than (watermark − 1 h) can never
     * match a future purchase and is dropped. Works identically on
     * batch frames (no watermark needed). */
-  def purchaseViewJoin(events: DataFrame): DataFrame = {
-    val base = events.select(col("ts"), col("user_id"), col("event_type"))
-    val (p0, v0) =
-      if (events.isStreaming)
-        (base.withWatermark("ts", "1 hour"), base.withWatermark("ts", "2 hours"))
-      else (base, base)
-    val p = p0.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
-    val v = v0.filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
-    p.join(v, expr(
-      "p_user = v_user AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"))
-  }
+  /** One shared definition with the batch side (the oracle-paired
+    * `q_interval_join` aggregates it): see
+    * [[graft.operators.Events.purchaseViewJoin]] — on a streaming
+    * frame it attaches the two-sided watermarks for state GC. */
+  def purchaseViewJoin(events: DataFrame): DataFrame =
+    graft.operators.Events.purchaseViewJoin(events)
 
   case class BandHit(doc_id: Long, band: Int, h0: Long, h1: Long)
   case class DupOut(doc_id: Long, dup_of: Long, band: Int)

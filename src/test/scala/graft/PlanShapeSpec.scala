@@ -151,6 +151,8 @@ class PlanShapeSpec extends SparkSpec {
     "ann_lsh",                            // broadcast query/centroid/hyperplane sets
     "mm_feature_knn",                     // ivfTopK: same broadcast query set as ann_ivf
     "mr_pagerank",                        // broadcast single-row node count
+    "q_active_users",                     // broadcast observed-day grid (≤ days
+                                          // rows) range-joined for rolling WAU
     "text_tfidf",                         // broadcast single-row corpus size N
     "text_bm25",                          // broadcast single-row (N, Σdl, df) stats
     "pipeline_hybrid_retrieval",          // bm25 stats row + 1-row query vector

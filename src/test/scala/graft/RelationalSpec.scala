@@ -113,6 +113,32 @@ class RelationalSpec extends SparkSpec {
     assert(out.head.getDouble(3) > 3.0 && out.head.getDouble(3) < 5.0)
   }
 
+  test("active users: wau bounds dau, first day equal, totals bounded by user count") {
+    val rows = Events.qActiveUsers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, dau, wau) =>
+      assert(wau >= dau, s"day $d: wau $wau < dau $dau")
+    }
+    val first = rows.minBy(_._1)
+    assert(first._2 == first._3, "no history before the first day: wau == dau")
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.forall(_._3 <= users))
+  }
+
+  test("interval join: every row is a real purchase with >= 1 qualifying view") {
+    import org.apache.spark.sql.functions.unix_micros
+    val out = Events.qIntervalJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.forall(_._3 >= 1))
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.forall(o => purchases.contains((o._1, o._2))),
+      "every output row must key a real purchase event")
+  }
+
   test("q5 plan broadcasts dimension tables") {
     val plan = Relational.q5LocalSupplier(spark, sf)
       .queryExecution.executedPlan.toString
