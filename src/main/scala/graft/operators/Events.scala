@@ -309,6 +309,75 @@ object Events {
       |  FROM events GROUP BY user_id)
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- funnel steps
+  /** K-step ORDERED funnel (signup → view → click → purchase) with
+    * per-step conversion — the general form of `q_funnel`'s 2-step
+    * flags: a user is at step k iff they performed step k's event
+    * STRICTLY AFTER their step-(k−1) time (first qualifying
+    * occurrence, the standard product-analytics semantics). Output:
+    * one row per step with the surviving user count, conversion from
+    * step 1, and conversion from the previous step.
+    *
+    * Scale shape: step k is one filtered scan equi-joined to the
+    * step-(k−1) frame on user_id (each ≤ users rows) + a per-user min
+    * — K small user-keyed aggregates, no per-event state, no window
+    * over events. The final rate window runs over K rows. */
+  def qFunnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val StepTypes = Seq("signup", "view", "click", "purchase")
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val first = ev.filter(col("event_type") === StepTypes.head)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t"))
+    val frames = StepTypes.tail.scanLeft(first) { (prev, typ) =>
+      ev.filter(col("event_type") === typ)
+        .join(prev.select(col("user_id"), col("t").as("pt")), Seq("user_id"))
+        .filter(col("us") > col("pt"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t"))
+    }
+    val counts = frames.zip(StepTypes).zipWithIndex.map {
+      case ((f, name), i) =>
+        f.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+            col("n_users"))
+    }.reduce(_ unionAll _)
+    val w = Window.orderBy(col("step"))
+    counts.select(col("step"), col("step_name"), col("n_users"),
+        rnd(col("n_users").cast("double") /
+          first_value(col("n_users")).over(w), 4).as("conv_from_first"),
+        rnd(col("n_users").cast("double") /
+          coalesce(lag(col("n_users"), 1).over(w), col("n_users")), 4)
+          .as("conv_from_prev"))
+      .orderBy(col("step"))
+  }
+
+  private val qFunnelStepsSql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT user_id, min(us) AS t FROM ev
+      |       WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.us) AS t FROM ev e
+      |       JOIN s1 ON e.user_id = s1.user_id AND e.us > s1.t
+      |       WHERE e.event_type = 'view' GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.us) AS t FROM ev e
+      |       JOIN s2 ON e.user_id = s2.user_id AND e.us > s2.t
+      |       WHERE e.event_type = 'click' GROUP BY 1),
+      |s4 AS (SELECT e.user_id, min(e.us) AS t FROM ev e
+      |       JOIN s3 ON e.user_id = s3.user_id AND e.us > s3.t
+      |       WHERE e.event_type = 'purchase' GROUP BY 1),
+      |counts AS (
+      |  SELECT 1 AS step, 'signup' AS step_name,
+      |         (SELECT count(*) FROM s1) AS n_users
+      |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+      |  UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+      |  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
+      |SELECT step, step_name, n_users,
+      |  floor(cast(n_users as double)
+      |    / first_value(n_users) OVER (ORDER BY step) * 1e4 + 0.5) / 1e4
+      |    AS conv_from_first,
+      |  floor(cast(n_users as double)
+      |    / lag(n_users, 1, n_users) OVER (ORDER BY step) * 1e4 + 0.5) / 1e4
+      |    AS conv_from_prev
+      |FROM counts ORDER BY step""".stripMargin
+
   // ---------------------------------------------------------------- merge upsert
   /** Batch CDC merge (the batch twin of `StreamSinks.foreachBatchUpsert`
     * and SCD1 to `q_scd2`'s SCD2): a base snapshot — each user's
@@ -662,5 +731,6 @@ object Events {
       Some(qRetentionCohortsSql)),
     QueryDef("q_outliers", qOutliers _, Some(qOutliersSql)),
     QueryDef("q_interval_join", qIntervalJoin _, Some(qIntervalJoinSql)),
-    QueryDef("q_active_users", qActiveUsers _, Some(qActiveUsersSql)))
+    QueryDef("q_active_users", qActiveUsers _, Some(qActiveUsersSql)),
+    QueryDef("q_funnel_steps", qFunnelSteps _, Some(qFunnelStepsSql)))
 }

@@ -170,6 +170,67 @@ object TextAnalysis {
        |WHERE bigram IS NOT NULL
        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- co-occurrence
+  /** Skip-gram co-occurrence statistics (window = 2 following
+    * tokens): the corpus association table embedding/collocation
+    * pipelines train from — top ordered pairs by window count, each
+    * with its LIFT, the PMI-family association strength as a pure
+    * ratio (cnt·T²/(P·c₁·c₂) = p(a,b)/(p(a)p(b))) — integer-derived
+    * double products in one fixed order, no ln (the tfidf/bm25
+    * linearization rationale).
+    *
+    * Plan shape: pair generation is a PER-ROW expression — each doc
+    * emits its distance-1 and distance-2 pairs from one `transform`
+    * over token indices (no position window, no positional
+    * self-join — `text_ngrams`' window form is the readable
+    * alternative; this is the shape that scales); then one hash
+    * aggregate on (w1, w2), two equi-joins against the unigram
+    * counts, a broadcast 1-row totals frame, and a global top-100
+    * TakeOrdered. Shuffle ∝ distinct pairs, never positions. */
+  def textCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    def pairsAt(d: Int) = when(size(col("t")) > d,
+      transform(sequence(lit(0), size(col("t")) - 1 - d),
+        i => struct(element_at(col("t"), i + 1).as("w1"),
+          element_at(col("t"), i + d + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val docs = Tables.documents(spark, dir).withColumn("t", toks)
+    val pairs = docs
+      .select(explode(concat(pairsAt(1), pairsAt(2))).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val tk = docs.select(explode(col("t")).as("tok"))
+    val uni = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = broadcast(
+      tk.agg(count(lit(1)).as("tt")).crossJoin(
+        pairs.agg(count(lit(1)).as("pt"))))
+    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("cnt"),
+        rnd(col("cnt").cast("double") * col("tt") * col("tt") /
+          (col("pt").cast("double") * col("c1") * col("c2")), 6).as("lift"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  private val textCooccurrenceSql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok,
+       |    generate_subscripts($toksSql, 1) AS pos
+       |  FROM documents),
+       |pr AS (
+       |  SELECT a.tok AS w1, b.tok AS w2 FROM tk a
+       |  JOIN tk b ON a.doc_id = b.doc_id AND (b.pos - a.pos) IN (1, 2)),
+       |pc AS (SELECT w1, w2, count(*) AS cnt FROM pr GROUP BY 1, 2),
+       |uni AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*) FROM tk) AS tt,
+       |               (SELECT count(*) FROM pr) AS pt)
+       |SELECT pc.w1, pc.w2, cnt,
+       |  ${rndSql("cast(cnt as double) * tt * tt / (cast(pt as double) * u1.c * u2.c)", 6)} AS lift
+       |FROM pc JOIN uni u1 ON pc.w1 = u1.tok
+       |JOIN uni u2 ON pc.w2 = u2.tok CROSS JOIN tot
+       |ORDER BY cnt DESC, w1, w2 LIMIT 100""".stripMargin
+
   // ---------------------------------------------------------------- lm score
   /** Corpus-LM fluency scoring (round 8) — the CCNet-style quality
     * signal (Wenzek et al., "CCNet", LREC 2020 §4.3: score text with
@@ -1071,5 +1132,7 @@ object TextAnalysis {
     QueryDef("text_redact", textRedact _, Some(textRedactSql)),
     QueryDef("text_vocab", textVocab _, Some(textVocabSql)),
     QueryDef("text_ngrams", textNgrams _, Some(textNgramsSql)),
-    QueryDef("text_lm_score", textLmScore _, Some(textLmScoreSql)))
+    QueryDef("text_lm_score", textLmScore _, Some(textLmScoreSql)),
+    QueryDef("text_cooccurrence", textCooccurrence _,
+      Some(textCooccurrenceSql)))
 }

@@ -154,6 +154,7 @@ class PlanShapeSpec extends SparkSpec {
     "q_active_users",                     // broadcast observed-day grid (≤ days
                                           // rows) range-joined for rolling WAU
     "text_tfidf",                         // broadcast single-row corpus size N
+    "text_cooccurrence",                  // broadcast 1-row (T, P) totals frame
     "text_bm25",                          // broadcast single-row (N, Σdl, df) stats
     "pipeline_hybrid_retrieval",          // bm25 stats row + 1-row query vector
     "dedup_containment_exact")            // mask tier: broadcast DISTINCT-mask

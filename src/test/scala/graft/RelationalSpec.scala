@@ -139,6 +139,26 @@ class RelationalSpec extends SparkSpec {
       "every output row must key a real purchase event")
   }
 
+  test("funnel steps: counts monotone non-increasing, rates consistent") {
+    val rows = Events.qFunnelSteps(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"step ${b._1} count ${b._3} > step ${a._1} ${a._3}")
+    }
+    val n1 = rows.head._3
+    assert(rows.head._4 == 1.0 && rows.head._5 == 1.0)
+    rows.foreach { case (_, _, n, cf, _) =>
+      assert(math.abs(cf - math.floor(n.toDouble / n1 * 1e4 + 0.5) / 1e4) < 1e-12)
+    }
+    // step 1 = users who ever signed up
+    val signups = Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(n1 == signups)
+  }
+
   test("q5 plan broadcasts dimension tables") {
     val plan = Relational.q5LocalSupplier(spark, sf)
       .queryExecution.executedPlan.toString

@@ -49,6 +49,27 @@ class TextFilterSpec extends SparkSpec {
     assert(out(5L) == (false, Some("distinct_ratio")))
   }
 
+  test("cooccurrence: hand-computed pairs and lift on a planted corpus") {
+    val s = spark
+    import s.implicits._
+    // one doc "a b c a b": d1 pairs (a,b)(b,c)(c,a)(a,b), d2 pairs
+    // (a,c)(b,a)(c,b) — 7 pairs total, top pair (a,b) count 2;
+    // T=5 tokens, c(a)=2, c(b)=2
+    val dir = java.nio.file.Files.createTempDirectory("cooc").toString
+    Seq((0L, "a b c a b", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.textCooccurrence(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.values.map(_._1).sum == 7, s"7 window pairs expected: $rows")
+    val (cnt, lift) = rows(("a", "b"))
+    assert(cnt == 2)
+    // lift = cnt*T^2/(P*c1*c2) = 2*25/(7*2*2) rounded to 6
+    val expect = math.floor(2.0 * 5 * 5 / (7.0 * 2 * 2) * 1e6 + 0.5) / 1e6
+    assert(lift == expect, s"lift $lift != $expect")
+  }
+
   test("keep == conjunction of rule booleans; fail_reason null iff kept; gate discriminates") {
     val df = TextAnalysis.textFilterQuality(spark, sf).persist()
     val bad = df.filter(
