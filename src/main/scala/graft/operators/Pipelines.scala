@@ -344,6 +344,66 @@ object Pipelines {
        |    ORDER BY h, doc_id) as int) AS pos
        |FROM h ORDER BY shard, pos""".stripMargin
 
+  // ---------------------------------------------------------------- eval split
+  /** Deterministic train/validation/test split — the assignment every
+    * training corpus needs exactly once, and the one place a
+    * nondeterministic split silently corrupts downstream science
+    * (a doc drifting between train and test across rebuilds IS
+    * contamination). Same discipline as the mixture sampler: a
+    * salted md5 of the doc id buckets each document into
+    * train (98%), val (1%), test (1%) — a pure per-row projection,
+    * ZERO shuffles at any corpus size, reproducible across engines
+    * and runs, and subset-stable (a doc's split never depends on
+    * other rows, so incremental corpus additions never move existing
+    * documents between splits). */
+  def evalSplit(spark: SparkSession, dir: String): DataFrame = {
+    val b = pmod(md5Long(concat(lit("split1:"), col("doc_id").cast("string"))),
+      lit(10000))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(b < 9800, "train").when(b < 9900, "val").otherwise("test")
+          .as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val evalSplitSql =
+    s"""SELECT doc_id,
+       |  CASE WHEN ${md5LongSql("'split1:' || cast(doc_id as varchar)")} % 10000 < 9800 THEN 'train'
+       |       WHEN ${md5LongSql("'split1:' || cast(doc_id as varchar)")} % 10000 < 9900 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- dataset card
+  /** The corpus "dataset card" aggregate — the per-(lang, source)
+    * composition table every dataset release ships (counts, token
+    * mass, mean document length), with lang-level, source-level, and
+    * corpus-total rollups in ONE pass via GROUPING SETS (each input
+    * row feeds all four granularities in a single exchange — no
+    * four-scan union). NULL group keys mark the rolled-up axes, the
+    * standard cube convention. Token counts are integer; the mean is
+    * one integer-derived division rounded by the cross-engine rule. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), toks.cast("long").as("toks"))
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")),
+          Seq(col("source")), Seq.empty),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        rnd(sum(col("toks")).cast("double") / count(lit(1)), 2)
+          .as("mean_tokens"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+  }
+
+  private val datasetCardSql =
+    s"""SELECT lang, source, count(*) AS n_docs,
+       |  cast(sum(len($toksSql)) as bigint) AS n_tokens,
+       |  ${rndSql(s"cast(sum(len($toksSql)) as double) / count(*)", 2)} AS mean_tokens
+       |FROM documents
+       |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+       |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- curate v2
   /** The round-6 curation chain as ONE declarative plan — domain cap
     * → exact dedup → weighted mixture — composing this round's quota
@@ -416,5 +476,7 @@ object Pipelines {
     QueryDef("pipeline_decontaminate", decontaminate _, Some(decontaminateSql)),
     QueryDef("pipeline_pack_sequences", packSequences _, Some(packSequencesSql)),
     QueryDef("pipeline_mixture_sample", mixtureSample _, Some(mixtureSampleSql)),
-    QueryDef("pipeline_shuffle_shard", shuffleShard _, Some(shuffleShardSql)))
+    QueryDef("pipeline_shuffle_shard", shuffleShard _, Some(shuffleShardSql)),
+    QueryDef("pipeline_eval_split", evalSplit _, Some(evalSplitSql)),
+    QueryDef("pipeline_dataset_card", datasetCard _, Some(datasetCardSql)))
 }

@@ -153,6 +153,39 @@ class PipelinesSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("evalSplit: partitions the corpus, train-dominated, subset-stable") {
+    val df = Pipelines.evalSplit(spark, sf)
+    val rows = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.size == nDocs)
+    assert(rows.values.forall(Set("train", "val", "test")))
+    assert(rows.values.count(_ == "train") >= nDocs * 0.9,
+      "train must dominate at 98 basis points")
+    // subset-stability: the split of a filtered corpus is the restriction
+    val sub = java.nio.file.Files.createTempDirectory("split").toString
+    graft.Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$sub/documents.parquet")
+    val subRows = Pipelines.evalSplit(spark, sub).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(subRows == rows.filter(_._1 % 2 == 0),
+      "doc split decisions must not depend on other rows")
+  }
+
+  test("datasetCard: rollup rows are consistent sums of the leaf cells") {
+    val rows = Pipelines.datasetCard(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3)))
+    val leaves = rows.filter(r => r._1.isDefined && r._2.isDefined)
+    val total = rows.find(r => r._1.isEmpty && r._2.isEmpty).get
+    assert(total._3 == leaves.map(_._3).sum && total._4 == leaves.map(_._4).sum)
+    rows.filter(r => r._1.isDefined && r._2.isEmpty).foreach { lang =>
+      val cells = leaves.filter(_._1 == lang._1)
+      assert(lang._3 == cells.map(_._3).sum && lang._4 == cells.map(_._4).sum,
+        s"lang rollup ${lang._1} must sum its leaves")
+    }
+    assert(total._3 == graft.Tables.documents(spark, sf).count())
+  }
+
   test("chunkDupStats: planted spans — cross-doc copy, self-repetition, clean doc") {
     val span = (1 to 8).map(i => s"w$i").mkString(" ") // one full chunk
     val docs = docsDf(Seq(
