@@ -245,6 +245,25 @@ class PlanShapeSpec extends SparkSpec {
       s"unexpected non-equi join in: ${offenders.mkString(", ")}")
   }
 
+  test("round-8 scale claims are visible in the plans: exchange counts match the docs") {
+    def hashExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    // pure projections: no hash exchange anywhere (final orderBy is a
+    // range exchange — oracle-compare support, not operator work)
+    assert(hashExchanges(graft.operators.Pipelines.evalSplit(spark, sf)) == 0,
+      "eval split claims zero-shuffle projection")
+    assert(hashExchanges(graft.operators.Similarity.annRangeSearch(spark, sf)) == 0,
+      "range search claims a pure selection scan")
+    // shard shuffle: exactly the ONE documented exchange (the per-shard
+    // window's partitionBy) before the presentation sort
+    assert(hashExchanges(graft.operators.Pipelines.shuffleShard(spark, sf)) == 1,
+      "shuffle shard claims one hash exchange + per-shard sort")
+    // grouping sets: one exchange feeds all four rollup granularities
+    assert(hashExchanges(graft.operators.Pipelines.datasetCard(spark, sf)) == 1,
+      "dataset card claims a single grouping-sets exchange")
+  }
+
   test("q6's tight filters reach the parquet scan as pushed filters") {
     val plan = graft.operators.Relational.q6ForecastRevenue(spark, sf)
       .queryExecution.executedPlan.toString
