@@ -340,7 +340,67 @@ object ScalarOps {
        |FROM v ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- registry
+  // ---------------------------------------------------------------- trend
+  /** Per-user least-squares trend of event value over time (slope per
+    * hour + intercept) — the grouped-OLS primitive behind drift
+    * detection and per-entity forecasting, computed CLOSED-FORM from
+    * moment sums (no iteration): slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²).
+    *
+    * Determinism is the `q_outliers` discipline generalized to MIXED
+    * moments: x is integer epoch-hours from a fixed base (small
+    * integers — Σx² stays far from any overflow), y and x·y
+    * accumulate in decimal (long × decimal(18,6) is exact decimal
+    * arithmetic on both engines), each sum casts to double ONCE, and
+    * the closed forms are the identical double expression tree both
+    * sides. Flat-time users (all events in one hour — zero x
+    * variance) are excluded by an exact integer guard, not a
+    * null-producing division.
+    *
+    * Scale shape: one map-side-combined groupBy(user) producing a
+    * 5-column moment row per user; the slope/intercept projection is
+    * per-row on that compact frame. */
+  def qTrend(spark: SparkSession, dir: String): DataFrame = {
+    val BaseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val UsPerHour = 3600000000L
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"),
+      ((unix_micros(col("ts")) - BaseUs) / UsPerHour).cast("long").as("x"),
+      col("value").cast("decimal(18,6)").as("y"))
+    val m = ev.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    m.filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+      .select(col("user_id"), col("n"),
+        rnd(slope, 6).as("slope_per_hour"),
+        rnd((col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"))
+      .orderBy(col("user_id"))
+  }
+
+  private val qTrendSql =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    (epoch_us(ts) - 1704067200000000) // 3600000000 AS x,
+      |    cast(value as decimal(18,6)) AS y
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+      |    cast(sum(y) as double) AS sy, cast(sum(x * y) as double) AS sxy
+      |  FROM ev GROUP BY user_id)
+      |SELECT user_id, n,
+      |  floor((n * sxy - sx * sy) / cast(n * sxx - sx * sx as double)
+      |    * 1e6 + 0.5) / 1e6 AS slope_per_hour,
+      |  floor((sy - (n * sxy - sx * sy) / cast(n * sxx - sx * sx as double)
+      |    * sx) / n * 1e4 + 0.5) / 1e4 AS intercept
+      |FROM m WHERE n * sxx - sx * sx > 0
+      |ORDER BY user_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_trend", qTrend _, Some(qTrendSql)),
     QueryDef("q_sample", qSample _, Some(qSampleSql)),
     QueryDef("q_sample_stratified", qSampleStratified _, Some(qSampleStratifiedSql)),
     QueryDef("q_sample_stratified_scalable", sampleStratifiedScalable _,

@@ -159,6 +159,27 @@ class RelationalSpec extends SparkSpec {
     assert(n1 == signups)
   }
 
+  test("trend: recovers a planted exact line, excludes zero-x-variance users") {
+    val s = spark
+    import s.implicits._
+    val base = 1704067200000000L
+    // user 1: y = 2x + 5 exactly at hours 0..9; user 2: all events in
+    // one hour (zero x variance — must be excluded)
+    val rows =
+      (0 until 10).map(h => (h.toLong, 1L, base + h * 3600000000L, 2.0 * h + 5.0)) ++
+      (10 until 15).map(i => (i.toLong, 2L, base + 1000000L * i, 42.0))
+    val dir = java.nio.file.Files.createTempDirectory("trend").toString
+    rows.toDF("event_id", "user_id", "us", "value")
+      .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
+        col("user_id"), lit("view").as("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.ScalarOps.qTrend(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L), s"only user 1 has x variance: $out")
+    assert(out(1L) == ((2.0, 5.0)), s"exact line must be recovered: ${out(1L)}")
+  }
+
   test("q5 plan broadcasts dimension tables") {
     val plan = Relational.q5LocalSupplier(spark, sf)
       .queryExecution.executedPlan.toString
