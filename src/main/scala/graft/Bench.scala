@@ -407,13 +407,20 @@ object Bench {
   private def printLine(results: Seq[(String, (Double, Double))],
       fastResults: Seq[(String, Double)],
       streaming: Seq[StreamResult], policy: String, sfDir: String): Unit = {
-    val qs = results.map { case (k, v) => s""""$k":${"%.3f".format(best(v))}""" }
+    // failed queries are OMITTED from every timing map and listed once
+    // in `failed` (headline + fast tier) — the advisor's round-7 note:
+    // -1.0 sentinels inside the maps silently poison any consumer that
+    // sums or mins them, so exactly one field is authoritative now
+    val qs = results.filter(v => best(v._2) >= 0)
+      .map { case (k, v) => s""""$k":${"%.3f".format(best(v))}""" }
       .mkString("{", ",", "}")
-    val runs = results.map { case (k, (a, b)) =>
-      s""""$k":[${"%.3f".format(a)},${"%.3f".format(b)}]""" }
+    val runs = results.filter(v => best(v._2) >= 0)
+      .map { case (k, (a, b)) =>
+        s""""$k":[${"%.3f".format(a)},${"%.3f".format(b)}]""" }
       .mkString("{", ",", "}")
     val total = results.map(v => best(v._2)).filter(_ >= 0).sum
-    val failed = results.collect { case (k, v) if best(v) < 0 => s""""$k"""" }
+    val failed = (results.collect { case (k, v) if best(v) < 0 => s""""$k"""" } ++
+      fastResults.collect { case (k, v) if v < 0 => s""""$k"""" })
       .mkString("[", ",", "]")
     // terse streaming for stdout: rows/s + state rows (failed job → -1)
     val streamShort = streaming.map { s =>
@@ -431,7 +438,7 @@ object Bench {
     val fastShort = s""""fast":{"n":${fastResults.size},""" +
       s""""failed":${fastResults.count(_._2 < 0)},""" +
       s""""sec":${"%.3f".format(fastOkSecs.sum)}}"""
-    val fastFull = fastResults.map { case (k, v) =>
+    val fastFull = fastResults.filter(_._2 >= 0).map { case (k, v) =>
       s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     val tail = s""""failed":$failed,"sf":"$sfDir""""
     println(s"""{$head,"queries":$qs,$fastShort,"streaming":$streamShort,$tail}""")
