@@ -356,15 +356,18 @@ object Pipelines {
     * and runs, and subset-stable (a doc's split never depends on
     * other rows, so incremental corpus additions never move existing
     * documents between splits). */
-  def evalSplit(spark: SparkSession, dir: String): DataFrame = {
-    val b = pmod(md5Long(concat(lit("split1:"), col("doc_id").cast("string"))),
+  /** PUBLIC split expression — one definition under the registered
+    * query and any composed pipeline (`pipeline_curate_v3`). */
+  def splitOf(docId: Column): Column = {
+    val b = pmod(md5Long(concat(lit("split1:"), docId.cast("string"))),
       lit(10000))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        when(b < 9800, "train").when(b < 9900, "val").otherwise("test")
-          .as("split"))
-      .orderBy(col("doc_id"))
+    when(b < 9800, "train").when(b < 9900, "val").otherwise("test")
   }
+
+  def evalSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+      .orderBy(col("doc_id"))
 
   private val evalSplitSql =
     s"""SELECT doc_id,
@@ -372,6 +375,66 @@ object Pipelines {
        |       WHEN ${md5LongSql("'split1:' || cast(doc_id as varchar)")} % 10000 < 9900 THEN 'val'
        |       ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- curate v3
+  /** The round-8 corpus build end to end as ONE oracle-checked plan —
+    * the composition that turns a raw corpus into the loader's
+    * manifest: quality GATE (the `text_filter_quality` rules, one
+    * shared definition) → exact dedup (md5 group, keep min doc_id) →
+    * train/val/test assignment ([[splitOf]]) → shard routing
+    * ([[shardOf]]) → the per-(split, shard) manifest a training run
+    * consumes. Complements `pipeline_training_data` (score-threshold
+    * chain) and `pipeline_curate_v2` (quota chain): this is the
+    * GATED + SPLIT + SHARDED chain, covering every round-8 pipeline
+    * kernel in composition.
+    *
+    * Plan shape: the gate is per-row expressions fused into the scan;
+    * one semi-join exchange brings keep decisions back to the full
+    * rows; one md5 exchange dedups (min_by — map-side combinable);
+    * split/shard are pure projections; one final (split, shard)
+    * aggregate over ≤ splits × shards cells. No stage sees more than
+    * the prior stage's survivors. */
+  def pipelineCurateV3(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keptIds = TextAnalysis.qualityRules(
+        docs.select(col("doc_id"), col("text")))
+      .filter(col("keep")).select(col("doc_id"))
+    val kept = docs.join(keptIds, Seq("doc_id"), "left_semi")
+    val deduped = kept
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min_by(struct(col("doc_id"), col("n_chars")), col("doc_id"))
+        .as("__r"))
+      .select(col("__r.doc_id").as("doc_id"), col("__r.n_chars").as("n_chars"))
+    deduped
+      .withColumn("split", splitOf(col("doc_id")))
+      .withColumn("shard", shardOf(col("doc_id")))
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"), col("shard"))
+  }
+
+  private val pipelineCurateV3Sql = {
+    val splitBp = md5LongSql("'split1:' || cast(doc_id as varchar)")
+    s"""WITH kept AS (
+       |  SELECT doc_id, text, n_chars FROM documents
+       |  WHERE ${TextAnalysis.QualityRuleSql.keep}),
+       |dedup AS (
+       |  SELECT doc_id, n_chars FROM (
+       |    SELECT doc_id, n_chars,
+       |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+       |    FROM kept) WHERE rk = 1),
+       |cells AS (
+       |  SELECT CASE WHEN $splitBp % 10000 < 9800 THEN 'train'
+       |              WHEN $splitBp % 10000 < 9900 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |    cast(${md5LongSql("'shard1:' || cast(doc_id as varchar)")} % 8 as int)
+       |      AS shard,
+       |    n_chars
+       |  FROM dedup)
+       |SELECT split, shard, count(*) AS n_docs,
+       |  cast(sum(n_chars) as bigint) AS sum_chars
+       |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   // ---------------------------------------------------------------- dataset card
   /** The corpus "dataset card" aggregate — the per-(lang, source)
@@ -478,5 +541,7 @@ object Pipelines {
     QueryDef("pipeline_mixture_sample", mixtureSample _, Some(mixtureSampleSql)),
     QueryDef("pipeline_shuffle_shard", shuffleShard _, Some(shuffleShardSql)),
     QueryDef("pipeline_eval_split", evalSplit _, Some(evalSplitSql)),
-    QueryDef("pipeline_dataset_card", datasetCard _, Some(datasetCardSql)))
+    QueryDef("pipeline_dataset_card", datasetCard _, Some(datasetCardSql)),
+    QueryDef("pipeline_curate_v3", pipelineCurateV3 _,
+      Some(pipelineCurateV3Sql)))
 }

@@ -1078,8 +1078,12 @@ object TextAnalysis {
           .when(!rTop, "top_word_share").as("fail_reason"))
   }
 
-  private val textFilterQualitySql = {
-    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+  /** The five gate rules as DuckDB SQL snippets — ONE definition
+    * consumed by both `text_filter_quality`'s oracle and any
+    * composed-pipeline oracle that re-applies the gate
+    * (`pipeline_curate_v3`). */
+  private[operators] object QualityRuleSql {
+    private val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
     val nW = s"len($toksSql)"
     val meanLen =
       s"cast(length(regexp_replace(text, '\\s+', '', 'g')) as double) / $nW"
@@ -1092,6 +1096,11 @@ object TextAnalysis {
     val rDistinct = s"($distinctRatio >= cast(0.35 as double))"
     val rStop = s"($stopHits >= 2)"
     val rTop = s"($topShare <= cast(0.15 as double))"
+    val keep = s"($rWords AND $rMean AND $rDistinct AND $rStop AND $rTop)"
+  }
+
+  private val textFilterQualitySql = {
+    import QualityRuleSql._
     s"""SELECT doc_id,
        |  cast($nW as int) AS n_words,
        |  ${rndSql(meanLen, 4)} AS mean_word_len,

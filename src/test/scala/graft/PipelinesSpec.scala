@@ -186,6 +186,22 @@ class PipelinesSpec extends SparkSpec {
     assert(total._3 == graft.Tables.documents(spark, sf).count())
   }
 
+  test("curateV3: manifest cells account for exactly the gated+deduped survivors") {
+    val cells = Pipelines.pipelineCurateV3(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(cells.nonEmpty)
+    assert(cells.forall(c => Set("train", "val", "test")(c._1) &&
+      c._2 >= 0 && c._2 < 8))
+    // recompute the survivor count from the composed stages directly
+    val docs = graft.Tables.documents(spark, sf)
+    val kept = docs.join(
+      TextAnalysis.qualityRules(docs.select(col("doc_id"), col("text")))
+        .filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val survivors = kept.groupBy(md5(col("text"))).count().count()
+    assert(cells.map(_._3).sum == survivors,
+      s"cells must partition the ${survivors} gated+deduped docs")
+  }
+
   test("chunkDupStats: planted spans — cross-doc copy, self-repetition, clean doc") {
     val span = (1 to 8).map(i => s"w$i").mkString(" ") // one full chunk
     val docs = docsDf(Seq(
