@@ -1324,7 +1324,11 @@ object Dedup {
     require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
     require(bands <= bits, s"bands must be in [1, $bits], got $bands")
     val bound = (0 to bands).map(b => b * bits / bands)
-    require(agree * (bound.sliding(2).map(p => p(1) - p(0)).max) <= 63,
+    // the widest possible subset key is the sum of the `agree` widest
+    // bands (agree × max-width over-rejects valid configs, e.g. the
+    // full-width agree == bands case where the widths sum to `bits`)
+    val widths = bound.sliding(2).map(p => p(1) - p(0)).toSeq
+    require(widths.sorted.reverse.take(agree).sum <= 63,
       "packed subset key must fit a long")
     def bandBits(side: String, b: Int): String =
       s"(shiftright($side, ${bound(b)}) & ${(1L << (bound(b + 1) - bound(b))) - 1}L)"

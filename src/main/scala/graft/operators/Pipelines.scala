@@ -288,7 +288,7 @@ object Pipelines {
     * real corpus — the shard is the unit a data loader streams, so
     * the count scales with corpus size and per-shard state shrinks
     * as shards multiply). */
-  private val ShuffleShards = 8
+  private[graft] val ShuffleShards = 8
 
   /** Deterministic global shuffle into training shards — the LAST
     * pass of every corpus build: training wants documents in an
@@ -427,7 +427,7 @@ object Pipelines {
        |  SELECT CASE WHEN $splitBp % 10000 < 9800 THEN 'train'
        |              WHEN $splitBp % 10000 < 9900 THEN 'val'
        |              ELSE 'test' END AS split,
-       |    cast(${md5LongSql("'shard1:' || cast(doc_id as varchar)")} % 8 as int)
+       |    cast(${md5LongSql("'shard1:' || cast(doc_id as varchar)")} % $ShuffleShards as int)
        |      AS shard,
        |    n_chars
        |  FROM dedup)

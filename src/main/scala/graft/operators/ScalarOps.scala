@@ -364,7 +364,10 @@ object ScalarOps {
     val UsPerHour = 3600000000L
     val ev = Tables.events(spark, dir).select(
       col("user_id"),
-      ((unix_micros(col("ts")) - BaseUs) / UsPerHour).cast("long").as("x"),
+      // floor, not cast-truncate: events BEFORE the base epoch give
+      // negative non-integral offsets, where truncation rounds toward
+      // zero but the oracle's `//` floors — floor() matches both ways
+      floor((unix_micros(col("ts")) - BaseUs) / UsPerHour).cast("long").as("x"),
       col("value").cast("decimal(18,6)").as("y"))
     val m = ev.groupBy(col("user_id")).agg(
       count(lit(1)).as("n"),

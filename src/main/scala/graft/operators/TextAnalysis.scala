@@ -194,6 +194,12 @@ object TextAnalysis {
           element_at(col("t"), i + d + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
     val docs = Tables.documents(spark, dir).withColumn("t", toks)
+    // the corpus IS scanned+exploded by each consumer (pair aggregate,
+    // unigram aggregate, totals) — deliberately: persisting the two
+    // exploded frames was tried and MEASURED SLOWER (8.0 s vs 5.4 s
+    // at sf1, same run) — materializing ~n_pairs rows costs more than
+    // re-running the codegen'd explode over a page-cached columnar
+    // scan; the same result as bpeTokenize's shared-frame experiment
     val pairs = docs
       .select(explode(concat(pairsAt(1), pairsAt(2))).as("pr"))
       .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))

@@ -253,7 +253,8 @@ object StreamingJobs {
     * Stateless per-row projection — no watermark, append-legal.
     * (In-shard POSITIONS are a batch concern: they are ranks over the
     * finished shard; a stream only routes.) */
-  def shardAssignStream(docs: DataFrame, shards: Int = 8): DataFrame =
+  def shardAssignStream(docs: DataFrame,
+      shards: Int = graft.operators.Pipelines.ShuffleShards): DataFrame =
     docs.withColumn("shard",
       graft.operators.Pipelines.shardOf(
         org.apache.spark.sql.functions.col("doc_id"), shards))

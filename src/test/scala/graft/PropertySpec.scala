@@ -260,6 +260,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("subset banding accepts the full-width agree==bands config (guard regression)") {
+    val s = spark
+    import s.implicits._
+    // bits=63, bands=5, maxHamming=0: subset keys are ALL five bands
+    // whose widths sum to exactly 63 — fits a long, but the earlier
+    // agree × max-band-width guard (5 × 13 = 65) rejected it
+    val df = Seq((0L, "x", 123456789L), (1L, "x", 123456789L),
+      (2L, "x", 987654321L)).toDF("doc_id", "block", "sh")
+    val got = graft.operators.Dedup
+      .bandedHammingPairsSubset(df, 63, 5, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)), s"exact-dup pair expected: $got")
+  }
+
   test("property: connectedComponents equals union-find on random graphs") {
     val s = spark
     import s.implicits._

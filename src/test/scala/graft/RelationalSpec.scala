@@ -180,6 +180,30 @@ class RelationalSpec extends SparkSpec {
     assert(out(1L) == ((2.0, 5.0)), s"exact line must be recovered: ${out(1L)}")
   }
 
+  test("trend: pre-base events floor to the previous hour (cross-engine division)") {
+    val s = spark
+    import s.implicits._
+    val base = 1704067200000000L
+    // two events straddling the base at ±30 min: floor semantics give
+    // x = (-1, 0) — the user is INCLUDED with slope y2-y1; the old
+    // truncate-toward-zero form collapsed both to x = 0 (zero x
+    // variance) and silently dropped the user, diverging from the
+    // oracle's floor division on any pre-base data
+    val rows = Seq(
+      (0L, 7L, base - 1800000000L, 10.0),
+      (1L, 7L, base + 1800000000L, 13.0))
+    val dir = java.nio.file.Files.createTempDirectory("trendneg").toString
+    rows.toDF("event_id", "user_id", "us", "value")
+      .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
+        col("user_id"), lit("view").as("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.ScalarOps.qTrend(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out == Map(7L -> 3.0),
+      s"pre-base event must land at hour -1, giving slope 3.0: $out")
+  }
+
   test("q5 plan broadcasts dimension tables") {
     val plan = Relational.q5LocalSupplier(spark, sf)
       .queryExecution.executedPlan.toString
