@@ -340,6 +340,47 @@ object ScalarOps {
        |FROM v ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- registry
+  // ---------------------------------------------------------------- mode
+  /** Per-group MODE (most frequent value, smallest-value tie-break) —
+    * the last descriptive statistic missing from the stats family
+    * (moments #25k, quantiles #25d, histogram #26b): the modal
+    * document language per source, with its count and share. Mode
+    * does not decompose like sums do, but it reduces exactly: one
+    * (group, value) count aggregate (map-side combinable — partials
+    * are per-(source, lang), bounded by the value domain), then a
+    * per-group rank over the COUNTS frame, which is groups × domain
+    * rows — tiny relative to the corpus at any scale. The tie-break
+    * (count DESC, value ASC) makes the winner total-order
+    * deterministic on both engines. */
+  def qMode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source"))
+    counts
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("cnt").desc, col("lang"))))
+      .withColumn("n_src", sum(col("cnt")).over(w))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("modal_lang"), col("cnt"),
+        rnd(col("cnt").cast("double") / col("n_src"), 4).as("share"))
+      .orderBy(col("source"))
+  }
+
+  private val qModeSql =
+    """WITH counts AS (
+      |  SELECT source, lang, count(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT source, lang, cnt,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY cnt DESC, lang) AS rk,
+      |    sum(cnt) OVER (PARTITION BY source) AS n_src
+      |  FROM counts)
+      |SELECT source, lang AS modal_lang, cnt,
+      |  floor(cast(cnt as double) / n_src * 1e4 + 0.5) / 1e4 AS share
+      |FROM ranked WHERE rk = 1 ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- trend
   /** Per-user least-squares trend of event value over time (slope per
     * hour + intercept) — the grouped-OLS primitive behind drift
@@ -404,6 +445,7 @@ object ScalarOps {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_trend", qTrend _, Some(qTrendSql)),
+    QueryDef("q_mode", qMode _, Some(qModeSql)),
     QueryDef("q_sample", qSample _, Some(qSampleSql)),
     QueryDef("q_sample_stratified", qSampleStratified _, Some(qSampleStratifiedSql)),
     QueryDef("q_sample_stratified_scalable", sampleStratifiedScalable _,

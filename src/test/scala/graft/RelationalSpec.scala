@@ -204,6 +204,18 @@ class RelationalSpec extends SparkSpec {
       s"pre-base event must land at hour -1, giving slope 3.0: $out")
   }
 
+  test("mode: winner is the true per-source argmax with the documented tie-break") {
+    val expected = Tables.documents(spark, sf)
+      .groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (src, rows) =>
+        src -> rows.minBy(r => (-r._3, r._2))._2 // count desc, lang asc
+      }
+    val got = graft.operators.ScalarOps.qMode(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == expected, s"modal langs must match driver argmax")
+  }
+
   test("q5 plan broadcasts dimension tables") {
     val plan = Relational.q5LocalSupplier(spark, sf)
       .queryExecution.executedPlan.toString
