@@ -1607,9 +1607,104 @@ object Dedup {
        |FROM ch JOIN c USING (ck)
        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- substring dedup
+  /** Sliding-shingle width for [[dedupSubstring]] — same span
+    * granularity as [[ChunkLen]] so the two operators' scores are
+    * directly comparable: a duplicated span of ≥ 8 tokens is ALWAYS
+    * caught here, whereas `dedup_chunk` only sees it when it happens
+    * to align with an 8-token chunk boundary. */
+  private val SubstrLen = 8
+
+  /** EXACT duplicated-substring coverage — the RefinedWeb/MassiveText
+    * curation pass that [[chunkDupStats]] approximates with disjoint
+    * chunks. A token position is duplicated iff it lies inside SOME
+    * k-token window whose content appears ≥ 2 times anywhere in the
+    * corpus (any offset, any doc, including elsewhere in the same
+    * doc). Because shingles are taken at EVERY offset, a copied span
+    * of length ≥ k is detected no matter how it straddles chunk
+    * boundaries — the exact form `dedup_chunk`'s scaladoc declares
+    * out of reach for its disjoint-chunk approximation (planted
+    * proof: PipelinesSpec "boundary-straddling span").
+    *
+    * Plan shape (three exchanges, all linear in token count):
+    * 1. shingle hashes are a per-row expression (transform over a
+    *    static index range, no explode before hashing) → posexplode
+    *    carries (doc_id, offset, 16-byte md5) only;
+    * 2. corpus-wide occurrence counts = one groupBy on the shingle
+    *    hash; the probe joins back on the same key (co-partitioned
+    *    with the aggregate under AQE);
+    * 3. coverage = duplicated shingles exploded to their k covered
+    *    positions → distinct (doc_id, pos) → per-doc count. The ×k
+    *    explode bills DUPLICATED shingles only — on a mostly-clean
+    *    corpus the dominant cost stays the linear shingle pass.
+    *    (The explode-free alternative — sort offsets per doc and
+    *    merge intervals with a lag window — saves that factor when
+    *    dup density is high, at the price of a per-doc sort; the
+    *    distinct form is chosen because it needs no window over
+    *    skewed doc sizes.)
+    * vs the chunk pass: ~k× more shingle rows (every offset instead
+    * of every k-th) — the price of exactness, still linear. The full
+    * 128-bit md5 is the key for the same birthday-bound reason as
+    * [[chunkDupStats]]. Docs shorter than k tokens have no window
+    * and are absent, matching the chunk operator's contract. */
+  def substringDupStats(docs: DataFrame, k: Int,
+      cache: Boolean = true): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(k >= 1, s"k must be >= 1, got $k")
+    val shArr = expr(
+      s"""transform(sequence(0, size(t) - $k),
+         |  j -> md5(concat_ws(' ', slice(t, j + 1, $k))))""".stripMargin)
+    val base = docs
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), posexplode(shArr).as(Seq("j", "sk")))
+    val shingles = // occurrence counts + join probe share one pass
+      if (cache) base.persist(StorageLevel.MEMORY_AND_DISK) else base
+    val counts = shingles.groupBy(col("sk")).agg(count(lit(1)).as("cnt"))
+    val dup = shingles.join(counts, "sk").filter(col("cnt") >= 2)
+    val covered = dup
+      .select(col("doc_id"),
+        explode(sequence(col("j"), col("j") + lit(k - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tokens"))
+    docs.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= k)
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        rnd(coalesce(col("n_dup_tokens"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("dup_token_share"))
+  }
+
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    substringDupStats(Tables.documents(spark, dir), SubstrLen)
+      .orderBy(col("doc_id"))
+
+  private val dedupSubstringSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |d AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM t
+       |      WHERE len(tk) >= $SubstrLen),
+       |sh AS (
+       |  SELECT doc_id, j,
+       |    md5(array_to_string(tk[j + 1 : j + $SubstrLen], ' ')) AS sk
+       |  FROM (SELECT doc_id, tk,
+       |          unnest(range(0, n_tokens - $SubstrLen + 1)) AS j FROM d)),
+       |c AS (SELECT sk, count(*) AS cnt FROM sh GROUP BY sk),
+       |dup AS (SELECT doc_id, j FROM sh JOIN c USING (sk) WHERE c.cnt >= 2),
+       |cov AS (SELECT DISTINCT doc_id, j + o AS p
+       |        FROM (SELECT doc_id, j, unnest(range(0, $SubstrLen)) AS o FROM dup)),
+       |agg AS (SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY doc_id)
+       |SELECT d.doc_id, cast(d.n_tokens as bigint) AS n_tokens,
+       |  cast(coalesce(agg.n_dup_tokens, 0) as bigint) AS n_dup_tokens,
+       |  ${rndSql("cast(coalesce(agg.n_dup_tokens, 0) as double) / d.n_tokens", 6)} AS dup_token_share
+       |FROM d LEFT JOIN agg USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_chunk", dedupChunk _, Some(dedupChunkSql)),
+    QueryDef("dedup_substring", dedupSubstring _, Some(dedupSubstringSql)),
     QueryDef("dedup_exact", dedupExact _, Some(dedupExactSql)),
     QueryDef("dedup_jaccard", dedupJaccard _, Some(dedupJaccardSql)),
     QueryDef("dedup_jaccard_ngram", dedupJaccardNgram _, Some(dedupJaccardNgramSql)),

@@ -575,9 +575,12 @@ object Events {
     * this query's contract is exact counts. */
   def qActiveUsers(spark: SparkSession, dir: String): DataFrame = {
     val UsPerDay = 86400000000L
+    // floor, not cast-truncate: pre-1970 timestamps yield negative
+    // micros, where truncate rounds toward zero but the oracle's `//`
+    // floors — floor() matches for any epoch (same fix as q_trend).
     val ud = Tables.events(spark, dir)
       .select(col("user_id"),
-        unix_micros(col("ts")).divide(lit(UsPerDay)).cast("long").as("day"))
+        floor(unix_micros(col("ts")) / lit(UsPerDay)).cast("long").as("day"))
       .distinct()
     val days = ud.select(col("day").as("d")).distinct()
     val dau = ud.groupBy(col("day").as("d"))
@@ -605,6 +608,46 @@ object Events {
       |SELECT dau.d AS day, dau, wau
       |FROM dau JOIN wau ON dau.d = wau.d
       |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- active users (approx)
+  /** The documented HLL relaxation of [[qActiveUsers]], shipped: when
+    * distinct (user, day) is itself too wide to exchange (users ×
+    * days at 100 TB), per-day DataSketches HLL sketches replace the
+    * exact distinct. Events aggregate STRAIGHT into one sketch per
+    * day (map-side partial merge — the only event-volume exchange
+    * carries `days × 2^lgK`-byte sketch partials, never user rows);
+    * DAU is the per-day estimate; WAU re-merges each day's 7-sketch
+    * window via `hll_union_agg` over the same broadcast day-grid
+    * range join as the exact form — sketch union is exactly the
+    * set-union semantics rolling DISTINCT needs but counts can't
+    * give. lgK = 12 ⇒ ~1.6 % relative standard error, 4 KiB per
+    * sketch; the streaming twin is the same aggregate under a
+    * watermark (sketches are mergeable monoids, the
+    * mapGroupsWithState shape `stream_mg_topk` already uses).
+    *
+    * Rows-only by construction (approximate); RelationalSpec bounds
+    * per-day error vs the exact query at 5 % and proves the
+    * observed-day grids identical. */
+  def qActiveUsersApprox(spark: SparkSession, dir: String): DataFrame = {
+    val UsPerDay = 86400000000L
+    val LgK = 12
+    val daySk = Tables.events(spark, dir)
+      .select(
+        floor(unix_micros(col("ts")) / lit(UsPerDay)).cast("long").as("day"),
+        col("user_id"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), LgK).as("sk"))
+    val days = daySk.select(col("day").as("d"))
+    val dau = daySk.select(col("day").as("d"),
+      hll_sketch_estimate(col("sk")).as("dau_approx"))
+    val wau = daySk.join(broadcast(days),
+        col("day").between(col("d") - 6, col("d")))
+      .groupBy(col("d"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_approx"))
+    dau.join(wau, Seq("d"))
+      .select(col("d").as("day"), col("dau_approx"), col("wau_approx"))
+      .orderBy(col("day"))
+  }
 
   // ---------------------------------------------------------------- outliers
   /** Per-user z-score outlier detection over event values — the
@@ -676,9 +719,11 @@ object Events {
     * Nothing holds per-event state past the first distinct. */
   def qRetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     val UsPerDay = 86400000000L
+    // floor-consistent with the oracle's `//` for any epoch (see
+    // qActiveUsers / q_trend): truncate diverges on pre-1970 micros.
     val userDays = Tables.events(spark, dir)
       .select(col("user_id"),
-        unix_micros(col("ts")).divide(lit(UsPerDay)).cast("long").as("day"))
+        floor(unix_micros(col("ts")) / lit(UsPerDay)).cast("long").as("day"))
       .distinct()
     val withCohort = userDays.withColumn("cohort_day",
       min(col("day")).over(Window.partitionBy(col("user_id"))))
@@ -732,5 +777,6 @@ object Events {
     QueryDef("q_outliers", qOutliers _, Some(qOutliersSql)),
     QueryDef("q_interval_join", qIntervalJoin _, Some(qIntervalJoinSql)),
     QueryDef("q_active_users", qActiveUsers _, Some(qActiveUsersSql)),
+    QueryDef("q_active_users_approx", qActiveUsersApprox _, None),
     QueryDef("q_funnel_steps", qFunnelSteps _, Some(qFunnelStepsSql)))
 }

@@ -221,6 +221,32 @@ class PipelinesSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 2L), (4L, 2L, 0L)))
   }
 
+  test("substringDupStats: boundary-straddling span caught exactly; chunk pass provably misses it") {
+    val span = (1 to 8).map(i => s"S$i").mkString(" ")
+    val docs = docsDf(Seq(
+      // doc 1 carries the span at offset 4 — dead center across its
+      // two 8-token chunks; doc 2 carries it chunk-aligned at 0
+      1L -> ((1 to 4).map(i => s"a$i").mkString(" ") + " " + span + " " +
+        (1 to 4).map(i => s"b$i").mkString(" ")),
+      2L -> (span + " " + (1 to 8).map(i => s"c$i").mkString(" ")),
+      // doc 3: all-unique control
+      3L -> (1 to 16).map(i => s"z$i").mkString(" "),
+      // doc 4: 10 identical tokens — overlapping self-duplicated
+      // shingles must union to 10 covered positions, not 3×8
+      4L -> Seq.fill(10)("r").mkString(" ")))
+    // the chunk pass sees ZERO duplicated chunks in docs 1-3: the span
+    // straddles doc 1's chunk boundary, so no chunk content repeats
+    val chunks = Dedup.chunkDupStats(docs, chunkLen = 8).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(chunks.take(3) == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
+    // the sliding pass covers exactly the 8 span tokens in each carrier
+    val got = Dedup.substringDupStats(docs, k = 8).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 16L, 8L, 0.5), (2L, 16L, 8L, 0.5),
+      (3L, 16L, 0L, 0.0), (4L, 10L, 10L, 1.0)))
+  }
+
   test("text_bm25: scores descend, are positive for term-bearing docs, tf columns honest") {
     val out = TextAnalysis.textBm25(spark, sf).collect()
     assert(out.nonEmpty)

@@ -126,6 +126,22 @@ class RelationalSpec extends SparkSpec {
     assert(rows.forall(_._3 <= users))
   }
 
+  test("active users approx: same day grid as exact, per-day error within 5%") {
+    val exact = Events.qActiveUsers(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = Events.qActiveUsersApprox(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(approx.map(_._1).toSet == exact.keySet,
+      "observed-day grids must be identical — the sketch changes counts, not days")
+    approx.foreach { case (d, dauA, wauA) =>
+      val (dau, wau) = exact(d)
+      assert(math.abs(dauA - dau) <= math.max(1, 0.05 * dau),
+        s"day $d: approx dau $dauA vs exact $dau")
+      assert(math.abs(wauA - wau) <= math.max(1, 0.05 * wau),
+        s"day $d: approx wau $wauA vs exact $wau")
+    }
+  }
+
   test("interval join: every row is a real purchase with >= 1 qualifying view") {
     import org.apache.spark.sql.functions.unix_micros
     val out = Events.qIntervalJoin(spark, sf).collect()
