@@ -40,6 +40,7 @@ object Bench {
     "dedup_simhash_wide",   // 60-bit signature, 12-bit bands (round 2)
     "pipeline_fuzzy_dedup", // minhash candidates -> exact verify (round 2)
     "dedup_containment",    // directed containment on band candidates (round 6)
+    "dedup_containment_ngram", // prefix-filter tier on a natural trigram vocab (round 9)
     "pipeline_dedup_clusters", // verified pairs -> connected components (round 2)
     "dedup_embedding",      // cluster-scoped embedding near-dup pairs (round 7)
     "dedup_embedding_exact", // all-pairs baseline within label blocks (round 7)

@@ -926,6 +926,65 @@ object Dedup {
       .orderBy(col("doc_sub"), col("doc_sup"))
   }
 
+  /** The prefix tier as a PUBLIC kernel over an arbitrary
+    * `(doc_id, s: array<T>)` sets frame — [[containmentPrefix]] is
+    * element-type-generic (explode / size / array_intersect), so
+    * callers with hashed-shingle long sets use the same code as the
+    * string-token path. No vocab probe here: callers reach for this
+    * form precisely when the vocabulary is known natural (≫ 64), so
+    * dispatch is static rather than probed. */
+  def containmentPrefixPairs(sets0: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sets = sets0.select(col("doc_id"), col("s"))
+      .filter(size(col("s")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tokens = sets.select(col("doc_id"), size(col("s")).as("sz"),
+        explode(col("s")).as("tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    containmentPrefix(sets, tokens)
+  }
+
+  /** Full-recall containment over word-TRIGRAM shingle sets — the
+    * natural-vocabulary twin of [[dedupContainmentExact]], registered
+    * so the PREFIX tier (the one that matters at 100 TB) carries a
+    * tracked bench number: the synthetic corpus's ~100-word unigram
+    * vocabulary always routes the exact query to the ≤ 64 popcount-
+    * mask tier, so without this entry the inverted-index join never
+    * runs at bench scale (the `dedup_jaccard_ngram` precedent —
+    * trigram shingles give a realistic sparse vocabulary). Spark
+    * operates on xxhash64-hashed shingles (64-bit join/intersect
+    * keys — ~10× fewer shuffle bytes than 3-word strings; a
+    * collision merging two shingles within one doc pair is ~n²/2⁶⁴);
+    * the oracle is brute-force all-pairs over the STRING shingles,
+    * so hash-equality simultaneously proves recall and that no
+    * collision bit. */
+  def dedupContainmentNgram(spark: SparkSession, dir: String): DataFrame =
+    containmentPrefixPairs(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .withColumn("s",
+          transform(array_distinct(expr(shingleExpr)), g => xxhash64(g)))
+        .select(col("doc_id"), col("s")))
+
+  private val dedupContainmentNgramSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_filter(
+       |    list_transform(tk, (x, i) -> CASE WHEN i + 2 <= len(tk)
+       |      THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] END),
+       |    s -> s IS NOT NULL)) AS s
+       |  FROM t),
+       |f AS (SELECT * FROM sh WHERE len(s) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
+       |    cast(len(list_intersect(a.s, b.s)) as int) AS c,
+       |    cast(len(a.s) as int) AS sza
+       |  FROM f a JOIN f b ON a.doc_id <> b.doc_id)
+       |SELECT doc_sub, doc_sup, c AS n_shared_tokens,
+       |  ${rndSql("cast(c as double) / sza", 4)} AS containment
+       |FROM pairs WHERE cast(c as double) / sza >= 0.9
+       |ORDER BY doc_sub, doc_sup""".stripMargin
+
   private val dedupContainmentExactSql =
     s"""WITH sets AS (
        |  SELECT doc_id, list_distinct($toksSql) AS s FROM documents
@@ -1257,17 +1316,21 @@ object Dedup {
     * A pair colliding in k bands appears k times; it is deduped
     * WITHOUT a shuffle by keeping only the FIRST matching band (every
     * earlier band differs) — a pure filter on the join output. */
+  // band b covers signature bits [bound(b), bound(b+1)) — near-equal
+  // widths; ANY partition of the bits preserves the pigeonhole bound
+  private def bandBounds(bits: Int, bands: Int): IndexedSeq[Int] =
+    (0 to bands).map(b => b * bits / bands)
+  private def bandBitsAt(bound: IndexedSeq[Int], side: String, b: Int): String =
+    s"(shiftright($side, ${bound(b)}) & ${(1L << (bound(b + 1) - bound(b))) - 1}L)"
+
   def bandedHammingPairs(sigs: DataFrame, bits: Int, bands: Int,
       maxHamming: Int): DataFrame = {
     require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
     require(bands >= 1 && bands <= bits, s"bands must be in [1, $bits], got $bands")
     require(maxHamming >= 0 && maxHamming < bands,
       s"pigeonhole recall needs maxHamming < bands, got $maxHamming vs $bands")
-    // band b covers signature bits [bound(b), bound(b+1)) — near-equal
-    // widths; ANY partition of the bits preserves the pigeonhole bound
-    val bound = (0 to bands).map(b => b * bits / bands)
-    def bandBits(side: String, b: Int): String =
-      s"(shiftright($side, ${bound(b)}) & ${(1L << (bound(b + 1) - bound(b))) - 1}L)"
+    val bound = bandBounds(bits, bands)
+    def bandBits(side: String, b: Int): String = bandBitsAt(bound, side, b)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"), expr(bandBits("sh", b)).as("bits"))
     }
@@ -1323,15 +1386,14 @@ object Dedup {
     if (agree == 1) return bandedHammingPairs(sigs, bits, bands, maxHamming)
     require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
     require(bands <= bits, s"bands must be in [1, $bits], got $bands")
-    val bound = (0 to bands).map(b => b * bits / bands)
+    val bound = bandBounds(bits, bands)
     // the widest possible subset key is the sum of the `agree` widest
     // bands (agree × max-width over-rejects valid configs, e.g. the
     // full-width agree == bands case where the widths sum to `bits`)
     val widths = bound.sliding(2).map(p => p(1) - p(0)).toSeq
     require(widths.sorted.reverse.take(agree).sum <= 63,
       "packed subset key must fit a long")
-    def bandBits(side: String, b: Int): String =
-      s"(shiftright($side, ${bound(b)}) & ${(1L << (bound(b + 1) - bound(b))) - 1}L)"
+    def bandBits(side: String, b: Int): String = bandBitsAt(bound, side, b)
     def subsetKey(side: String, s: Seq[Int]): String =
       s.foldLeft("0L") { (acc, b) =>
         s"(shiftleft($acc, ${bound(b + 1) - bound(b)}) | ${bandBits(side, b)})"
@@ -1359,6 +1421,84 @@ object Dedup {
       .filter(col("hamming") <= maxHamming && expr(firstMatchingSubset))
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The probe's verdict, exposed so specs (and curious callers) can
+    * see WHY a config was chosen, not just which: estimated costs are
+    * in exploded-row units, scaled to the full corpus. */
+  case class BandingChoice(useSubset: Boolean,
+      costSingle: Double, costSubset: Double)
+
+  /** Corpus-stat probe choosing between the single-band and the
+    * agree-2 subset banding for a (block, sh) signature frame — the
+    * vocab-probe dispatch pattern (jaccard ladder, containment tiers)
+    * applied to banding width, replacing per-corpus hand-tuning of
+    * the band constants. Both candidate configs produce IDENTICAL
+    * output (total recall by pigeonhole + the same exact hamming
+    * filter), so the choice is pure cost, and the cost model has two
+    * terms the round-8 sf10 A/B measured directly:
+    *   cost ≈ explodedRows + W · candidatePairs
+    * (single-band: (h+1) rows/doc; subset: C(h+2,2) rows/doc — the
+    * A/B showed the explode term dominating on a natural corpus,
+    * 63.3 s vs 160.1 s at 3× the rows, hence W = 4: a candidate
+    * carries two signatures through a join and a popcount filter,
+    * several exploded-row-equivalents, but not orders of magnitude).
+    * candidatePairs per config is estimated WITHOUT forming pairs:
+    * Σ c·(c−1)/2 over the config's key buckets — one explode +
+    * count aggregate over a deterministic md5-keyed sample (≤
+    * probeCap docs; collision mass scales as f², exploded rows as f).
+    * The probe never materializes a single pair, so its cost is a
+    * small multiple of one banding pass over the sample. */
+  def chooseBandingConfig(sigs: DataFrame, bits: Int, maxHamming: Int,
+      probeCap: Long = 100000L): BandingChoice = {
+    val singleBands = maxHamming + 1 // widest bands = best selectivity
+    val subBands = maxHamming + 2    // ⇒ agree = 2 by pigeonhole
+    val n = sigs.count()
+    val f = if (n <= probeCap) 1.0 else probeCap.toDouble / n
+    val sample =
+      if (f >= 1.0) sigs
+      else sigs.filter(
+        pmod(xxhash64(col("doc_id")), lit(1000000L)) < lit((f * 1e6).toLong))
+    def collisionMass(keys: Seq[Column]): Double = {
+      val m = sample
+        .select(col("block"), explode(array(keys: _*)).as("kd"))
+        .groupBy(col("block"), col("kd"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") * (col("c") - lit(1L)) / lit(2L)),
+          lit(0L)).cast("double"))
+        .head.getDouble(0)
+      m / (f * f)
+    }
+    val boundA = bandBounds(bits, singleBands)
+    val keysA = (0 until singleBands).map(b =>
+      struct(lit(b).as("band"), expr(bandBitsAt(boundA, "sh", b)).as("bits")))
+    val boundB = bandBounds(bits, subBands)
+    def subsetKey(s: Seq[Int]): String = s.foldLeft("0L") { (acc, b) =>
+      s"(shiftleft($acc, ${boundB(b + 1) - boundB(b)}) | ${bandBitsAt(boundB, "sh", b)})"
+    }
+    val subsets = (0 until subBands).combinations(2).map(_.toSeq).toVector
+    val keysB = subsets.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("sub"), expr(subsetKey(s)).as("kbits"))
+    }
+    val W = 4.0
+    val costSingle = singleBands.toDouble * n + W * collisionMass(keysA)
+    val costSubset = subsets.size.toDouble * n + W * collisionMass(keysB)
+    BandingChoice(costSubset < costSingle, costSingle, costSubset)
+  }
+
+  /** [[bandedHammingPairs]] with the config probe-chosen by
+    * [[chooseBandingConfig]] instead of hand-fixed: same output
+    * whichever branch wins (both kernels are total-recall for
+    * hamming ≤ maxHamming and apply the same exact filter), so
+    * oracles are untouched — only the candidate-generation cost
+    * moves. */
+  def bandedHammingPairsAuto(sigs: DataFrame, bits: Int,
+      maxHamming: Int): DataFrame = {
+    val choice = chooseBandingConfig(sigs, bits, maxHamming)
+    if (choice.useSubset)
+      bandedHammingPairsSubset(sigs, bits, maxHamming + 2, maxHamming)
+    else
+      bandedHammingPairs(sigs, bits, maxHamming + 1, maxHamming)
   }
 
   /** 16-bit banded demo — the pigeonhole proof at toy width: the same
@@ -1439,6 +1579,12 @@ object Dedup {
   // remains the public, property-tested option for corpora where
   // collision mass genuinely dominates (dup-dense buckets, higher
   // maxHamming, narrower signatures).
+  // Round 9: the choice is no longer a hand-fixed literal — the
+  // registered query dispatches through [[chooseBandingConfig]]'s
+  // collision-mass probe, which on THIS corpus picks the same
+  // single-band config the A/B measured as the winner (and on a
+  // planted dup-dense corpus picks the subset join — PropertySpec).
+  // Output is identical either way, so the oracle is untouched.
   def dedupSimhashWide(spark: SparkSession, dir: String): DataFrame = {
     val sig = Tables.documents(spark, dir)
       .filter(col("text").rlike("\\S")) // cheap raw-text form of size(t)>0 (see simhashSignatures)
@@ -1446,9 +1592,9 @@ object Dedup {
       .withColumn("th", transform(col("t"), tok => md5Long(tok)))
       .select(col("doc_id"), col("lang"), expr(simhashSigExpr(WideBits)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // self-joined
-    bandedHammingPairs(
+    bandedHammingPairsAuto(
       sig.select(col("doc_id"), col("lang").as("block"), col("sh")),
-      bits = WideBits, bands = WideBands, maxHamming = WideBands - 1)
+      bits = WideBits, maxHamming = WideBands - 1)
   }
 
   private val dedupSimhashWideSql = {
@@ -1714,6 +1860,8 @@ object Dedup {
     QueryDef("dedup_containment", dedupContainment _, Some(dedupContainmentSql)),
     QueryDef("dedup_containment_exact", dedupContainmentExact _,
       Some(dedupContainmentExactSql)),
+    QueryDef("dedup_containment_ngram", dedupContainmentNgram _,
+      Some(dedupContainmentNgramSql)),
     QueryDef("pipeline_dedup_clusters", pipelineDedupClusters _, Some(pipelineDedupClustersSql)),
     QueryDef("dedup_simhash", dedupSimhash _, Some(dedupSimhashSql)),
     QueryDef("dedup_simhash_banded", dedupSimhashBanded _, Some(dedupSimhashWideSql)),

@@ -351,7 +351,18 @@ object ScalarOps {
     * per-group rank over the COUNTS frame, which is groups × domain
     * rows — tiny relative to the corpus at any scale. The tie-break
     * (count DESC, value ASC) makes the winner total-order
-    * deterministic on both engines. */
+    * deterministic on both engines.
+    *
+    * CONTRACT: this window-rank form assumes the VALUE DOMAIN is
+    * small relative to the corpus (languages, sources, enum-ish
+    * columns) — the counts frame it window-sorts is groups × domain
+    * rows. When the domain rivals the corpus (user ids, URLs), that
+    * frame is corpus-scale and the per-group window re-sorts it; use
+    * [[qModeBounded]]/[[modeOf]] instead, which replaces the window
+    * with a 1-row-per-group argmax aggregate. Both forms still pay
+    * the exact (group, value) count — information-theoretically
+    * unavoidable for EXACT mode; the sketch relaxation for when even
+    * that is too wide is `mg_topk` (Misra-Gries, k=1). */
   def qMode(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(spark, dir)
       .groupBy(col("source"), col("lang"))
@@ -366,6 +377,41 @@ object ScalarOps {
         rnd(col("cnt").cast("double") / col("n_src"), 4).as("share"))
       .orderBy(col("source"))
   }
+
+  /** The high-cardinality-domain mode kernel: same (group, value)
+    * count first stage, then the winner per group via ONE argmax
+    * aggregate — `min(struct(-cnt, value))` orders lexicographically
+    * (largest count first, then smallest value), so it IS the
+    * (count DESC, value ASC) tie-break as a single orderable-struct
+    * min. Map-side combine reduces every partition to one candidate
+    * row per group, so nothing domain-sized is ever window-sorted —
+    * the k=1 bounded-aggregate shape of `q_group_topk`, expressed
+    * with builtin min-over-struct instead of a typed Aggregator
+    * closure: same ≤1-row-per-partition-per-group bound, but it
+    * stays inside whole-stage codegen and works for any orderable
+    * value type (the TopKAggregator route is (Long, Double)-keyed).
+    * Output schema/rounding identical to [[qMode]]; RelationalSpec
+    * proves row equality on the registered domain, and the shared
+    * oracle hash-checks it against DuckDB independently. */
+  def modeOf(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col(groupCol))
+      .agg(
+        min(struct((-col("cnt")).as("nc"), col(valueCol).as("v"))).as("m"),
+        sum(col("cnt")).as("n_grp"))
+      .select(col(groupCol),
+        col("m.v").as(s"modal_$valueCol"),
+        (-col("m.nc")).as("cnt"),
+        rnd((-col("m.nc")).cast("double") / col("n_grp"), 4).as("share"))
+  }
+
+  /** [[modeOf]] on the registered domain — registered under the SAME
+    * oracle as `q_mode` (the window form): hash-equality proves the
+    * argmax aggregate and the window rank agree. */
+  def qModeBounded(spark: SparkSession, dir: String): DataFrame =
+    modeOf(Tables.documents(spark, dir), "source", "lang")
+      .orderBy(col("source"))
 
   private val qModeSql =
     """WITH counts AS (
@@ -446,6 +492,7 @@ object ScalarOps {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_trend", qTrend _, Some(qTrendSql)),
     QueryDef("q_mode", qMode _, Some(qModeSql)),
+    QueryDef("q_mode_bounded", qModeBounded _, Some(qModeSql)),
     QueryDef("q_sample", qSample _, Some(qSampleSql)),
     QueryDef("q_sample_stratified", qSampleStratified _, Some(qSampleStratifiedSql)),
     QueryDef("q_sample_stratified_scalable", sampleStratifiedScalable _,

@@ -260,6 +260,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("banding probe: subset on a saturated band, single-band on spread signatures, auto output invariant") {
+    val s = spark
+    import s.implicits._
+    // deterministic 60-bit signatures; splitmix64 finalizer spreads
+    // ALL bits (a weaker knuth-mix left band 4 constant-zero and the
+    // probe correctly flagged the "spread" corpus as saturated)
+    def mix(i: Long): Long = {
+      var z = i + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val mask60 = (1L << 60) - 1
+    // saturated corpus: low 12 bits constant — under the 5×12 single-
+    // band geometry band 0 is ONE bucket holding all n docs (collision
+    // mass ~ n²/2), while the 6×10 agree-2 subset keys pair the
+    // constant bits with spread bits and stay selective
+    val dense = (0L until 2000L)
+      .map(i => (i, "x", ((mix(i) << 12) | 0x7B3L) & mask60))
+      .toDF("doc_id", "block", "sh")
+    val cDense = graft.operators.Dedup.chooseBandingConfig(dense, 60, 4)
+    assert(cDense.useSubset,
+      s"saturated band must dispatch to the subset join: $cDense")
+    // spread corpus: fully mixed signatures — collisions are rare in
+    // BOTH configs, so the 3× explode of the subset join must lose
+    val spread = (0L until 2000L)
+      .map(i => (i, "x", mix(i) & mask60))
+      .toDF("doc_id", "block", "sh")
+    val cSpread = graft.operators.Dedup.chooseBandingConfig(spread, 60, 4)
+    assert(!cSpread.useSubset,
+      s"spread signatures must dispatch to the single-band join: $cSpread")
+    // whichever branch wins, the output is the fixed config's output
+    val auto = graft.operators.Dedup.bandedHammingPairsAuto(dense, 60, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fixed = graft.operators.Dedup.bandedHammingPairs(dense, 60, 5, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(auto == fixed, "probe-chosen config must not change the output")
+  }
+
   test("subset banding accepts the full-width agree==bands config (guard regression)") {
     val s = spark
     import s.implicits._

@@ -232,6 +232,19 @@ class RelationalSpec extends SparkSpec {
     assert(got == expected, s"modal langs must match driver argmax")
   }
 
+  test("mode bounded: argmax-aggregate form equals the window form row for row") {
+    val win = graft.operators.ScalarOps.qMode(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val agg = graft.operators.ScalarOps.qModeBounded(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(agg.toSeq == win.toSeq,
+      "the two mode formulations must be indistinguishable")
+    // and the plan genuinely avoids window sorts: aggregates only
+    val plan = graft.operators.ScalarOps.qModeBounded(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"bounded mode must not plan a window: $plan")
+  }
+
   test("q5 plan broadcasts dimension tables") {
     val plan = Relational.q5LocalSupplier(spark, sf)
       .queryExecution.executedPlan.toString
