@@ -1436,19 +1436,31 @@ object Dedup {
     * the band constants. Both candidate configs produce IDENTICAL
     * output (total recall by pigeonhole + the same exact hamming
     * filter), so the choice is pure cost, and the cost model has two
-    * terms the round-8 sf10 A/B measured directly:
+    * terms:
     *   cost ≈ explodedRows + W · candidatePairs
-    * (single-band: (h+1) rows/doc; subset: C(h+2,2) rows/doc — the
-    * A/B showed the explode term dominating on a natural corpus,
-    * 63.3 s vs 160.1 s at 3× the rows, hence W = 4: a candidate
-    * carries two signatures through a join and a popcount filter,
-    * several exploded-row-equivalents, but not orders of magnitude).
+    * (single-band: (h+1) rows/doc; subset: C(h+2,2) rows/doc).
+    * W CALIBRATION (round 10 — round 9 shipped W = 4, a guess that
+    * mis-routed this very corpus): solving the two-term model against
+    * the measured sf0.1 A/B (single-band 1.7 s at 300k exploded rows
+    * / 1.28M bucket pairs; subset 5.3 s at 900k rows / 1.05M pairs)
+    * gives a per-pair cost β ≈ 0 — statistically indistinguishable
+    * from free, because a surviving candidate is one codegen'd
+    * popcount+CASE in-core while an exploded row pays exchange
+    * serialize/shuffle/probe — consistent with the round-8 sf10 A/B
+    * (single 63.3 s vs subset 160.1 s at 3× the rows). W = 0.1 is
+    * the conservative ceiling: it keeps every measured natural-corpus
+    * point on the single-band branch at any mass scaling up to
+    * n²-in-buckets, yet still routes the genuinely saturated regime
+    * (one band ≈ one bucket, mass ≈ n²/2 ≫ rows — the planted
+    * PropertySpec corpus) to the subset join, which is the regime
+    * the subset kernel exists for.
     * candidatePairs per config is estimated WITHOUT forming pairs:
-    * Σ c·(c−1)/2 over the config's key buckets — one explode +
-    * count aggregate over a deterministic md5-keyed sample (≤
-    * probeCap docs; collision mass scales as f², exploded rows as f).
-    * The probe never materializes a single pair, so its cost is a
-    * small multiple of one banding pass over the sample. */
+    * Σ c·(c−1)/2 over the config's key buckets — BOTH configs' keys
+    * tagged and exploded in ONE count aggregate over a deterministic
+    * xxhash64-keyed sample (≤ probeCap docs; collision mass scales
+    * as f², exploded rows as f). The probe never materializes a
+    * single pair, so its cost is one count plus one banding pass
+    * over the sample — two driver jobs total. */
   def chooseBandingConfig(sigs: DataFrame, bits: Int, maxHamming: Int,
       probeCap: Long = 100000L): BandingChoice = {
     val singleBands = maxHamming + 1 // widest bands = best selectivity
@@ -1458,43 +1470,67 @@ object Dedup {
     val sample =
       if (f >= 1.0) sigs
       else sigs.filter(
-        pmod(xxhash64(col("doc_id")), lit(1000000L)) < lit((f * 1e6).toLong))
-    def collisionMass(keys: Seq[Column]): Double = {
-      val m = sample
-        .select(col("block"), explode(array(keys: _*)).as("kd"))
-        .groupBy(col("block"), col("kd"))
-        .agg(count(lit(1)).as("c"))
-        .agg(coalesce(sum(col("c") * (col("c") - lit(1L)) / lit(2L)),
-          lit(0L)).cast("double"))
-        .head.getDouble(0)
-      m / (f * f)
-    }
+        // clamp to ≥ 1: at n > probeCap·1e6 the raw truncation hits 0
+        // and the sample silently empties (the probe would then always
+        // pick single-band on exactly the corpora that need the probe)
+        pmod(xxhash64(col("doc_id")), lit(1000000L)) <
+          lit(math.max(1L, (f * 1e6).toLong)))
     val boundA = bandBounds(bits, singleBands)
     val keysA = (0 until singleBands).map(b =>
-      struct(lit(b).as("band"), expr(bandBitsAt(boundA, "sh", b)).as("bits")))
+      struct(lit(0).as("cfg"), lit(b).as("idx"),
+        expr(bandBitsAt(boundA, "sh", b)).as("kbits")))
     val boundB = bandBounds(bits, subBands)
     def subsetKey(s: Seq[Int]): String = s.foldLeft("0L") { (acc, b) =>
       s"(shiftleft($acc, ${boundB(b + 1) - boundB(b)}) | ${bandBitsAt(boundB, "sh", b)})"
     }
     val subsets = (0 until subBands).combinations(2).map(_.toSeq).toVector
     val keysB = subsets.zipWithIndex.map { case (s, i) =>
-      struct(lit(i).as("sub"), expr(subsetKey(s)).as("kbits"))
+      struct(lit(1).as("cfg"), lit(i).as("idx"),
+        expr(subsetKey(s)).as("kbits"))
     }
-    val W = 4.0
-    val costSingle = singleBands.toDouble * n + W * collisionMass(keysA)
-    val costSubset = subsets.size.toDouble * n + W * collisionMass(keysB)
+    // one pass, both configs: collision mass per cfg tag
+    val masses = sample
+      .select(col("block"), explode(array(keysA ++ keysB: _*)).as("kd"))
+      .groupBy(col("block"), col("kd"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("kd.cfg").as("cfg"))
+      .agg(coalesce(sum(col("c") * (col("c") - lit(1L)) / lit(2L)),
+        lit(0L)).cast("double").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def mass(cfg: Int): Double = masses.getOrElse(cfg, 0.0) / (f * f)
+    val W = 0.1
+    val costSingle = singleBands.toDouble * n + W * mass(0)
+    val costSubset = subsets.size.toDouble * n + W * mass(1)
     BandingChoice(costSubset < costSingle, costSingle, costSubset)
   }
+
+  /** Memoized probe verdicts, keyed on the signature frame's
+    * CANONICALIZED logical plan (so two builds of the same frame —
+    * same source paths, same expressions — share one entry; a
+    * different corpus dir is a different relation and misses) plus
+    * (bits, maxHamming). The banding choice is a per-corpus
+    * property, not a per-query one: round 9 re-ran the probe's
+    * driver-blocking jobs inside every registered simhash query and
+    * paid a deterministic 2.4-2.7× on both — this cache restores
+    * steady-state cost to the bare kernel while keeping the dispatch
+    * automatic. JVM-local and unbounded, which is fine: entries are
+    * one case class per (corpus, config) ever probed. */
+  private val bandingChoiceCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), BandingChoice]()
 
   /** [[bandedHammingPairs]] with the config probe-chosen by
     * [[chooseBandingConfig]] instead of hand-fixed: same output
     * whichever branch wins (both kernels are total-recall for
     * hamming ≤ maxHamming and apply the same exact filter), so
     * oracles are untouched — only the candidate-generation cost
-    * moves. */
+    * moves. The probe runs ONCE per (corpus frame, bits, maxHamming)
+    * per JVM ([[bandingChoiceCache]]); repeat invocations pay only
+    * the kernel. */
   def bandedHammingPairsAuto(sigs: DataFrame, bits: Int,
       maxHamming: Int): DataFrame = {
-    val choice = chooseBandingConfig(sigs, bits, maxHamming)
+    val key = (sigs.queryExecution.analyzed.canonicalized, bits, maxHamming)
+    val choice = bandingChoiceCache.computeIfAbsent(key,
+      _ => chooseBandingConfig(sigs, bits, maxHamming))
     if (choice.useSubset)
       bandedHammingPairsSubset(sigs, bits, maxHamming + 2, maxHamming)
     else
@@ -1595,6 +1631,33 @@ object Dedup {
     bandedHammingPairsAuto(
       sig.select(col("doc_id"), col("lang").as("block"), col("sh")),
       bits = WideBits, maxHamming = WideBands - 1)
+  }
+
+  /** The wide-simhash signature frame alone — the probe's input,
+    * exposed for diagnostics and specs. */
+  def simhashWideSigsForProbe(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").rlike("\\S"))
+      .select(col("doc_id"), col("lang"), array_distinct(toks).as("t"))
+      .withColumn("th", transform(col("t"), tok => md5Long(tok)))
+      .select(col("doc_id"), col("lang"), expr(simhashSigExpr(WideBits)).as("sh"))
+      .select(col("doc_id"), col("lang").as("block"), col("sh"))
+
+  /** [[dedupSimhashWide]] with the banding config FIXED to the
+    * single-band kernel — the explicit-config escape hatch (and the
+    * A/B baseline for probe-overhead measurements): identical output
+    * to the auto form on any corpus where the probe picks
+    * single-band, zero probe jobs ever. */
+  def dedupSimhashWideFixed(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.documents(spark, dir)
+      .filter(col("text").rlike("\\S"))
+      .select(col("doc_id"), col("lang"), array_distinct(toks).as("t"))
+      .withColumn("th", transform(col("t"), tok => md5Long(tok)))
+      .select(col("doc_id"), col("lang"), expr(simhashSigExpr(WideBits)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandedHammingPairs(
+      sig.select(col("doc_id"), col("lang").as("block"), col("sh")),
+      bits = WideBits, bands = WideBands, maxHamming = WideBands - 1)
   }
 
   private val dedupSimhashWideSql = {

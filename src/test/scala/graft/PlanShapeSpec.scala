@@ -153,6 +153,8 @@ class PlanShapeSpec extends SparkSpec {
     "mr_pagerank",                        // broadcast single-row node count
     "q_active_users",                     // broadcast observed-day grid (≤ days
                                           // rows) range-joined for rolling WAU
+    "q_active_users_approx",              // same broadcast day grid, range-joined
+                                          // to merge trailing-7d HLL sketches
     "text_tfidf",                         // broadcast single-row corpus size N
     "text_cooccurrence",                  // broadcast 1-row (T, P) totals frame
     "text_bm25",                          // broadcast single-row (N, Σdl, df) stats

@@ -299,6 +299,18 @@ class PropertySpec extends SparkSpec {
     assert(auto == fixed, "probe-chosen config must not change the output")
   }
 
+  test("banding probe picks single-band on the natural documents corpus (W calibration regression)") {
+    // round 9's W = 4 mis-routed the real corpus to the subset join
+    // (measured 3× slower at sf0.1: 5.3 s vs 1.7 s single-band); the
+    // recalibrated W = 0.1 must keep every natural-corpus point on
+    // the single-band branch while PropertySpec's planted saturated
+    // corpus (above) still dispatches to subset
+    val c = graft.operators.Dedup.chooseBandingConfig(
+      graft.operators.Dedup.simhashWideSigsForProbe(spark, sf), 60, 4)
+    assert(!c.useSubset,
+      s"natural corpus must stay on the single-band kernel: $c")
+  }
+
   test("subset banding accepts the full-width agree==bands config (guard regression)") {
     val s = spark
     import s.implicits._
