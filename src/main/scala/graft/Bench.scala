@@ -185,9 +185,16 @@ object Bench {
           Seq.empty
         }
     // FAST TIER (round 7): the ~60 registered queries outside the
-    // headline get ONE warmed timed run each — no min-of-2 (they are
-    // sub-second; a 2x-noise sample still catches an order-of-
-    // magnitude regression, which is what the long tail needs).
+    // headline get ONE warmed timed run each — EXCEPT that a run
+    // landing at >= 2 s earns a second run and reports the min
+    // (round 10): the tail's single samples repeatedly manufactured
+    // phantom 2x regressions on exactly its heaviest entries
+    // (r7 "1.95x", r8 text_tfidf, r9 dedup_containment_exact 17.2 s
+    // vs 7.0 s isolated / graph_cc 6.1 s vs 3.6 s), each costing an
+    // adjudication round. Sub-2 s entries keep the single sample: a
+    // 2x-noise reading still catches the order-of-magnitude
+    // regressions the long tail is watched for, and the second run
+    // is only billed where noise has actually burned us.
     // Subset mode skips it, like streaming. Per-query seconds go to
     // BENCH_DETAIL.json; stdout carries only the compact rollup so
     // the driver's bounded tail window keeps parsing.
@@ -203,15 +210,23 @@ object Bench {
             }
             isolate()
           }
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] fast $name failed: ${e.getMessage}"); false
-            }
-          val dt = (System.nanoTime() - t0) / 1e9
-          isolate()
-          name -> (if (ok) dt else -1.0)
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            val ok =
+              try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] fast $name failed: ${e.getMessage}"); false
+              }
+            val dt = (System.nanoTime() - t0) / 1e9
+            isolate()
+            if (ok) dt else -1.0
+          }
+          val r1 = once()
+          val best = if (r1 >= 2.0) math.min(r1, once() match {
+            case bad if bad < 0 => r1 // second run failing: keep the good sample
+            case r2 => r2
+          }) else r1
+          name -> best
         }
     val policy =
       if (doWarm) "warm-sf0.01+min-of-2-cold" else "min-of-2-cold"
@@ -384,7 +399,14 @@ object Bench {
           Seq("join", "hash", "scan")).toDF(),
         outputMode = "update"),
       drive[StreamingJobs.CapDoc]("stream_domain_cap", capDocs,
-        ds => StreamingJobs.capPerSourceStream(ds, 200).toDF()))
+        ds => StreamingJobs.capPerSourceStream(ds, 200).toDF()),
+      // complete mode: the days-scale sketch state (2 × 4 KiB per
+      // active window) makes full re-emission per batch cheap, and
+      // the throughput number is input rows/s either way
+      drive[StreamingJobs.Ev]("stream_active_users", evs,
+        ds => StreamingJobs.activeUsersApproxStream(
+          ds.select(timestamp_micros(col("us")).as("ts"), col("user_id"))),
+        outputMode = "complete"))
     evalNgrams.unpersist()
     parts
   }

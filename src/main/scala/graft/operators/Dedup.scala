@@ -900,9 +900,14 @@ object Dedup {
       .orderBy(col("doc_sub"), col("doc_sup"))
   }
 
-  /** Natural-vocabulary tier: the prefix-filter inverted-index join
-    * (see [[dedupContainmentExact]]'s scaladoc for the bound). */
-  private def containmentPrefix(sets: DataFrame, tokens: DataFrame): DataFrame = {
+  /** The prefix tier's CANDIDATE pair frame alone — public so the
+    * filter's selectivity is a measurable quantity (specs count it;
+    * SURVEY §6 records it next to the tracked bench number): the
+    * tier's cost is candidates × per-pair verify, so when the bench
+    * entry grows, counting this frame says whether the corpus got
+    * bigger or the filter got weaker (the PPJoin positional-filter
+    * upgrade becomes worth it when candidates ≫ qualifying pairs). */
+  def containmentPrefixCandidates(tokens: DataFrame): DataFrame = {
     val dfreq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // k = sz − ⌈0.9·sz⌉ + 1 prefix tokens, integer-exact
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
@@ -910,12 +915,17 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
       .select(col("doc_id").as("doc_sub"), col("tok"))
-    val cand = prefix
+    prefix
       .join(tokens.select(col("doc_id").as("doc_sup"), col("tok")), "tok")
       .filter(col("doc_sub") =!= col("doc_sup"))
       .select(col("doc_sub"), col("doc_sup"))
       .distinct()
-    cand
+  }
+
+  /** Natural-vocabulary tier: the prefix-filter inverted-index join
+    * (see [[dedupContainmentExact]]'s scaladoc for the bound). */
+  private def containmentPrefix(sets: DataFrame, tokens: DataFrame): DataFrame = {
+    containmentPrefixCandidates(tokens)
       .join(sets.select(col("doc_id").as("doc_sub"), col("s").as("s_sub")), "doc_sub")
       .join(sets.select(col("doc_id").as("doc_sup"), col("s").as("s_sup")), "doc_sup")
       .withColumn("c", size(array_intersect(col("s_sub"), col("s_sup"))))
@@ -958,13 +968,18 @@ object Dedup {
     * the oracle is brute-force all-pairs over the STRING shingles,
     * so hash-equality simultaneously proves recall and that no
     * collision bit. */
+  /** The ngram query's hashed-shingle sets frame, public so specs
+    * can measure the prefix filter's candidate count on exactly the
+    * frame the registered query runs. */
+  def containmentNgramSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("s",
+        transform(array_distinct(expr(shingleExpr)), g => xxhash64(g)))
+      .select(col("doc_id"), col("s"))
+
   def dedupContainmentNgram(spark: SparkSession, dir: String): DataFrame =
-    containmentPrefixPairs(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), toks.as("t"))
-        .withColumn("s",
-          transform(array_distinct(expr(shingleExpr)), g => xxhash64(g)))
-        .select(col("doc_id"), col("s")))
+    containmentPrefixPairs(containmentNgramSets(spark, dir))
 
   private val dedupContainmentNgramSql =
     s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
@@ -1822,7 +1837,7 @@ object Dedup {
     * directly comparable: a duplicated span of ≥ 8 tokens is ALWAYS
     * caught here, whereas `dedup_chunk` only sees it when it happens
     * to align with an 8-token chunk boundary. */
-  private val SubstrLen = 8
+  private[operators] val SubstrLen = 8
 
   /** EXACT duplicated-substring coverage — the RefinedWeb/MassiveText
     * curation pass that [[chunkDupStats]] approximates with disjoint

@@ -436,6 +436,99 @@ object Pipelines {
        |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- curate v4
+  /** Docs whose duplicated-span coverage exceeds this share are
+    * dropped by the v4 gate: > 0.5 means MOST of the document's
+    * tokens sit inside an 8-token window that appears verbatim
+    * elsewhere in the (already exact-deduped) corpus — the
+    * boilerplate / near-copy band exact dedup cannot touch. */
+  private val CurateV4DupShareMax = 0.5
+
+  /** [[pipelineCurateV3]] plus the round-9 exact-substring
+    * span-coverage gate — the full RefinedWeb-style chain: quality
+    * gate → exact dedup (md5, keep min doc_id) → SUBSTRING gate
+    * (drop docs with dup_token_share > [[CurateV4DupShareMax]],
+    * computed by the shared [[Dedup.substringDupStats]] kernel over
+    * the dedup SURVIVORS — after exact dedup so a doc's duplicated
+    * spans mean cross-document boilerplate, not its own removed
+    * twin) → split/shard → manifest.
+    *
+    * Plan shape on top of v3's: the dedup survivors are persisted
+    * (they feed both the shingle pass and the final manifest — at
+    * corpus scale recomputing the gate+dedup chain twice is a full
+    * extra pass); the gate itself is the substring kernel's three
+    * linear exchanges plus one anti-join back on doc_id. Docs
+    * shorter than the 8-token window have no shingles, no coverage
+    * evidence, and are KEPT — the quality gate, not the dup gate,
+    * owns short-doc policy. */
+  def pipelineCurateV4(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keptIds = TextAnalysis.qualityRules(
+        docs.select(col("doc_id"), col("text")))
+      .filter(col("keep")).select(col("doc_id"))
+    val kept = docs.join(keptIds, Seq("doc_id"), "left_semi")
+    val deduped = kept
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min_by(struct(col("doc_id"), col("text"), col("n_chars")),
+        col("doc_id")).as("__r"))
+      .select(col("__r.doc_id").as("doc_id"), col("__r.text").as("text"),
+        col("__r.n_chars").as("n_chars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropIds = Dedup.substringDupStats(deduped, Dedup.SubstrLen)
+      .filter(col("dup_token_share") > CurateV4DupShareMax)
+      .select(col("doc_id"))
+    deduped.join(dropIds, Seq("doc_id"), "left_anti")
+      .withColumn("split", splitOf(col("doc_id")))
+      .withColumn("shard", shardOf(col("doc_id")))
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"), col("shard"))
+  }
+
+  private val pipelineCurateV4Sql = {
+    val splitBp = md5LongSql("'split1:' || cast(doc_id as varchar)")
+    val k = Dedup.SubstrLen
+    s"""WITH kept AS (
+       |  SELECT doc_id, text, n_chars FROM documents
+       |  WHERE ${TextAnalysis.QualityRuleSql.keep}),
+       |dedup AS (
+       |  SELECT doc_id, text, n_chars FROM (
+       |    SELECT doc_id, text, n_chars,
+       |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+       |    FROM kept) WHERE rk = 1),
+       |t AS (SELECT doc_id, $toksSql AS tk FROM dedup),
+       |d AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM t
+       |      WHERE len(tk) >= $k),
+       |sh AS (
+       |  SELECT doc_id, j,
+       |    md5(array_to_string(tk[j + 1 : j + $k], ' ')) AS sk
+       |  FROM (SELECT doc_id, tk,
+       |          unnest(range(0, n_tokens - $k + 1)) AS j FROM d)),
+       |c AS (SELECT sk, count(*) AS cnt FROM sh GROUP BY sk),
+       |dup AS (SELECT doc_id, j FROM sh JOIN c USING (sk) WHERE c.cnt >= 2),
+       |cov AS (SELECT DISTINCT doc_id, j + o AS p
+       |        FROM (SELECT doc_id, j, unnest(range(0, $k)) AS o FROM dup)),
+       |agg AS (SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY doc_id),
+       |dropped AS (
+       |  SELECT d.doc_id FROM d JOIN agg USING (doc_id)
+       |  WHERE ${rndSql("cast(agg.n_dup_tokens as double) / d.n_tokens", 6)}
+       |    > $CurateV4DupShareMax),
+       |gated AS (
+       |  SELECT doc_id, n_chars FROM dedup
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+       |cells AS (
+       |  SELECT CASE WHEN $splitBp % 10000 < 9800 THEN 'train'
+       |              WHEN $splitBp % 10000 < 9900 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |    cast(${md5LongSql("'shard1:' || cast(doc_id as varchar)")} % $ShuffleShards as int)
+       |      AS shard,
+       |    n_chars
+       |  FROM gated)
+       |SELECT split, shard, count(*) AS n_docs,
+       |  cast(sum(n_chars) as bigint) AS sum_chars
+       |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // ---------------------------------------------------------------- dataset card
   /** The corpus "dataset card" aggregate — the per-(lang, source)
     * composition table every dataset release ships (counts, token
@@ -543,5 +636,7 @@ object Pipelines {
     QueryDef("pipeline_eval_split", evalSplit _, Some(evalSplitSql)),
     QueryDef("pipeline_dataset_card", datasetCard _, Some(datasetCardSql)),
     QueryDef("pipeline_curate_v3", pipelineCurateV3 _,
-      Some(pipelineCurateV3Sql)))
+      Some(pipelineCurateV3Sql)),
+    QueryDef("pipeline_curate_v4", pipelineCurateV4 _,
+      Some(pipelineCurateV4Sql)))
 }

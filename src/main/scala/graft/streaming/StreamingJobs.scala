@@ -46,6 +46,57 @@ object StreamingJobs {
       events.dropDuplicates("user_id", "event_type")
     }
 
+  /** Streaming twin of `q_active_users_approx`
+    * ([[graft.operators.Events.qActiveUsersApprox]]) — per-day HLL
+    * DAU + trailing-7-day WAU from ONE stateful sliding-window
+    * aggregation, the shape that query's scaladoc promises: sketches
+    * are mergeable monoids, so the streaming engine's incremental
+    * partial-merge per micro-batch IS the map-side merge the batch
+    * plan does per scan.
+    *
+    * Each event lands in its 7 covering windows (the projected
+    * sliding `window()` explode); the window's WAU sketch aggregates
+    * every user_id, the DAU sketch only those in the window's LAST
+    * day (the `when` guard — null inputs are skipped by sketch
+    * aggs), so one (window → 2 sketches) state row serves both
+    * numbers and the output day grid filters to observed days
+    * (`dau_approx > 0` — an empty day-sketch estimates exactly 0),
+    * matching the batch query's observed-day grid row for row.
+    * Verified exactly equal to the batch form on a static frame
+    * (HLL state is order-insensitive: it depends on the SET of
+    * hashed uniques, so streamed arrival order cannot move the
+    * estimate).
+    *
+    * State/scale: state is (active windows) × 2 sketches × 2^lgK
+    * bytes — days-scale, never user-scale — GC'd past the watermark;
+    * the per-event cost is 7 sketch updates (the sliding fan-out).
+    * The chained form (1-day tumbling sketches re-unioned by a
+    * second 7-day window agg, 1 update + 7 cheap day-sketch unions)
+    * saves that ×7 at the price of append-mode-only multi-stateful
+    * execution; this single-op form stays runnable in any output
+    * mode and its ×7 is on a 4 KiB-bounded structure, not a shuffle.
+    * Works on batch frames unchanged (that is how the spec and the
+    * batch query cross-check it). */
+  def activeUsersApproxStream(events: DataFrame, lgK: Int = 12): DataFrame = {
+    val UsPerDay = 86400000000L
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", "1 day") else events
+    src
+      .select(col("ts"), col("user_id"),
+        window(col("ts"), "7 days", "1 day").as("w"))
+      .groupBy(col("w"))
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(
+          when(col("ts") >= col("w.end") - expr("INTERVAL 1 DAY"),
+            col("user_id")), lgK)).as("dau_approx"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lgK))
+          .as("wau_approx"))
+      .select(
+        (unix_micros(col("w.end")) / UsPerDay - 1).cast("long").as("day"),
+        col("dau_approx"), col("wau_approx"))
+      .filter(col("dau_approx") > 0)
+  }
+
   /** Stream-stream interval join: each purchase joined to the views
     * by the same user in the preceding hour. Watermarks bound both
     * sides' state: a view older than (watermark − 1 h) can never

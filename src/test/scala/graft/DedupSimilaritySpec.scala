@@ -386,6 +386,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.contains((1L, 2L)), "the 0.952-contained quote pair must be found")
   }
 
+  test("containment ngram: candidate count is measured and bounds the output") {
+    // the prefix filter's selectivity, counted (VERDICT r9 #8): the
+    // tracked 10.6 s bench entry is candidates × verify cost, so the
+    // candidate count is the number that keeps it interpretable —
+    // every qualifying pair must be a candidate (recall), and the
+    // filter must actually filter (candidates ≪ all ordered pairs)
+    val sets = graft.operators.Dedup.containmentNgramSets(spark, sf)
+      .filter(size(col("s")) > 0)
+    val toks = sets.select(col("doc_id"), size(col("s")).as("sz"),
+      explode(col("s")).as("tok"))
+    val nDocs = sets.count()
+    val candidates = graft.operators.Dedup
+      .containmentPrefixCandidates(toks).count()
+    val pairs = graft.operators.Dedup.dedupContainmentNgram(spark, sf).count()
+    info(s"prefix-tier candidates=$candidates, qualifying pairs=$pairs, " +
+      s"docs=$nDocs (all ordered pairs=${nDocs * (nDocs - 1)})")
+    assert(candidates >= pairs,
+      s"recall: every qualifying pair must be a candidate ($candidates < $pairs)")
+    assert(candidates < nDocs * (nDocs - 1) / 2,
+      s"the prefix filter must prune below half the ordered-pair space: $candidates")
+  }
+
   test("lm score: bigram-MLE mean probability, hand-computed on a planted corpus") {
     val s = spark
     import s.implicits._

@@ -202,6 +202,30 @@ class PipelinesSpec extends SparkSpec {
       s"cells must partition the ${survivors} gated+deduped docs")
   }
 
+  test("curateV4: substring gate drops exactly the high-coverage survivors v3 keeps") {
+    val v3 = Pipelines.pipelineCurateV3(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val v4 = Pipelines.pipelineCurateV4(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val (n3, n4) = (v3.map(_._3).sum, v4.map(_._3).sum)
+    // the gate must be ACTIVE on this corpus (near-dup docs survive
+    // exact dedup with >50% duplicated-span coverage) and only remove
+    assert(n4 < n3, s"substring gate dropped nothing: v3=$n3 v4=$n4")
+    // independently recompute the expected drops from the shared
+    // kernel over the v3 survivor set
+    val docs = graft.Tables.documents(spark, sf)
+    val kept = docs.join(
+      TextAnalysis.qualityRules(docs.select(col("doc_id"), col("text")))
+        .filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val survivors = kept.groupBy(md5(col("text")).as("h"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    val dropped = graft.operators.Dedup.substringDupStats(survivors, 8)
+      .filter(col("dup_token_share") > 0.5).count()
+    assert(n3 - n4 == dropped,
+      s"gate must drop exactly the share>0.5 docs: v3-v4=${n3 - n4}, kernel says $dropped")
+  }
+
   test("chunkDupStats: planted spans — cross-doc copy, self-repetition, clean doc") {
     val span = (1 to 8).map(i => s"w$i").mkString(" ") // one full chunk
     val docs = docsDf(Seq(

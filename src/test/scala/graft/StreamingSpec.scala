@@ -52,6 +52,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == direct)
   }
 
+  test("streaming HLL active users: streamed == batch form == registered query") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("stream-au").toString
+    val batch = Tables.events(s, sf).select("ts", "user_id")
+    batch.write.mode("overwrite").parquet(tmp)
+
+    val src = s.readStream.schema(batch.schema).parquet(tmp)
+    val q = StreamingJobs.activeUsersApproxStream(src).writeStream
+      .format("memory").queryName("au_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val streamed = rows(s.sql("select * from au_out"))
+    val direct = rows(StreamingJobs.activeUsersApproxStream(batch))
+    val registered = rows(graft.operators.Events.qActiveUsersApprox(s, sf))
+    // HLL state depends on the set of uniques, not arrival order, so
+    // all three are bit-equal — no tolerance band needed
+    assert(streamed == direct,
+      s"streamed vs batch form: ${streamed.size} vs ${direct.size} rows")
+    assert(streamed == registered,
+      s"streamed vs registered query: ${streamed.take(3)} vs ${registered.take(3)}")
+  }
+
   test("stream-stream interval join matches the batch join") {
     val s = spark
     val tmp = java.nio.file.Files.createTempDirectory("ssj-in").toString
