@@ -845,10 +845,15 @@ object Dedup {
     * (needs `doc_id`, `text`) — see [[dedupContainmentExact]]. */
   def containmentPairsExact(docs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sets = docs
+    // persist BEFORE the empty-set filter: pushing the filter below
+    // the projection substitutes the set derivation into the
+    // predicate and re-evaluates it per row (see the
+    // [[containmentPrefixPairs]] forensic for the pathological
+    // per-element form of the same hazard)
+    val cached = docs
       .select(col("doc_id"), array_distinct(toks).as("s"))
-      .filter(size(col("s")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = cached.filter(size(col("s")) > 0)
     val tokens = sets.select(col("doc_id"), size(col("s")).as("sz"),
         explode(col("s")).as("tok"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -908,16 +913,37 @@ object Dedup {
     * bigger or the filter got weaker (the PPJoin positional-filter
     * upgrade becomes worth it when candidates ≫ qualifying pairs). */
   def containmentPrefixCandidates(tokens: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val dfreq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // k = sz − ⌈0.9·sz⌉ + 1 prefix tokens, integer-exact
+    // every token ranked in ONE global rarest-first (df, tok) order —
+    // both the prefix side and the index side need the position, so
+    // the window runs once and the ranked frame persists
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-    val prefix = tokens.join(dfreq, "tok")
+    val ranked = tokens.join(dfreq, "tok")
       .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("tok"), col("rn"), col("sz"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // k = sz − ⌈0.9·sz⌉ + 1 prefix tokens, integer-exact
+    val prefix = ranked
       .filter(col("rn") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
-      .select(col("doc_id").as("doc_sub"), col("tok"))
+      .select(col("doc_id").as("doc_sub"), col("tok"),
+        col("rn").as("rn_sub"), col("sz").as("sz_sub"))
+    // PPJoin positional filter (Xiao et al., WWW 2008): the ranks are
+    // a shared total order, so for the FIRST shared token of any true
+    // pair, overlap ≤ 1 + min(tokens after it in sub, tokens after it
+    // in sup); a qualifying pair (c ≥ ⌈0.9·|sub|⌉) therefore passes
+    // the bound at that entry — which the prefix property puts in
+    // sub's prefix — so pruning entries whose bound < cmin keeps
+    // total recall while killing pairs whose shared rare token sits
+    // too late in either doc to matter (measured sf0.1: 133,253 →
+    // far fewer pairs reaching the array_intersect verify).
     prefix
-      .join(tokens.select(col("doc_id").as("doc_sup"), col("tok")), "tok")
-      .filter(col("doc_sub") =!= col("doc_sup"))
+      .join(ranked.select(col("doc_id").as("doc_sup"), col("tok"),
+        col("rn").as("rn_sup"), col("sz").as("sz_sup")), "tok")
+      .filter(col("doc_sub") =!= col("doc_sup") &&
+        lit(1) + least(col("sz_sub") - col("rn_sub"),
+          col("sz_sup") - col("rn_sup")) >=
+          expr("(9 * sz_sub + 9) div 10"))
       .select(col("doc_sub"), col("doc_sup"))
       .distinct()
   }
@@ -945,9 +971,19 @@ object Dedup {
     * dispatch is static rather than probed. */
   def containmentPrefixPairs(sets0: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sets = sets0.select(col("doc_id"), col("s"))
-      .filter(size(col("s")) > 0)
+    // PERSIST BEFORE the empty-set filter — load-bearing order
+    // (round 10 forensic): a filter on top of the un-materialized
+    // frame lets predicate pushdown SUBSTITUTE the caller's full `s`
+    // derivation into the predicate, where any base array it
+    // references (e.g. the ngram caller's t = filter(split(text)))
+    // loses the project-collapse multi-reference guard and
+    // re-evaluates PER LAMBDA ELEMENT — measured 8.7 s vs 0.7 s for
+    // the same sets count at sf0.1, an O(tokens²)-per-doc tax hidden
+    // in a "free" filter. The cache boundary pins `s` as a
+    // materialized column; the filter then reads it.
+    val cached = sets0.select(col("doc_id"), col("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = cached.filter(size(col("s")) > 0)
     val tokens = sets.select(col("doc_id"), size(col("s")).as("sz"),
         explode(col("s")).as("tok"))
       .persist(StorageLevel.MEMORY_AND_DISK)
