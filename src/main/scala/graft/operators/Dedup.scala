@@ -1907,8 +1907,12 @@ object Dedup {
     * 128-bit md5 is the key for the same birthday-bound reason as
     * [[chunkDupStats]]. Docs shorter than k tokens have no window
     * and are absent, matching the chunk operator's contract. */
-  def substringDupStats(docs: DataFrame, k: Int,
-      cache: Boolean = true): DataFrame = {
+  /** The duplicated-shingle offsets frame shared by the coverage
+    * operator below and the span-structure operator
+    * ([[substringDupSpans]]): (doc_id, j) for every k-token window
+    * at offset j whose content appears ≥ 2 times in the corpus. */
+  private def duplicatedOffsets(docs: DataFrame, k: Int,
+      cache: Boolean): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(k >= 1, s"k must be >= 1, got $k")
     val shArr = expr(
@@ -1921,7 +1925,13 @@ object Dedup {
     val shingles = // occurrence counts + join probe share one pass
       if (cache) base.persist(StorageLevel.MEMORY_AND_DISK) else base
     val counts = shingles.groupBy(col("sk")).agg(count(lit(1)).as("cnt"))
-    val dup = shingles.join(counts, "sk").filter(col("cnt") >= 2)
+    shingles.join(counts, "sk").filter(col("cnt") >= 2)
+      .select(col("doc_id"), col("j"))
+  }
+
+  def substringDupStats(docs: DataFrame, k: Int,
+      cache: Boolean = true): DataFrame = {
+    val dup = duplicatedOffsets(docs, k, cache)
     val covered = dup
       .select(col("doc_id"),
         explode(sequence(col("j"), col("j") + lit(k - 1))).as("p"))
@@ -1940,6 +1950,86 @@ object Dedup {
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
     substringDupStats(Tables.documents(spark, dir), SubstrLen)
       .orderBy(col("doc_id"))
+
+  /** Duplicated-span STRUCTURE per doc — the interval-merge form the
+    * [[substringDupStats]] scaladoc records as the dup-dense
+    * alternative, implemented as its own operator because the two
+    * answer different curation questions: coverage says HOW MUCH of
+    * a doc is duplicated (the v4 gate's number), spans say HOW it is
+    * duplicated — one long verbatim copy (candidate for span
+    * EXCISION, the Lee et al. exact-substring-dedup action) vs many
+    * short scattered matches (boilerplate, a doc-level judgment).
+    * A duplicated span of length L ≥ k appears as exactly L−k+1
+    * consecutive duplicated offsets, so merging offset intervals
+    * [j, j+k−1] (gaps-and-islands: new span iff j > prev_j + k)
+    * recovers every maximal duplicated span and its exact length.
+    *
+    * Plan shape: the shared duplicated-offsets frame (two linear
+    * exchanges), then ONE per-doc window over DUPLICATED offsets
+    * only — ∝ dup density, not doc length, so the window partition
+    * skew bound is the per-doc duplicated-shingle count (at 100 TB a
+    * fully-duplicated giant doc bounds it at that doc's token count;
+    * the offsets are already the minority frame the coverage form
+    * explodes ×k). No position explode at all — this form does
+    * strictly less work than the coverage pass on dup-dense corpora.
+    * Output: docs with ≥ 1 duplicated span, their span count,
+    * longest span, and summed span tokens (≡ the coverage number —
+    * spans are disjoint by construction; spec cross-checks it
+    * against [[substringDupStats]] row for row). */
+  def substringDupSpans(docs: DataFrame, k: Int,
+      cache: Boolean = true): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("j"))
+    duplicatedOffsets(docs, k, cache)
+      .withColumn("prev", lag(col("j"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev").isNull || col("j") > col("prev") + lit(k), 1L)
+          .otherwise(0L))
+      .withColumn("span", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span"))
+      .agg((max(col("j")) - min(col("j")) + lit(k)).cast("long").as("len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("len")).as("max_span_tokens"),
+        sum(col("len")).as("n_dup_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupSubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    substringDupSpans(Tables.documents(spark, dir), SubstrLen)
+
+  private val dedupSubstringSpansSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |d AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM t
+       |      WHERE len(tk) >= $SubstrLen),
+       |sh AS (
+       |  SELECT doc_id, j,
+       |    md5(array_to_string(tk[j + 1 : j + $SubstrLen], ' ')) AS sk
+       |  FROM (SELECT doc_id, tk,
+       |          unnest(range(0, n_tokens - $SubstrLen + 1)) AS j FROM d)),
+       |c AS (SELECT sk, count(*) AS cnt FROM sh GROUP BY sk),
+       |dup AS (SELECT doc_id, j FROM sh JOIN c USING (sk) WHERE c.cnt >= 2),
+       |flagged AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN lag(j) OVER (PARTITION BY doc_id ORDER BY j) IS NULL
+       |           OR j > lag(j) OVER (PARTITION BY doc_id ORDER BY j)
+       |                + $SubstrLen
+       |         THEN 1 ELSE 0 END AS ns
+       |  FROM dup),
+       |spans AS (
+       |  SELECT doc_id, j,
+       |    sum(ns) OVER (PARTITION BY doc_id ORDER BY j
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+       |  FROM flagged),
+       |lens AS (
+       |  SELECT doc_id, span,
+       |    cast(max(j) - min(j) + $SubstrLen as bigint) AS len
+       |  FROM spans GROUP BY doc_id, span)
+       |SELECT doc_id, count(*) AS n_spans,
+       |  cast(max(len) as bigint) AS max_span_tokens,
+       |  cast(sum(len) as bigint) AS n_dup_tokens
+       |FROM lens GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   private val dedupSubstringSql =
     s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
@@ -1965,6 +2055,8 @@ object Dedup {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_chunk", dedupChunk _, Some(dedupChunkSql)),
     QueryDef("dedup_substring", dedupSubstring _, Some(dedupSubstringSql)),
+    QueryDef("dedup_substring_spans", dedupSubstringSpans _,
+      Some(dedupSubstringSpansSql)),
     QueryDef("dedup_exact", dedupExact _, Some(dedupExactSql)),
     QueryDef("dedup_jaccard", dedupJaccard _, Some(dedupJaccardSql)),
     QueryDef("dedup_jaccard_ngram", dedupJaccardNgram _, Some(dedupJaccardNgramSql)),

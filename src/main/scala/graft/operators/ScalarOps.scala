@@ -174,6 +174,94 @@ object ScalarOps {
       |WHERE sample_rank <= 15
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- weighted (PPS)
+  /** Target sample count for the registered PPS query. */
+  private val PpsSamples = 100
+
+  /** Weighted (probability-proportional-to-size) SYSTEMATIC sampling
+    * — the quality/length-weighted corpus draw the md5-Bernoulli
+    * sampler can't give (every doc there is equally likely; corpus
+    * mixing wants long or high-quality docs favored ∝ weight) — with
+    * ENTIRELY INTEGER selection arithmetic, so the draw is bit-equal
+    * on any engine: docs are laid on a line in deterministic
+    * md5-shuffled order, each occupying [C, C+w) where C is its
+    * exclusive weight prefix; thresholds sit at every multiple of
+    * stride = ⌊ΣW/k⌋; a doc is drawn iff its interval covers a
+    * threshold, with multiplicity `n_hits` = thresholds covered (the
+    * estimator's repeat count when w > stride — emitted, not hidden).
+    * Exactly ⌈ΣW/stride⌉ ≥ k hits total, every hit exact integer
+    * math (the float u^(1/w) key of Efraimidis-Spirakis ranking
+    * would make the k-th/k+1-th boundary an engine-ULP coin flip).
+    *
+    * Unlike the Bernoulli/stratified samplers this draw is
+    * corpus-DEPENDENT (inserting a doc shifts every later prefix) —
+    * inherent to any exact-k weighted design; the md5 order keeps it
+    * reproducible for a fixed corpus.
+    *
+    * Scale shape: the prefix C is the mr_sort/pack_sequences
+    * two-level scaffolding (range exchange on the md5 key, local
+    * prefix per partition, one `partitions`-row offset table
+    * broadcast back — no single-partition window at any size); the
+    * 1-row total joins broadcast (the text_tfidf corpus-N pattern).
+    * The selection predicate is shifted by +stride so every div
+    * operand is nonnegative — `div` truncates toward zero on both
+    * engines, which diverges from floor exactly at the C = 0 first
+    * doc. */
+  def weightedSystematicSample(docs: DataFrame, k: Int,
+      partitions: Int = 32): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sorted = docs
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+          .cast("long").as("w"))
+      .withColumn("__ord", md5Long(concat(lit("pps:"), col("doc_id").cast("string"))))
+      .repartitionByRange(partitions, col("__ord"), col("doc_id"))
+      .sortWithinPartitions(col("__ord"), col("doc_id"))
+      .withColumn("mid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK) // offsets + prefix share one sort
+    val offs = PrefixSum.partitionOffsets(sorted, col("w"))
+    val total = sorted.agg(sum(col("w")).as("__tw"))
+    val localBefore = Window.partitionBy(col("pid")).orderBy(col("mid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sorted
+      .withColumn("pid", PrefixSum.pid)
+      .withColumn("lb", coalesce(sum(col("w")).over(localBefore), lit(0L)))
+      .join(broadcast(offs), "pid")
+      .withColumn("c", col("off") + col("lb"))
+      .crossJoin(broadcast(total))
+      .withColumn("stride", greatest(expr(s"__tw div $k"), lit(1L)))
+      .withColumn("n_hits",
+        expr("(c + w - 1 + stride) div stride - (c - 1 + stride) div stride"))
+      .filter(col("w") > 0 && col("n_hits") > 0)
+      .select(col("doc_id"), col("w").as("n_tokens"), col("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    weightedSystematicSample(Tables.documents(spark, dir), PpsSamples)
+
+  private val qSampleWeightedSql = {
+    val toksSql = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+    s"""WITH t AS (
+       |  SELECT doc_id, cast(len($toksSql) as bigint) AS w,
+       |    ${md5LongSql("'pps:' || cast(doc_id as varchar)")} AS ord
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, w,
+       |    coalesce(sum(w) OVER (ORDER BY ord, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+       |  FROM t),
+       |tot AS (SELECT greatest(sum(w) // $PpsSamples, 1) AS stride FROM t)
+       |SELECT doc_id, w AS n_tokens,
+       |  cast((c + w - 1 + stride) // stride - (c - 1 + stride) // stride
+       |    as bigint) AS n_hits
+       |FROM c, tot
+       |WHERE w > 0
+       |  AND (c + w - 1 + stride) // stride > (c - 1 + stride) // stride
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- regex
   /** Regex extraction/replacement over part names. */
   def qRegex(spark: SparkSession, dir: String): DataFrame =
@@ -495,6 +583,7 @@ object ScalarOps {
     QueryDef("q_mode_bounded", qModeBounded _, Some(qModeSql)),
     QueryDef("q_sample", qSample _, Some(qSampleSql)),
     QueryDef("q_sample_stratified", qSampleStratified _, Some(qSampleStratifiedSql)),
+    QueryDef("q_sample_weighted", qSampleWeighted _, Some(qSampleWeightedSql)),
     QueryDef("q_sample_stratified_scalable", sampleStratifiedScalable _,
       Some(qSampleStratifiedSql)), // same oracle: proves semantic equality
     QueryDef("q_domain_cap", qDomainCap _, Some(qDomainCapSql)),

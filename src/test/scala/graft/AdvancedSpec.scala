@@ -141,4 +141,33 @@ class AdvancedSpec extends SparkSpec {
       assert(nLo > 0 || nHi > 0, "p10/p90 clamps must bite on a real segment")
     }
   }
+
+  test("weighted PPS sample: exact hit count, heavy docs always drawn, multiplicity honest") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val drawn = graft.operators.ScalarOps.weightedSystematicSample(docs, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // recompute the line layout driver-side from first principles
+    val toks = size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long")
+    val weights = docs.select(col("doc_id"), toks.as("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val total = weights.values.sum
+    val stride = math.max(total / 100, 1L)
+    // invariant 1: total multiplicity = number of stride multiples in [0, total)
+    val expectedHits = (total + stride - 1) / stride
+    assert(drawn.map(_._3).sum == expectedHits,
+      s"sum(n_hits)=${drawn.map(_._3).sum} != ceil(W/stride)=$expectedHits")
+    // invariant 2: any doc at least a stride wide must be drawn
+    val heavy = weights.filter(_._2 >= stride).keySet
+    val drawnIds = drawn.map(_._1).toSet
+    assert(heavy.subsetOf(drawnIds),
+      s"missing heavy docs: ${(heavy -- drawnIds).take(3)}")
+    // invariant 3: multiplicity bounded by ceil(w/stride) + 1 windows
+    drawn.foreach { case (id, w, hits) =>
+      assert(hits >= 1 && hits <= w / stride + 1,
+        s"doc $id: hits=$hits outside [1, ${w / stride + 1}] for w=$w")
+    }
+    // invariant 4: weights echoed correctly
+    drawn.foreach { case (id, w, _) => assert(weights(id) == w) }
+  }
 }

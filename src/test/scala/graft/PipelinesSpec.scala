@@ -271,6 +271,36 @@ class PipelinesSpec extends SparkSpec {
       (3L, 16L, 0L, 0.0), (4L, 10L, 10L, 1.0)))
   }
 
+  test("substringDupSpans: planted span structure; summed spans == coverage on the real corpus") {
+    val span = (1 to 8).map(i => s"S$i").mkString(" ")
+    val span2 = (1 to 8).map(i => s"T$i").mkString(" ")
+    val gap = (1 to 6).map(i => s"g$i").mkString(" ")
+    val docs = docsDf(Seq(
+      // doc 1: TWO separated duplicated spans (8 tokens each, 6-token
+      // unique gap) -> n_spans = 2, max = 8, total = 16
+      1L -> (span + " " + gap + " " + span2),
+      // doc 2/3: the carriers making doc 1's spans duplicated; each
+      // carries one span embedded in unique filler
+      2L -> (span + " " + (1 to 8).map(i => s"c$i").mkString(" ")),
+      3L -> ((1 to 8).map(i => s"d$i").mkString(" ") + " " + span2),
+      // doc 4: clean control -> absent from the output
+      4L -> (1 to 16).map(i => s"z$i").mkString(" ")))
+    val got = Dedup.substringDupSpans(docs, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 2L, 8L, 16L), (2L, 1L, 8L, 8L), (3L, 1L, 8L, 8L)),
+      s"got $got")
+    // on the real corpus the interval-merge total must equal the
+    // explode+distinct coverage doc for doc (two independent kernels)
+    val corpus = graft.Tables.documents(spark, sf)
+    val spans = Dedup.substringDupSpans(corpus, k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val coverage = Dedup.substringDupStats(corpus, k = 8)
+      .filter(col("n_dup_tokens") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(spans == coverage,
+      s"interval-merge vs coverage mismatch: ${(spans.toSet diff coverage.toSet).take(3)}")
+  }
+
   test("text_bm25: scores descend, are positive for term-bearing docs, tf columns honest") {
     val out = TextAnalysis.textBm25(spark, sf).collect()
     assert(out.nonEmpty)

@@ -155,6 +155,8 @@ class PlanShapeSpec extends SparkSpec {
                                           // rows) range-joined for rolling WAU
     "q_active_users_approx",              // same broadcast day grid, range-joined
                                           // to merge trailing-7d HLL sketches
+    "q_sample_weighted",                  // broadcast single-row total-weight
+                                          // frame (the corpus-N pattern)
     "text_tfidf",                         // broadcast single-row corpus size N
     "text_cooccurrence",                  // broadcast 1-row (T, P) totals frame
     "text_bm25",                          // broadcast single-row (N, Σdl, df) stats
