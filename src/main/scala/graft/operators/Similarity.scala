@@ -1310,6 +1310,120 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- IVF-PQ
+  /** IVF-PQ — the composition production ANN actually deploys
+    * (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011: coarse quantizer + PQ on the RESIDUAL):
+    * vectors are assigned to their kmeans-trained coarse cell
+    * (zero-shuffle [[nearestCentroid]] projection), the residual
+    * v − centroid is what gets PQ-coded (residuals are centered —
+    * the same codebook budget buys far less quantization error than
+    * coding raw vectors, which is why this beats flat `ann_pq` at
+    * equal bytes), and queries ADC-score x̂ = centroid + decode(code)
+    * ONLY inside their [[NProbe]] probed cells — sublinear scan AND
+    * 64× compressed candidates, the two scale levers composed.
+    *
+    * Plan shape: assignment and residual are per-row projections
+    * against broadcast centroid literals; the codebook is the
+    * deterministic lowest-[[PqK]]-residuals init (the oracle-checkable
+    * configuration, same as `ann_pq`; kmeans-training it per
+    * subspace is orthogonal — hand [[kmeansTrain]] the residual
+    * sub-vector frame); scoring reuses the probed-cell equi-join
+    * shape of [[ivfTopK]] with the codes side carrying x̂, never raw
+    * vectors. At 100 TB the scan reads cluster-pruned, PQ-coded
+    * candidates: bytes ∝ probed cells × code width. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = vecs(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val (cent, _) = kmeansTrain(ev, NCentroids, iters = 2)
+    val cents = collectCentroids(cent)
+    val centDf = broadcast(cents.toDF("c_id", "cv", "cn"))
+    val withRes = ev
+      .withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
+      .join(centDf, col("cluster") === col("c_id"))
+      .withColumn("res", zip_with(col("v"), col("cv"), (a, b) => a - b))
+    val cb = pqCodebook(withRes.select(col("vec_id"), col("res").as("v")))
+    val enc = withRes
+      .withColumn("rhat",
+        zip_with(col("cv"), pqReconstruct(cb, col("res")), (a, b) => a + b))
+      .withColumn("rn", VectorFunctions.norm(col("rhat")))
+      .select(col("vec_id"), col("cluster"), col("rhat"), col("rn"))
+    val q = ev.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    enc.join(broadcast(probeClusters(q, cents, NProbe)),
+        col("cluster") === col("probe_cluster") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("rhat")) / (col("qn") * col("rn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        rnd(col("cos"), 6).as("cos_ivfpq"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val annIvfPqSql = {
+    val d2 = "list_reduce(list_transform(" +
+      s"list_slice(r.res, cb.m * $PqSubDim + 1, cb.m * $PqSubDim + $PqSubDim), " +
+      "(x, i) -> (x - cb.cv[i]) * (x - cb.cv[i])), (a, b) -> a + b)"
+    s"""WITH ${kmeansCtesFor(2)},
+       |cent AS (SELECT c_id, cv, ${sqlNrm("cv")} AS cn FROM c2),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, cluster FROM (
+       |    SELECT en.vec_id, en.v, en.nrm, cent.c_id AS cluster,
+       |      row_number() OVER (PARTITION BY en.vec_id
+       |        ORDER BY ${sqlDot("cent.cv", "en.v")} / (cent.cn * en.nrm) DESC, cent.c_id)
+       |        AS crank
+       |    FROM en CROSS JOIN cent)
+       |  WHERE crank = 1),
+       |r AS (
+       |  SELECT a.vec_id, a.cluster, cent.cv AS ccv,
+       |    list_transform(a.v, (x, i) -> x - cent.cv[i]) AS res
+       |  FROM assigned a JOIN cent ON a.cluster = cent.c_id),
+       |cb AS (
+       |  SELECT t.m, r.vec_id AS c,
+       |    list_slice(r.res, t.m * $PqSubDim + 1, t.m * $PqSubDim + $PqSubDim) AS cv
+       |  FROM r, range(0, $PqM) t(m) WHERE r.vec_id < $PqK),
+       |codes AS (
+       |  SELECT vec_id, m, c FROM (
+       |    SELECT r.vec_id, cb.m, cb.c,
+       |      row_number() OVER (PARTITION BY r.vec_id, cb.m
+       |        ORDER BY $d2, cb.c) AS rn
+       |    FROM r CROSS JOIN cb)
+       |  WHERE rn = 1),
+       |recon AS (
+       |  SELECT codes.vec_id, flatten(list(cb.cv ORDER BY cb.m)) AS rres
+       |  FROM codes JOIN cb ON codes.m = cb.m AND codes.c = cb.c
+       |  GROUP BY codes.vec_id),
+       |rhat AS (
+       |  SELECT r.vec_id, r.cluster,
+       |    list_transform(r.ccv, (x, i) -> x + recon.rres[i]) AS rhat
+       |  FROM r JOIN recon ON r.vec_id = recon.vec_id),
+       |rh AS (SELECT vec_id, cluster, rhat, ${sqlNrm("rhat")} AS rn FROM rhat),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM en WHERE vec_id < $NQueries),
+       |probes AS (
+       |  SELECT q_id, qv, qn, probe_cluster FROM (
+       |    SELECT q.q_id, q.qv, q.qn, cent.c_id AS probe_cluster,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${sqlDot("cent.cv", "q.qv")} / (cent.cn * q.qn) DESC, cent.c_id)
+       |        AS prank
+       |    FROM q CROSS JOIN cent)
+       |  WHERE prank <= $NProbe),
+       |scored AS (
+       |  SELECT p.q_id, rh.vec_id,
+       |    ${sqlDot("p.qv", "rh.rhat")} / (p.qn * rh.rn) AS cos
+       |  FROM rh JOIN probes p
+       |    ON rh.cluster = p.probe_cluster AND rh.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) as int) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id AS neighbor_id, rank,
+       |  ${rndSql("cos", 6)} AS cos_ivfpq
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- hybrid retrieval
   /** Hybrid lexical+semantic retrieval with reciprocal-rank fusion
     * (Cormack et al., SIGIR 2009) — the RAG-era corpus-search shape:
@@ -1407,6 +1521,7 @@ object Similarity {
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ann_pq", annPq _, Some(annPqSql)),
+    QueryDef("ann_ivfpq", annIvfPq _, Some(annIvfPqSql)),
     QueryDef("ann_bruteforce", annBruteforce _, Some(annBruteforceSql)),
     QueryDef("ann_bruteforce_agg", annBruteforceAgg _,
       Some(annBruteforceSql)), // same oracle: bounded-agg == window form
