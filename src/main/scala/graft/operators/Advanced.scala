@@ -94,6 +94,84 @@ object Advanced {
       .orderBy(col("purchase_event_id"))
   }
 
+  // ---------------------------------------------------------------- asof nearest
+  /** NEAREST-in-time as-of (pandas `merge_asof direction='nearest'`):
+    * each purchase annotated with the view closest in time in EITHER
+    * direction, ties to the backward match (the pandas tie rule).
+    * Composed from the native operator run twice — backward as-is,
+    * forward as backward over NEGATED times (latest −v ≤ −p ⟺
+    * smallest v ≥ p; negation is exact on epoch-micros longs) — so
+    * both passes are the same O(|L|+|R|) streaming merge, and the
+    * second pass reuses the first's hash partitioning on the
+    * unchanged user key (one extra exchange of the views side only).
+    * The nearest pick is a pure integer CASE over the two candidate
+    * distances — no float, no engine divergence. */
+  def qAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+      .withColumn("neg_us", -col("purchase_us"))
+    val viewsBack = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"),
+        unix_micros(col("ts")).as("last_view_us"))
+    val viewsFwd = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("f_user_id"),
+        unix_micros(col("ts")).as("next_view_us"))
+      .withColumn("neg_view_us", -col("next_view_us"))
+    val both = graft.plans.AsOf.join(
+      graft.plans.AsOf.join(purchases, viewsBack,
+        leftKey = "user_id", leftTime = "purchase_us",
+        rightKey = "v_user_id", rightTime = "last_view_us"),
+      viewsFwd.select(col("f_user_id"), col("neg_view_us"), col("next_view_us")),
+      leftKey = "user_id", leftTime = "neg_us",
+      rightKey = "f_user_id", rightTime = "neg_view_us")
+    val db = col("purchase_us") - col("last_view_us")
+    val df = col("next_view_us") - col("purchase_us")
+    both
+      .withColumn("nearest_view_us",
+        when(col("last_view_us").isNull, col("next_view_us"))
+          .when(col("next_view_us").isNull, col("last_view_us"))
+          .when(db <= df, col("last_view_us"))
+          .otherwise(col("next_view_us")))
+      .withColumn("direction",
+        when(col("nearest_view_us").isNull, lit(null).cast("string"))
+          .when(col("nearest_view_us") === col("last_view_us"), "backward")
+          .otherwise("forward"))
+      .select(col("user_id"), col("purchase_event_id"), col("purchase_us"),
+        col("nearest_view_us"), col("direction"))
+      .orderBy(col("purchase_event_id"))
+  }
+
+  private val qAsofNearestSql =
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, -epoch_us(ts) AS neg_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, epoch_us(ts) AS us, -epoch_us(ts) AS neg_us
+      |  FROM events WHERE event_type = 'view'),
+      |back AS (
+      |  SELECT p.user_id, p.event_id, p.us, p.neg_us, v.us AS last_view_us
+      |  FROM p ASOF LEFT JOIN v
+      |    ON p.user_id = v.user_id AND p.us >= v.us),
+      |nb AS (
+      |  SELECT b.user_id, b.event_id, b.us, b.last_view_us,
+      |    v.us AS next_view_us
+      |  FROM back b ASOF LEFT JOIN v
+      |    ON b.user_id = v.user_id AND b.neg_us >= v.neg_us)
+      |SELECT user_id, event_id AS purchase_event_id, us AS purchase_us,
+      |  CASE WHEN last_view_us IS NULL THEN next_view_us
+      |       WHEN next_view_us IS NULL THEN last_view_us
+      |       WHEN us - last_view_us <= next_view_us - us THEN last_view_us
+      |       ELSE next_view_us END AS nearest_view_us,
+      |  CASE WHEN last_view_us IS NULL AND next_view_us IS NULL THEN NULL
+      |       WHEN next_view_us IS NULL THEN 'backward'
+      |       WHEN last_view_us IS NULL THEN 'forward'
+      |       WHEN us - last_view_us <= next_view_us - us THEN 'backward'
+      |       ELSE 'forward' END AS direction
+      |FROM nb
+      |ORDER BY purchase_event_id""".stripMargin
+
   private val qAsofMultiSql =
     """WITH p AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
@@ -456,6 +534,7 @@ object Advanced {
     QueryDef("q_asof_join", qAsofJoin _, Some(qAsofJoinSql)),
     QueryDef("q_asof_join_native", qAsofJoinNative _, Some(qAsofJoinSql)),
     QueryDef("q_asof_multi", qAsofMulti _, Some(qAsofMultiSql)),
+    QueryDef("q_asof_nearest", qAsofNearest _, Some(qAsofNearestSql)),
     QueryDef("q_range_join", qRangeJoin _, Some(qRangeJoinSql)),
     QueryDef("q_pivot", qPivot _, Some(qPivotSql)),
     QueryDef("q_unpivot", qUnpivot _, Some(qUnpivotSql)),

@@ -90,4 +90,38 @@ class AsOfJoinSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("time types must match"))
   }
+
+  test("nearest as-of: backward-closer, forward-closer, tie to backward, no-match null") {
+    // hand-checkable micro-corpus driven through the REGISTERED query's
+    // semantics via a planted events frame is not possible (it reads
+    // the table), so exercise the same two-pass composition directly
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    val p = Seq((1L, 100L, 10L), (2L, 101L, 10L), (3L, 102L, 10L), (4L, 103L, 10L))
+      .toDF("user_id", "purchase_event_id", "purchase_us")
+      .withColumn("neg_us", -col("purchase_us"))
+    // user 1: views at 7 and 12 -> forward (12) closer (3 vs 2)... backward diff 3, forward diff 2 -> forward
+    // user 2: views at 9 and 14 -> backward (9) closer (1 vs 4)
+    // user 3: views at 8 and 12 -> tie (2 vs 2) -> backward (8)
+    // user 4: no views -> null
+    val v = Seq((1L, 7L), (1L, 12L), (2L, 9L), (2L, 14L), (3L, 8L), (3L, 12L))
+    val vb = v.toDF("v_user_id", "last_view_us")
+    val vf = v.toDF("f_user_id", "next_view_us")
+      .withColumn("neg_view_us", -col("next_view_us"))
+    val both = graft.plans.AsOf.join(
+      graft.plans.AsOf.join(p, vb, "user_id", "purchase_us", "v_user_id", "last_view_us"),
+      vf.select(col("f_user_id"), col("neg_view_us"), col("next_view_us")),
+      "user_id", "neg_us", "f_user_id", "neg_view_us")
+    val db = col("purchase_us") - col("last_view_us")
+    val df = col("next_view_us") - col("purchase_us")
+    val got = both
+      .withColumn("nearest",
+        when(col("last_view_us").isNull, col("next_view_us"))
+          .when(col("next_view_us").isNull, col("last_view_us"))
+          .when(db <= df, col("last_view_us")).otherwise(col("next_view_us")))
+      .select(col("user_id"), col("nearest"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> Some(12L), 2L -> Some(9L), 3L -> Some(8L), 4L -> None), s"got $got")
+  }
 }
