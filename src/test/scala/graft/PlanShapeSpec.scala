@@ -148,6 +148,8 @@ class PlanShapeSpec extends SparkSpec {
     "ann_bruteforce", "ann_bruteforce_agg", "ann_ivf", "ann_ivf_trained", "ann_kmeans",
     "ann_range_search",                   // broadcast query set, pure selection scan
     "ann_pq",                             // broadcast query set, codes-only corpus side
+    "ann_ivfpq",                          // broadcast centroid + query sets,
+                                          // probed-cell equi-join candidates
     "ann_lsh",                            // broadcast query/centroid/hyperplane sets
     "mm_feature_knn",                     // ivfTopK: same broadcast query set as ann_ivf
     "mr_pagerank",                        // broadcast single-row node count
