@@ -461,7 +461,10 @@ object Pipelines {
     * shorter than the 8-token window have no shingles, no coverage
     * evidence, and are KEPT — the quality gate, not the dup gate,
     * owns short-doc policy. */
-  def pipelineCurateV4(spark: SparkSession, dir: String): DataFrame = {
+  /** The v4 gate chain up to the substring gate's survivors
+    * (doc_id, text, n_chars) — shared by [[pipelineCurateV4]]'s
+    * manifest and [[pipelineCurateV5]]'s weighted draw. */
+  private def curateGatedDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val keptIds = TextAnalysis.qualityRules(
         docs.select(col("doc_id"), col("text")))
@@ -478,17 +481,21 @@ object Pipelines {
       .filter(col("dup_token_share") > CurateV4DupShareMax)
       .select(col("doc_id"))
     deduped.join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  def pipelineCurateV4(spark: SparkSession, dir: String): DataFrame =
+    curateGatedDocs(spark, dir)
       .withColumn("split", splitOf(col("doc_id")))
       .withColumn("shard", shardOf(col("doc_id")))
       .groupBy(col("split"), col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("split"), col("shard"))
-  }
 
-  private val pipelineCurateV4Sql = {
-    val splitBp = md5LongSql("'split1:' || cast(doc_id as varchar)")
+  /** The gate chain's CTEs up to `gated` (doc_id, text, n_chars) —
+    * one definition under both composed-pipeline oracles. */
+  private def curateGateCtes: String = {
     val k = Dedup.SubstrLen
-    s"""WITH kept AS (
+    s"""kept AS (
        |  SELECT doc_id, text, n_chars FROM documents
        |  WHERE ${TextAnalysis.QualityRuleSql.keep}),
        |dedup AS (
@@ -514,8 +521,13 @@ object Pipelines {
        |  WHERE ${rndSql("cast(agg.n_dup_tokens as double) / d.n_tokens", 6)}
        |    > $CurateV4DupShareMax),
        |gated AS (
-       |  SELECT doc_id, n_chars FROM dedup
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+       |  SELECT doc_id, text, n_chars FROM dedup
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped))""".stripMargin
+  }
+
+  private val pipelineCurateV4Sql = {
+    val splitBp = md5LongSql("'split1:' || cast(doc_id as varchar)")
+    s"""WITH $curateGateCtes,
        |cells AS (
        |  SELECT CASE WHEN $splitBp % 10000 < 9800 THEN 'train'
        |              WHEN $splitBp % 10000 < 9900 THEN 'val'
@@ -526,6 +538,70 @@ object Pipelines {
        |  FROM gated)
        |SELECT split, shard, count(*) AS n_docs,
        |  cast(sum(n_chars) as bigint) AS sum_chars
+       |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- curate v5
+  /** Target document draw for the v5 token-budget stage. */
+  private val CurateV5Samples = 100
+
+  /** [[pipelineCurateV4]] plus the TOKEN-BUDGET draw — the stage a
+    * real corpus build runs when the curated pool exceeds the
+    * training budget ("sample ~N tokens from the 10× larger curated
+    * corpus, favoring longer documents ∝ their token mass"): the v4
+    * gate chain's survivors go through the weighted
+    * probability-proportional-to-size systematic draw
+    * ([[ScalarOps.weightedSystematicSample]], one shared kernel with
+    * `q_sample_weighted` — integer-exact selection, deterministic
+    * md5 order), and the manifest accounts the DRAWN subset per
+    * (split, shard) with the summed draw multiplicity (`sum_hits` —
+    * the importance weight a loader repeats or reweights by).
+    * Composes every sampling-era kernel the way production runs
+    * them: gate → dedup → substring gate → budget draw → manifest. */
+  def pipelineCurateV5(spark: SparkSession, dir: String): DataFrame = {
+    val gated = curateGatedDocs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val drawn = ScalarOps.weightedSystematicSample(
+      gated.select(col("doc_id"), col("text")), CurateV5Samples)
+    gated.join(drawn, Seq("doc_id"))
+      .withColumn("split", splitOf(col("doc_id")))
+      .withColumn("shard", shardOf(col("doc_id")))
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_hits")).as("sum_hits"))
+      .orderBy(col("split"), col("shard"))
+  }
+
+  private val pipelineCurateV5Sql = {
+    val splitBp = md5LongSql("'split1:' || cast(doc_id as varchar)")
+    s"""WITH $curateGateCtes,
+       |w AS (
+       |  SELECT doc_id, n_chars, cast(len($toksSql) as bigint) AS w,
+       |    ${md5LongSql("'pps:' || cast(doc_id as varchar)")} AS ord
+       |  FROM gated),
+       |cw AS (
+       |  SELECT doc_id, n_chars, w,
+       |    coalesce(sum(w) OVER (ORDER BY ord, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM w),
+       |tot AS (SELECT greatest(sum(w) // $CurateV5Samples, 1) AS stride FROM w),
+       |drawn AS (
+       |  SELECT doc_id, n_chars,
+       |    (cb + w - 1 + stride) // stride - (cb - 1 + stride) // stride AS n_hits
+       |  FROM cw, tot
+       |  WHERE w > 0
+       |    AND (cb + w - 1 + stride) // stride > (cb - 1 + stride) // stride),
+       |cells AS (
+       |  SELECT CASE WHEN $splitBp % 10000 < 9800 THEN 'train'
+       |              WHEN $splitBp % 10000 < 9900 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |    cast(${md5LongSql("'shard1:' || cast(doc_id as varchar)")} % $ShuffleShards as int)
+       |      AS shard,
+       |    n_chars, n_hits
+       |  FROM drawn)
+       |SELECT split, shard, count(*) AS n_docs,
+       |  cast(sum(n_chars) as bigint) AS sum_chars,
+       |  cast(sum(n_hits) as bigint) AS sum_hits
        |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
@@ -638,5 +714,7 @@ object Pipelines {
     QueryDef("pipeline_curate_v3", pipelineCurateV3 _,
       Some(pipelineCurateV3Sql)),
     QueryDef("pipeline_curate_v4", pipelineCurateV4 _,
-      Some(pipelineCurateV4Sql)))
+      Some(pipelineCurateV4Sql)),
+    QueryDef("pipeline_curate_v5", pipelineCurateV5 _,
+      Some(pipelineCurateV5Sql)))
 }

@@ -226,6 +226,21 @@ class PipelinesSpec extends SparkSpec {
       s"gate must drop exactly the share>0.5 docs: v3-v4=${n3 - n4}, kernel says $dropped")
   }
 
+  test("curateV5: budget draw is a weighted subset of the v4 survivors, hit target met") {
+    val v4 = Pipelines.pipelineCurateV4(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    val v5 = Pipelines.pipelineCurateV5(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(4)))).toSeq
+    // every drawn cell is a v4 cell and never exceeds its population
+    v5.foreach { case (cell, (n, _)) =>
+      assert(v4.contains(cell), s"drawn cell $cell absent from the v4 manifest")
+      assert(n <= v4(cell), s"cell $cell drew $n of ${v4(cell)}")
+    }
+    // the systematic draw guarantees at least the k-target total hits
+    val hits = v5.map(_._2._2).sum
+    assert(hits >= 100, s"sum_hits=$hits below the k=100 draw target")
+  }
+
   test("chunkDupStats: planted spans — cross-doc copy, self-repetition, clean doc") {
     val span = (1 to 8).map(i => s"w$i").mkString(" ") // one full chunk
     val docs = docsDf(Seq(
