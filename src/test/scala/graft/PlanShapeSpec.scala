@@ -159,6 +159,8 @@ class PlanShapeSpec extends SparkSpec {
                                           // to merge trailing-7d HLL sketches
     "q_sample_weighted",                  // broadcast single-row total-weight
                                           // frame (the corpus-N pattern)
+    "pipeline_curate_v5",                 // same single-row total via the
+                                          // shared weighted-draw kernel
     "text_tfidf",                         // broadcast single-row corpus size N
     "text_cooccurrence",                  // broadcast 1-row (T, P) totals frame
     "text_bm25",                          // broadcast single-row (N, Σdl, df) stats
