@@ -369,6 +369,85 @@ object Advanced {
        |ORDER BY c_mktsegment, decile""".stripMargin
   }
 
+  // ---------------------------------------------------------------- join size estimate
+  private val JseDepth = 4
+  private val JseWidth = 4096
+
+  /** Join-CARDINALITY estimation from two Count-Min sketches
+    * (Cormode & Muthukrishnan, J. Algorithms 2005 §4.2: the CM inner
+    * product): |A ⋈ B on k| = Σₓ f_A(x)·f_B(x), estimated per depth
+    * row as the dot product of the two sketch rows, min over depths —
+    * an OVERESTIMATE within ε·N_A·N_B (ε = e/width; at width 4096
+    * over this 15k × 1.5k join that bound is ~10k rows, and the
+    * output carries est/exact so the realized error is visible).
+    * This is the planner's question — "how big is this join going to
+    * be?" — answered from two one-pass, merge-order-invariant,
+    * 128 KB sketches WITHOUT executing the join: the shape a 100 TB
+    * engine uses to choose broadcast vs shuffle vs skew handling
+    * before committing to a plan.
+    *
+    * Deterministic end to end (exact-sum counters + the shared
+    * cross-engine md5/affine bucket hash), so unlike the HLL sketch
+    * below this estimate IS oracle-checked: DuckDB rebuilds both
+    * matrices from first principles and reproduces the estimate
+    * bit for bit. The exact join count rides along (one equi-join
+    * aggregate) purely to exhibit the bound. */
+  def qJoinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FreqSketch
+    val a = Tables.orders(spark, dir)
+      .select(col("o_custkey").cast("string").as("k"))
+    val b = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("string").as("k"))
+    val ma = a.agg(FreqSketch.cmsMatrix(col("k"), JseDepth, JseWidth).as("ma"))
+    val mb = b.agg(FreqSketch.cmsMatrix(col("k"), JseDepth, JseWidth).as("mb"))
+    val exact = a.join(b, Seq("k")).agg(count(lit(1)).as("exact_rows"))
+    val rowIp = (0 until JseDepth).map { i =>
+      aggregate(
+        zip_with(element_at(col("ma"), i + 1), element_at(col("mb"), i + 1),
+          (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+    }
+    ma.crossJoin(mb).crossJoin(exact)
+      .select(
+        col("exact_rows"),
+        least(rowIp: _*).as("cms_estimate"))
+      .withColumn("over_ratio",
+        rnd(col("cms_estimate").cast("double") / col("exact_rows"), 6))
+  }
+
+  private val qJoinSizeEstimateSql = {
+    import graft.functions.CmsCore
+    val d = JseDepth
+    val aList = (0 until d).map(CmsCore.A).mkString("[", ",", "]")
+    val bList = (0 until d).map(CmsCore.B).mkString("[", ",", "]")
+    val iList = (1 to d).mkString("[", ",", "]")
+    def bkt(e: String) =
+      s"(((a * (${graft.functions.CrossEngine.md5LongSql(e)} % ${CmsCore.P}) + b) " +
+        s"% ${CmsCore.P}) % $JseWidth)"
+    s"""WITH ka AS (SELECT cast(o_custkey as varchar) AS k FROM orders),
+       |kb AS (SELECT cast(c_custkey as varchar) AS k FROM customer),
+       |ca AS (SELECT k, count(*) AS c FROM ka GROUP BY k),
+       |cb AS (SELECT k, count(*) AS c FROM kb GROUP BY k),
+       |seeds AS (SELECT unnest($aList) AS a, unnest($bList) AS b,
+       |                 unnest($iList) AS i),
+       |acells AS (
+       |  SELECT i, ${bkt("k")} AS bkt, sum(c) AS c
+       |  FROM ca CROSS JOIN seeds GROUP BY 1, 2),
+       |bcells AS (
+       |  SELECT i, ${bkt("k")} AS bkt, sum(c) AS c
+       |  FROM cb CROSS JOIN seeds GROUP BY 1, 2),
+       |ip AS (
+       |  SELECT a.i, cast(sum(a.c * b.c) as bigint) AS v
+       |  FROM acells a JOIN bcells b ON a.i = b.i AND a.bkt = b.bkt
+       |  GROUP BY a.i),
+       |est AS (SELECT min(v) AS cms_estimate FROM ip),
+       |ex AS (SELECT cast(count(*) as bigint) AS exact_rows
+       |       FROM ka JOIN kb USING (k))
+       |SELECT exact_rows, cms_estimate,
+       |  ${rndSql("cast(cms_estimate as double) / exact_rows", 6)} AS over_ratio
+       |FROM ex, est""".stripMargin
+  }
+
   // ---------------------------------------------------------------- approx distinct
   /** HLL++ sketch aggregation — approximate by construction, so no
     * cross-engine oracle (driver records the weaker rows-only check);
@@ -542,6 +621,8 @@ object Advanced {
     QueryDef("q_percentile", qPercentile _, Some(qPercentileSql)),
     QueryDef("q_winsorize", qWinsorize _, Some(qWinsorizeSql)),
     QueryDef("q_bucketize", qBucketize _, Some(qBucketizeSql)),
+    QueryDef("q_join_size_estimate", qJoinSizeEstimate _,
+      Some(qJoinSizeEstimateSql)),
     QueryDef("q_approx_distinct", qApproxDistinct _, None),
     QueryDef("q_approx_percentile", qApproxPercentile _, None))
 }

@@ -142,6 +142,20 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("CMS join-size estimate: overestimates, within the epsilon*Na*Nb bound") {
+    val r = graft.operators.Advanced.qJoinSizeEstimate(spark, sf).collect()(0)
+    val (exact, est) = (r.getLong(0), r.getLong(1))
+    assert(est >= exact, s"CM inner product must overestimate: $est < $exact")
+    // Cormode-Muthukrishnan: est <= exact + e/width * Na * Nb (per
+    // depth row, so certainly for the min); widths/sizes from the
+    // registered configuration
+    import org.apache.spark.sql.functions._
+    val na = graft.Tables.orders(spark, sf).count()
+    val nb = graft.Tables.customer(spark, sf).count()
+    val bound = exact + (math.E / 4096.0) * na * nb
+    assert(est <= bound, s"est $est above the CM bound $bound (Na=$na Nb=$nb)")
+  }
+
   test("weighted PPS sample: exact hit count, heavy docs always drawn, multiplicity honest") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf)

@@ -159,6 +159,8 @@ class PlanShapeSpec extends SparkSpec {
                                           // to merge trailing-7d HLL sketches
     "q_sample_weighted",                  // broadcast single-row total-weight
                                           // frame (the corpus-N pattern)
+    "q_join_size_estimate",               // three single-row frames (two
+                                          // sketches + the exact count) joined
     "pipeline_curate_v5",                 // same single-row total via the
                                           // shared weighted-draw kernel
     "text_tfidf",                         // broadcast single-row corpus size N

@@ -299,6 +299,34 @@ class PropertySpec extends SparkSpec {
     assert(auto == fixed, "probe-chosen config must not change the output")
   }
 
+  test("banding probe: the sampled path (n > probeCap) preserves both verdicts") {
+    val s = spark
+    import s.implicits._
+    // same planted corpora as the full-probe test, but probeCap forces
+    // the xxhash64 sample + f^2 collision-mass rescale to actually run
+    // (the path a 100 TB corpus takes; also guards the round-10 clamp
+    // against the threshold truncating to an empty sample)
+    def mix(i: Long): Long = {
+      var z = i + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val mask60 = (1L << 60) - 1
+    val dense = (0L until 4000L)
+      .map(i => (i, "x", ((mix(i) << 12) | 0x7B3L) & mask60))
+      .toDF("doc_id", "block", "sh")
+    val cDense = graft.operators.Dedup.chooseBandingConfig(dense, 60, 4, probeCap = 500L)
+    assert(cDense.useSubset,
+      s"sampled probe must still flag the saturated band: $cDense")
+    val spread = (0L until 4000L)
+      .map(i => (i, "x", mix(i) & mask60))
+      .toDF("doc_id", "block", "sh")
+    val cSpread = graft.operators.Dedup.chooseBandingConfig(spread, 60, 4, probeCap = 500L)
+    assert(!cSpread.useSubset,
+      s"sampled probe must keep spread signatures on single-band: $cSpread")
+  }
+
   test("banding probe picks single-band on the natural documents corpus (W calibration regression)") {
     // round 9's W = 4 mis-routed the real corpus to the subset join
     // (measured 3× slower at sf0.1: 5.3 s vs 1.7 s single-band); the
