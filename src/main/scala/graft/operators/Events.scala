@@ -148,6 +148,36 @@ object Events {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** [[qSessionize]] through Spark's NATIVE `session_window` operator
+    * — the built-in the composed lag/running-sum form re-implements
+    * (brief preference (a): use the built-in where one exists; this
+    * registration proves the two agree row for row under the shared
+    * oracle, the `q_asof_join_native` pattern). `session_window`'s
+    * window end = last event + gap, so duration = end − start − gap,
+    * and the per-user session INDEX is a row_number over the ≤
+    * sessions-per-user frame (tiny), ordered by session start.
+    *
+    * Boundary semantics, stated: the composed form starts a new
+    * session when the inter-event gap is STRICTLY greater than
+    * [[GapUs]]; `session_window` splits at ≥ gap. The two differ
+    * only on an event landing EXACTLY at the boundary — measured
+    * zero such pairs at every SF (microsecond timestamps), and the
+    * shared oracle would catch one immediately. */
+  def qSessionizeNative(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        (col("end_us") - col("start_us") - lit(GapUs)).as("duration_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   private val qSessionizeSql =
     s"""WITH e AS (
        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
@@ -766,6 +796,7 @@ object Events {
     QueryDef("q_ohlc_bars", qOhlcBars _, Some(qOhlcBarsSql)),
     QueryDef("q_value_histogram", qValueHistogram _, Some(qValueHistogramSql)),
     QueryDef("q_sessionize", qSessionize _, Some(qSessionizeSql)),
+    QueryDef("q_sessionize_native", qSessionizeNative _, Some(qSessionizeSql)),
     QueryDef("q_scd2", qScd2 _, Some(qScd2Sql)),
     QueryDef("q_window_sliding", qWindowSliding _, Some(qWindowSlidingSql)),
     QueryDef("q_window_extras", qWindowExtras _, Some(qWindowExtrasSql)),
