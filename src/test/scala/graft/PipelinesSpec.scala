@@ -241,6 +241,32 @@ class PipelinesSpec extends SparkSpec {
     assert(hits >= 100, s"sum_hits=$hits below the k=100 draw target")
   }
 
+  test("exciseDupSpans: canonical keeps all, copies lose the span, full copies vanish") {
+    val span = (1 to 8).map(i => s"S$i").mkString(" ")
+    val uniq2 = (1 to 6).map(i => s"u$i").mkString(" ")
+    val docs = docsDf(Seq(
+      // doc 1: canonical carrier — must survive UNTOUCHED
+      1L -> (span + " tail1 tail2"),
+      // doc 2: carries the span + its own unique tail — span excised,
+      // tail kept
+      2L -> (span + " " + uniq2),
+      // doc 3: exact copy of doc 1 — fully excised, VANISHES
+      3L -> (span + " tail1 tail2"),
+      // doc 4: clean control — untouched
+      4L -> (1 to 10).map(i => s"z$i").mkString(" ")))
+    val got = Dedup.exciseDupSpans(docs, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 4L), s"got ids ${got.map(_._1)}")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 == span + " tail1 tail2", "canonical doc must be untouched")
+    assert(byId(4L)._3 == (1 to 10).map(i => s"z$i").mkString(" "))
+    // doc 2: its only redundant shingle is the span itself (offset 0),
+    // whose coverage is exactly the 8 copied tokens; the tail is never
+    // covered by a redundant occurrence and survives
+    assert(byId(2L)._3 == uniq2, s"copy must keep its unique tail: '${byId(2L)._3}'")
+    assert(byId(2L)._2 == 6L)
+  }
+
   test("chunkDupStats: planted spans — cross-doc copy, self-repetition, clean doc") {
     val span = (1 to 8).map(i => s"w$i").mkString(" ") // one full chunk
     val docs = docsDf(Seq(
