@@ -1518,14 +1518,19 @@ object Dedup {
     val subBands = maxHamming + 2    // ⇒ agree = 2 by pigeonhole
     val n = sigs.count()
     val f = if (n <= probeCap) 1.0 else probeCap.toDouble / n
+    // clamp to ≥ 1: at n > probeCap·1e6 the raw truncation hits 0 and
+    // the sample silently empties (the probe would then always pick
+    // single-band on exactly the corpora that need the probe). The
+    // EFFECTIVE fraction is derived from the clamped threshold so the
+    // mass rescale below matches what was actually sampled — rescaling
+    // by the unclamped f² would inflate the mass term by (1e-6/f)²
+    // past the clamp point and mis-route toward the subset kernel.
+    val thresh = math.max(1L, (f * 1e6).toLong)
+    val fEff = if (f >= 1.0) 1.0 else thresh.toDouble / 1e6
     val sample =
       if (f >= 1.0) sigs
       else sigs.filter(
-        // clamp to ≥ 1: at n > probeCap·1e6 the raw truncation hits 0
-        // and the sample silently empties (the probe would then always
-        // pick single-band on exactly the corpora that need the probe)
-        pmod(xxhash64(col("doc_id")), lit(1000000L)) <
-          lit(math.max(1L, (f * 1e6).toLong)))
+        pmod(xxhash64(col("doc_id")), lit(1000000L)) < lit(thresh))
     val boundA = bandBounds(bits, singleBands)
     val keysA = (0 until singleBands).map(b =>
       struct(lit(0).as("cfg"), lit(b).as("idx"),
@@ -1548,7 +1553,7 @@ object Dedup {
       .agg(coalesce(sum(col("c") * (col("c") - lit(1L)) / lit(2L)),
         lit(0L)).cast("double").as("m"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    def mass(cfg: Int): Double = masses.getOrElse(cfg, 0.0) / (f * f)
+    def mass(cfg: Int): Double = masses.getOrElse(cfg, 0.0) / (fEff * fEff)
     val W = 0.1
     val costSingle = singleBands.toDouble * n + W * mass(0)
     val costSubset = subsets.size.toDouble * n + W * mass(1)
@@ -1564,8 +1569,16 @@ object Dedup {
     * driver-blocking jobs inside every registered simhash query and
     * paid a deterministic 2.4-2.7× on both — this cache restores
     * steady-state cost to the bare kernel while keeping the dispatch
-    * automatic. JVM-local and unbounded, which is fine: entries are
-    * one case class per (corpus, config) ever probed. */
+    * automatic. CAVEAT: the key is the PLAN, not the data — if the
+    * files under a corpus path are regenerated in place within one
+    * JVM, the unchanged plan serves the stale verdict. Cost-only
+    * either way (both configs are total-recall), accepted for a
+    * bench/ETL process where inputs are immutable per run. Bounded
+    * at [[BandingCacheMax]] entries (cleared wholesale on overflow —
+    * the key set is tiny in practice, and each entry retains a
+    * LogicalPlan graph, so unbounded growth would leak plans across
+    * a long-lived JVM probing many corpora). */
+  private val BandingCacheMax = 64
   private val bandingChoiceCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), BandingChoice]()
 
@@ -1580,6 +1593,7 @@ object Dedup {
   def bandedHammingPairsAuto(sigs: DataFrame, bits: Int,
       maxHamming: Int): DataFrame = {
     val key = (sigs.queryExecution.analyzed.canonicalized, bits, maxHamming)
+    if (bandingChoiceCache.size() > BandingCacheMax) bandingChoiceCache.clear()
     val choice = bandingChoiceCache.computeIfAbsent(key,
       _ => chooseBandingConfig(sigs, bits, maxHamming))
     if (choice.useSubset)

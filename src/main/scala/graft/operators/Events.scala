@@ -157,12 +157,16 @@ object Events {
     * and the per-user session INDEX is a row_number over the ≤
     * sessions-per-user frame (tiny), ordered by session start.
     *
-    * Boundary semantics, stated: the composed form starts a new
-    * session when the inter-event gap is STRICTLY greater than
-    * [[GapUs]]; `session_window` splits at ≥ gap. The two differ
-    * only on an event landing EXACTLY at the boundary — measured
-    * zero such pairs at every SF (microsecond timestamps), and the
-    * shared oracle would catch one immediately. */
+    * Boundary semantics, MEASURED (r10 advice follow-up): the advice
+    * assumed `session_window` splits at ≥ gap and proposed a +1µs
+    * offset; a planted exact-boundary corpus (RelationalSpec's
+    * "planted exact-boundary gap" test) proves the opposite — Spark
+    * merges sessions when the inter-event gap is ≤ the configured
+    * gap and splits only STRICTLY greater (windows [t, t+gap] with
+    * inclusive-end overlap merging), which is already IDENTICAL to
+    * the composed form's `> GapUs` split. The gap therefore stays
+    * exactly 30 min, and the planted spec is the loud guard: any
+    * Spark-side semantics change flips it red. */
   def qSessionizeNative(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
     Tables.events(spark, dir)

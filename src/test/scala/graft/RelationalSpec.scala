@@ -70,6 +70,38 @@ class RelationalSpec extends SparkSpec {
     assert(df.filter(col("duration_us") < 0).count() == 0)
   }
 
+  test("sessionize: native form equals composed form, incl. a planted exact-boundary gap") {
+    // corpus equality at sf0.001 (the oracle gate re-proves this at sf0.01)
+    val a = Events.qSessionize(spark, sf).collect().map(_.toString).sorted
+    val b = Events.qSessionizeNative(spark, sf).collect().map(_.toString).sorted
+    assert(a.sameElements(b), "native session_window diverged from composed sessionizer")
+    // planted: inter-event gap of EXACTLY 30 min — composed splits only
+    // at STRICTLY > gap, so both events must share a session; the native
+    // form's gap+1µs alignment is what makes session_window agree here.
+    val dir = java.nio.file.Files.createTempDirectory("sess-boundary").toString
+    val gapUs = 1800000000L
+    val base = 1700000000000000L
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, 1L, base),
+      (1L, 2L, base + gapUs),          // exactly on the boundary: SAME session
+      (1L, 3L, base + gapUs + gapUs + 1L), // 1µs past: NEW session
+      (2L, 4L, base))
+      .toDF("user_id", "event_id", "us")
+      .select(col("user_id"), col("event_id"),
+        expr("timestamp_micros(us)").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val comp = Events.qSessionize(spark, dir).collect().map(_.toString).sorted
+    val nat  = Events.qSessionizeNative(spark, dir).collect().map(_.toString).sorted
+    assert(comp.sameElements(nat),
+      s"boundary corpus diverged:\ncomposed=${comp.mkString("|")}\nnative=${nat.mkString("|")}")
+    // and the boundary pair really did stay in one session of 2 events
+    val u1 = Events.qSessionize(spark, dir)
+      .filter(col("user_id") === 1L).collect()
+    assert(u1.length == 2 && u1.map(_.getLong(2)).sorted.sameElements(Array(1L, 2L)))
+  }
+
   test("retention cohorts: offset-0 diagonal is full, cells never exceed cohort size") {
     val rows = Events.qRetentionCohorts(spark, sf).collect()
     assert(rows.nonEmpty)
