@@ -1424,6 +1424,161 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** IVF-PQ search as production deploys it (Jégou et al. TPAMI 2011
+    * §V: ADC shortlist + exact re-rank) — the residual twin of
+    * [[pqTopKRerank]]: corpus vectors are coarse-assigned against
+    * `cents` (zero-shuffle projection), residual-PQ-decoded against
+    * `cb` into x̂ = centroid + decode(code), each query ADC-scores x̂
+    * ONLY inside its `nprobe` probed cells and keeps a `rerank × k`
+    * shortlist, then only the shortlist's raw vectors are fetched
+    * (the vec_id equi-join — at scale a point lookup into the vector
+    * store, ~rerank·k·|q| rows, never the corpus) and re-ranked by
+    * exact cosine. Quantization then costs recall only when a true
+    * neighbor misses the shortlist entirely, not when ADC merely
+    * scrambles order within it. `cb` must be the codebook of the
+    * RESIDUALS v − centroid (trained or deterministic-init — the
+    * kernel recomputes the residual geometry from `cents` itself, so
+    * any codebook over the same residual frame composes).
+    * `vecs` needs (vec_id, v, nrm); `qs` needs (q_id, qv, qn). */
+  def ivfPqTopKRerank(vecs: DataFrame, qs: DataFrame,
+      cents: Seq[(Int, Seq[Double], Double)], cb: Seq[Seq[Seq[Double]]],
+      nprobe: Int, k: Int, rerank: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(cents.toDF("c_id", "cv", "cn"))
+    val enc = vecs
+      .withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
+      .join(centDf, col("cluster") === col("c_id"))
+      .withColumn("rhat", zip_with(col("cv"),
+        pqReconstruct(cb, zip_with(col("v"), col("cv"), (a, b) => a - b)),
+        (a, b) => a + b))
+      .withColumn("rn", VectorFunctions.norm(col("rhat")))
+      .select(col("vec_id"), col("cluster"), col("rhat"), col("rn"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = enc.join(broadcast(probeClusters(qs, cents, nprobe)),
+        col("cluster") === col("probe_cluster") && col("vec_id") =!= col("q_id"))
+      .withColumn("adc",
+        try_divide(dot(col("qv"), col("rhat")), col("qn") * col("rn")))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= k * rerank)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
+    val wExact = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .join(vecs.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        rnd(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** How many ADC-shortlist candidates per returned neighbor the
+    * registered rerank query keeps (shortlist = [[TopK]] × this). */
+  private val IvfPqRerankFactor = 4
+
+  /** Registered IVF-PQ + exact-rerank query: [[annIvfPq]]'s exact
+    * configuration (trained coarse cells, deterministic-init residual
+    * codebook, [[NProbe]] probes) driven through [[ivfPqTopKRerank]]
+    * — the output is EXACT cosines over the ADC shortlist, so the
+    * oracle replicates the shortlist selection then re-scores raw
+    * vectors. This is the production read path; the recall floors
+    * live in SimilarityRecallSpec ("IVF-PQ recall@10"). */
+  def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = vecs(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val (cent, _) = kmeansTrain(ev, NCentroids, iters = 2)
+    val cents = collectCentroids(cent)
+    val centDf = broadcast(cents.toDF("c_id", "cv", "cn"))
+    val withRes = ev
+      .withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
+      .join(centDf, col("cluster") === col("c_id"))
+      .withColumn("res", zip_with(col("v"), col("cv"), (a, b) => a - b))
+    val cb = pqCodebook(withRes.select(col("vec_id"), col("res").as("v")))
+    val q = ev.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    ivfPqTopKRerank(ev, q, cents, cb, NProbe, TopK, IvfPqRerankFactor)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** [[annIvfPqSql]]'s CTE chain up to ADC scoring, then the
+    * shortlist cut (rank ≤ k × rerank on ADC order) and the exact
+    * re-rank over raw vectors — mirroring [[ivfPqTopKRerank]]. */
+  private val annIvfPqRerankSql = {
+    val d2 = "list_reduce(list_transform(" +
+      s"list_slice(r.res, cb.m * $PqSubDim + 1, cb.m * $PqSubDim + $PqSubDim), " +
+      "(x, i) -> (x - cb.cv[i]) * (x - cb.cv[i])), (a, b) -> a + b)"
+    s"""WITH ${kmeansCtesFor(2)},
+       |cent AS (SELECT c_id, cv, ${sqlNrm("cv")} AS cn FROM c2),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, cluster FROM (
+       |    SELECT en.vec_id, en.v, en.nrm, cent.c_id AS cluster,
+       |      row_number() OVER (PARTITION BY en.vec_id
+       |        ORDER BY ${sqlDot("cent.cv", "en.v")} / (cent.cn * en.nrm) DESC, cent.c_id)
+       |        AS crank
+       |    FROM en CROSS JOIN cent)
+       |  WHERE crank = 1),
+       |r AS (
+       |  SELECT a.vec_id, a.cluster, cent.cv AS ccv,
+       |    list_transform(a.v, (x, i) -> x - cent.cv[i]) AS res
+       |  FROM assigned a JOIN cent ON a.cluster = cent.c_id),
+       |cb AS (
+       |  SELECT t.m, r.vec_id AS c,
+       |    list_slice(r.res, t.m * $PqSubDim + 1, t.m * $PqSubDim + $PqSubDim) AS cv
+       |  FROM r, range(0, $PqM) t(m) WHERE r.vec_id < $PqK),
+       |codes AS (
+       |  SELECT vec_id, m, c FROM (
+       |    SELECT r.vec_id, cb.m, cb.c,
+       |      row_number() OVER (PARTITION BY r.vec_id, cb.m
+       |        ORDER BY $d2, cb.c) AS rn
+       |    FROM r CROSS JOIN cb)
+       |  WHERE rn = 1),
+       |recon AS (
+       |  SELECT codes.vec_id, flatten(list(cb.cv ORDER BY cb.m)) AS rres
+       |  FROM codes JOIN cb ON codes.m = cb.m AND codes.c = cb.c
+       |  GROUP BY codes.vec_id),
+       |rhat AS (
+       |  SELECT r.vec_id, r.cluster,
+       |    list_transform(r.ccv, (x, i) -> x + recon.rres[i]) AS rhat
+       |  FROM r JOIN recon ON r.vec_id = recon.vec_id),
+       |rh AS (SELECT vec_id, cluster, rhat, ${sqlNrm("rhat")} AS rn FROM rhat),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM en WHERE vec_id < $NQueries),
+       |probes AS (
+       |  SELECT q_id, qv, qn, probe_cluster FROM (
+       |    SELECT q.q_id, q.qv, q.qn, cent.c_id AS probe_cluster,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${sqlDot("cent.cv", "q.qv")} / (cent.cn * q.qn) DESC, cent.c_id)
+       |        AS prank
+       |    FROM q CROSS JOIN cent)
+       |  WHERE prank <= $NProbe),
+       |adc AS (
+       |  SELECT p.q_id, rh.vec_id,
+       |    ${sqlDot("p.qv", "rh.rhat")} / (p.qn * rh.rn) AS adc
+       |  FROM rh JOIN probes p
+       |    ON rh.cluster = p.probe_cluster AND rh.vec_id <> p.q_id),
+       |shortlist AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS arank
+       |    FROM adc)
+       |  WHERE arank <= ${TopK * IvfPqRerankFactor}),
+       |exact AS (
+       |  SELECT s.q_id, s.vec_id,
+       |    ${sqlDot("q.qv", "en.v")} / (q.qn * en.nrm) AS cos
+       |  FROM shortlist s
+       |  JOIN q ON s.q_id = q.q_id
+       |  JOIN en ON s.vec_id = en.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) as int) AS rank
+       |  FROM exact)
+       |SELECT q_id, vec_id AS neighbor_id, rank,
+       |  ${rndSql("cos", 6)} AS cos_sim
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- hybrid retrieval
   /** Hybrid lexical+semantic retrieval with reciprocal-rank fusion
     * (Cormack et al., SIGIR 2009) — the RAG-era corpus-search shape:
@@ -1522,6 +1677,7 @@ object Similarity {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ann_pq", annPq _, Some(annPqSql)),
     QueryDef("ann_ivfpq", annIvfPq _, Some(annIvfPqSql)),
+    QueryDef("ann_ivfpq_rerank", annIvfPqRerank _, Some(annIvfPqRerankSql)),
     QueryDef("ann_bruteforce", annBruteforce _, Some(annBruteforceSql)),
     QueryDef("ann_bruteforce_agg", annBruteforceAgg _,
       Some(annBruteforceSql)), // same oracle: bounded-agg == window form

@@ -150,6 +150,9 @@ class PlanShapeSpec extends SparkSpec {
     "ann_pq",                             // broadcast query set, codes-only corpus side
     "ann_ivfpq",                          // broadcast centroid + query sets,
                                           // probed-cell equi-join candidates
+    "ann_ivfpq_rerank",                   // same probed shape; the rerank tail
+                                          // is a vec_id equi-join on a
+                                          // shortlist of k×rerank rows/query
     "ann_lsh",                            // broadcast query/centroid/hyperplane sets
     "mm_feature_knn",                     // ivfTopK: same broadcast query set as ann_ivf
     "mr_pagerank",                        // broadcast single-row node count

@@ -328,6 +328,61 @@ class SimilarityRecallSpec extends SparkSpec {
     graph.unpersist()
   }
 
+  test("IVF-PQ recall@10: reranked nprobe=2 clears 0.9, monotone in nprobe, rerank beats raw ADC") {
+    val s = spark
+    import s.implicits._
+    val vecs = corpus.toDF("vec_id", "v")
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+      .persist()
+    val qs = queries.toDF("q_id", "qv")
+      .withColumn("qn", VectorFunctions.norm(col("qv")))
+    val truth = Similarity.cosineTopKExact(
+        corpus.toDF("vec_id", "v"), queries.toDF("q_id", "qv"), K)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val (cent, _) = Similarity.kmeansTrain(
+      vecs.select(col("vec_id"), col("v"), col("nrm")), NClusters, iters = 2)
+    val cents = Similarity.collectCentroids(cent)
+    // production config: per-subspace Lloyd-trained codebook on the
+    // RESIDUAL frame (the same public trainer the flat-PQ test uses)
+    val M = 4
+    val subDim = Dim / M
+    val withRes = vecs
+      .withColumn("cluster", Similarity.nearestCentroid(cents, col("v"), col("nrm")))
+      .join(broadcast(cents.toDF("c_id", "cv", "cn")), col("cluster") === col("c_id"))
+      .withColumn("res", zip_with(col("v"), col("cv"), (a, b) => a - b))
+      .select(col("vec_id"), col("res"))
+    val cb = (0 until M).map { m =>
+      val sub = withRes.select(col("vec_id"),
+        slice(col("res"), m * subDim + 1, subDim).as("v"))
+        .withColumn("nrm", VectorFunctions.norm(col("v")))
+      val (c, _) = Similarity.kmeansTrain(sub, 16, iters = 2)
+      Similarity.collectCentroids(c).map(_._2)
+    }
+    def recallOf(nprobe: Int, rerank: Int): Double = {
+      val got = Similarity.ivfPqTopKRerank(vecs, qs, cents, cb, nprobe, K, rerank)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    // rerank=1 shortlists exactly k, so the returned SET is the raw
+    // residual-ADC top-k — the no-rerank baseline at equal probe cost
+    val raw = recallOf(2, 1)
+    val np1 = recallOf(1, 4)
+    val np2 = recallOf(2, 4)
+    val np4 = recallOf(4, 4)
+    val r8 = recallOf(2, 8)
+    info(f"IVF-PQ recall@$K: raw ADC np2 $raw%.3f; reranked ×4 np1 $np1%.3f " +
+      f"np2 $np2%.3f np4 $np4%.3f; ×8 np2 $r8%.3f")
+    assert(np1 < 1.0, "corpus must stress the probe")
+    assert(np2 >= 0.9, s"IVF-PQ reranked recall floor at nprobe=2: got $np2")
+    assert(np4 >= np2 && np2 >= np1, "recall must be monotone in nprobe")
+    assert(np2 >= raw, "exact rerank must not lose recall vs raw ADC order")
+    assert(r8 >= np2, "recall must be monotone in the shortlist factor")
+    vecs.unpersist()
+  }
+
   test("IVF-PQ: residual coding strictly beats flat PQ reconstruction at equal code budget") {
     val sp = spark
     import sp.implicits._
