@@ -2034,14 +2034,20 @@ object Dedup {
         size(col("t")).cast("long").as("n_kept_tokens"),
         expr("concat_ws(' ', t)").as("cleaned_text"))
     rebuilt.unionAll(untouched)
-      .orderBy(col("doc_id"))
   }
 
   def dedupSubstringExcise(spark: SparkSession, dir: String): DataFrame =
     exciseDupSpans(Tables.documents(spark, dir), SubstrLen)
+      .orderBy(col("doc_id"))
 
-  private val dedupSubstringExciseSql =
-    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+  /** The [[exciseDupSpans]] chain as DuckDB CTEs over `src` (any
+    * relation exposing doc_id, text), ending in `excised`
+    * (doc_id, n_kept_tokens, cleaned_text) — ONE definition under
+    * both the registered `dedup_substring_excise` oracle and any
+    * composed-pipeline oracle that applies the excise stage
+    * (`pipeline_curate_v6`). */
+  private[operators] def exciseSqlCtes(src: String): String =
+    s"""t AS (SELECT doc_id, $toksSql AS tk FROM $src),
        |occ AS (
        |  SELECT doc_id, j,
        |    md5(array_to_string(tk[j + 1 : j + $SubstrLen], ' ')) AS sk
@@ -2078,10 +2084,15 @@ object Dedup {
        |  SELECT doc_id, cast(len(tk) as bigint) AS n_kept_tokens,
        |    array_to_string(tk, ' ') AS cleaned_text
        |  FROM t
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM affected))
-       |SELECT doc_id, n_kept_tokens, cleaned_text FROM rebuilt
-       |UNION ALL
-       |SELECT doc_id, n_kept_tokens, cleaned_text FROM untouched
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM affected)),
+       |excised AS (
+       |  SELECT doc_id, n_kept_tokens, cleaned_text FROM rebuilt
+       |  UNION ALL
+       |  SELECT doc_id, n_kept_tokens, cleaned_text FROM untouched)""".stripMargin
+
+  private val dedupSubstringExciseSql =
+    s"""WITH ${exciseSqlCtes("documents")}
+       |SELECT doc_id, n_kept_tokens, cleaned_text FROM excised
        |ORDER BY doc_id""".stripMargin
 
   /** Duplicated-span STRUCTURE per doc — the interval-merge form the

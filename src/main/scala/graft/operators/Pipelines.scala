@@ -493,8 +493,10 @@ object Pipelines {
 
   /** The gate chain's CTEs up to `gated` (doc_id, text, n_chars) —
     * one definition under both composed-pipeline oracles. */
-  private def curateGateCtes: String = {
-    val k = Dedup.SubstrLen
+  /** The quality gate + exact-dedup CTEs (ending in `dedup`:
+    * doc_id, text, n_chars) shared by the v4/v5 gate-chain oracle
+    * and the v6 excise-chain oracle. */
+  private def keptDedupCtes: String =
     s"""kept AS (
        |  SELECT doc_id, text, n_chars FROM documents
        |  WHERE ${TextAnalysis.QualityRuleSql.keep}),
@@ -502,7 +504,11 @@ object Pipelines {
        |  SELECT doc_id, text, n_chars FROM (
        |    SELECT doc_id, text, n_chars,
        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
-       |    FROM kept) WHERE rk = 1),
+       |    FROM kept) WHERE rk = 1)""".stripMargin
+
+  private def curateGateCtes: String = {
+    val k = Dedup.SubstrLen
+    s"""$keptDedupCtes,
        |t AS (SELECT doc_id, $toksSql AS tk FROM dedup),
        |d AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM t
        |      WHERE len(tk) >= $k),
@@ -602,6 +608,82 @@ object Pipelines {
        |SELECT split, shard, count(*) AS n_docs,
        |  cast(sum(n_chars) as bigint) AS sum_chars,
        |  cast(sum(n_hits) as bigint) AS sum_hits
+       |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- curate v6
+  /** The curate chain that EXCISES instead of DROPS — the published
+    * exact-substring-dedup pipeline shape (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022: remove
+    * the duplicated SPAN, keep the document): quality gate → exact
+    * dedup (md5, keep min doc_id) → [[Dedup.exciseDupSpans]] over
+    * the survivors (every non-canonical occurrence of a duplicated
+    * k-token span is cut and the text rebuilt; v4 instead drops the
+    * whole doc once coverage passes 0.5) → the quality gate RE-RUN
+    * on the cleaned text (excision can push a doc under the length /
+    * stopword / repetition floors — the published chain re-validates
+    * after surgery) → split/shard → manifest accounting the SURVIVING
+    * token mass (`sum_tokens`, not raw n_chars — the chars of a
+    * cleaned doc are no longer the stored chars).
+    *
+    * Relative to v4: a boilerplate-heavy doc with one long verbatim
+    * copy keeps its unique remainder instead of vanishing; a doc that
+    * was pure copy still vanishes (full excision — the doc-level
+    * decision emerging as the span rule's limit). PipelinesSpec
+    * relates the two: every v4 coverage-drop is either excised-and-
+    * kept here (with strictly fewer tokens) or legitimately dead
+    * (fully excised / fails the re-gate).
+    *
+    * Plan shape: the gate/dedup stages are v3's; the excise kernel
+    * persists its token frame internally (it feeds the shingle pass
+    * and the rebuild); the rebuilt output is persisted here because
+    * it feeds both the re-gate and the manifest — at corpus scale
+    * re-deriving the rebuild is a full extra pass. The re-gate is
+    * per-row expressions + one semi-join; the manifest is the usual
+    * ≤ splits × shards aggregate. */
+  def pipelineCurateV6(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keptIds = TextAnalysis.qualityRules(
+        docs.select(col("doc_id"), col("text")))
+      .filter(col("keep")).select(col("doc_id"))
+    val kept = docs.join(keptIds, Seq("doc_id"), "left_semi")
+    val deduped = kept
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id"))
+        .as("__r"))
+      .select(col("__r.doc_id").as("doc_id"), col("__r.text").as("text"))
+    val cleaned = Dedup.exciseDupSpans(deduped, Dedup.SubstrLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val regatedIds = TextAnalysis.qualityRules(
+        cleaned.select(col("doc_id"), col("cleaned_text").as("text")))
+      .filter(col("keep")).select(col("doc_id"))
+    cleaned.join(regatedIds, Seq("doc_id"), "left_semi")
+      .withColumn("split", splitOf(col("doc_id")))
+      .withColumn("shard", shardOf(col("doc_id")))
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_kept_tokens")).as("sum_tokens"))
+      .orderBy(col("split"), col("shard"))
+  }
+
+  private val pipelineCurateV6Sql = {
+    val splitBp = md5LongSql("'split1:' || cast(doc_id as varchar)")
+    s"""WITH $keptDedupCtes,
+       |${Dedup.exciseSqlCtes("dedup")},
+       |regated AS (
+       |  SELECT doc_id, n_kept_tokens FROM (
+       |    SELECT doc_id, n_kept_tokens, cleaned_text AS text FROM excised)
+       |  WHERE ${TextAnalysis.QualityRuleSql.keep}),
+       |cells AS (
+       |  SELECT CASE WHEN $splitBp % 10000 < 9800 THEN 'train'
+       |              WHEN $splitBp % 10000 < 9900 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |    cast(${md5LongSql("'shard1:' || cast(doc_id as varchar)")} % $ShuffleShards as int)
+       |      AS shard,
+       |    n_kept_tokens
+       |  FROM regated)
+       |SELECT split, shard, count(*) AS n_docs,
+       |  cast(sum(n_kept_tokens) as bigint) AS sum_tokens
        |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
@@ -716,5 +798,7 @@ object Pipelines {
     QueryDef("pipeline_curate_v4", pipelineCurateV4 _,
       Some(pipelineCurateV4Sql)),
     QueryDef("pipeline_curate_v5", pipelineCurateV5 _,
-      Some(pipelineCurateV5Sql)))
+      Some(pipelineCurateV5Sql)),
+    QueryDef("pipeline_curate_v6", pipelineCurateV6 _,
+      Some(pipelineCurateV6Sql)))
 }

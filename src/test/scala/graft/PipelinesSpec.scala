@@ -241,6 +241,54 @@ class PipelinesSpec extends SparkSpec {
     assert(hits >= 100, s"sum_hits=$hits below the k=100 draw target")
   }
 
+  test("curateV6: excise keeps v4's drops (minus canonical carriers) with fewer tokens") {
+    val v6 = Pipelines.pipelineCurateV6(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(v6.nonEmpty)
+    assert(v6.forall(c => Set("train", "val", "test")(c._1) &&
+      c._2 >= 0 && c._2 < 8))
+    // recompute the shared chain front: gate → exact dedup survivors
+    val docs = graft.Tables.documents(spark, sf)
+    val survivors = docs.join(
+        TextAnalysis.qualityRules(docs.select(col("doc_id"), col("text")))
+          .filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+      .persist()
+    val cleaned = Dedup.exciseDupSpans(survivors, 8).persist()
+    // v6's manifest accounts exactly the excised docs that clear the
+    // re-gate, token for token
+    val regated = cleaned.join(
+      TextAnalysis.qualityRules(
+          cleaned.select(col("doc_id"), col("cleaned_text").as("text")))
+        .filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val (nDocs, nToks) = regated
+      .agg(count(lit(1)), sum(col("n_kept_tokens"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).head
+    assert(v6.map(_._3).sum == nDocs,
+      s"v6 cells must partition the $nDocs regated excise survivors")
+    assert(v6.map(_._4).sum == nToks,
+      "v6 token mass must equal the regated survivors' kept tokens")
+    // THE POINT of v6 vs v4: docs the coverage gate DROPS (share>0.5)
+    // survive here as cleaned text — token count bounded above by the
+    // original, strictly below it for every non-canonical carrier
+    val v4Drops = Dedup.substringDupStats(survivors, 8)
+      .filter(col("dup_token_share") > 0.5)
+      .select(col("doc_id"), col("n_tokens"))
+    val carried = v4Drops.join(cleaned, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(carried.nonEmpty,
+      "corpus must carry v4 coverage-drops into the excised output")
+    carried.foreach { case (id, orig, keptToks) =>
+      assert(keptToks <= orig, s"doc $id grew under excision")
+    }
+    assert(carried.exists(c => c._3 < c._2),
+      "at least one non-canonical v4 drop must actually lose tokens")
+    cleaned.unpersist(); survivors.unpersist()
+  }
+
   test("exciseDupSpans: canonical keeps all, copies lose the span, full copies vanish") {
     val span = (1 to 8).map(i => s"S$i").mkString(" ")
     val uniq2 = (1 to 6).map(i => s"u$i").mkString(" ")
@@ -255,7 +303,8 @@ class PipelinesSpec extends SparkSpec {
       // doc 4: clean control — untouched
       4L -> (1 to 10).map(i => s"z$i").mkString(" ")))
     val got = Dedup.exciseDupSpans(docs, k = 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sortBy(_._1)
     assert(got.map(_._1) == Seq(1L, 2L, 4L), s"got ids ${got.map(_._1)}")
     val byId = got.map(r => r._1 -> r).toMap
     assert(byId(1L)._3 == span + " tail1 tail2", "canonical doc must be untouched")
