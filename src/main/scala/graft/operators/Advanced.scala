@@ -172,6 +172,93 @@ object Advanced {
       |FROM nb
       |ORDER BY purchase_event_id""".stripMargin
 
+  // ---------------------------------------------------------------- asof tolerance
+  /** Staleness bound for [[qAsofTolerance]]: one day in epoch
+    * micros. Calibrated against the events corpus (median purchase →
+    * last-view staleness ≈ 1.5 days at every SF), so BOTH outcomes —
+    * within-tolerance match and nulled-out stale match — are
+    * populated at spec, gate, and bench scale. */
+  private val AsOfToleranceUs = 86400000000L
+
+  /** [[qAsofJoinNative]] with pandas merge_asof's `tolerance` knob:
+    * a last-view match more than [[AsOfToleranceUs]] older than the
+    * purchase is no match (null), exactly as if the view were
+    * absent. The knob lives in the native exec as a match-time check
+    * (the stale candidate still advances the merge cursor — see
+    * AsOfJoinSpec's planted boundary rows); the oracle expresses the
+    * identical semantics as DuckDB ASOF + a post-predicate, valid
+    * because any EARLIER candidate is strictly staler — nulling the
+    * latest match can never expose an in-tolerance earlier one. */
+  def qAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"),
+        unix_micros(col("ts")).as("last_view_us"))
+    graft.plans.AsOf.join(purchases, views,
+        leftKey = "user_id", leftTime = "purchase_us",
+        rightKey = "v_user_id", rightTime = "last_view_us",
+        toleranceUs = Some(AsOfToleranceUs))
+      .select(col("user_id"), col("purchase_event_id"),
+        col("purchase_us"), col("last_view_us"))
+      .orderBy(col("purchase_event_id"))
+  }
+
+  private val qAsofToleranceSql =
+    s"""WITH p AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+       |  WHERE event_type = 'purchase'),
+       |v AS (
+       |  SELECT user_id, epoch_us(ts) AS us FROM events
+       |  WHERE event_type = 'view')
+       |SELECT p.user_id, p.event_id AS purchase_event_id,
+       |  p.us AS purchase_us,
+       |  CASE WHEN p.us - v.us <= $AsOfToleranceUs THEN v.us END
+       |    AS last_view_us
+       |FROM p ASOF LEFT JOIN v
+       |  ON p.user_id = v.user_id AND p.us >= v.us
+       |ORDER BY purchase_event_id""".stripMargin
+
+  // ---------------------------------------------------------------- asof forward
+  /** pandas merge_asof `direction='forward'` as a first-class
+    * registered form: each purchase annotated with the EARLIEST view
+    * at-or-after it by the same user, through the native operator's
+    * `direction = "forward"` knob (the same streaming merge over
+    * negated times — no new exec; see AsOf.join). Oracle: DuckDB's
+    * native forward ASOF (`p.us <= v.us` picks the nearest
+    * at-or-after). */
+  def qAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"),
+        unix_micros(col("ts")).as("next_view_us"))
+    graft.plans.AsOf.join(purchases, views,
+        leftKey = "user_id", leftTime = "purchase_us",
+        rightKey = "v_user_id", rightTime = "next_view_us",
+        direction = "forward")
+      .select(col("user_id"), col("purchase_event_id"),
+        col("purchase_us"), col("next_view_us"))
+      .orderBy(col("purchase_event_id"))
+  }
+
+  private val qAsofForwardSql =
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      |  WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events
+      |  WHERE event_type = 'view')
+      |SELECT p.user_id, p.event_id AS purchase_event_id,
+      |  p.us AS purchase_us, v.us AS next_view_us
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND p.us <= v.us
+      |ORDER BY purchase_event_id""".stripMargin
+
   private val qAsofMultiSql =
     """WITH p AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
@@ -614,6 +701,8 @@ object Advanced {
     QueryDef("q_asof_join_native", qAsofJoinNative _, Some(qAsofJoinSql)),
     QueryDef("q_asof_multi", qAsofMulti _, Some(qAsofMultiSql)),
     QueryDef("q_asof_nearest", qAsofNearest _, Some(qAsofNearestSql)),
+    QueryDef("q_asof_tolerance", qAsofTolerance _, Some(qAsofToleranceSql)),
+    QueryDef("q_asof_forward", qAsofForward _, Some(qAsofForwardSql)),
     QueryDef("q_range_join", qRangeJoin _, Some(qRangeJoinSql)),
     QueryDef("q_pivot", qPivot _, Some(qPivotSql)),
     QueryDef("q_unpivot", qUnpivot _, Some(qUnpivotSql)),

@@ -45,14 +45,29 @@ object AsOf {
     * plan-time Cast, inserted on BOTH sides so the two children
     * hash-partition compatibly). `toleranceUs` (pandas merge_asof
     * `tolerance`): when set, a right row older than
-    * leftTime - toleranceUs does not match. */
+    * leftTime - toleranceUs does not match.
+    *
+    * `direction` (pandas merge_asof `direction`): "backward" (the
+    * default — latest right at-or-before) or "forward" (EARLIEST
+    * right at-or-after, tie inclusive). Forward is the same
+    * streaming merge run over NEGATED times — latest −r ≤ −l ⟺
+    * smallest r ≥ l, exact on epoch-micros longs — so the negation
+    * is applied to the TIME EXPRESSIONS only (timestamps go through
+    * an exact `PreciseTimestampConversion` to micros first); the
+    * exec, its tolerance check (−r < −l − T ⟺ r > l + T, the pandas
+    * forward-tolerance bound), and the output columns are untouched.
+    * For 'nearest', compose both directions and pick per row —
+    * `q_asof_nearest` shows the pattern. */
   def join(
       left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String,
-      toleranceUs: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      toleranceUs: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, PreciseTimestampConversion, UnaryMinus}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
     val spark = left.sparkSession
     register(spark)
     val lPlan = DatasetBridge.analyzedPlan(left)
@@ -67,10 +82,21 @@ object AsOf {
       case ByteType | ShortType | IntegerType => Cast(e, LongType)
       case _ => e
     }
+    // forward = backward over negated micros; negation only touches
+    // the comparison expressions, never the output columns
+    def time(e: Expression): Expression = {
+      val w = widen(e)
+      if (direction == "backward") w
+      else UnaryMinus(w.dataType match {
+        case TimestampType | TimestampNTZType =>
+          PreciseTimestampConversion(w, w.dataType, LongType)
+        case _ => w
+      })
+    }
     DatasetBridge.ofRows(spark,
       AsOfJoin(lPlan, rPlan,
         widen(attr(lPlan, leftKey)), widen(attr(rPlan, rightKey)),
-        widen(attr(lPlan, leftTime)), widen(attr(rPlan, rightTime)),
+        time(attr(lPlan, leftTime)), time(attr(rPlan, rightTime)),
         toleranceUs))
   }
 }

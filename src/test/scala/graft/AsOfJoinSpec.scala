@@ -80,6 +80,42 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out2 == Map("near" -> -1L, "far" -> -1L, "near2" -> 504L))
   }
 
+  test("forward as-of: first at-or-after, tie inclusive, tolerance at/over the boundary") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 100L, "tie"), (1L, 200L, "gap"), (2L, 50L, "none"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 100L), (1L, 150L), (1L, 300L), (2L, 40L)).toDF("rk", "rt")
+    def run(tol: Option[Long]) =
+      AsOf.join(l, r, "k", "t", "rk", "rt", toleranceUs = tol,
+          direction = "forward")
+        .select("tag", "rt").collect()
+        .map(x => x.getString(0) ->
+          (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    // tie: rt=100 >= t=100 inclusive (pandas forward tie rule);
+    // gap: earliest at-or-after is 300; none: 40 < 50, no forward row
+    assert(run(None) == Map("tie" -> 100L, "gap" -> 300L, "none" -> -1L))
+    // tolerance AT the boundary: 300 - 200 = 100 == tol -> kept
+    assert(run(Some(100L)) == Map("tie" -> 100L, "gap" -> 300L, "none" -> -1L))
+    // one micro OVER: nulled, while the exact-tie match survives tol=0
+    assert(run(Some(99L)) == Map("tie" -> 100L, "gap" -> -1L, "none" -> -1L))
+    assert(run(Some(0L)) == Map("tie" -> 100L, "gap" -> -1L, "none" -> -1L))
+  }
+
+  test("forward as-of converts timestamp times exactly (PreciseTimestampConversion path)") {
+    val s = spark
+    import s.implicits._
+    def ts(us: Long) = java.sql.Timestamp.from(
+      java.time.Instant.EPOCH.plusNanos(us * 1000))
+    val l = Seq((1L, ts(100), "a"), (1L, ts(250), "b")).toDF("k", "t", "tag")
+    val r = Seq((1L, ts(99)), (1L, ts(101)), (1L, ts(251))).toDF("rk", "rt")
+    val out = AsOf.join(l, r, "k", "t", "rk", "rt", direction = "forward")
+      .select("tag", "rt").collect()
+      .map(x => x.getString(0) -> x.getTimestamp(1)).toMap
+    // output column keeps its TimestampType; only the compare negates
+    assert(out == Map("a" -> ts(101), "b" -> ts(251)))
+  }
+
   test("as-of rejects mismatched time types at plan construction") {
     val s = spark
     import s.implicits._
