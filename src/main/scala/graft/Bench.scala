@@ -471,8 +471,23 @@ object Bench {
     // restored from history). Subset runs print their line; only the
     // full sweep persists.
     if (sys.env.contains("SPARK_GRAFT_QUERIES")) return
+    // simhash banding-probe verdicts (VERDICT r10 #7): the dispatch is
+    // memoized per corpus, so the chosen config + its measured
+    // collision masses ride in the artifact where a future corpus
+    // flipping the verdict is visible in round-over-round diffs
+    val banding = {
+      import scala.jdk.CollectionConverters._
+      graft.operators.Dedup.bandingProbeTelemetry.asScala.toSeq.sortBy(_._1)
+        .map { case (k, c) =>
+          s""""$k":{"use_subset":${c.useSubset},""" +
+            s""""cost_single":${"%.0f".format(c.costSingle)},""" +
+            s""""cost_subset":${"%.0f".format(c.costSubset)},""" +
+            s""""mass_single":${"%.0f".format(c.massSingle)},""" +
+            s""""mass_subset":${"%.0f".format(c.massSubset)}}"""
+        }.mkString("{", ",", "}")
+    }
     val detail =
-      s"""{$head,"queries":$qs,"runs":$runs,"fast":$fastFull,"streaming":$streamFull,$tail}"""
+      s"""{$head,"queries":$qs,"runs":$runs,"fast":$fastFull,"streaming":$streamFull,"banding_probe":$banding,$tail}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => // detail file is best-effort; the

@@ -1476,9 +1476,14 @@ object Dedup {
 
   /** The probe's verdict, exposed so specs (and curious callers) can
     * see WHY a config was chosen, not just which: estimated costs are
-    * in exploded-row units, scaled to the full corpus. */
+    * in exploded-row units, scaled to the full corpus;
+    * `massSingle`/`massSubset` are the measured (sample-rescaled)
+    * collision masses the costs were built from — the raw evidence,
+    * carried so bench telemetry can expose a verdict that a future
+    * corpus would flip. */
   case class BandingChoice(useSubset: Boolean,
-      costSingle: Double, costSubset: Double)
+      costSingle: Double, costSubset: Double,
+      massSingle: Double = 0.0, massSubset: Double = 0.0)
 
   /** Corpus-stat probe choosing between the single-band and the
     * agree-2 subset banding for a (block, sh) signature frame — the
@@ -1557,7 +1562,32 @@ object Dedup {
     val W = 0.1
     val costSingle = singleBands.toDouble * n + W * mass(0)
     val costSubset = subsets.size.toDouble * n + W * mass(1)
-    BandingChoice(costSubset < costSingle, costSingle, costSubset)
+    BandingChoice(costSubset < costSingle, costSingle, costSubset,
+      mass(0), mass(1))
+  }
+
+  /** Probe verdicts recorded per (corpus root paths, bits, maxHamming)
+    * for bench telemetry (VERDICT r10 #7, the containment
+    * candidate-count precedent): the memoized dispatch means a flipped
+    * verdict on a future corpus would otherwise be invisible outside
+    * a memoized variable — Bench surfaces this map into
+    * BENCH_DETAIL.json so the chosen config and its measured collision
+    * masses ride in the tracked artifact. Keys are human-readable;
+    * values are the full [[BandingChoice]]. */
+  val bandingProbeTelemetry =
+    new java.util.concurrent.ConcurrentHashMap[String, BandingChoice]()
+
+  private def corpusLabel(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
+    val paths = plan.collectLeaves().flatMap {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      case _ => Nil
+    }.distinct
+    if (paths.isEmpty) s"plan#${plan.semanticHash()}" else paths.mkString(",")
   }
 
   /** Memoized probe verdicts, keyed on the signature frame's
@@ -1596,6 +1626,9 @@ object Dedup {
     if (bandingChoiceCache.size() > BandingCacheMax) bandingChoiceCache.clear()
     val choice = bandingChoiceCache.computeIfAbsent(key,
       _ => chooseBandingConfig(sigs, bits, maxHamming))
+    bandingProbeTelemetry.put(
+      s"${corpusLabel(sigs.queryExecution.analyzed)}|bits=$bits|h=$maxHamming",
+      choice)
     if (choice.useSubset)
       bandedHammingPairsSubset(sigs, bits, maxHamming + 2, maxHamming)
     else
