@@ -373,6 +373,15 @@ object Bench {
       .as[(Long, String)].collect().toSeq.zipWithIndex
       .map { case ((id, src), i) => StreamingJobs.CapDoc(src, i.toLong, id) }
 
+    // full-row feed for the composed curate head (gate needs text,
+    // quota needs arrival order): same 20k-doc cap as the other inputs
+    val curateDocs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .orderBy(col("doc_id")).limit(20000)
+      .as[(Long, String, String)].collect().toSeq.zipWithIndex
+      .map { case ((id, src, txt), i) =>
+        graft.streaming.StreamingJobs.CurateIn(src, i.toLong, id, txt) }
+
     // token feed for the streaming MG sketch: 32 shards (the
     // state-key fan-out an executor-sharded deploy would use),
     // capped like the other inputs so the number is per-row cost
@@ -400,6 +409,8 @@ object Bench {
         outputMode = "update"),
       drive[StreamingJobs.CapDoc]("stream_domain_cap", capDocs,
         ds => StreamingJobs.capPerSourceStream(ds, 200).toDF()),
+      drive[StreamingJobs.CurateIn]("stream_curate", curateDocs,
+        ds => StreamingJobs.curateStream(ds, 200)),
       // complete mode: the days-scale sketch state (2 × 4 KiB per
       // active window) makes full re-emission per batch cheap, and
       // the throughput number is input rows/s either way

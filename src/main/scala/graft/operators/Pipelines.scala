@@ -256,15 +256,22 @@ object Pipelines {
       pmod(md5Long(concat(lit(s"$salt:"), col("doc_id").cast("string"))),
         lit(10000)) < bp)
 
-  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
-    // try_cast: a source without trailing digits must fall through to
-    // the otherwise-rate, not raise CAST_INVALID_INPUT under ANSI —
-    // the synthetic srcN names always match, real source names won't
+  /** Per-source mixture rate in basis points — ONE definition under
+    * the batch mixture query and the composed streaming curate head
+    * (`StreamingJobs.curateStream`).
+    * try_cast: a source without trailing digits must fall through to
+    * the otherwise-rate, not raise CAST_INVALID_INPUT under ANSI —
+    * the synthetic srcN names always match, real source names won't. */
+  private[graft] def mixtureBp: Column = {
     val idx = expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) as int)")
-    val bp = when(pmod(idx, lit(4)) === 0, 10000)
+    when(pmod(idx, lit(4)) === 0, 10000)
       .when(pmod(idx, lit(4)) === 1, 5000)
       .when(pmod(idx, lit(4)) === 2, 2500)
       .otherwise(1000)
+  }
+
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val bp = mixtureBp
     sampleWeighted(Tables.documents(spark, dir), bp, "mix")
       .select(col("doc_id"), col("source"),
         (bp.cast("double") / 10000.0).as("weight"))

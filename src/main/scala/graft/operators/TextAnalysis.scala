@@ -1034,8 +1034,19 @@ object TextAnalysis {
     * (`StreamingJobs.qualityFilterStream`): stateless per-row
     * expressions, so batch and ingest-time gating select identical
     * documents. */
-  def qualityRules(docs: DataFrame): DataFrame = {
-    val t = col("t")
+  /** The gate's measured metrics + per-rule booleans over a token
+    * array `t` (raw `text` in scope) — ONE expression construction
+    * under [[qualityRules]]'s audited projection and [[qualityKeep]]'s
+    * single-Column form, so a rule change cannot desynchronize the
+    * two. */
+  private case class GateCols(nW: Column, meanLen: Column,
+      distinctRatio: Column, stopHits: Column, topShare: Column,
+      rWords: Column, rMean: Column, rDistinct: Column,
+      rStop: Column, rTop: Column) {
+    def keep: Column = rWords && rMean && rDistinct && rStop && rTop
+  }
+
+  private def gateCols(t: Column): GateCols = {
     val nW = size(t)
     val meanLen = length(regexp_replace(col("text"), "\\s+", ""))
       .cast("double") / nW
@@ -1059,29 +1070,42 @@ object TextAnalysis {
       acc => acc.getField("best"))
     val topShare =
       when(nW > 0, maxTokenCount.cast("double") / nW)
-    val rWords = nW >= 20 && nW <= 90
-    val rMean = meanLen >= 3.0d && meanLen <= 6.0d
-    val rDistinct = distinctRatio >= 0.35d
-    val rStop = stopHits >= 2
-    val rTop = topShare <= 0.15d
+    GateCols(nW, meanLen, distinctRatio, stopHits, topShare,
+      nW >= 20 && nW <= 90,
+      meanLen >= 3.0d && meanLen <= 6.0d,
+      distinctRatio >= 0.35d,
+      stopHits >= 2,
+      topShare <= 0.15d)
+  }
+
+  /** The gate's keep decision as ONE boolean Column over a frame
+    * exposing `text` — for composed chains (batch or streaming) that
+    * must carry their other columns THROUGH the gate rather than
+    * semi-join back on doc_id (a stream cannot self-join). The token
+    * array is inlined, so this is the same stateless per-row
+    * predicate [[qualityRules]] projects as `keep`. */
+  def qualityKeep: Column = gateCols(toks).keep
+
+  def qualityRules(docs: DataFrame): DataFrame = {
+    val g = gateCols(col("t"))
     docs
       .withColumn("t", toks)
       .select(
         col("doc_id"),
-        nW.as("n_words"),
-        rnd(meanLen, 4).as("mean_word_len"),
-        rnd(distinctRatio, 4).as("distinct_ratio"),
-        stopHits.as("stop_hits"),
-        rnd(topShare, 4).as("top_word_share"),
-        rWords.as("r_word_count"),
-        rMean.as("r_mean_word_len"),
-        rDistinct.as("r_distinct_ratio"),
-        rStop.as("r_stopwords"),
-        rTop.as("r_top_word_share"),
-        (rWords && rMean && rDistinct && rStop && rTop).as("keep"),
-        when(!rWords, "word_count").when(!rMean, "mean_word_len")
-          .when(!rDistinct, "distinct_ratio").when(!rStop, "stopwords")
-          .when(!rTop, "top_word_share").as("fail_reason"))
+        g.nW.as("n_words"),
+        rnd(g.meanLen, 4).as("mean_word_len"),
+        rnd(g.distinctRatio, 4).as("distinct_ratio"),
+        g.stopHits.as("stop_hits"),
+        rnd(g.topShare, 4).as("top_word_share"),
+        g.rWords.as("r_word_count"),
+        g.rMean.as("r_mean_word_len"),
+        g.rDistinct.as("r_distinct_ratio"),
+        g.rStop.as("r_stopwords"),
+        g.rTop.as("r_top_word_share"),
+        g.keep.as("keep"),
+        when(!g.rWords, "word_count").when(!g.rMean, "mean_word_len")
+          .when(!g.rDistinct, "distinct_ratio").when(!g.rStop, "stopwords")
+          .when(!g.rTop, "top_word_share").as("fail_reason"))
   }
 
   /** The five gate rules as DuckDB SQL snippets — ONE definition

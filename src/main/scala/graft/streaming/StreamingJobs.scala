@@ -510,4 +510,42 @@ object StreamingJobs {
         fold(shard, it, None)._2
       }
   }
+
+  /** One arriving document for the composed streaming curate head:
+    * `seq` is its deterministic arrival order (the admission quota is
+    * order-dependent by contract — see [[capPerSourceStream]]). */
+  case class CurateIn(source: String, seq: Long, doc_id: Long, text: String)
+
+  /** The composed ingest-time curation head — the streaming analogue
+    * of `pipeline_curate_v3`'s gate chain, proving the stream twins
+    * COMPOSE into one job rather than merely existing side by side:
+    * quality gate ([[graft.operators.TextAnalysis.qualityKeep]], the
+    * batch gate's exact predicate carried through as a filter so the
+    * stream keeps its other columns without the batch chain's
+    * doc_id semi-join — a stream cannot self-join) → per-source
+    * admission quota ([[capPerSourceStream]], the only stateful
+    * stage: ONE long per source) → weighted mixture
+    * ([[mixtureSampleStream]] at the batch `mixtureBp` rates, ONE
+    * shared definition) → shard routing
+    * ([[graft.operators.Pipelines.shardOf]]). Output: the admitted,
+    * mixed, shard-stamped manifest rows a live ingest writes.
+    *
+    * Every stage except the quota is a stateless per-row projection,
+    * so the composition is append-legal end to end and its state is
+    * exactly the quota's: sources × one counter, independent of
+    * document count. On a batch Dataset the same code runs the same
+    * stages per complete group — StreamingSpec proves streamed ==
+    * batch on the full composition. */
+  def curateStream(docs: Dataset[CurateIn], cap: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val gated = docs
+      .filter(graft.operators.TextAnalysis.qualityKeep)
+      .map(d => CapDoc(d.source, d.seq, d.doc_id))
+    val admitted = capPerSourceStream(gated, cap)
+    mixtureSampleStream(admitted.toDF(),
+        graft.operators.Pipelines.mixtureBp, "mix")
+      .withColumn("shard",
+        graft.operators.Pipelines.shardOf(col("doc_id")))
+      .select(col("doc_id"), col("source"), col("admit_rank"), col("shard"))
+  }
 }

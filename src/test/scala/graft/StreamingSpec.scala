@@ -421,6 +421,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._2).size > 1, "routing must use multiple shards")
   }
 
+  test("composed streaming curate head: gate -> quota -> mixture -> shard, streamed == batch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Tables.documents(s, sf).select("doc_id", "source", "text")
+      .orderBy("doc_id").collect().zipWithIndex
+      .map { case (r, i) =>
+        StreamingJobs.CurateIn(r.getString(1), i.toLong, r.getLong(0),
+          r.getString(2))
+      }.toSeq
+    val cap = 10
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))
+    val batch = StreamingJobs.curateStream(s.createDataset(rows), cap)
+      .collect().map(key).toSet
+
+    // each stage must be ACTIVE on this corpus, or the composition
+    // proves nothing: gate drops, quota caps, mixture thins
+    val gated = s.createDataset(rows)
+      .filter(graft.operators.TextAnalysis.qualityKeep)
+      .map(d => StreamingJobs.CapDoc(d.source, d.seq, d.doc_id))
+    val nGated = gated.count()
+    assert(nGated < rows.size, "quality gate dropped nothing")
+    val nAdmitted = StreamingJobs.capPerSourceStream(gated, cap).count()
+    assert(nAdmitted < nGated, "quota admitted everything")
+    assert(batch.nonEmpty && batch.size < nAdmitted, "mixture thinned nothing")
+    assert(batch.groupBy(_._2).forall(_._2.size <= cap))
+    assert(batch.map(_._4).forall(sh => sh >= 0 && sh < 8))
+
+    val in = MemoryStream[StreamingJobs.CurateIn](s)
+    val q = StreamingJobs.curateStream(in.toDS(), cap)
+      .writeStream.format("memory").queryName("curate_head_out")
+      .outputMode("append")
+      .start()
+    // arrival-ordered chunks: the quota's contract is arrival order
+    rows.grouped(rows.size / 4 + 1).foreach { c =>
+      in.addData(c); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = s.sql(
+        "select doc_id, source, admit_rank, shard from curate_head_out")
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      "composed ingest head must select exactly the batch chain's rows")
+  }
+
   test("streaming mg_topk: streamed == batch, MG guarantee holds, state bounded") {
     val s = spark
     import s.implicits._
