@@ -114,6 +114,101 @@ object Pipelines {
         (coalesce(col("sh"), lit(0L)) > 0).as("contaminated"))
   }
 
+  // ------------------------------------------------------- bloom decontamination
+  /** Bloom probe count. 3 md5-salted hashes: FP rate (1−e^(−jn/m))^j
+    * ≈ 2e-4 at the 16 bits/element the builder sizes for. */
+  private val BloomHashes = 3
+
+  /** Build the Bloom bitmap over a DISTINCT-keyed string frame `s` —
+    * one long array, bit h_i(s) set for every element and salt i.
+    * Sized at the next power of two ≥ 16 bits/element (clamped to
+    * [2^14, 2^26] — 2 KiB to 8 MiB), so the false-positive rate
+    * stays ~2e-4 at any corpus scale. The reduce is a bit_or
+    * aggregate over word indices (map-side combinable, ≤ m/64 rows
+    * in the exchange); the bitmap collects to the driver like any
+    * broadcast build side. Hashes are [[md5Long]] with per-probe
+    * salts — the cross-engine-deterministic hash the repo already
+    * standardizes on, so an oracle CAN replicate the bitmap exactly
+    * (the registered query below doesn't need to: its output is
+    * bloom-parameter-independent). */
+  def bloomBitmap(elems: DataFrame, j: Int = BloomHashes): (Array[Long], Long) = {
+    val n = math.max(1L, elems.count())
+    val m = math.min(1L << 26,
+      math.max(1L << 14, java.lang.Long.highestOneBit(16 * n - 1) << 1))
+    val pos = (0 until j).map(i =>
+      pmod(md5Long(concat(lit(s"bloom$i:"), col("s"))), lit(m)))
+    val words = elems
+      .select(explode(array(pos: _*)).as("p"))
+      .select(shiftright(col("p"), 6).cast("int").as("w"),
+        pmod(col("p"), lit(64L)).cast("int").as("b"))
+      .groupBy(col("w"))
+      .agg(bit_or(expr("shiftleft(cast(1 as bigint), b)")).as("bits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val bm = new Array[Long]((m / 64).toInt)
+    words.foreach { case (w, bits) => bm(w) = bits }
+    (bm, m)
+  }
+
+  /** Membership probe against a [[bloomBitmap]]: true iff every
+    * salted bit is set — a pure per-row Column (no UDF, no join);
+    * the bitmap rides as ONE array literal (a single
+    * `Literal(ArrayData)`, not a 2^20-element CreateArray — constant
+    * in codegen). May false-positive (rate set by the builder),
+    * never false-negative. */
+  def bloomMightContain(bm: Array[Long], m: Long, s: Column,
+      j: Int = BloomHashes): Column =
+    (0 until j).map { i =>
+      val h = pmod(md5Long(concat(lit(s"bloom$i:"), s)), lit(m))
+      val word = element_at(typedLit(bm.toSeq), shiftright(h, 6).cast("int") + 1)
+      call_function("shiftright", word, pmod(h, lit(64L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+
+  /** [[decontaminateAgainst]] at 100 TB shape: the exact form
+    * broadcasts the full eval n-gram STRING set to every task — at
+    * real eval-suite scale that is gigabytes of strings resent per
+    * executor. This form broadcasts a [[bloomBitmap]] (16
+    * bits/element — 2-3 orders smaller) and probes every train
+    * n-gram with 3 per-row hash expressions; only the FLAGGED
+    * n-grams (true hits + ~2e-4 false positives) reach the exact
+    * verify join, which eliminates the false positives. Output is
+    * therefore IDENTICAL to the exact operator for every bloom
+    * parameter — the registered query shares the exact oracle (the
+    * `ann_bruteforce_agg` precedent), and the spec proves the
+    * prefilter is a strict superset of the true hits that still
+    * prunes the join input. */
+  def decontaminateBloomAgainst(train: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val evalNgrams = fivegrams(evalDocs)
+      .select(col("s").as("es"), col("doc_id").as("eval_doc")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (bm, m) = bloomBitmap(evalNgrams.select(col("es").as("s")))
+    val flagged = fivegrams(train)
+      .filter(bloomMightContain(bm, m, col("s")))
+    val hits = flagged
+      .join(broadcast(evalNgrams), col("s") === col("es"))
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("s")).as("sh"),
+        countDistinct(col("eval_doc")).as("ed"))
+    train.select(col("doc_id"))
+      .join(broadcast(hits), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("sh"), lit(0L)).as("n_shared_ngrams"),
+        coalesce(col("ed"), lit(0L)).as("n_eval_docs"),
+        (coalesce(col("sh"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Registered twin of `pipeline_decontaminate` through the bloom
+    * prefilter — same eval split, same oracle (the output is
+    * bloom-parameter-independent by the verify join). */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val isEval =
+      pmod(md5Long(concat(lit("decon:"), col("doc_id").cast("string"))), lit(20)) === 0
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    decontaminateBloomAgainst(docs.filter(!isEval), docs.filter(isEval))
+      .orderBy(col("doc_id"))
+  }
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val isEval =
       pmod(md5Long(concat(lit("decon:"), col("doc_id").cast("string"))), lit(20)) === 0
@@ -795,6 +890,9 @@ object Pipelines {
     QueryDef("pipeline_curate_v2", pipelineCurateV2 _, Some(pipelineCurateV2Sql)),
     QueryDef("pipeline_training_data", trainingData _, Some(trainingDataSql)),
     QueryDef("pipeline_decontaminate", decontaminate _, Some(decontaminateSql)),
+    QueryDef("pipeline_decontaminate_bloom", decontaminateBloom _,
+      Some(decontaminateSql)), // same oracle: bloom prefilter + exact
+                               // verify == the exact join, param-free
     QueryDef("pipeline_pack_sequences", packSequences _, Some(packSequencesSql)),
     QueryDef("pipeline_mixture_sample", mixtureSample _, Some(mixtureSampleSql)),
     QueryDef("pipeline_shuffle_shard", shuffleShard _, Some(shuffleShardSql)),

@@ -1240,7 +1240,9 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
     val wExact = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    shortlist
+    // broadcast the bounded shortlist, never shuffle the vector store
+    // (same shape note as ivfPqTopKRerank)
+    broadcast(shortlist)
       .join(vecs.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(wExact))
@@ -1465,7 +1467,13 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("qv"), col("qn"))
     val wExact = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    shortlist
+    // the shortlist (≤ |q|·k·rerank rows) is BROADCAST against the
+    // vector store's scan — the raw-vector fetch costs one corpus
+    // scan and zero exchanges of the corpus side, the point-lookup
+    // shape the production read path has (shuffling the store to
+    // co-locate with a few thousand shortlist rows would invert the
+    // size relationship)
+    broadcast(shortlist)
       .join(vecs.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(wExact))

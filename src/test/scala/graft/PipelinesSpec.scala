@@ -241,6 +241,40 @@ class PipelinesSpec extends SparkSpec {
     assert(hits >= 100, s"sum_hits=$hits below the k=100 draw target")
   }
 
+  test("bloom decontamination: prefilter supersets true hits, prunes the join, output exact") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.Tables.documents(s, sf).select(col("doc_id"), col("text"))
+    val isEval = pmod(graft.functions.CrossEngine.md5Long(
+      concat(lit("decon:"), col("doc_id").cast("string"))), lit(20)) === 0
+    val (train, eval) = (docs.filter(!isEval), docs.filter(isEval))
+    val evalNgrams = Pipelines.fivegrams(eval)
+      .select(col("s")).distinct().persist()
+    val (bm, m) = Pipelines.bloomBitmap(evalNgrams)
+    val trainNgrams = Pipelines.fivegrams(train).persist()
+    val total = trainNgrams.count()
+    val flagged = trainNgrams
+      .filter(Pipelines.bloomMightContain(bm, m, col("s")))
+    val nFlagged = flagged.count()
+    val nTrue = trainNgrams.join(evalNgrams, Seq("s"), "left_semi").count()
+    // no false negatives (every true hit flagged), real pruning, and
+    // the FP overshoot bounded far below the pruned mass
+    assert(flagged.join(evalNgrams, Seq("s"), "left_semi").count() == nTrue,
+      "bloom must never drop a true hit")
+    assert(nTrue <= nFlagged && nFlagged < total / 2,
+      s"prefilter must prune: $nFlagged flagged of $total (true $nTrue)")
+    assert(nFlagged - nTrue <= math.max(10L, total / 100),
+      s"FP overshoot ${nFlagged - nTrue} of $total breaks the sizing rule")
+    // end to end: identical keep/drop list to the exact operator
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+    val exact = Pipelines.decontaminateAgainst(train, eval).collect().map(key).toSet
+    val bloom = Pipelines.decontaminateBloomAgainst(train, eval).collect().map(key).toSet
+    assert(bloom == exact, "bloom prefilter must not change the output")
+    assert(exact.exists(_._4) && exact.exists(!_._4), "corpus must discriminate")
+    trainNgrams.unpersist(); evalNgrams.unpersist()
+  }
+
   test("curateV6: excise keeps v4's drops (minus canonical carriers) with fewer tokens") {
     val v6 = Pipelines.pipelineCurateV6(spark, sf).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
