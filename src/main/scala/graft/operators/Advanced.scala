@@ -259,6 +259,51 @@ object Advanced {
       |  ON p.user_id = v.user_id AND p.us <= v.us
       |ORDER BY purchase_event_id""".stripMargin
 
+  // ---------------------------------------------------------------- asof strict
+  /** pandas `merge_asof allow_exact_matches=False`: the latest view
+    * from a STRICTLY EARLIER HOUR than each purchase — the strict
+    * knob on the native exec (a strict merge frontier; see
+    * AsOf.join), run over hour-bucketed times ("attribute a purchase
+    * to the last view before this hour started", the
+    * same-bucket-excluded attribution shape). Hour resolution is
+    * what makes the strict branch OBSERVABLE: at raw micros the
+    * corpus has zero exact-time ties (measured, every SF), so a
+    * strict query would be indistinguishable from the inclusive one
+    * and its oracle would prove nothing — at hour buckets sf0.01
+    * carries 35 purchase rows whose inclusive/strict answers differ.
+    * Oracle: DuckDB ASOF with the strict comparator over the same
+    * buckets. The planted micro-proofs (cursor preservation, strict
+    * + tolerance, strict forward) live in AsOfJoinSpec. */
+  def qAsofStrict(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        expr("unix_micros(ts) div 3600000000").as("purchase_hour"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"),
+        expr("unix_micros(ts) div 3600000000").as("last_view_hour"))
+    graft.plans.AsOf.join(purchases, views,
+        leftKey = "user_id", leftTime = "purchase_hour",
+        rightKey = "v_user_id", rightTime = "last_view_hour",
+        allowExactMatches = false)
+      .select(col("user_id"), col("purchase_event_id"),
+        col("purchase_hour"), col("last_view_hour"))
+      .orderBy(col("purchase_event_id"))
+  }
+
+  private val qAsofStrictSql =
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_us(ts) // 3600000000 AS h FROM events
+      |  WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS h FROM events
+      |  WHERE event_type = 'view')
+      |SELECT p.user_id, p.event_id AS purchase_event_id,
+      |  p.h AS purchase_hour, v.h AS last_view_hour
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND p.h > v.h
+      |ORDER BY purchase_event_id""".stripMargin
+
   private val qAsofMultiSql =
     """WITH p AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
@@ -703,6 +748,7 @@ object Advanced {
     QueryDef("q_asof_nearest", qAsofNearest _, Some(qAsofNearestSql)),
     QueryDef("q_asof_tolerance", qAsofTolerance _, Some(qAsofToleranceSql)),
     QueryDef("q_asof_forward", qAsofForward _, Some(qAsofForwardSql)),
+    QueryDef("q_asof_strict", qAsofStrict _, Some(qAsofStrictSql)),
     QueryDef("q_range_join", qRangeJoin _, Some(qRangeJoinSql)),
     QueryDef("q_pivot", qPivot _, Some(qPivotSql)),
     QueryDef("q_unpivot", qUnpivot _, Some(qUnpivotSql)),

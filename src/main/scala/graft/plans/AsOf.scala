@@ -57,13 +57,22 @@ object AsOf {
     * exec, its tolerance check (−r < −l − T ⟺ r > l + T, the pandas
     * forward-tolerance bound), and the output columns are untouched.
     * For 'nearest', compose both directions and pick per row —
-    * `q_asof_nearest` shows the pattern. */
+    * `q_asof_nearest` shows the pattern.
+    *
+    * `allowExactMatches = false` (pandas): an equal-time right row
+    * never matches — implemented as a strict merge frontier in the
+    * exec (the equal-time row stays buffered so it cannot overwrite
+    * an older eligible candidate, and remains available to later
+    * left rows). Composes with tolerance (d ∈ [1, T]) and with
+    * direction (strict-forward = strict-backward over the negated
+    * times). */
   def join(
       left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String,
       toleranceUs: Option[Long] = None,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      allowExactMatches: Boolean = true): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, PreciseTimestampConversion, UnaryMinus}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
     require(direction == "backward" || direction == "forward",
@@ -97,6 +106,6 @@ object AsOf {
       AsOfJoin(lPlan, rPlan,
         widen(attr(lPlan, leftKey)), widen(attr(rPlan, rightKey)),
         time(attr(lPlan, leftTime)), time(attr(rPlan, rightTime)),
-        toleranceUs))
+        toleranceUs, allowExactMatches))
   }
 }

@@ -37,7 +37,8 @@ case class AsOfJoin(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    toleranceUs: Option[Long] = None) extends BinaryNode {
+    toleranceUs: Option[Long] = None,
+    allowExactMatches: Boolean = true) extends BinaryNode {
 
   toleranceUs.foreach(t => require(t >= 0,
     s"AsOfJoin tolerance must be non-negative, got $t"))
@@ -81,7 +82,8 @@ case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    toleranceUs: Option[Long]) extends BinaryExecNode {
+    toleranceUs: Option[Long],
+    allowExactMatches: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -147,7 +149,13 @@ case class AsOfJoinExec(
             } else {
               val hk = rk.getLong(0)
               val ht = rk.getLong(1)
-              if (hk < k || (hk == k && ht <= t)) {
+              // pandas allow_exact_matches=False: an equal-time row is
+              // ineligible for THIS left row but must stay buffered —
+              // advancing the single-candidate cursor over it would
+              // overwrite an older ELIGIBLE candidate. The strict
+              // frontier (ht < t) leaves it in rBuf; the next left row
+              // with t' > t admits it normally.
+              if (hk < k || (hk == k && (ht < t || (allowExactMatches && ht == t)))) {
                 candKey = hk
                 candTime = ht
                 cand = rBuf.next().copy()
@@ -177,8 +185,8 @@ case class AsOfJoinExec(
   * or GraftExtensions. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, exact) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, exact) :: Nil
     case _ => Nil
   }
 }

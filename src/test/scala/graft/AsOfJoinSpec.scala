@@ -116,6 +116,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map("a" -> ts(101), "b" -> ts(251)))
   }
 
+  test("strict as-of: equal-time row never matches and never evicts an older candidate") {
+    val s = spark
+    import s.implicits._
+    // THE cursor-preservation case: right rows at 5 and 10, left at
+    // 10 — a naive strict check on the advanced cursor would see the
+    // ineligible 10 and miss the eligible 5
+    val l = Seq((1L, 10L, "a"), (1L, 12L, "b"), (2L, 7L, "c")).toDF("k", "t", "tag")
+    val r = Seq((1L, 5L), (1L, 10L), (2L, 7L)).toDF("rk", "rt")
+    def run(exact: Boolean, tol: Option[Long] = None) =
+      AsOf.join(l, r, "k", "t", "rk", "rt", toleranceUs = tol,
+          allowExactMatches = exact)
+        .select("tag", "rt").collect()
+        .map(x => x.getString(0) ->
+          (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    assert(run(exact = true) == Map("a" -> 10L, "b" -> 10L, "c" -> 7L))
+    // strict: a matches 5 (10 ineligible but NOT evicting), b still
+    // sees 10 (now strictly before 12), c's only candidate is exact
+    assert(run(exact = false) == Map("a" -> 5L, "b" -> 10L, "c" -> -1L))
+    // strict + tolerance: d ∈ [1, T] — a's candidate 5 is 5 away,
+    // tol 4 nulls it while b's (d=2) survives
+    assert(run(exact = false, tol = Some(4L)) ==
+      Map("a" -> -1L, "b" -> 10L, "c" -> -1L))
+    // strict forward via negation: first strictly-after row
+    val fwd = AsOf.join(l, r, "k", "t", "rk", "rt",
+        direction = "forward", allowExactMatches = false)
+      .select("tag", "rt").collect()
+      .map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    assert(fwd == Map("a" -> -1L, "b" -> -1L, "c" -> -1L))
+  }
+
   test("as-of rejects mismatched time types at plan construction") {
     val s = spark
     import s.implicits._
