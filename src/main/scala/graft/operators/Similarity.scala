@@ -451,6 +451,30 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cluster").parquet(path)
 
+  /** Append a vector batch to a materialized IVF index WITHOUT
+    * retraining — the index-maintenance path a live corpus needs
+    * (rebuilding a 100 TB index for each ingest batch is not a
+    * plan): the batch assigns against the index's OWN frozen
+    * centroids (the same zero-shuffle [[nearestCentroid]]
+    * projection as the build) and appends cluster-partitioned, so
+    * only the TOUCHED clusters' directories gain files — cost ∝
+    * batch, never ∝ index. Because assignment is per-row against
+    * fixed centroids and the layout key IS the assignment, append
+    * commutes with build: probing the appended index is
+    * row-identical to probing an index built from base ∪ batch in
+    * one shot (spec-proven, along with the plan still
+    * partition-pruning afterwards). Centroid DRIFT is the documented
+    * trade (Lloyd quality degrades as the corpus outgrows the
+    * training snapshot) — the production cadence is append per
+    * batch, retrain per epoch; pair with [[ManifestTable]] when the
+    * swap must be atomic for readers. */
+  def appendIvfIndex(batch: DataFrame,
+      cents: Seq[(Int, Seq[Double], Double)], path: String): Unit =
+    batch
+      .withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cluster").parquet(path)
+
   /** Probe a materialized IVF index: each query's `nprobe` closest
     * clusters come from the same broadcast-sized window as
     * [[ivfTopK]], and the index scan is DYNAMICALLY partition-pruned

@@ -147,6 +147,53 @@ class SimilarityRecallSpec extends SparkSpec {
       "probing the materialized index must reproduce ivfTopK exactly")
   }
 
+  test("incremental IVF append: append == one-shot rebuild, only touched clusters gain files") {
+    val s = spark
+    import s.implicits._
+    val all = corpus.toDF("vec_id", "v")
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    val qs = queries.toDF("q_id", "qv")
+      .withColumn("qn", VectorFunctions.norm(col("qv")))
+    val cents = centers.zipWithIndex.map { case (c, i) =>
+      (i, c, Similarity.driverNorm(c))
+    }
+    val cut = corpus.size / 2
+    val (base, batch) =
+      (all.filter(col("vec_id") < cut), all.filter(col("vec_id") >= cut))
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-incr").toString
+    val (inc, full) = (tmp + "/inc", tmp + "/full")
+    Similarity.writeIvfIndex(base, cents, inc)
+    val filesBefore = new java.io.File(inc).listFiles()
+      .filter(_.getName.startsWith("cluster=")).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    Similarity.appendIvfIndex(batch, cents, inc)
+    // cost ∝ batch: a cluster the batch never assigns to gains no files
+    val batchClusters = batch
+      .withColumn("cluster", Similarity.nearestCentroid(cents, col("v"), col("nrm")))
+      .select("cluster").distinct().collect().map(r => s"cluster=${r.getInt(0)}").toSet
+    new java.io.File(inc).listFiles().filter(_.getName.startsWith("cluster="))
+      .foreach { d =>
+        val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+        if (!batchClusters(d.getName))
+          assert(n == filesBefore.getOrElse(d.getName, 0),
+            s"untouched ${d.getName} gained files")
+        else assert(n > filesBefore.getOrElse(d.getName, 0))
+      }
+    // append commutes with build: probing the appended index is
+    // row-identical to probing a one-shot index over the full corpus
+    Similarity.writeIvfIndex(all, cents, full)
+    val got = Similarity.probeIvfIndex(s, inc, qs, cents, nprobe = 2, k = K)
+      .collect().map(_.toSeq).toSeq
+    val want = Similarity.probeIvfIndex(s, full, qs, cents, nprobe = 2, k = K)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "appended index must answer like the rebuilt index")
+    // and the appended index still partition-prunes
+    val plan = Similarity.probeIvfIndex(s, inc, qs, cents, nprobe = 2, k = K)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"))
+  }
+
   test("PQ recall@10 vs brute force: trained codebook beats init, codes round-trip") {
     val s = spark
     import s.implicits._
