@@ -1475,9 +1475,14 @@ object Similarity {
     val enc = vecs
       .withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
       .join(centDf, col("cluster") === col("c_id"))
-      .withColumn("rhat", zip_with(col("cv"),
-        pqReconstruct(cb, zip_with(col("v"), col("cv"), (a, b) => a - b)),
-        (a, b) => a + b))
+      // res MUST be its own projected column before pqReconstruct:
+      // the reconstruct fold references its input once per
+      // (subspace × code) distance term, so an inline residual
+      // expression is re-evaluated O(M·K) times per row (measured
+      // 11 s vs ~2 s for the same 20k-row encode at sf1)
+      .withColumn("res", zip_with(col("v"), col("cv"), (a, b) => a - b))
+      .withColumn("rhat",
+        zip_with(col("cv"), pqReconstruct(cb, col("res")), (a, b) => a + b))
       .withColumn("rn", VectorFunctions.norm(col("rhat")))
       .select(col("vec_id"), col("cluster"), col("rhat"), col("rn"))
     val wAdc = Window.partitionBy(col("q_id"))
