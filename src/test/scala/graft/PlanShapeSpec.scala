@@ -153,6 +153,11 @@ class PlanShapeSpec extends SparkSpec {
     "ann_ivfpq_rerank",                   // same probed shape; the rerank tail
                                           // is a vec_id equi-join on a
                                           // shortlist of k×rerank rows/query
+    "ann_ivfpq_indexed",                  // ann_ivfpq's shape with the encode
+                                          // side materialized: the probe side
+                                          // is the same broadcast centroid ×
+                                          // query frame; the index scan itself
+                                          // is a DPP-pruned equi-join
     "ann_lsh",                            // broadcast query/centroid/hyperplane sets
     "mm_feature_knn",                     // ivfTopK: same broadcast query set as ann_ivf
     "mr_pagerank",                        // broadcast single-row node count

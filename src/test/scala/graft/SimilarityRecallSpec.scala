@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 import graft.operators.Similarity
@@ -459,5 +460,133 @@ class SimilarityRecallSpec extends SparkSpec {
     // cluster harder and widen the gap) — the reason IVF-PQ exists
     assert(resid < flat,
       s"residual PQ must reconstruct better than flat PQ: $resid vs $flat")
+  }
+
+  /** Shared fixture for the index tests: trained coarse cells plus a
+    * Lloyd-trained residual codebook over the planted corpus. */
+  private def ivfPqFixture() = {
+    val s = spark
+    import s.implicits._
+    val vecs = corpus.toDF("vec_id", "v")
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    val qs = queries.toDF("q_id", "qv")
+      .withColumn("qn", VectorFunctions.norm(col("qv")))
+    val (cent, _) = Similarity.kmeansTrain(
+      vecs.select(col("vec_id"), col("v"), col("nrm")), NClusters, iters = 2)
+    val cents = Similarity.collectCentroids(cent)
+    val M = 4
+    val subDim = Dim / M
+    val withRes = vecs
+      .withColumn("cluster", Similarity.nearestCentroid(cents, col("v"), col("nrm")))
+      .join(broadcast(cents.toDF("c_id", "cv", "cn")), col("cluster") === col("c_id"))
+      .withColumn("res", zip_with(col("v"), col("cv"), (a, b) => a - b))
+      .select(col("vec_id"), col("res"))
+    val cb = (0 until M).map { m =>
+      val sub = withRes.select(col("vec_id"),
+        slice(col("res"), m * subDim + 1, subDim).as("v"))
+        .withColumn("nrm", VectorFunctions.norm(col("v")))
+      val (c, _) = Similarity.kmeansTrain(sub, 16, iters = 2)
+      Similarity.collectCentroids(c).map(_._2)
+    }
+    (vecs, qs, cents, cb)
+  }
+
+  test("materialized IVF-PQ index: stores only codes, probe == in-memory pipeline, partition-pruned") {
+    val s = spark
+    import s.implicits._
+    val (vecs, qs, cents, cb) = ivfPqFixture()
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-idx").toString + "/idx"
+    Similarity.writeIvfPqIndex(vecs, cents, cb, path)
+    // the layout IS the assignment, and the payload is codes only —
+    // no raw floats in the stored schema (the 64× at 100 TB)
+    val dirs = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("cluster=")).sorted
+    assert(dirs.length == NClusters, s"expected $NClusters cluster dirs, got ${dirs.toSeq}")
+    val stored = s.read.parquet(path)
+    assert(stored.schema.fieldNames.sorted.toSeq == Seq("cluster", "codes", "vec_id"),
+      s"index must store codes only, got ${stored.schema.fieldNames.toSeq}")
+
+    val probed = Similarity.probeIvfPqIndex(s, path, qs, cents, cb, nprobe = 2, k = K)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"index scan must be dynamically partition-pruned by the probe join:\n$plan")
+
+    // pqDecode of the stored codes must rebuild the exact x̂ the
+    // in-memory pipeline derives via pqReconstruct: same ADC scores,
+    // same ranks, row-identical output. The expected frame replicates
+    // annIvfPq's probe + ADC-rank tail inline over the encode-side
+    // (never-written) x̂.
+    val inMem = {
+      val centDf = broadcast(cents.toDF("c_id", "cv", "cn"))
+      val enc = vecs
+        .withColumn("cluster", Similarity.nearestCentroid(cents, col("v"), col("nrm")))
+        .join(centDf, col("cluster") === col("c_id"))
+        .withColumn("res", zip_with(col("v"), col("cv"), (a, b) => a - b))
+        .withColumn("rhat",
+          zip_with(col("cv"), Similarity.pqReconstruct(cb, col("res")), (a, b) => a + b))
+        .withColumn("rn", VectorFunctions.norm(col("rhat")))
+        .select(col("vec_id"), col("cluster"), col("rhat"), col("rn"))
+      val wProbe = Window.partitionBy(col("q_id"))
+        .orderBy(col("qcos").desc, col("c_id"))
+      val probes = qs.join(broadcast(cents.toDF("c_id", "cv", "cn")), lit(true))
+        .withColumn("qcos",
+          VectorFunctions.dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+        .withColumn("prank", row_number().over(wProbe))
+        .filter(col("prank") <= 2)
+        .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("probe_cluster"))
+      val wRank = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      enc.join(broadcast(probes),
+          col("cluster") === col("probe_cluster") && col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          VectorFunctions.dot(col("qv"), col("rhat")) / (col("qn") * col("rn")))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= K)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+        .collect().map(_.toSeq).toSeq
+    }
+    val viaIndex = probed.select("q_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(viaIndex == inMem,
+      "probing the coded index must reproduce the in-memory residual-ADC ranking")
+  }
+
+  test("incremental IVF-PQ append: append == one-shot rebuild, only touched clusters gain files") {
+    val s = spark
+    import s.implicits._
+    val (vecs, qs, cents, cb) = ivfPqFixture()
+    val cut = corpus.size / 2
+    val (base, batch) =
+      (vecs.filter(col("vec_id") < cut), vecs.filter(col("vec_id") >= cut))
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq-incr").toString
+    val (inc, full) = (tmp + "/inc", tmp + "/full")
+    Similarity.writeIvfPqIndex(base, cents, cb, inc)
+    val filesBefore = new java.io.File(inc).listFiles()
+      .filter(_.getName.startsWith("cluster=")).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    Similarity.appendIvfPqIndex(batch, cents, cb, inc)
+    // cost ∝ batch: untouched clusters gain no files
+    val batchClusters = batch
+      .withColumn("cluster", Similarity.nearestCentroid(cents, col("v"), col("nrm")))
+      .select("cluster").distinct().collect().map(r => s"cluster=${r.getInt(0)}").toSet
+    new java.io.File(inc).listFiles().filter(_.getName.startsWith("cluster="))
+      .foreach { d =>
+        val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+        if (!batchClusters(d.getName))
+          assert(n == filesBefore.getOrElse(d.getName, 0),
+            s"untouched ${d.getName} gained files")
+        else assert(n > filesBefore.getOrElse(d.getName, 0))
+      }
+    Similarity.writeIvfPqIndex(vecs, cents, cb, full)
+    val got = Similarity.probeIvfPqIndex(s, inc, qs, cents, cb, nprobe = 2, k = K)
+      .collect().map(_.toSeq).toSeq
+    val want = Similarity.probeIvfPqIndex(s, full, qs, cents, cb, nprobe = 2, k = K)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "appended coded index must answer like the rebuilt index")
+    val plan = Similarity.probeIvfPqIndex(s, inc, qs, cents, cb, nprobe = 2, k = K)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"))
   }
 }
