@@ -489,7 +489,10 @@ object Bench {
     val banding = {
       import scala.jdk.CollectionConverters._
       graft.operators.Dedup.bandingProbeTelemetry.asScala.toSeq.sortBy(_._1)
-        .map { case (k, c) =>
+        .map { case (k0, c) =>
+          // keys are filesystem paths — escape \ and " so a path
+          // containing either cannot produce invalid JSON
+          val k = k0.replace("\\", "\\\\").replace("\"", "\\\"")
           s""""$k":{"use_subset":${c.useSubset},""" +
             s""""cost_single":${"%.0f".format(c.costSingle)},""" +
             s""""cost_subset":${"%.0f".format(c.costSubset)},""" +

@@ -154,15 +154,19 @@ object Pipelines {
     * the bitmap rides as ONE array literal (a single
     * `Literal(ArrayData)`, not a 2^20-element CreateArray — constant
     * in codegen). May false-positive (rate set by the builder),
-    * never false-negative. */
+    * never false-negative. The array literal is built ONCE and shared
+    * by all j probes — building it per-probe would embed j
+    * independent copies of an up-to-8 MiB literal in the plan. */
   def bloomMightContain(bm: Array[Long], m: Long, s: Column,
-      j: Int = BloomHashes): Column =
+      j: Int = BloomHashes): Column = {
+    val bmLit = typedLit(bm.toSeq)
     (0 until j).map { i =>
       val h = pmod(md5Long(concat(lit(s"bloom$i:"), s)), lit(m))
-      val word = element_at(typedLit(bm.toSeq), shiftright(h, 6).cast("int") + 1)
+      val word = element_at(bmLit, shiftright(h, 6).cast("int") + 1)
       call_function("shiftright", word, pmod(h, lit(64L)).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
+  }
 
   /** [[decontaminateAgainst]] at 100 TB shape: the exact form
     * broadcasts the full eval n-gram STRING set to every task — at
@@ -178,10 +182,20 @@ object Pipelines {
     * prefilter is a strict superset of the true hits that still
     * prunes the join input. */
   def decontaminateBloomAgainst(train: DataFrame, evalDocs: DataFrame): DataFrame = {
+    // persisted because it feeds BOTH the bitmap build (materialized
+    // by the count/collect inside bloomBitmap) and the verify join in
+    // the returned lazy plan — it cannot be unpersisted here without
+    // forcing a re-derivation at action time. Lifetime is the repo's
+    // documented policy: MEMORY_AND_DISK, reclaimed by block-manager
+    // LRU (and re-persisting the same plan on a later invocation
+    // reuses, not duplicates, the cache entry).
     val evalNgrams = fivegrams(evalDocs)
       .select(col("s").as("es"), col("doc_id").as("eval_doc")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (bm, m) = bloomBitmap(evalNgrams.select(col("es").as("s")))
+    // sizing input is distinct n-grams ONLY — evalNgrams is distinct
+    // over (es, eval_doc) PAIRS, which would over-count each n-gram
+    // once per eval doc and oversize m vs the 16 bits/element target
+    val (bm, m) = bloomBitmap(evalNgrams.select(col("es").as("s")).distinct())
     val flagged = fivegrams(train)
       .filter(bloomMightContain(bm, m, col("s")))
     val hits = flagged
@@ -754,6 +768,13 @@ object Pipelines {
       .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id"))
         .as("__r"))
       .select(col("__r.doc_id").as("doc_id"), col("__r.text").as("text"))
+    // persisted because it feeds both the re-gate and the final join
+    // in the RETURNED lazy plan (unpersisting here would force the
+    // rebuild to run twice at action time). Repeated invocations do
+    // NOT accumulate cache: the plan is deterministic per corpus, so
+    // CacheManager's plan-equality lookup reuses the existing entry
+    // (it refuses to re-cache an already-cached plan); eviction is
+    // the documented MEMORY_AND_DISK + block-manager LRU policy.
     val cleaned = Dedup.exciseDupSpans(deduped, Dedup.SubstrLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val regatedIds = TextAnalysis.qualityRules(

@@ -1717,6 +1717,16 @@ object Similarity {
     * DuckDB proves the whole write/read round-trip, not just the
     * in-memory math. The index lands in a per-invocation temp dir
     * (build cost is billed to the query — the honest bench shape). */
+  /** Previous [[annIvfPqIndexed]] index dir, reclaimed on the next
+    * invocation (ADVICE r11: bound per-JVM disk to one index). */
+  private val lastIdxDir = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   def annIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = vecs(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
@@ -1728,8 +1738,19 @@ object Similarity {
       .join(centDf, col("cluster") === col("c_id"))
       .withColumn("res", zip_with(col("v"), col("cv"), (a, b) => a - b))
     val cb = pqCodebook(withRes.select(col("vec_id"), col("res").as("v")))
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-ivfpq-idx").toString + "/idx"
+    // each invocation writes a fresh index; the PREVIOUS invocation's
+    // temp dir is deleted here (its lazy probe plan has necessarily
+    // been consumed by then), so repeated bench/verify runs in one
+    // JVM hold at most one index on disk — deleting the new dir
+    // before the returned plan runs would break the probe.
+    lastIdxDir.getAndSet(null) match {
+      case null => ()
+      case prev => deleteRecursively(new java.io.File(prev))
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-idx").toString
+    lastIdxDir.set(root)
+    val path = root + "/idx"
     writeIvfPqIndex(ev, cents, cb, path)
     val q = ev.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))

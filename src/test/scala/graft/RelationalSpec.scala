@@ -76,8 +76,10 @@ class RelationalSpec extends SparkSpec {
     val b = Events.qSessionizeNative(spark, sf).collect().map(_.toString).sorted
     assert(a.sameElements(b), "native session_window diverged from composed sessionizer")
     // planted: inter-event gap of EXACTLY 30 min — composed splits only
-    // at STRICTLY > gap, so both events must share a session; the native
-    // form's gap+1µs alignment is what makes session_window agree here.
+    // at STRICTLY > gap, so both events must share a session; Spark's
+    // session_window merges at exactly-gap boundaries natively (windows
+    // [t, t+gap) and [t+gap, ...) touch and merge), so no offset is
+    // needed for the two forms to agree (measured in Events.scala).
     val dir = java.nio.file.Files.createTempDirectory("sess-boundary").toString
     val gapUs = 1800000000L
     val base = 1700000000000000L
