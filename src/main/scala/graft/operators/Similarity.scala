@@ -1851,8 +1851,177 @@ object Similarity {
        |FROM sel ORDER BY rrf_raw DESC, doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- scalar quantization
+  /** Per-dimension corpus [min, max] — the SQ8 "codebook": 2 doubles
+    * per dimension, a few hundred bytes at ANY corpus scale, so it is
+    * always a driver literal / broadcast. One positional explode +
+    * (dim × partitions)-row aggregate trains it; at 100 TB this is a
+    * single map-side-combined pass (the explode feeds partial min/max
+    * per partition — only ~dim rows per partition cross the wire). */
+  def sqTrain(e: DataFrame): (Seq[Double], Seq[Double]) = {
+    val rows = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("i"))
+      .collect() // bounded: exactly `dim` rows (64 here), never corpus-sized
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Dequantized SQ8 reconstruction x̂ of a raw vector `v` — encode
+    * (8-bit uniform code per dimension) and decode fused into one
+    * per-row projection against the min/max literals: code =
+    * round((x−mn)·255/(mx−mn)), x̂ = mn + code·(mx−mn)/255. A flat
+    * dimension (mx == mn) reconstructs to mn exactly (its code is
+    * degenerate — zero information, zero error). The arithmetic is
+    * plain IEEE double ops in the oracle's exact textual order, and
+    * round() on a never-negative argument is HALF_UP in both engines,
+    * so x̂ is bit-identical to DuckDB's. */
+  def sqReconstruct(mns: Seq[Double], mxs: Seq[Double], v: Column): Column = {
+    val mnl = typedLit(mns)
+    val mxl = typedLit(mxs)
+    transform(v, (x, i) => {
+      val mn = element_at(mnl, i + 1)
+      val mx = element_at(mxl, i + 1)
+      when(mx > mn,
+        mn + round((x - mn) * lit(255.0) / (mx - mn), 0) * (mx - mn) / lit(255.0))
+        .otherwise(mn)
+    })
+  }
+
+  /** SQ8 top-k — the SCALAR-quantized tier of the quantization ladder
+    * (SQ8 → PQ → IVF-PQ, the three compression points every vector
+    * store exposes; Faiss's IndexScalarQuantizer shape): each float32
+    * dimension is coded to 8 bits against global per-dim [min, max],
+    * and queries ADC-score the dequantized corpus — same plan as
+    * `ann_pq` (broadcast query set, per-query top-k window) with 1
+    * byte/dim candidates in flight instead of 8. SQ8 trades 4× less
+    * compression than PQ (64 B vs 8 B here) for near-lossless recall
+    * and a trivially cheap train step (one min/max pass — no kmeans),
+    * which is why it is the default first step down from raw floats.
+    * At 100 TB: train is one map-side-combined aggregate; encode is a
+    * write-once projection; the scan reads 1-byte codes and
+    * reconstructs in-register inside whole-stage codegen. */
+  def annSq(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val (mns, mxs) = sqTrain(e)
+    val enc = e
+      .select(col("vec_id"), sqReconstruct(mns, mxs, col("v")).as("rv"))
+      .withColumn("rn", VectorFunctions.norm(col("rv")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    enc.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("rv")) / (col("qn") * col("rn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        rnd(col("cos"), 6).as("cos_sq"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val annSqSql = {
+    // per-dim min/max: positional struct explode (1-based i from
+    // list_transform, matching the Spark side's element_at(i+1))
+    val deq = "CASE WHEN m.mxs[i] > m.mns[i] THEN m.mns[i] + " +
+      "round((x - m.mns[i]) * 255.0 / (m.mxs[i] - m.mns[i]))" +
+      " * (m.mxs[i] - m.mns[i]) / 255.0 ELSE m.mns[i] END"
+    s"""WITH e AS ($vecsSql),
+       |px AS (SELECT unnest(list_transform(v, (x, i) -> {'i': i, 'x': x})) AS s FROM e),
+       |mm AS (SELECT s.i AS i, min(s.x) AS mn, max(s.x) AS mx FROM px GROUP BY s.i),
+       |m AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+       |r AS (
+       |  SELECT e.vec_id,
+       |    list_transform(e.v, (x, i) -> $deq) AS rv
+       |  FROM e, m),
+       |r2 AS (SELECT vec_id, rv, ${sqlNrm("rv")} AS rn FROM r),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.q_id, r2.vec_id,
+       |    ${sqlDot("q.qv", "r2.rv")} / (q.qn * r2.rn) AS cos
+       |  FROM r2 CROSS JOIN q WHERE r2.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) as int) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id AS neighbor_id, rank, ${rndSql("cos", 6)} AS cos_sq
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- hard negatives
+  /** Near-duplicate ceiling for [[pipelineHardNegatives]]: a
+    * candidate at or above this cosine is presumed a duplicate /
+    * paraphrase of the anchor (a FALSE negative — training on it as a
+    * negative teaches the retriever to push true matches apart), so
+    * the miner skips it. ~p99.9 of this corpus's cross-label cosine
+    * mass; both sides of the cut are exercised at every SF. */
+  private val HardNegMaxCos = 0.98
+
+  /** Hard-negative mining — the contrastive-training data op (DPR,
+    * Karpukhin et al., EMNLP 2020: train a dense retriever with the
+    * top-scoring NON-matches as negatives): for each anchor, the
+    * top-k most-similar vectors with a DIFFERENT label, excluding
+    * near-duplicates above [[HardNegMaxCos]] (the standard
+    * false-negative guard — without it the "hardest" negatives are
+    * unlabeled copies of the positive). Output is the (anchor,
+    * negative) pair table a contrastive loss consumes.
+    *
+    * This registered form is the exact brute-force miner (the
+    * oracle-checkable configuration — broadcast anchor set, one
+    * corpus scan, per-anchor top-k window). At 100 TB with a
+    * corpus-sized anchor set, swap the scorer: mine inside IVF cells
+    * ([[ivfTopK]]'s probed equi-join) or over SQ8/PQ codes — the
+    * label filter and dup ceiling are per-row predicates that compose
+    * with any of the scan tiers above unchanged. */
+  def pipelineHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    hardNegatives(e, q, TopK, HardNegMaxCos)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The mining kernel behind [[pipelineHardNegatives]] (public so
+    * planted-corpus specs can drive it): `corpus` needs (vec_id,
+    * label, v, nrm); `anchors` (q_id, q_label, qv, qn), broadcast-
+    * sized. Returns the top-`k` cross-label candidates per anchor
+    * under the `maxCos` near-duplicate ceiling. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+      maxCos: Double): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(anchors),
+        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .filter(col("cos") < maxCos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"), col("rank"), rnd(col("cos"), 6).as("cos_sim"))
+  }
+
+  private val pipelineHardNegativesSql =
+    s"""WITH e AS ($vecsSql),
+       |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+       |      FROM e WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, e.label,
+       |    ${dotSql("q.qv", "e.v")} / (q.qn * e.nrm) AS cos
+       |  FROM e JOIN q ON e.vec_id <> q.q_id AND e.label <> q.q_label),
+       |ranked AS (
+       |  SELECT q_id, vec_id, label, cos,
+       |    cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) as int) AS rank
+       |  FROM scored WHERE cos < $HardNegMaxCos)
+       |SELECT q_id, vec_id AS neighbor_id, label AS neg_label, rank,
+       |  ${rndSql("cos", 6)} AS cos_sim
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ann_sq", annSq _, Some(annSqSql)),
+    QueryDef("pipeline_hard_negatives", pipelineHardNegatives _,
+      Some(pipelineHardNegativesSql)),
     QueryDef("ann_pq", annPq _, Some(annPqSql)),
     QueryDef("ann_ivfpq", annIvfPq _, Some(annIvfPqSql)),
     QueryDef("ann_ivfpq_rerank", annIvfPqRerank _, Some(annIvfPqRerankSql)),

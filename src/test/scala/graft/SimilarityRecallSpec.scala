@@ -264,6 +264,77 @@ class SimilarityRecallSpec extends SparkSpec {
     vecs.unpersist()
   }
 
+  test("SQ8 recall@10 near-lossless, per-dim error within half a quantization step") {
+    val s = spark
+    import s.implicits._
+    val vecs = corpus.toDF("vec_id", "v")
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+      .persist()
+    val truth = Similarity.cosineTopKExact(
+        corpus.toDF("vec_id", "v"), queries.toDF("q_id", "qv"), K)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val (mns, mxs) = Similarity.sqTrain(vecs)
+    assert(mns.size == Dim && mxs.size == Dim)
+    // uniform-quantizer error contract: |x̂ − x| ≤ step/2 (+1 ulp of
+    // slack for the double arithmetic), step = (mx − mn)/255 per dim
+    val recon = vecs.select(col("vec_id"), col("v"),
+      Similarity.sqReconstruct(mns, mxs, col("v")).as("rv"))
+    val maxRel = recon.select(max(expr(
+      """aggregate(zip_with(v, rv, (a, b) -> abs(a - b)), 0D,
+        |  (acc, e) -> greatest(acc, e))""".stripMargin))).head.getDouble(0)
+    val maxStep = mns.zip(mxs).map { case (a, b) => (b - a) / 255.0 }.max
+    assert(maxRel <= maxStep / 2.0 + 1e-12,
+      f"SQ8 reconstruction error $maxRel%.6g exceeds half-step ${maxStep / 2.0}%.6g")
+
+    // recall: 8 bits/dim is near-lossless — it must clear a floor a
+    // 4-byte PQ code cannot, and in practice reproduce the exact set
+    val got = Similarity.cosineTopKExact(
+        recon.select(col("vec_id"), col("rv").as("v")),
+        queries.toDF("q_id", "qv"), K)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"SQ8 recall@$K: $recall%.3f (codes: $Dim bytes/vector vs ${Dim * 8} raw)")
+    assert(recall >= 0.95, s"SQ8 recall floor: got $recall")
+
+    // flat dimension reconstructs exactly to mn (the degenerate guard)
+    val flat = Seq((0L, Seq(3.0, 7.5)), (1L, Seq(3.0, 2.5))).toDF("vec_id", "v")
+    val (fm, fx) = Similarity.sqTrain(flat)
+    val frv = flat.orderBy("vec_id")
+      .select(Similarity.sqReconstruct(fm, fx, col("v")).as("rv"))
+      .collect().map(_.getSeq[Double](0))
+    assert(frv(0) == Seq(3.0, 7.5) && frv(1) == Seq(3.0, 2.5),
+      "flat dim must round-trip exactly; range endpoints are exact codes")
+    vecs.unpersist()
+  }
+
+  test("hard negatives: near-dup ceiling excludes planted cross-label copies, label filter holds") {
+    val s = spark
+    import s.implicits._
+    // anchor along +x; a cross-label COPY of it (cos 1.0 — a false
+    // negative the ceiling must drop); a same-label close vector (the
+    // positive — label filter must drop); three genuine negatives at
+    // descending cosine
+    val corpus = Seq(
+      (1L, 1, Seq(1.0, 0.001)),   // cross-label near-dup, cos ≈ 1.0
+      (2L, 0, Seq(0.9, 0.1)),     // same label — never a negative
+      (3L, 1, Seq(1.0, 0.5)),     // hard negative, cos ≈ 0.894
+      (4L, 2, Seq(1.0, 1.0)),     // cos ≈ 0.707
+      (5L, 1, Seq(0.0, 1.0))      // orthogonal, cos 0
+    ).toDF("vec_id", "label", "v")
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    val anchors = Seq((100L, 0, Seq(1.0, 0.0))).toDF("q_id", "q_label", "qv")
+      .withColumn("qn", VectorFunctions.norm(col("qv")))
+    val got = Similarity.hardNegatives(corpus, anchors, k = 10, maxCos = 0.98)
+      .orderBy("rank")
+      .select("neighbor_id", "neg_label", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got == Seq((3L, 1, 1), (4L, 2, 2), (5L, 1, 3)),
+      s"expected the three true negatives in cosine order, got $got")
+  }
+
   test("pqCode degenerate codebooks: a collapsed single-entry subspace codes to 0") {
     val s = spark
     import s.implicits._
