@@ -41,6 +41,44 @@ object Dedup {
       |  count(*) AS n_copies
       |FROM documents GROUP BY text_md5 ORDER BY text_md5""".stripMargin
 
+  // ---------------------------------------------------------------- normalized exact
+  /** Canonicalization for [[dedupNormalized]] — the C4/CCNet-style
+    * text normalization every web pipeline dedups on BEFORE hashing
+    * (two scrapes of one page differ in case, punctuation, and
+    * whitespace long before they differ in words): lowercase, strip
+    * everything outside [a-z0-9 whitespace], collapse whitespace
+    * runs, trim. The regexes stay in the Java ∩ RE2 ∩ DuckDB common
+    * subset so both engines canonicalize identically. */
+  def normText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Normalization-canonicalized exact dedup — the tier between
+    * [[dedupExact]] (byte-identical only) and minhash (token-set
+    * approximate): group by md5 of the NORMALIZED text, keep the
+    * smallest doc_id. `n_raw_variants` counts how many byte-distinct
+    * texts each canonical group absorbed — the measured size of what
+    * this tier catches beyond exact dedup (any group with
+    * n_raw_variants ≥ 2 is invisible to `dedup_exact` by
+    * construction). Same 100 TB shape as exact dedup: normalization
+    * is a per-row codegen'd projection fused into the scan, and the
+    * only exchange is the md5 groupBy with map-side partial
+    * aggregation. */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(normText(col("text"))).as("norm_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"),
+        countDistinct(md5(col("text"))).as("n_raw_variants"))
+      .orderBy(col("norm_md5"))
+
+  private val dedupNormalizedSql =
+    """SELECT md5(trim(regexp_replace(
+      |    regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+      |    '\s+', ' ', 'g'))) AS norm_md5,
+      |  min(doc_id) AS keep_doc_id, count(*) AS n_copies,
+      |  count(DISTINCT md5(text)) AS n_raw_variants
+      |FROM documents GROUP BY norm_md5 ORDER BY norm_md5""".stripMargin
+
   // ---------------------------------------------------------------- jaccard
   /** Token-set Jaccard ≥ 0.8 pairs within language blocks (the exact
     * baseline the minhash variant approximates).
@@ -2237,6 +2275,7 @@ object Dedup {
     QueryDef("dedup_substring_excise", dedupSubstringExcise _,
       Some(dedupSubstringExciseSql)),
     QueryDef("dedup_exact", dedupExact _, Some(dedupExactSql)),
+    QueryDef("dedup_normalized", dedupNormalized _, Some(dedupNormalizedSql)),
     QueryDef("dedup_jaccard", dedupJaccard _, Some(dedupJaccardSql)),
     QueryDef("dedup_jaccard_ngram", dedupJaccardNgram _, Some(dedupJaccardNgramSql)),
     QueryDef("dedup_minhash", dedupMinhash _, Some(dedupMinhashSql)),

@@ -11,6 +11,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(total == Tables.documents(spark, sf).count())
   }
 
+  test("normalized dedup: case/punct/whitespace variants collapse, distinct texts do not") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // three byte-distinct scrapes of one page (case, punctuation,
+    // whitespace), one genuinely different doc — exact dedup sees 4
+    // groups, normalized dedup must see 2
+    val docs = Seq(
+      (1L, "The quick Brown fox."),
+      (2L, "the  quick brown fox"),
+      (3L, "THE QUICK, BROWN FOX!!"),
+      (4L, "a different document")
+    ).toDF("doc_id", "text")
+    val groups = docs
+      .groupBy(md5(Dedup.normText(col("text"))).as("k"))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n"),
+        countDistinct(md5(col("text"))).as("raw"))
+      .collect()
+    assert(groups.length == 2)
+    val merged = groups.find(_.getLong(2) == 3L).get
+    assert(merged.getLong(1) == 1L && merged.getLong(3) == 3L,
+      "the three variants must collapse to doc 1 with 3 raw variants")
+    assert(docs.select(md5(col("text"))).distinct().count() == 4,
+      "exact hashing must NOT merge them — that is the tier gap")
+  }
+
   test("dedup_jaccard pairs are ordered and above threshold") {
     val rows = Dedup.dedupJaccard(spark, sf).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
