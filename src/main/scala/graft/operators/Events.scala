@@ -794,7 +794,106 @@ object Events {
       |ORDER BY cohort_day, day_offset""".stripMargin
 
   // ---------------------------------------------------------------- registry
+  // ---------------------------------------------------------------- table diff
+  /** Snapshot instants for [[qTableDiff]] (UTC epoch-micros): the
+    * corpus spans Jan 2024, so T1 mid-month / T2 near the end give
+    * every class real mass (users first seen in (T1, T2) → added;
+    * users with new events → changed; idle users → excluded). */
+  private val DiffT1Us = 1705276800000000L // 2024-01-15
+  private val DiffT2Us = 1706140800000000L // 2024-01-25
+
+  /** Generic keyed snapshot diff — the CDC primitive (what a data
+    * platform runs between two published versions of a keyed table to
+    * emit an added/removed/changed changelog instead of re-shipping
+    * the snapshot): full outer join on `key`, classify by null side,
+    * payload compared null-safely as one struct. Unchanged rows are
+    * dropped — output ∝ churn, not table size. At 100 TB both sides
+    * shuffle on the key once (or zero times if the published
+    * snapshots are bucketed by key — the layout [[graft.sources]]
+    * writes); there is no other exchange. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    val av = a.select(col(key).as("__k"),
+      struct(a.columns.filterNot(_ == key).map(col).toSeq: _*).as("old_row"))
+    val bv = b.select(col(key).as("__k"),
+      struct(b.columns.filterNot(_ == key).map(col).toSeq: _*).as("new_row"))
+    av.join(bv, Seq("__k"), "full_outer")
+      .withColumn("change",
+        when(col("old_row").isNull, "added")
+          .when(col("new_row").isNull, "removed")
+          .when(!(col("old_row") <=> col("new_row")), "changed"))
+      .filter(col("change").isNotNull)
+      .select(col("__k").as(key), col("change"), col("old_row"), col("new_row"))
+  }
+
+  /** Registered table-diff query: the per-user "profile" (latest
+    * event's id/type/value) as of [[DiffT1Us]] vs as of [[DiffT2Us]],
+    * emitted as an added/changed changelog. Because the snapshots are
+    * both as-of states of ONE append-only log, the registered form
+    * never joins two snapshot scans at all — both states come out of
+    * a SINGLE pass as conditional `max_by` aggregates (the old side
+    * simply masks rows at or after T1), so the plan is one scan + one
+    * exchange on user_id regardless of how far apart the snapshots
+    * are. 'removed' cannot occur between as-of states of an
+    * append-only log by construction; the general two-table form
+    * (where it can) is [[snapshotDiff]], spec-covered. Unchanged
+    * users (no events in (T1, T2)) are excluded: old and new resolve
+    * to the same event_id. */
+  def qTableDiff(spark: SparkSession, dir: String): DataFrame =
+    asOfDiff(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us")),
+      DiffT1Us, DiffT2Us)
+      .orderBy(col("user_id"))
+
+  /** The one-pass as-of diff kernel behind [[qTableDiff]] (public so
+    * planted specs can drive the added / unchanged-excluded classes
+    * the sf corpus doesn't exercise — every sf user is active before
+    * T1). `events` needs (user_id, event_id, event_type, value, us). */
+  def asOfDiff(events: DataFrame, t1Us: Long, t2Us: Long): DataFrame = {
+    val pay = struct(col("event_id"), col("event_type"), col("value"))
+    val ord = struct(col("us"), col("event_id"))
+    val inA = col("us") < t1Us
+    events
+      .filter(col("us") < t2Us)
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(when(inA, pay), when(inA, ord)).as("a"),
+        max_by(pay, ord).as("b"))
+      .filter(col("a").isNull || col("a.event_id") =!= col("b.event_id"))
+      .select(col("user_id"),
+        when(col("a").isNull, "added").otherwise("changed").as("change"),
+        col("a.event_id").as("old_event_id"), col("b.event_id").as("new_event_id"),
+        col("a.event_type").as("old_type"), col("b.event_type").as("new_type"),
+        rnd(col("a.value"), 6).as("old_value"), rnd(col("b.value"), 6).as("new_value"))
+  }
+
+  private val qTableDiffSql =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+       |  FROM events WHERE epoch_us(ts) < $DiffT2Us),
+       |a AS (
+       |  SELECT user_id, event_id, event_type, value FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY us DESC, event_id DESC) AS rn
+       |    FROM ev WHERE us < $DiffT1Us) WHERE rn = 1),
+       |b AS (
+       |  SELECT user_id, event_id, event_type, value FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY us DESC, event_id DESC) AS rn
+       |    FROM ev) WHERE rn = 1)
+       |SELECT b.user_id,
+       |  CASE WHEN a.user_id IS NULL THEN 'added' ELSE 'changed' END AS change,
+       |  a.event_id AS old_event_id, b.event_id AS new_event_id,
+       |  a.event_type AS old_type, b.event_type AS new_type,
+       |  ${graft.functions.CrossEngine.rndSql("a.value", 6)} AS old_value,
+       |  ${graft.functions.CrossEngine.rndSql("b.value", 6)} AS new_value
+       |FROM b LEFT JOIN a ON a.user_id = b.user_id
+       |WHERE a.user_id IS NULL OR a.event_id <> b.event_id
+       |ORDER BY b.user_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_table_diff", qTableDiff _, Some(qTableDiffSql)),
     QueryDef("q_json", qJson _, Some(qJsonSql)),
     QueryDef("q_tumbling_window", qTumblingWindow _, Some(qTumblingWindowSql)),
     QueryDef("q_ohlc_bars", qOhlcBars _, Some(qOhlcBarsSql)),

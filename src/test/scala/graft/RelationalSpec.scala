@@ -457,4 +457,43 @@ class RelationalSpec extends SparkSpec {
     assert(maxBucket < 4000 / salts * 2,
       s"salting must spread the hot key: max bucket $maxBucket")
   }
+
+  test("as-of diff: planted added/changed classes, unchanged users excluded") {
+    val s = spark
+    import s.implicits._
+    // T1 = 100, T2 = 200. user 1: active both sides (changed);
+    // user 2: last event before T1, idle after (unchanged — excluded);
+    // user 3: first event inside (T1, T2) (added);
+    // user 4: only after T2 (outside both snapshots — excluded)
+    val ev = Seq(
+      (1L, 10L, "a", 1.0, 50L), (1L, 11L, "b", 2.0, 150L),
+      (2L, 20L, "a", 3.0, 60L),
+      (3L, 30L, "c", 4.0, 120L),
+      (4L, 40L, "d", 5.0, 250L)
+    ).toDF("user_id", "event_id", "event_type", "value", "us")
+    val got = operators.Events.asOfDiff(ev, 100L, 200L)
+      .orderBy("user_id")
+      .select("user_id", "change", "old_event_id", "new_event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, "changed", 10L, 11L), (3L, "added", -1L, 30L)),
+      s"expected one changed + one added row, got $got")
+  }
+
+  test("snapshotDiff: full-outer CDC classes incl. removed; unchanged dropped; null-safe payload") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "x", Some(1.0)), (2L, "y", None: Option[Double]),
+      (3L, "z", Some(3.0))).toDF("k", "t", "v")
+    val b = Seq((1L, "x", Some(9.0)), (2L, "y", None: Option[Double]),
+      (4L, "w", Some(4.0))).toDF("k", "t", "v")
+    val got = operators.Events.snapshotDiff(a, b, "k")
+      .orderBy("k").select("k", "change")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // k=1 changed; k=2 identical INCLUDING the null field (null-safe
+    // compare must drop it, not emit a spurious 'changed'); k=3
+    // removed; k=4 added
+    assert(got == Seq((1L, "changed"), (3L, "removed"), (4L, "added")),
+      s"expected changed/removed/added only, got $got")
+  }
 }
