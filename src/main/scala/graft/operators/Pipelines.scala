@@ -612,9 +612,14 @@ object Pipelines {
   /** The quality gate + exact-dedup CTEs (ending in `dedup`:
     * doc_id, text, n_chars) shared by the v4/v5 gate-chain oracle
     * and the v6 excise-chain oracle. */
-  private def keptDedupCtes: String =
+  private def keptDedupCtes: String = keptDedupCtesFrom("documents")
+
+  /** The same gate+dedup CTE pair over an arbitrary source relation
+    * (v7 runs the chain on the train side of the decontamination
+    * split, not the whole table). */
+  private def keptDedupCtesFrom(src: String): String =
     s"""kept AS (
-       |  SELECT doc_id, text, n_chars FROM documents
+       |  SELECT doc_id, text, n_chars FROM $src
        |  WHERE ${TextAnalysis.QualityRuleSql.keep}),
        |dedup AS (
        |  SELECT doc_id, text, n_chars FROM (
@@ -810,6 +815,101 @@ object Pipelines {
        |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- curate v7
+  /** The COMPLETE published-pipeline composition — v6's excise chain
+    * plus benchmark decontamination, i.e. every stage a production
+    * corpus build runs between raw scrape and shard manifest:
+    * train/eval split → quality gate → exact dedup → span excision
+    * (Lee et al. ACL 2022) → quality re-gate on cleaned text →
+    * n-gram decontamination of the CLEANED text against the eval
+    * side's RAW text (GPT-3-style 5-gram collision; cleaning first
+    * matters — excision can only remove n-grams, never mint one, so
+    * sweeping after surgery is the order that can't leak) → split /
+    * shard manifest accounting surviving token mass.
+    *
+    * Plan shape on top of v6's: ONE extra broadcast probe — the eval
+    * side's distinct 5-gram table is benchmark-sized by nature, so
+    * the decontamination stage adds zero exchanges on the train
+    * side beyond the per-doc hit aggregate ([[decontaminateAgainst]],
+    * the shared kernel with `pipeline_decontaminate`). Every stage
+    * runs at the previous stage's survivor count. */
+  def pipelineCurateV7(spark: SparkSession, dir: String): DataFrame = {
+    val isEval =
+      pmod(md5Long(concat(lit("decon:"), col("doc_id").cast("string"))), lit(20)) === 0
+    val all = Tables.documents(spark, dir)
+    val evalDocs = all.filter(isEval).select(col("doc_id"), col("text"))
+    val docs = all.filter(!isEval)
+    val keptIds = TextAnalysis.qualityRules(
+        docs.select(col("doc_id"), col("text")))
+      .filter(col("keep")).select(col("doc_id"))
+    val kept = docs.join(keptIds, Seq("doc_id"), "left_semi")
+    val deduped = kept
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id"))
+        .as("__r"))
+      .select(col("__r.doc_id").as("doc_id"), col("__r.text").as("text"))
+    // persisted for the same reason (and under the same CacheManager
+    // plan-dedup / LRU-eviction policy) as pipelineCurateV6's
+    // `cleaned`: it feeds the re-gate, the decontamination probe, AND
+    // the final manifest join in the returned lazy plan
+    val cleaned = Dedup.exciseDupSpans(deduped, Dedup.SubstrLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val regatedIds = TextAnalysis.qualityRules(
+        cleaned.select(col("doc_id"), col("cleaned_text").as("text")))
+      .filter(col("keep")).select(col("doc_id"))
+    val regated = cleaned.join(regatedIds, Seq("doc_id"), "left_semi")
+    val cleanIds = decontaminateAgainst(
+        regated.select(col("doc_id"), col("cleaned_text").as("text")), evalDocs)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    regated.join(cleanIds, Seq("doc_id"), "left_semi")
+      .withColumn("split", splitOf(col("doc_id")))
+      .withColumn("shard", shardOf(col("doc_id")))
+      .groupBy(col("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_kept_tokens")).as("sum_tokens"))
+      .orderBy(col("split"), col("shard"))
+  }
+
+  private val pipelineCurateV7Sql = {
+    val splitBp = md5LongSql("'split1:' || cast(doc_id as varchar)")
+    val fiveg = "list_distinct(list_filter(" +
+      "list_transform(tk, (x, i) -> CASE WHEN i + 4 <= len(tk) " +
+      "THEN x || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] END), " +
+      "s -> s IS NOT NULL))"
+    s"""WITH train AS (
+       |  SELECT doc_id, text, n_chars FROM documents
+       |  WHERE ${md5LongSql("'decon:' || cast(doc_id as varchar)")} % 20 <> 0),
+       |${keptDedupCtesFrom("train")},
+       |${Dedup.exciseSqlCtes("dedup")},
+       |regated AS (
+       |  SELECT doc_id, n_kept_tokens, text FROM (
+       |    SELECT doc_id, n_kept_tokens, cleaned_text AS text FROM excised)
+       |  WHERE ${TextAnalysis.QualityRuleSql.keep}),
+       |ev5 AS (
+       |  SELECT DISTINCT unnest($fiveg) AS es
+       |  FROM (SELECT $toksSql AS tk FROM documents
+       |        WHERE ${md5LongSql("'decon:' || cast(doc_id as varchar)")} % 20 = 0)),
+       |tr5 AS (
+       |  SELECT doc_id, unnest($fiveg) AS s
+       |  FROM (SELECT doc_id, $toksSql AS tk FROM regated)),
+       |contaminated AS (
+       |  SELECT DISTINCT tr5.doc_id FROM tr5 JOIN ev5 ON tr5.s = ev5.es),
+       |final AS (
+       |  SELECT doc_id, n_kept_tokens FROM regated
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |cells AS (
+       |  SELECT CASE WHEN $splitBp % 10000 < 9800 THEN 'train'
+       |              WHEN $splitBp % 10000 < 9900 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |    cast(${md5LongSql("'shard1:' || cast(doc_id as varchar)")} % $ShuffleShards as int)
+       |      AS shard,
+       |    n_kept_tokens
+       |  FROM final)
+       |SELECT split, shard, count(*) AS n_docs,
+       |  cast(sum(n_kept_tokens) as bigint) AS sum_tokens
+       |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // ---------------------------------------------------------------- dataset card
   /** The corpus "dataset card" aggregate — the per-(lang, source)
     * composition table every dataset release ships (counts, token
@@ -926,5 +1026,7 @@ object Pipelines {
     QueryDef("pipeline_curate_v5", pipelineCurateV5 _,
       Some(pipelineCurateV5Sql)),
     QueryDef("pipeline_curate_v6", pipelineCurateV6 _,
-      Some(pipelineCurateV6Sql)))
+      Some(pipelineCurateV6Sql)),
+    QueryDef("pipeline_curate_v7", pipelineCurateV7 _,
+      Some(pipelineCurateV7Sql)))
 }
