@@ -392,6 +392,14 @@ object Bench {
         StreamingJobs.MgTok(math.floorMod(t.hashCode, 32), i.toLong, t)
       }.toSeq
 
+    // full-payload event feed for the CDC changelog (profile state
+    // needs id/type/value); same 200k cap as the sessionize feed
+    val cdcEvs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+      .orderBy(col("us")).limit(200000)
+      .as[StreamingJobs.CdcEv].collect().toSeq
+
     val parts = Seq(
       drive[StreamingJobs.Ev]("stream_sessionize", evs,
         ds => StreamingJobs.sessionize(ds).toDF()),
@@ -417,7 +425,9 @@ object Bench {
       drive[StreamingJobs.Ev]("stream_active_users", evs,
         ds => StreamingJobs.activeUsersApproxStream(
           ds.select(timestamp_micros(col("us")).as("ts"), col("user_id"))),
-        outputMode = "complete"))
+        outputMode = "complete"),
+      drive[StreamingJobs.CdcEv]("stream_cdc", cdcEvs,
+        ds => StreamingJobs.cdcStream(ds).toDF()))
     evalNgrams.unpersist()
     parts
   }

@@ -171,6 +171,58 @@ object StreamingJobs {
       }
   }
 
+  // ------------------------------------------------------------- CDC changelog
+  case class CdcEv(user_id: Long, event_id: Long, event_type: String,
+    value: Double, us: Long)
+  case class CdcState(event_id: Long, event_type: String, value: Double,
+    us: Long)
+  case class CdcOut(user_id: Long, change: String,
+    old_event_id: Option[Long], new_event_id: Long,
+    old_type: Option[String], new_type: String,
+    old_value: Option[Double], new_value: Double)
+
+  /** Streaming CDC changelog — the ingest-time twin of
+    * `Events.qTableDiff`/`asOfDiff`: per-key "profile" state (the
+    * latest event's id/type/value) kept in flatMapGroupsWithState;
+    * each micro-batch emits ONE net change row per key that advanced
+    * ('added' on first sight, 'changed' after — intermediate events
+    * inside a batch collapse, the CDC compaction every changelog
+    * consumer expects). Out-of-order stragglers older than the held
+    * state advance nothing and emit nothing (state keeps the
+    * (us, event_id) max, same total order as the batch max_by).
+    *
+    * EQUIVALENCE CONTRACT (StreamingSpec): feed events < T1 as batch
+    * 1 and [T1, T2) as batch 2 — batch 2's emissions ARE
+    * `asOfDiff(events, T1, T2)`, because batch 1 left each key's
+    * state at exactly the as-of-T1 profile. State is O(keys) with no
+    * timeout (a profile table's natural size); at an unbounded key
+    * space compose a GroupStateTimeout TTL like the sessionizer's. */
+  def cdcStream(events: Dataset[CdcEv]): Dataset[CdcOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcState, CdcOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[CdcEv], state: GroupState[CdcState]) =>
+          var latest = state.getOption.orNull
+          it.foreach { e =>
+            if (latest == null || e.us > latest.us ||
+                (e.us == latest.us && e.event_id > latest.event_id))
+              latest = CdcState(e.event_id, e.event_type, e.value, e.us)
+          }
+          val old = state.getOption
+          if (latest == null || old.contains(latest)) Iterator.empty
+          else {
+            state.update(latest)
+            Iterator.single(CdcOut(uid,
+              if (old.isEmpty) "added" else "changed",
+              old.map(_.event_id), latest.event_id,
+              old.map(_.event_type), latest.event_type,
+              old.map(_.value), latest.value))
+          }
+      }
+  }
+
   case class Ev(user_id: Long, us: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       duration_us: Long, session_start_us: Long)

@@ -184,6 +184,47 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(o => o.user_id == 1L))
   }
 
+  test("streaming CDC changelog: batch-2 emissions equal the batch as-of diff") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (t1, t2) = (1705276800000000L, 1706140800000000L) // Jan 15 / Jan 25
+    val evDF = Tables.events(s, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+    val ev = evDF.as[StreamingJobs.CdcEv].collect()
+
+    val in = MemoryStream[StreamingJobs.CdcEv](s)
+    val q = StreamingJobs.cdcStream(in.toDS()).writeStream
+      .format("memory").queryName("cdc_out").outputMode("append").start()
+    in.addData(ev.filter(_.us < t1).toSeq)
+    q.processAllAvailable()
+    def snap(): Seq[(Long, String, Option[Long], Long, Option[String], String)] =
+      s.sql("select * from cdc_out").as[StreamingJobs.CdcOut].collect()
+        .map(o => (o.user_id, o.change, o.old_event_id, o.new_event_id,
+          o.old_type, o.new_type)).toSeq
+    val afterB1 = snap()
+    // every key's first sight is 'added'; one net row per key per batch
+    assert(afterB1.nonEmpty && afterB1.forall(_._2 == "added"))
+    assert(afterB1.map(_._1).distinct.size == afterB1.size)
+
+    in.addData(ev.filter(e => e.us >= t1 && e.us < t2).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    // batch-2 net emissions: rows not present after batch 1 (a key's
+    // batch-2 row always differs — new_event_id advanced)
+    val batch2 = snap().diff(afterB1).toSet
+
+    val expected = Events.asOfDiff(evDF, t1, t2).collect().map { r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getString(4)), r.getString(5))
+    }.toSet
+    assert(batch2 == expected,
+      s"stream batch-2 changelog must equal the batch as-of diff " +
+        s"(stream ${batch2.size} vs batch ${expected.size} rows)")
+  }
+
   test("foreachBatch upsert sink merges micro-batches by key") {
     val s = spark
     import s.implicits._
