@@ -794,6 +794,49 @@ object Events {
       |ORDER BY cohort_day, day_offset""".stripMargin
 
   // ---------------------------------------------------------------- registry
+  // ---------------------------------------------------------------- transitions
+  /** Event-type transition matrix — the Markov-chain edge table
+    * product analytics derives from any event stream (what follows
+    * what, and with what probability): per user, each event pairs
+    * with its successor via one `lead` window; the aggregate counts
+    * (from_type, to_type) edges and normalizes rows to transition
+    * probabilities with an exact integer-ratio division. Generalizes
+    * the fixed-path funnels (`q_funnel_steps` is one row of this
+    * matrix chain). Scale: the window partitions by user_id (task
+    * state = one user's events — the same key every other events op
+    * shuffles on), the edge aggregate is a ≤ |types|² hash aggregate
+    * with map-side combine, and the row-sum window runs on that tiny
+    * frame. */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wRow = Window.partitionBy(col("from_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", rnd(col("n").cast("double") / sum(col("n")).over(wRow), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val qEventTransitionsSql =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS to_type
+       |  FROM events),
+       |edges AS (
+       |  SELECT event_type AS from_type, to_type, count(*) AS n
+       |  FROM seq WHERE to_type IS NOT NULL
+       |  GROUP BY 1, 2)
+       |SELECT from_type, to_type, n,
+       |  ${graft.functions.CrossEngine.rndSql(
+            "cast(n as double) / sum(n) OVER (PARTITION BY from_type)", 6)} AS p
+       |FROM edges
+       |ORDER BY from_type, to_type""".stripMargin
+
   // ---------------------------------------------------------------- table diff
   /** Snapshot instants for [[qTableDiff]] (UTC epoch-micros): the
     * corpus spans Jan 2024, so T1 mid-month / T2 near the end give
@@ -894,6 +937,8 @@ object Events {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_table_diff", qTableDiff _, Some(qTableDiffSql)),
+    QueryDef("q_event_transitions", qEventTransitions _,
+      Some(qEventTransitionsSql)),
     QueryDef("q_json", qJson _, Some(qJsonSql)),
     QueryDef("q_tumbling_window", qTumblingWindow _, Some(qTumblingWindowSql)),
     QueryDef("q_ohlc_bars", qOhlcBars _, Some(qOhlcBarsSql)),

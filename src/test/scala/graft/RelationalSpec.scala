@@ -458,6 +458,26 @@ class RelationalSpec extends SparkSpec {
       s"salting must spread the hot key: max bucket $maxBucket")
   }
 
+  test("event transitions: rows sum to 1 per from_type, edge mass = events minus per-user lasts") {
+    val s = spark
+    import s.implicits._
+    val df = operators.Events.qEventTransitions(spark, sf)
+    val rowSums = df.groupBy("from_type")
+      .agg(sum("p").as("sp"), sum("n").as("sn")).collect()
+    rowSums.foreach { r =>
+      // p is rounded to 6dp per edge; |types| ≤ 5 edges per row bounds
+      // the summed rounding error at 5e-6
+      assert(math.abs(r.getDouble(1) - 1.0) < 5e-6,
+        s"row ${r.getString(0)} probabilities sum to ${r.getDouble(1)}")
+    }
+    val totalEdges = rowSums.map(_.getLong(2)).sum
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(totalEdges == expected,
+      s"every event except each user's last must contribute one edge: " +
+        s"$totalEdges vs $expected")
+  }
+
   test("as-of diff: planted added/changed classes, unchanged users excluded") {
     val s = spark
     import s.implicits._
