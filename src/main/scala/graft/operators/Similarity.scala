@@ -1698,7 +1698,14 @@ object Similarity {
       cents: Seq[(Int, Seq[Double], Double)], cb: Seq[Seq[Seq[Double]]],
       nprobe: Int, k: Int): DataFrame = {
     import spark.implicits._
-    val enc = spark.read.parquet(path)
+    // explicit schema — an index reader KNOWS its layout; inference
+    // would also fail outright on a zero-row index (dynamic
+    // partitionBy writes no part files for an empty frame, leaving
+    // nothing to infer from — the empty date-slice every production
+    // pipeline eventually probes)
+    val enc = spark.read
+      .schema("vec_id BIGINT, codes ARRAY<INT>, cluster INT")
+      .parquet(path)
       .join(broadcast(cents.toDF("c_id", "cv", "cn")),
         col("cluster") === col("c_id"))
       .withColumn("rhat",

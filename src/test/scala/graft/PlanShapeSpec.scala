@@ -158,6 +158,13 @@ class PlanShapeSpec extends SparkSpec {
                                           // is the same broadcast centroid ×
                                           // query frame; the index scan itself
                                           // is a DPP-pruned equi-join
+    "ann_sq",                             // broadcast query set; corpus side is
+                                          // the SQ8 dequantize projection (the
+                                          // ann_pq shape at 1 byte/dim)
+    "pipeline_hard_negatives",            // broadcast anchor set; the label
+                                          // inequality is part of the mining
+                                          // predicate (cross-label only), same
+                                          // bounded theta-join as ann_bruteforce
     "ann_lsh",                            // broadcast query/centroid/hyperplane sets
     "mm_feature_knn",                     // ivfTopK: same broadcast query set as ann_ivf
     "mr_pagerank",                        // broadcast single-row node count
