@@ -427,7 +427,12 @@ object Bench {
           ds.select(timestamp_micros(col("us")).as("ts"), col("user_id"))),
         outputMode = "complete"),
       drive[StreamingJobs.CdcEv]("stream_cdc", cdcEvs,
-        ds => StreamingJobs.cdcStream(ds).toDF()))
+        ds => StreamingJobs.cdcStream(ds).toDF()),
+      // the cdc feed carries exactly the as-of columns; reuse it
+      drive[StreamingJobs.AsOfEv]("stream_asof",
+        cdcEvs.filter(e => e.event_type == "purchase" || e.event_type == "view")
+          .map(e => StreamingJobs.AsOfEv(e.user_id, e.event_id, e.event_type, e.us)),
+        ds => StreamingJobs.asofEnrichStream(ds).toDF()))
     evalNgrams.unpersist()
     parts
   }

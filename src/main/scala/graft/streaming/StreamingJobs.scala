@@ -223,6 +223,54 @@ object StreamingJobs {
       }
   }
 
+  // ------------------------------------------------------------- as-of enrich
+  case class AsOfEv(user_id: Long, event_id: Long, event_type: String, us: Long)
+  case class AsOfOut(user_id: Long, purchase_event_id: Long,
+    purchase_us: Long, last_view_us: Option[Long])
+
+  /** Streaming as-of enrichment — the ingest twin of the as-of join
+    * family (`q_asof_join` / the native AsOf exec): per-key state is
+    * the running max view time; each arriving purchase emits
+    * immediately, enriched with the latest view at-or-before it
+    * (kdb aj / pandas merge_asof backward semantics, including the
+    * equal-time tie: within a batch events fold in (us, views-first)
+    * order, so a view at exactly the purchase's time is visible to
+    * it — the batch window's `event_type desc` tie rule).
+    *
+    * On a batch Dataset the same call sees each key's full history in
+    * one group and equals `Advanced.qAsofJoin` row-for-row
+    * (StreamingSpec proves both this and the time-split streamed ==
+    * batch equivalence). Streaming trade-off, stated: a view arriving
+    * LATE (after a purchase it should have enriched was already
+    * emitted) cannot retro-correct an append-mode emission — the
+    * batch as-of is the reconciliation pass, this is the low-latency
+    * path. State = one long per key, no timeout (compose the
+    * sessionizer's TTL for unbounded key spaces). */
+  def asofEnrichStream(events: Dataset[AsOfEv]): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[AsOfEv], state: GroupState[Long]) =>
+          // views sort before purchases at equal us (tie rule above)
+          val evs = it.toArray
+            .sortBy(e => (e.us, if (e.event_type == "view") 0 else 1))
+          var lastView = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
+          evs.foreach { e =>
+            if (e.event_type == "view") {
+              if (e.us > lastView) lastView = e.us
+            } else if (e.event_type == "purchase") {
+              out += AsOfOut(uid, e.event_id, e.us,
+                if (lastView == Long.MinValue) None else Some(lastView))
+            }
+          }
+          if (lastView != Long.MinValue) state.update(lastView)
+          out.iterator
+      }
+  }
+
   case class Ev(user_id: Long, us: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       duration_us: Long, session_start_us: Long)

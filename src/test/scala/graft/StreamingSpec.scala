@@ -184,6 +184,46 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(o => o.user_id == 1L))
   }
 
+  test("as-of enrich: batch mode equals q_asof_join; time-split stream equals batch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evDS = Tables.events(s, sf)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[StreamingJobs.AsOfEv]
+
+    def key(o: StreamingJobs.AsOfOut) =
+      (o.user_id, o.purchase_event_id, o.purchase_us, o.last_view_us)
+    // batch mode of the SAME call == the oracle-checked window form
+    val batchTwin = StreamingJobs.asofEnrichStream(evDS).collect().map(key).toSet
+    val oracleForm = graft.operators.Advanced.qAsofJoin(s, sf).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }.toSet
+    assert(batchTwin == oracleForm,
+      s"batch-mode asofEnrichStream must equal qAsofJoin " +
+        s"(${batchTwin.size} vs ${oracleForm.size} rows)")
+
+    // streamed in two time-split batches == the batch result (batch 1
+    // leaves each key's state at its as-of-T view max)
+    val ev = evDS.collect()
+    val mid = 1705276800000000L // Jan 15
+    val in = MemoryStream[StreamingJobs.AsOfEv](s)
+    val q = StreamingJobs.asofEnrichStream(in.toDS()).writeStream
+      .format("memory").queryName("asof_out").outputMode("append").start()
+    in.addData(ev.filter(_.us < mid).toSeq)
+    q.processAllAvailable()
+    in.addData(ev.filter(_.us >= mid).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from asof_out")
+      .as[StreamingJobs.AsOfOut].collect().map(key).toSet
+    assert(streamed == batchTwin,
+      s"time-split stream must equal batch (${streamed.size} vs ${batchTwin.size})")
+  }
+
   test("streaming CDC changelog: batch-2 emissions equal the batch as-of diff") {
     val s = spark
     import s.implicits._
