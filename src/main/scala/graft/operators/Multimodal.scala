@@ -152,6 +152,80 @@ object Multimodal {
     })
   }
 
+  // ---------------------------------------------------------------- perceptual hash
+  case class MediaHash(doc_id: Long, phash: Long)
+
+  /** REAL perceptual fingerprint — average hash (aHash), the classic
+    * image-dedup signature: decode, bilinear-rescale to an 8×8
+    * grayscale thumbnail (the same Graphics2D kernel as
+    * [[resizeBatch]]), bit i = luminance(i) > thumbnail mean. 64 bits
+    * per image, invariant to resolution and re-encoding (the two ways
+    * one crawl image appears twice) and tolerant of small edits —
+    * near-dups land within a few bits of Hamming distance. A flat
+    * (constant) image has no luminance above its own mean: hash 0,
+    * the documented degenerate bucket. Undecodable payloads → None
+    * (quarantine discipline, like [[decodeImage]]). */
+  def aHash(m: RawMedia): Option[Long] = {
+    val src =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload)))
+      catch { case scala.util.control.NonFatal(_) => None } // see decodeImage
+    src.map { im =>
+      val g = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val gg = g.createGraphics()
+      try {
+        gg.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        gg.drawImage(im, 0, 0, 8, 8, null)
+      } finally gg.dispose()
+      val raster = g.getRaster
+      val lum = new Array[Int](64)
+      var i = 0
+      while (i < 64) { lum(i) = raster.getSample(i % 8, i / 8, 0); i += 1 }
+      val mean = lum.sum.toDouble / 64.0
+      lum.zipWithIndex.foldLeft(0L) { case (acc, (v, j)) =>
+        if (v > mean) acc | (1L << j) else acc
+      }
+    }
+  }
+
+  /** Per-partition batch hash: narrow map, undecodable rows dropped. */
+  def phashBatch(ds: Dataset[RawMedia]): Dataset[MediaHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(m => aHash(m).map(MediaHash(m.doc_id, _))))
+  }
+
+  /** Banded Hamming near-dup join over 64-bit perceptual hashes —
+    * the image twin of the simhash text pipeline, on the same LSH
+    * argument: 4 bands of 16 bits; any pair within Hamming ≤ 3 agrees
+    * EXACTLY on ≥ 1 band (pigeonhole: 3 differing bits cannot touch
+    * 4 bands), so the candidate stage is a plain equi-join on
+    * (band, value) — never an all-pairs compare — and the popcount
+    * verify runs on candidates only. Full recall for maxHamming ≤ 3;
+    * raise bands for looser thresholds (the standard b > d rule).
+    * Returns (doc_id, dup_id, hamming), doc_id < dup_id, distinct. */
+  def phashNearDup(hashes: Dataset[MediaHash], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding guarantees recall only to Hamming 3")
+    val bands = hashes.toDF("doc_id", "phash")
+      .select(col("doc_id"), col("phash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("phash"), b * 16)
+              .bitwiseAND(lit(0xffffL)).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val r = bands.select(col("doc_id").as("dup_id"),
+      col("phash").as("phash2"), col("band"), col("bv"))
+    bands.join(r, Seq("band", "bv"))
+      .filter(col("doc_id") < col("dup_id"))
+      .select(col("doc_id"), col("dup_id"),
+        bit_count(col("phash").bitwiseXOR(col("phash2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** A REAL (if minimal) container + demuxer, since this container
     * ships no mp4 codecs: frames are stored length-prefixed
     * ([4-byte big-endian length][frame bytes])*, the demuxer walks

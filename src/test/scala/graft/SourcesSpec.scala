@@ -141,6 +141,47 @@ class SourcesSpec extends SparkSpec {
     CacheHygiene.sweep(spark)
   }
 
+  test("perceptual hash: rescaled twin within Hamming 3, banded join finds it, distinct image far") {
+    val s = spark
+    import s.implicits._
+    // smooth diagonal gradient — resolution-independent luminance
+    // field, so a rescale is a true perceptual near-duplicate
+    def smoothPng(w: Int, h: Int, reversed: Boolean): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val gx = x * 255 / (w - 1); val gy = y * 255 / (h - 1)
+        val v = if (reversed) (255 - gx, 255 - gy) else (gx, gy)
+        im.setRGB(x, y, (v._1 << 16) | (v._2 << 8) | 0x40)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", baos)
+      baos.toByteArray
+    }
+    val a = Multimodal.RawMedia(1L, smoothPng(64, 64, reversed = false))
+    // the two ways one crawl image recurs: re-encode at another
+    // resolution (real resizeBatch output), and byte-identical copy
+    val a2 = Multimodal.resizeBatch(Seq(a).toDS(), 80, 80)
+      .collect().head
+    val rows = Seq(
+      a,
+      Multimodal.RawMedia(2L, a2.payload),
+      Multimodal.RawMedia(3L, smoothPng(48, 48, reversed = true)),
+      Multimodal.RawMedia(4L, "not an image".getBytes)) // quarantine
+    val hashes = Multimodal.phashBatch(rows.toDS())
+    val hs = hashes.collect().map(h => h.doc_id -> h.phash).toMap
+    assert(hs.keySet == Set(1L, 2L, 3L), "undecodable payload must drop")
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(hs(1L), hs(2L)) <= 3,
+      s"rescaled twin must be a near-dup: hamming ${hamming(hs(1L), hs(2L))}")
+    assert(hamming(hs(1L), hs(3L)) > 10,
+      s"reversed gradient must be far: hamming ${hamming(hs(1L), hs(3L))}")
+    val pairs = Multimodal.phashNearDup(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"banded join must find exactly the planted twin pair, got $pairs")
+  }
+
   test("multimodal resize: real bilinear rescale + PNG re-encode") {
     val s = spark
     import s.implicits._
