@@ -1401,7 +1401,7 @@ object Similarity {
     * [[pqReconstruct]] or a [[pqDecode]] of stored codes — and each
     * query scores candidates only where cluster == probe_cluster. */
   private def adcRankProbed(enc: DataFrame, probes: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, cosName: String = "cos_ivfpq"): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     enc.join(probes,
@@ -1410,7 +1410,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
-        rnd(col("cos"), 6).as("cos_ivfpq"))
+        rnd(col("cos"), 6).as(cosName))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -1472,6 +1472,92 @@ object Similarity {
        |  FROM scored)
        |SELECT q_id, vec_id AS neighbor_id, rank,
        |  ${rndSql("cos", 6)} AS cos_ivfpq
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- IVF-SQ
+  /** IVF-SQ8 — the OTHER production composition (Faiss's IVF_SQ8, the
+    * common default when memory allows 1 byte/dim): coarse kmeans
+    * cells + SQ8 on the RESIDUAL v − centroid. Residuals are centered
+    * by construction, so their per-dim [min, max] envelope is tighter
+    * than the raw corpus's — the same 8-bit budget buys a strictly
+    * smaller quantization step than flat `ann_sq` (the residual
+    * argument of IVF-PQ, measured by the spec as a strict error
+    * inequality), while keeping SQ's near-lossless recall and trivial
+    * train. Plan shape: assignment and residual are per-row
+    * projections against broadcast centroid literals; the SQ
+    * "codebook" is 2 doubles/dim; scoring reuses [[adcRankProbed]] —
+    * the probed-cell equi-join, scanning nprobe/nlist of the corpus
+    * at 1 byte/dim. */
+  def annIvfSq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = vecs(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val (cent, _) = kmeansTrain(ev, NCentroids, iters = 2)
+    val cents = collectCentroids(cent)
+    val centDf = broadcast(cents.toDF("c_id", "cv", "cn"))
+    val withRes = ev
+      .withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
+      .join(centDf, col("cluster") === col("c_id"))
+      .withColumn("res", zip_with(col("v"), col("cv"), (a, b) => a - b))
+    val (mns, mxs) = sqTrain(withRes.select(col("res").as("v")))
+    val enc = withRes
+      .withColumn("rhat",
+        zip_with(col("cv"), sqReconstruct(mns, mxs, col("res")), (a, b) => a + b))
+      .withColumn("rn", VectorFunctions.norm(col("rhat")))
+      .select(col("vec_id"), col("cluster"), col("rhat"), col("rn"))
+    val q = ev.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    adcRankProbed(enc, broadcast(probeClusters(q, cents, NProbe)), TopK,
+      "cos_ivfsq")
+  }
+
+  private val annIvfSqSql = {
+    val deq = "CASE WHEN m.mxs[i] > m.mns[i] THEN m.mns[i] + " +
+      "round((r.res[i] - m.mns[i]) * 255.0 / (m.mxs[i] - m.mns[i]))" +
+      " * (m.mxs[i] - m.mns[i]) / 255.0 ELSE m.mns[i] END"
+    s"""WITH ${kmeansCtesFor(2)},
+       |cent AS (SELECT c_id, cv, ${sqlNrm("cv")} AS cn FROM c2),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, cluster FROM (
+       |    SELECT en.vec_id, en.v, en.nrm, cent.c_id AS cluster,
+       |      row_number() OVER (PARTITION BY en.vec_id
+       |        ORDER BY ${sqlDot("cent.cv", "en.v")} / (cent.cn * en.nrm) DESC, cent.c_id)
+       |        AS crank
+       |    FROM en CROSS JOIN cent)
+       |  WHERE crank = 1),
+       |r AS (
+       |  SELECT a.vec_id, a.cluster, cent.cv AS ccv,
+       |    list_transform(a.v, (x, i) -> x - cent.cv[i]) AS res
+       |  FROM assigned a JOIN cent ON a.cluster = cent.c_id),
+       |px AS (SELECT unnest(list_transform(res, (x, i) -> {'i': i, 'x': x})) AS s FROM r),
+       |mm AS (SELECT s.i AS i, min(s.x) AS mn, max(s.x) AS mx FROM px GROUP BY s.i),
+       |m AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+       |rhat AS (
+       |  SELECT r.vec_id, r.cluster,
+       |    list_transform(r.ccv, (x, i) -> x + ($deq)) AS rhat
+       |  FROM r, m),
+       |rh AS (SELECT vec_id, cluster, rhat, ${sqlNrm("rhat")} AS rn FROM rhat),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM en WHERE vec_id < $NQueries),
+       |probes AS (
+       |  SELECT q_id, qv, qn, probe_cluster FROM (
+       |    SELECT q.q_id, q.qv, q.qn, cent.c_id AS probe_cluster,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${sqlDot("cent.cv", "q.qv")} / (cent.cn * q.qn) DESC, cent.c_id)
+       |        AS prank
+       |    FROM q CROSS JOIN cent)
+       |  WHERE prank <= $NProbe),
+       |scored AS (
+       |  SELECT p.q_id, rh.vec_id,
+       |    ${sqlDot("p.qv", "rh.rhat")} / (p.qn * rh.rn) AS cos
+       |  FROM rh JOIN probes p
+       |    ON rh.cluster = p.probe_cluster AND rh.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) as int) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id AS neighbor_id, rank,
+       |  ${rndSql("cos", 6)} AS cos_ivfsq
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
   }
@@ -2027,6 +2113,7 @@ object Similarity {
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
     QueryDef("ann_sq", annSq _, Some(annSqSql)),
+    QueryDef("ann_ivfsq", annIvfSq _, Some(annIvfSqSql)),
     QueryDef("pipeline_hard_negatives", pipelineHardNegatives _,
       Some(pipelineHardNegativesSql)),
     QueryDef("ann_pq", annPq _, Some(annPqSql)),

@@ -161,6 +161,9 @@ class PlanShapeSpec extends SparkSpec {
     "ann_sq",                             // broadcast query set; corpus side is
                                           // the SQ8 dequantize projection (the
                                           // ann_pq shape at 1 byte/dim)
+    "ann_ivfsq",                          // ann_ivfpq's probed shape with SQ8
+                                          // residual codes; same broadcast
+                                          // centroid × query frames
     "pipeline_hard_negatives",            // broadcast anchor set; the label
                                           // inequality is part of the mining
                                           // predicate (cross-label only), same

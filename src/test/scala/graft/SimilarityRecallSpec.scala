@@ -335,6 +335,62 @@ class SimilarityRecallSpec extends SparkSpec {
       s"expected the three true negatives in cosine order, got $got")
   }
 
+  test("IVF-SQ: residual SQ8 strictly beats flat SQ8 error at equal bit budget, recall holds") {
+    val s = spark
+    import s.implicits._
+    val vecs = corpus.toDF("vec_id", "v")
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+      .persist()
+    val truth = Similarity.cosineTopKExact(
+        corpus.toDF("vec_id", "v"), queries.toDF("q_id", "qv"), K)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val (cent, _) = Similarity.kmeansTrain(vecs, NClusters, iters = 2)
+    val cents = Similarity.collectCentroids(cent)
+    val centDf = org.apache.spark.sql.functions.broadcast(
+      cents.toDF("c_id", "cv", "cn"))
+    val withRes = vecs
+      .withColumn("cluster",
+        Similarity.nearestCentroid(cents, col("v"), col("nrm")))
+      .join(centDf, col("cluster") === col("c_id"))
+      .withColumn("res", zip_with(col("v"), col("cv"), (a, b) => a - b))
+      .persist()
+
+    def maxErr(frame: org.apache.spark.sql.DataFrame, src: String,
+        mns: Seq[Double], mxs: Seq[Double]): Double =
+      frame.select(max(expr(
+        s"""aggregate(zip_with($src, rv, (a, b) -> abs(a - b)), 0D,
+           |  (acc, e) -> greatest(acc, e))""".stripMargin))).head.getDouble(0)
+    // flat SQ8 over raw vectors vs SQ8 over residuals: the residual
+    // envelope is tighter, so its quantization step — and therefore
+    // the worst-case error — must be strictly smaller (the residual
+    // argument, measured; the IVF-PQ MSE test's SQ twin)
+    val (fm, fx) = Similarity.sqTrain(vecs)
+    val flatErr = maxErr(vecs.select(col("v"),
+      Similarity.sqReconstruct(fm, fx, col("v")).as("rv")), "v", fm, fx)
+    val (rm, rx) = Similarity.sqTrain(withRes.select(col("res").as("v")))
+    val resErr = maxErr(withRes.select(col("res"),
+      Similarity.sqReconstruct(rm, rx, col("res")).as("rv")), "res", rm, rx)
+    info(f"SQ8 max |x̂−x|: flat $flatErr%.6g vs residual $resErr%.6g")
+    assert(resErr < flatErr,
+      s"residual SQ8 must beat flat SQ8 worst-case error: $resErr vs $flatErr")
+
+    // recall of the composed probe path: x̂ = centroid + deq(res),
+    // exact scan over x̂ (probe-free here isolates quantization loss
+    // from IVF probe loss, which the IVF recall test owns)
+    val rhat = withRes.select(col("vec_id"),
+      zip_with(col("cv"),
+        Similarity.sqReconstruct(rm, rx, col("res")), (a, b) => a + b).as("v"))
+    val got = Similarity.cosineTopKExact(rhat, queries.toDF("q_id", "qv"), K)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"IVF-SQ (residual SQ8) recall@$K: $recall%.3f")
+    assert(recall >= 0.95, s"residual-SQ8 recall floor: got $recall")
+    withRes.unpersist(); vecs.unpersist()
+  }
+
   test("pqCode degenerate codebooks: a collapsed single-entry subspace codes to 0") {
     val s = spark
     import s.implicits._
