@@ -293,13 +293,15 @@ object Pipelines {
     * runs twice; both passes are deterministic, so the results are
     * identical — see the decodeSplit release-handle precedent). */
   def packManifest(docs: DataFrame, seqLen: Int, partitions: Int = 32,
-      cache: Boolean = true): DataFrame = {
+      cache: Boolean = true,
+      tokCol: Column =
+        size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long"))
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     val sorted0 = docs
-      .select(col("doc_id"),
-        size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long").as("toks"))
+      .select(col("doc_id"), tokCol.as("toks"))
       .repartitionByRange(partitions, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .withColumn("mid", monotonically_increasing_id())
@@ -342,6 +344,60 @@ object Pipelines {
        |  cast(sum(toks) as bigint) AS n_tokens,
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
+  /** Sequence packing priced in BPE-ish tokens instead of whitespace
+    * words — the budget a real training run actually packs against
+    * (loaders cut at TOKENIZER tokens; a whitespace budget over- or
+    * under-fills every sequence by the corpus's bpe_per_word ratio).
+    * Same [[packManifest]] kernel and two-level prefix-sum plan; only
+    * the per-doc cost column changes ([[TextAnalysis.bpeCountCol]],
+    * ONE definition with `text_tokens_bpe` so the packer's budget and
+    * the profiler's count cannot drift). */
+  def packSequencesBpe(spark: SparkSession, dir: String): DataFrame =
+    packManifest(Tables.documents(spark, dir), SeqLen,
+      tokCol = TextAnalysis.bpeCountCol)
+      .orderBy(col("seq_id"))
+
+  private val packSequencesBpeSql =
+    s"""WITH t AS (SELECT doc_id, ${TextAnalysis.bpeCountSql} AS toks FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |    coalesce(sum(toks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM t)
+       |SELECT cast(cb // $SeqLen as bigint) AS seq_id,
+       |  cast(count(*) as bigint) AS n_docs,
+       |  cast(sum(toks) as bigint) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
+  // ---------------------------------------------------------------- source balance
+  /** Corpus-concentration profile — the balance metric a dataset
+    * release reports next to the composition card: per-source share
+    * concentration as the Herfindahl–Hirschman index (Σ shareᵢ² —
+    * 1/n_sources = perfectly balanced, 1 = single-source) plus the
+    * top-source share. Deliberately RATIONAL arithmetic: HHI =
+    * Σnᵢ² / N² and top = max(n)/N are exact integer aggregates with
+    * ONE double division each at the very end — no float summation
+    * order to disagree on, no logs (why HHI is reported here instead
+    * of entropy). Two tiny aggregates (≤ sources rows, map-side
+    * combined); one row out at any corpus size. */
+  def qSourceBalance(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_sources"),
+        rnd(sum(col("n") * col("n")).cast("double")
+          / (sum(col("n")) * sum(col("n"))).cast("double"), 6).as("hhi"),
+        rnd(max(col("n")).cast("double") / sum(col("n")).cast("double"), 6)
+          .as("top_share"))
+
+  private val qSourceBalanceSql =
+    s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+       |SELECT cast(count(*) as bigint) AS n_sources,
+       |  ${rndSql("cast(sum(n * n) as double) / cast(sum(n) * sum(n) as double)", 6)} AS hhi,
+       |  ${rndSql("cast(max(n) as double) / cast(sum(n) as double)", 6)} AS top_share
+       |FROM c""".stripMargin
 
   // ---------------------------------------------------------------- mixture sampling
   /** Deterministic weighted mixture sampling — the corpus-mixing pass
@@ -1015,6 +1071,8 @@ object Pipelines {
       Some(decontaminateSql)), // same oracle: bloom prefilter + exact
                                // verify == the exact join, param-free
     QueryDef("pipeline_pack_sequences", packSequences _, Some(packSequencesSql)),
+    QueryDef("pipeline_pack_bpe", packSequencesBpe _, Some(packSequencesBpeSql)),
+    QueryDef("q_source_balance", qSourceBalance _, Some(qSourceBalanceSql)),
     QueryDef("pipeline_mixture_sample", mixtureSample _, Some(mixtureSampleSql)),
     QueryDef("pipeline_shuffle_shard", shuffleShard _, Some(shuffleShardSql)),
     QueryDef("pipeline_eval_split", evalSplit _, Some(evalSplitSql)),

@@ -439,6 +439,15 @@ object TextAnalysis {
   private val BpePattern =
     """ ?'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
 
+  /** The BPE-ish token count as a Column / oracle-SQL pair — ONE
+    * definition shared by `text_tokens_bpe` and the BPE-budget
+    * sequence packing (`pipeline_pack_bpe`), so the budget a packer
+    * prices with cannot drift from the count the profiler reports. */
+  private[operators] def bpeCountCol: org.apache.spark.sql.Column =
+    size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long")
+  private[operators] def bpeCountSql: String =
+    s"cast(len(regexp_extract_all(text, '${BpePattern.replace("'", "''")}')) as bigint)"
+
   def textTokensBpe(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("bpe", regexp_extract_all(col("text"), lit(BpePattern), lit(0)))

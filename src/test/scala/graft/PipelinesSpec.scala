@@ -464,4 +464,59 @@ class PipelinesSpec extends SparkSpec {
     assert(n <= fullMix.size,
       "chain survivors are a subset of the full-corpus mixture selection")
   }
+
+  test("BPE packing: token mass equals the profiler's bpe count; budget differs from whitespace") {
+    import org.apache.spark.sql.functions._
+    val bpe = Pipelines.packSequencesBpe(spark, sf)
+    val ws = Pipelines.packSequences(spark, sf)
+    // one count definition repo-wide: the packed mass must equal what
+    // text_tokens_bpe reports, doc set for doc set
+    val packedMass = bpe.agg(sum("n_tokens")).head.getLong(0)
+    val profiled = TextAnalysis.textTokensBpe(spark, sf)
+      .agg(sum(col("n_bpe_tokens").cast("long"))).head.getLong(0)
+    assert(packedMass == profiled,
+      s"packed BPE mass $packedMass must equal profiler total $profiled")
+    // the synthetic corpus is bare lowercase words (bpe_per_word =
+    // 1.0, so both budgets coincide there — asserted, since that
+    // equality is what makes the oracle pair above meaningful)...
+    val wsMass = ws.agg(sum("n_tokens")).head.getLong(0)
+    assert(packedMass == wsMass,
+      s"on the bare-word corpus the budgets must coincide ($packedMass vs $wsMass)")
+    // ...so the divergence is proven on a PLANTED corpus with real
+    // punctuation/digit mass, where pricing in words under-fills
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe-pack-sf").toString
+    (0L until 300L).map(i => (i, s"it's doc-$i, rev 2.0 (beta)!", "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val pBpe = Pipelines.packSequencesBpe(spark, tmp)
+    val pWs = Pipelines.packSequences(spark, tmp)
+    val (mBpe, mWs) = (pBpe.agg(sum("n_tokens")).head.getLong(0),
+      pWs.agg(sum("n_tokens")).head.getLong(0))
+    assert(mBpe > mWs,
+      s"punctuated corpus: BPE tokens ($mBpe) must exceed words ($mWs)")
+    assert(pBpe.count() > pWs.count(),
+      "a larger token mass at the same seqLen must cut more sequences")
+  }
+
+  test("source balance: HHI within [1/n, 1], exact on a planted skew") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val real = Pipelines.qSourceBalance(spark, sf).head
+    val n = real.getLong(0).toDouble
+    assert(real.getDouble(1) >= 1.0 / n - 1e-9 && real.getDouble(1) <= 1.0,
+      s"HHI ${real.getDouble(1)} out of [1/$n, 1]")
+    assert(real.getDouble(2) >= 1.0 / n - 1e-9 && real.getDouble(2) <= 1.0)
+    // planted 8/1/1 split: HHI = (64+1+1)/100, top = 0.8
+    val tmp = java.nio.file.Files.createTempDirectory("balance-sf").toString
+    (0 until 10).map(i => (i.toLong, if (i < 8) "a" else if (i == 8) "b" else "c",
+        "t", "en", 1L))
+      .toDF("doc_id", "source", "text", "lang", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val planted = Pipelines.qSourceBalance(spark, tmp).head
+    assert(planted.getLong(0) == 3L && planted.getDouble(1) == 0.66 &&
+      planted.getDouble(2) == 0.8, s"planted 8/1/1: got $planted")
+  }
 }
