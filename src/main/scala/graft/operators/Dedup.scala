@@ -1952,6 +1952,94 @@ object Dedup {
        |FROM ch JOIN c USING (ck)
        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- CDC chunks
+  /** Expected CDC chunk length (tokens): a token starts a new chunk
+    * iff its salted md5 ≡ 0 (mod this) — comparable granularity to
+    * [[dedupChunk]]'s fixed 8-token chunks. */
+  private val CdcModulus = 8
+
+  /** Content-defined chunking dedup — the storage-dedup / long-doc
+    * answer to fixed chunking's alignment fragility (Muthitacharoen
+    * et al., LBFS, SOSP 2001): chunk boundaries are decided by LOCAL
+    * CONTENT (a token whose salted hash ≡ 0 mod m starts a new
+    * chunk), so inserting one token early in a document shifts only
+    * the chunk it lands in — boundaries re-synchronize at the next
+    * boundary token, and every later chunk still matches its twin.
+    * Fixed chunks shift EVERY subsequent chunk's content by one
+    * token and lose them all (the planted spec measures exactly
+    * this). Same per-doc stats surface as `dedup_chunk`
+    * (n_chunks / n_dup_chunks / dup_share) so the two tiers are
+    * directly comparable.
+    *
+    * Plan: chunk assembly is a PER-ROW `aggregate` expression over
+    * the token array (a left fold: boundary token → close the open
+    * chunk, start a new one), mirroring [[chunkDupStats]]'s
+    * no-explode-before-hash shape — the chunking itself costs zero
+    * exchanges and no per-doc window sort (the first cut of this
+    * operator paid explode + window + collect_list and ran 3×
+    * slower). The exploded frame carries (doc_id, 16-byte md5) only;
+    * downstream is the shared corpus-count + probe-join + per-doc
+    * aggregate, all exchanges ∝ chunk count. Chunk keys dedupe
+    * across docs at ANY offset — no alignment assumption anywhere. */
+  def cdcChunkStats(docs: DataFrame, modulus: Int = CdcModulus): DataFrame = {
+    def closed(done: Column, cur: Column): Column =
+      when(cur === "", done).otherwise(array_append(done, cur))
+    val chunkArr = transform(
+      aggregate(
+        toks,
+        struct(array().cast("array<string>").as("done"), lit("").as("cur")),
+        (acc, x) => {
+          val (done, cur) = (acc.getField("done"), acc.getField("cur"))
+          val boundary =
+            pmod(md5Long(concat(lit("cdc:"), x)), lit(modulus)) === 0
+          when(boundary, struct(closed(done, cur).as("done"), x.as("cur")))
+            .otherwise(struct(done.as("done"),
+              when(cur === "", x).otherwise(concat(cur, lit(" "), x))
+                .as("cur")))
+        },
+        acc => closed(acc.getField("done"), acc.getField("cur"))),
+      c => md5(c))
+    val chunks = docs.select(col("doc_id"), explode(chunkArr).as("ck"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = chunks.groupBy(col("ck")).agg(count(lit(1)).as("cnt"))
+    chunks.join(counts, "ck")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_share",
+        rnd(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+  }
+
+  def dedupCdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunkStats(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  private val dedupCdcChunksSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |p AS (
+       |  SELECT doc_id, unnest(tk) AS tok,
+       |    generate_subscripts(tk, 1) AS pos
+       |  FROM t),
+       |b AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN ${md5LongSql("'cdc:' || tok")} % $CdcModulus = 0
+       |      THEN 1 ELSE 0 END AS ib
+       |  FROM p),
+       |cid AS (
+       |  SELECT doc_id, pos, tok,
+       |    sum(ib) OVER (PARTITION BY doc_id ORDER BY pos) AS cid
+       |  FROM b),
+       |ch AS (
+       |  SELECT doc_id, cid,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS ck
+       |  FROM cid GROUP BY doc_id, cid),
+       |c AS (SELECT ck, count(*) AS cnt FROM ch GROUP BY ck)
+       |SELECT ch.doc_id,
+       |  cast(count(*) as bigint) AS n_chunks,
+       |  cast(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) as bigint) AS n_dup_chunks,
+       |  ${rndSql("cast(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) as double) / count(*)", 6)} AS dup_share
+       |FROM ch JOIN c USING (ck)
+       |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- substring dedup
   /** Sliding-shingle width for [[dedupSubstring]] — same span
     * granularity as [[ChunkLen]] so the two operators' scores are
@@ -2269,6 +2357,7 @@ object Dedup {
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_chunk", dedupChunk _, Some(dedupChunkSql)),
+    QueryDef("dedup_cdc_chunks", dedupCdcChunks _, Some(dedupCdcChunksSql)),
     QueryDef("dedup_substring", dedupSubstring _, Some(dedupSubstringSql)),
     QueryDef("dedup_substring_spans", dedupSubstringSpans _,
       Some(dedupSubstringSpansSql)),

@@ -37,6 +37,27 @@ class DedupSimilaritySpec extends SparkSpec {
       "exact hashing must NOT merge them — that is the tier gap")
   }
 
+  test("CDC chunking: one inserted token re-syncs; fixed chunks lose every later chunk") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // ~100 distinct-ish tokens → ~12 content-defined boundaries at m=8
+    val base = (0 until 96).map(i => s"w${(i * 37) % 101}x$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, "inserted " + base)).toDF("doc_id", "text")
+    def shareOf(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val cdc = shareOf(Dedup.cdcChunkStats(docs))
+    val fixed = shareOf(Dedup.chunkDupStats(docs, 8))
+    // CDC: boundaries re-synchronize after the insertion point — all
+    // but the first chunk of doc 2 still match doc 1
+    assert(cdc(2L) > 0.5,
+      s"CDC must re-sync past the insertion: doc-2 dup_share ${cdc(2L)}")
+    // fixed chunks: the one-token shift changes EVERY chunk's content
+    assert(fixed.getOrElse(2L, 0.0) == 0.0,
+      s"fixed chunks must all shift: doc-2 dup_share ${fixed.get(2L)}")
+    assert(cdc(1L) > 0.5, "the original doc shares the same re-synced chunks")
+  }
+
   test("dedup_jaccard pairs are ordered and above threshold") {
     val rows = Dedup.dedupJaccard(spark, sf).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
