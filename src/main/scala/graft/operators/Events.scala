@@ -935,7 +935,73 @@ object Events {
        |WHERE a.user_id IS NULL OR a.event_id <> b.event_id
        |ORDER BY b.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- ewma
+  /** EWMA horizon: events beyond the last 32 contribute < 2^-31
+    * relatively at α = 1/2 — below the 1e-6 output rounding — so the
+    * truncated fold equals the untruncated EWMA at the reported
+    * precision while bounding per-user aggregate state to 32 rows. */
+  private val EwmaHorizon = 32
+
+  /** Per-user exponentially-weighted moving average of event value —
+    * the time-decay "current level" metric (recency-weighted where
+    * `q_trend` fits a direction): s₀ = v₀, sᵢ = (sᵢ₋₁ + vᵢ)/2 over
+    * the user's events in time order (α = 1/2, the
+    * divide-by-powers-of-two setting where every fold step is an IEEE
+    * add + an EXACT halving).
+    *
+    * Determinism: FP addition doesn't associate, so the fold ORDER is
+    * pinned — a per-user sorted array folded left with `aggregate`,
+    * and DuckDB's `list_reduce` over the same `list(... ORDER BY)`
+    * replays the identical operation sequence: bit-equal before the
+    * final rounding (the q_trend cast-once discipline, extended to a
+    * sequential recurrence no moment-sum rewrite can express).
+    *
+    * Scale shape: one row_number window partitioned on user_id (the
+    * key every events op shuffles on) keeps the last [[EwmaHorizon]]
+    * events per user, so the groupBy's collected array — and with it
+    * per-task aggregate state — is ≤ 32 structs regardless of how
+    * many events a user has; the fold is a per-row expression on the
+    * compact per-user frame. */
+  def ewmaOf(events: DataFrame, horizon: Int = EwmaHorizon): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val recent = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value").cast("double").as("v"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= horizon)
+    recent.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_recent"),
+        array_sort(collect_list(struct(col("us"), col("event_id"), col("v"))))
+          .as("arr"))
+      .select(col("user_id"), col("n_recent"),
+        rnd(aggregate(transform(col("arr"), s => s.getField("v")),
+          lit(null).cast("double"),
+          (s, x) => when(s.isNull, x).otherwise((s + x) / lit(2.0))), 6)
+          .as("ewma"))
+  }
+
+  def qEwma(spark: SparkSession, dir: String): DataFrame =
+    ewmaOf(Tables.events(spark, dir)).orderBy(col("user_id"))
+
+  private val qEwmaSql =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |    cast(value as double) AS v,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+       |  FROM events),
+       |r AS (
+       |  SELECT user_id, count(*) AS n_recent,
+       |    list(v ORDER BY us, event_id) AS arr
+       |  FROM ev WHERE rk <= $EwmaHorizon GROUP BY user_id)
+       |SELECT user_id, n_recent,
+       |  ${graft.functions.CrossEngine.rndSql(
+            "list_reduce(arr, (s, x) -> (s + x) / 2)", 6)} AS ewma
+       |FROM r ORDER BY user_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ewma", qEwma _, Some(qEwmaSql)),
     QueryDef("q_table_diff", qTableDiff _, Some(qTableDiffSql)),
     QueryDef("q_event_transitions", qEventTransitions _,
       Some(qEventTransitionsSql)),

@@ -455,6 +455,66 @@ object Pipelines {
        |WHERE ${md5LongSql("'mix:' || cast(doc_id as varchar)")} % 10000 < bp
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- temperature mixture
+  /** Temperature-flattened source mixture (the mT5/XLM-R multilingual
+    * recipe, Xue et al. NAACL 2021 §3.1: sample source i with
+    * p_i ∝ n_i^α, α < 1, to keep big sources from drowning small
+    * ones): unlike [[mixtureBp]]'s CONFIGURED per-source rates, the
+    * rates here are COMPUTED from the corpus itself — keep-rate
+    * r_i = √(n_min / n_i), anchored so the smallest source keeps
+    * everything and every larger source is downsampled to
+    * kept_i = √(n_min · n_i) ∝ n_i^0.5 (α = 0.5, no replication —
+    * the flattening a one-pass filter can express; α < 0.5 needs
+    * upsampling, which is the loader's epoch weighting, not a corpus
+    * filter). α = 0.5 specifically because √ and ÷ are IEEE
+    * correctly-rounded, so floor(10000·√(n_min/n_i)) is bit-identical
+    * across engines — a pow(x, 0.3) rate could differ in the last ulp
+    * and flip a basis-point boundary (the cross-engine-exactness rule
+    * every sampling op in this file follows).
+    *
+    * Plan: one map-side-combined count per source (|sources| rows),
+    * the rate table is broadcast back (sources number in the
+    * thousands at any corpus scale), and the draw itself is
+    * [[sampleWeighted]]'s per-row salted-hash predicate — zero
+    * shuffles beyond the count at 100 TB, and a doc's fate depends
+    * only on corpus-level counts, never on other rows' hashes. */
+  /** PUBLIC kernel: the computed-rate draw over any (doc_id, source)
+    * frame — returns kept rows with their per-source keep weight.
+    * `mass` is what a source's size is measured in: lit(1) counts
+    * documents; the registered query passes `n_chars` because a
+    * mixture budget is spent in tokens, not docs (and doc-uniform
+    * synthetic sources would make every doc-count rate exactly
+    * 10000 bp — mass keeps the draw live on any real corpus). */
+  def temperatureSample(docs: DataFrame, mass: Column = lit(1L)): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(sum(mass).as("n"))
+    val nMin = counts.agg(min(col("n")).as("n_min")) // 1 row, broadcast
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("bp", floor(lit(10000) *
+        sqrt(col("n_min").cast("double") / col("n").cast("double")))
+        .cast("int"))
+      .select(col("source"), col("bp"))
+    val withBp = docs.join(broadcast(rates), "source")
+    sampleWeighted(withBp, col("bp"), "mixt")
+      .select(col("doc_id"), col("source"),
+        (col("bp").cast("double") / 10000.0).as("weight"))
+  }
+
+  def mixtureTemperature(spark: SparkSession, dir: String): DataFrame =
+    temperatureSample(Tables.documents(spark, dir), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val mixtureTemperatureSql =
+    s"""WITH n AS (SELECT source, sum(n_chars) AS n FROM documents GROUP BY source),
+       |r AS (
+       |  SELECT source,
+       |    cast(floor(10000 * sqrt(cast((SELECT min(n) FROM n) as double)
+       |      / cast(n as double))) as int) AS bp
+       |  FROM n)
+       |SELECT d.doc_id, d.source, cast(r.bp as double) / 10000.0 AS weight
+       |FROM documents d JOIN r USING (source)
+       |WHERE ${md5LongSql("'mixt:' || cast(d.doc_id as varchar)")} % 10000 < r.bp
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- shuffle-shard
   /** Training-shard count for the registered query (thousands on a
     * real corpus — the shard is the unit a data loader streams, so
@@ -1074,6 +1134,8 @@ object Pipelines {
     QueryDef("pipeline_pack_bpe", packSequencesBpe _, Some(packSequencesBpeSql)),
     QueryDef("q_source_balance", qSourceBalance _, Some(qSourceBalanceSql)),
     QueryDef("pipeline_mixture_sample", mixtureSample _, Some(mixtureSampleSql)),
+    QueryDef("pipeline_mixture_temperature", mixtureTemperature _,
+      Some(mixtureTemperatureSql)),
     QueryDef("pipeline_shuffle_shard", shuffleShard _, Some(shuffleShardSql)),
     QueryDef("pipeline_eval_split", evalSplit _, Some(evalSplitSql)),
     QueryDef("pipeline_dataset_card", datasetCard _, Some(datasetCardSql)),

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink surface (SURVEY.md §2 I): parquet (primary), CSV,
@@ -57,6 +58,25 @@ object Sources {
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Raw-asset ingest for multimodal corpora: every file under `path`
+    * (matching `glob`, e.g. `*.png`) becomes one row of (path,
+    * modificationTime, length, content binary) — the scan that feeds
+    * the opaque-binary columns [[graft.operators.Multimodal]] decodes.
+    * `maxLength` guards the driver and executors against a stray
+    * multi-GB file in a crawl dump: longer files fail the scan fast
+    * rather than OOMing a task (filter-then-ingest is the 100 TB
+    * pattern; set it to the pipeline's documented asset cap). The
+    * format is non-splittable by nature (one file = one row), so
+    * parallelism = file count — right for asset dirs, wrong for a few
+    * giant archives (demux those via the length-prefixed container
+    * path instead). */
+  def readBinary(spark: SparkSession, path: String,
+      glob: String = "*", maxLength: Long = 64L << 20): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .filter(col("length") <= maxLength)
 
   def writeOrc(df: DataFrame, path: String,
       partitionCols: Seq[String] = Nil): Unit = {

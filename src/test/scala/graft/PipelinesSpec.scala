@@ -127,6 +127,33 @@ class PipelinesSpec extends SparkSpec {
     assert(sampled.select("bp").distinct().collect().map(_.getInt(0)).toSeq == Seq(9999))
   }
 
+  test("temperatureSample: sqrt-flattens a 16:1 skew; smallest source keeps all") {
+    val s = spark
+    import s.implicits._
+    // sources big:1600 docs, small:100 docs — 16:1 raw. sqrt
+    // flattening targets kept_big = sqrt(100*1600) = 400 -> 4:1
+    val docs = ((0 until 1600).map(i => (i.toLong, "big")) ++
+      (0 until 100).map(i => (10000L + i, "small")))
+      .toDF("doc_id", "source")
+    val kept = Pipelines.temperatureSample(docs)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate_small = sqrt(100/100) = 1.0 -> every small doc survives
+    assert(kept("small") == 100L, s"smallest source must keep all: $kept")
+    // rate_big = sqrt(100/1600) = 0.25 exactly -> bp 2500; the salted
+    // hash is uniform so kept_big ~ Binomial(1600, 0.25) -> +-3 sigma
+    // = +-52 around 400
+    assert(kept("big") >= 348 && kept("big") <= 452,
+      s"big source must flatten to ~400 of 1600: $kept")
+    // the flattened ratio is ~4:1, strictly flatter than the 16:1 raw
+    assert(kept("big").toDouble / kept("small") < 8.0)
+    // deterministic: same corpus, same draw
+    val again = Pipelines.temperatureSample(docs)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
+
   test("shuffleShard: exact partition of the corpus, contiguous positions, decorrelated order") {
     val df = Pipelines.shuffleShard(spark, sf).persist()
     try {

@@ -254,6 +254,31 @@ class RelationalSpec extends SparkSpec {
       s"pre-base event must land at hour -1, giving slope 3.0: $out")
   }
 
+  test("ewma: hand-computed fold, single-event identity, horizon truncation") {
+    val s = spark
+    import s.implicits._
+    def ev(rows: Seq[(Long, Long, Double)]) =
+      rows.toDF("event_id", "user_id", "value")
+        .select(col("user_id"), col("event_id"),
+          expr("timestamp_micros(1700000000000000 + event_id * 1000000)")
+            .as("ts"), col("value"))
+    // user 1: values 1,2,3 in time order -> ((1+2)/2 + 3)/2 = 2.25;
+    // user 2: single event -> ewma = its value
+    val out = Events.ewmaOf(ev(Seq((0L, 1L, 1.0), (1L, 1L, 2.0),
+        (2L, 1L, 3.0), (3L, 2L, 7.5))))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((3L, 2.25)), s"fold order must be time order: $out")
+    assert(out(2L) == ((1L, 7.5)))
+    // horizon: 8 huge early values then 40 small ones — the window
+    // keeps only the last 32, so the result equals the fold over
+    // exactly those 32 (the early 1e9s never enter the array)
+    val long = (0 until 8).map(i => (i.toLong, 9L, 1e9)) ++
+      (8 until 48).map(i => (i.toLong, 9L, 2.0))
+    val got = Events.ewmaOf(ev(long)).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).head
+    assert(got == ((32L, 2.0)), s"horizon must truncate to 32: $got")
+  }
+
   test("mode: winner is the true per-source argmax with the documented tie-break") {
     val expected = Tables.documents(spark, sf)
       .groupBy("source", "lang").count().collect()

@@ -88,6 +88,36 @@ class SourcesSpec extends SparkSpec {
     baos.toByteArray
   }
 
+  test("binaryFile ingest: glob-filtered asset scan feeds the real decode kernel") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("binsrc").toString
+    // two real PNGs + a non-matching sidecar the glob must exclude
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.png"),
+      pngBytes(6, 4, 0x336699))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.png"),
+      pngBytes(3, 5, 0xcc2200))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "meta.json"),
+      "{}".getBytes)
+    val scanned = graft.sources.Sources.readBinary(s, dir, glob = "*.png")
+    assert(scanned.count() == 2, "glob must exclude the sidecar")
+    assert(scanned.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    // content is the real file byte-for-byte -> the decode kernel works on it
+    val decoded = graft.operators.Multimodal.decodeBatch(
+      scanned.select(
+          when(col("path").endsWith("a.png"), 1L).otherwise(2L).as("doc_id"),
+          col("content").as("payload"))
+        .as[graft.operators.Multimodal.RawMedia])
+      .collect().map(d => d.doc_id -> ((d.width, d.height))).toMap
+    assert(decoded == Map(1L -> ((6, 4)), 2L -> ((3, 5))),
+      s"decoded dims must match the written PNGs: $decoded")
+    // the length cap quarantines oversized assets at the scan
+    assert(graft.sources.Sources.readBinary(s, dir, glob = "*.png",
+      maxLength = 10).count() == 0)
+  }
+
   test("multimodal frame-sample keeps typed batch shape") {
     val raw = Multimodal.asBinary(spark, sf)
     val frames = Multimodal.sampleFrames(raw, chunk = 50, stride = 2).collect()
