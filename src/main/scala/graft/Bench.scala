@@ -432,7 +432,10 @@ object Bench {
       drive[StreamingJobs.AsOfEv]("stream_asof",
         cdcEvs.filter(e => e.event_type == "purchase" || e.event_type == "view")
           .map(e => StreamingJobs.AsOfEv(e.user_id, e.event_id, e.event_type, e.us)),
-        ds => StreamingJobs.asofEnrichStream(ds).toDF()))
+        ds => StreamingJobs.asofEnrichStream(ds).toDF()),
+      drive[StreamingJobs.EwmaEv]("stream_ewma",
+        cdcEvs.map(e => StreamingJobs.EwmaEv(e.user_id, e.event_id, e.us, e.value)),
+        ds => StreamingJobs.ewmaStream(ds).toDF()))
     evalNgrams.unpersist()
     parts
   }

@@ -271,6 +271,56 @@ object StreamingJobs {
       }
   }
 
+  // ------------------------------------------------------------------ ewma
+  case class EwmaEv(user_id: Long, event_id: Long, us: Long, v: Double)
+  case class EwmaState(s: Double, us: Long, eventId: Long, n: Long)
+  case class EwmaOut(user_id: Long, n: Long, ewma: Double)
+
+  /** Streaming EWMA — the ingest twin of `Events.qEwma`, and the case
+    * where streaming state is STRICTLY SMALLER than the batch
+    * operator's: the recurrence sᵢ = (sᵢ₋₁ + vᵢ)/2 needs ONE double
+    * per key, while the batch form must collect a 32-event window to
+    * pin its fold order. The two meet through the horizon bound: the
+    * stream folds a key's ENTIRE history, the batch only the last 32
+    * events, and the dropped prefix enters the full fold with total
+    * weight 2⁻³¹ — so |stream − batch| ≤ max|v| · 2⁻³¹ (≈ 5e-7 at
+    * this corpus's value range), the documented tolerance contract
+    * StreamingSpec asserts (the one streamed/batch pair where
+    * agreement is an INEQUALITY by design, not bit-equality — the
+    * sessionizer note explains why each pair states its own
+    * contract).
+    *
+    * Within a micro-batch, events fold in (us, event_id) order;
+    * across batches they fold in arrival order (an event arriving
+    * after a later-timestamped one folds late — append-mode cost,
+    * same trade as `asofEnrichStream`; the batch q_ewma is the
+    * reconciliation pass). Each batch emits the key's updated
+    * (n, ewma); a consumer keeps the latest row per key. State is
+    * O(keys) with no timeout — compose the sessionizer's TTL for
+    * unbounded key spaces. */
+  def ewmaStream(events: Dataset[EwmaEv]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EwmaEv], state: GroupState[EwmaState]) =>
+          val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(
+              EwmaState(Double.NaN, Long.MinValue, Long.MinValue, 0L))
+            evs.foreach { e =>
+              st = EwmaState(
+                if (st.n == 0L) e.v else (st.s + e.v) / 2.0,
+                e.us, e.event_id, st.n + 1L)
+            }
+            state.update(st)
+            Iterator.single(EwmaOut(uid, st.n, st.s))
+          }
+      }
+  }
+
   case class Ev(user_id: Long, us: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       duration_us: Long, session_start_us: Long)

@@ -265,6 +265,43 @@ class StreamingSpec extends SparkSpec {
         s"(stream ${batch2.size} vs batch ${expected.size} rows)")
   }
 
+  test("streaming ewma: O(1) state agrees with the 32-horizon batch within the tail bound") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evDF = Tables.events(s, sf)
+    val ev = evDF
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value").cast("double").as("v"))
+      .as[StreamingJobs.EwmaEv].collect().sortBy(e => (e.us, e.event_id))
+    val cut = ev(ev.length / 2).us
+
+    val in = MemoryStream[StreamingJobs.EwmaEv](s)
+    val q = StreamingJobs.ewmaStream(in.toDS()).writeStream
+      .format("memory").queryName("ewma_out").outputMode("append").start()
+    in.addData(ev.filter(_.us < cut).toSeq)
+    q.processAllAvailable()
+    in.addData(ev.filter(_.us >= cut).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    // latest emission per key = the full-history recursive fold
+    val streamed = s.sql("select * from ewma_out")
+      .as[StreamingJobs.EwmaOut].collect()
+      .groupBy(_.user_id).map { case (u, os) => u -> os.maxBy(_.n) }
+    val batch = Events.qEwma(s, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    val maxAbsV = ev.map(e => math.abs(e.v)).max
+    val bound = maxAbsV * math.pow(2, -31) + 5e-7 // horizon tail + rnd(6)
+    streamed.foreach { case (u, o) =>
+      val (nRecent, bEwma) = batch(u)
+      // stream counts ALL events; batch reports min(n, 32)
+      assert(o.n >= nRecent)
+      assert(math.abs(o.ewma - bEwma) <= bound,
+        s"user $u: stream ${o.ewma} vs batch $bEwma exceeds tail bound $bound")
+    }
+  }
+
   test("foreachBatch upsert sink merges micro-batches by key") {
     val s = spark
     import s.implicits._
