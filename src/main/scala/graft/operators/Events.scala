@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -736,6 +736,95 @@ object Events {
       |  AND abs((e.value - s / n) / sqrt((q - s * s / n) / n)) > 3
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- MAD anomalies
+  /** Robust per-user anomaly detection: the modified z-score
+    * M = 0.6745·(v − median)/MAD > 3.5 (Iglewicz & Hoaglin, ASQC
+    * 1993) — the median/MAD twin of [[qOutliers]]'s mean/σ rule.
+    * The difference is WHY a production sweep wants both: one 1e6
+    * spike inflates σ enough to hide a second, smaller anomaly from
+    * the z-score (the masking effect); median and MAD have breakdown
+    * point 0.5, so the spike can't recruit the baseline.
+    *
+    * Determinism: no percentile-interpolation builtin — Spark
+    * interpolates `lo + (hi−lo)·f` while DuckDB computes `(lo+hi)/2`,
+    * which differ in the last ulp. Instead the median IS rank
+    * arithmetic, written identically on both engines: rank per user
+    * by (value, event_id), pick positions ⌊(n+1)/2⌋ and ⌈(n+1)/2⌉,
+    * median = their sum/count (1 row when n is odd; 2-element FP
+    * addition is commutative, so the unordered sum is exact-
+    * deterministic). MAD repeats the identical move on |v − median|.
+    * Every double op after that is the same expression tree both
+    * sides, so even the unrounded M > 3.5 boundary agrees bit-exactly
+    * (the qOutliers discipline, carried through TWO ranked passes).
+    *
+    * Scale shape: both ranking windows partition on user_id — the
+    * second pass re-sorts within the SAME hash partitioning (one
+    * exchange, two in-partition sorts); the medians frame is a
+    * per-user row joined back on the shuffle key; output ∝
+    * anomalies. MAD = 0 (over half the user's values identical) and
+    * n < 2 are excluded by exact guards, not null division. */
+  def anomalyMad(events: DataFrame): DataFrame = {
+    def medOf(df: DataFrame, v: Column, out: String): DataFrame = {
+      val w = Window.partitionBy(col("user_id")).orderBy(v, col("event_id"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .filter(col("rn") === floor((col("n") + 1) / 2) ||
+          col("rn") === ceil((col("n") + 1) / 2))
+        .groupBy(col("user_id"))
+        .agg((sum(v) / count(lit(1))).as(out))
+    }
+    val ev = events.select(col("event_id"), col("user_id"),
+      col("value").cast("double").as("value"))
+    val med = medOf(ev, col("value"), "med")
+    val dev = ev.join(med, "user_id")
+      .withColumn("d", abs(col("value") - col("med")))
+    val mad = medOf(dev, col("d"), "mad")
+    val m = lit(0.6745) * (col("value") - col("med")) / col("mad")
+    dev.join(mad, "user_id")
+      .filter(col("mad") > 0 && abs(m) > 3.5)
+      .select(col("event_id"), col("user_id"), col("value"),
+        rnd(m, 4).as("mscore"))
+  }
+
+  def qAnomalyMad(spark: SparkSession, dir: String): DataFrame =
+    anomalyMad(Tables.events(spark, dir)).orderBy(col("event_id"))
+
+  private val qAnomalyMadSql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, cast(value as double) AS value
+      |  FROM events),
+      |r1 AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM ev),
+      |med AS (
+      |  SELECT user_id, sum(value) / count(*) AS med FROM r1
+      |  WHERE rn = floor((n + 1) / 2) OR rn = ceil((n + 1) / 2)
+      |  GROUP BY user_id),
+      |dev AS (
+      |  SELECT e.event_id, e.user_id, e.value, m.med,
+      |    abs(e.value - m.med) AS d
+      |  FROM ev e JOIN med m USING (user_id)),
+      |r2 AS (
+      |  SELECT user_id, d,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY d, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM dev),
+      |mad AS (
+      |  SELECT user_id, sum(d) / count(*) AS mad FROM r2
+      |  WHERE rn = floor((n + 1) / 2) OR rn = ceil((n + 1) / 2)
+      |  GROUP BY user_id)
+      |SELECT dev.event_id, dev.user_id, dev.value,
+      |  floor(0.6745 * (dev.value - dev.med) / mad.mad * 1e4 + 0.5) / 1e4
+      |    AS mscore
+      |FROM dev JOIN mad USING (user_id)
+      |WHERE mad.mad > 0
+      |  AND abs(0.6745 * (dev.value - dev.med) / mad.mad) > 3.5
+      |ORDER BY dev.event_id""".stripMargin
+
   // ---------------------------------------------------------------- retention
   /** Daily cohort retention matrix — the product-analytics staple
     * missing between sessionize (within-visit) and funnel (ordered
@@ -1020,6 +1109,7 @@ object Events {
     QueryDef("q_retention_cohorts", qRetentionCohorts _,
       Some(qRetentionCohortsSql)),
     QueryDef("q_outliers", qOutliers _, Some(qOutliersSql)),
+    QueryDef("q_anomaly_mad", qAnomalyMad _, Some(qAnomalyMadSql)),
     QueryDef("q_interval_join", qIntervalJoin _, Some(qIntervalJoinSql)),
     QueryDef("q_active_users", qActiveUsers _, Some(qActiveUsersSql)),
     QueryDef("q_active_users_approx", qActiveUsersApprox _, None),

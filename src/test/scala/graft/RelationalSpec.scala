@@ -254,6 +254,35 @@ class RelationalSpec extends SparkSpec {
       s"pre-base event must land at hour -1, giving slope 3.0: $out")
   }
 
+  test("anomaly MAD: spike can't mask the second anomaly; zero-MAD users excluded") {
+    val s = spark
+    import s.implicits._
+    // user 1: tight baseline 10.1..12.0, a 1000.0 spike, and a mild
+    // 25.0 anomaly. The spike inflates sigma to ~200 so the z-score
+    // rule misses 25.0 (|z| ~ 0.16); median/MAD shrug off the spike
+    // and flag both. user 2: constant series -> MAD = 0, excluded.
+    val rows = (0 until 20).map(i => (i.toLong, 1L, 10.1 + 0.1 * i)) ++
+      Seq((20L, 1L, 1000.0), (21L, 1L, 25.0)) ++
+      (22 until 30).map(i => (i.toLong, 2L, 7.0))
+    val ev = rows.toDF("event_id", "user_id", "value")
+    val flagged = Events.anomalyMad(ev).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(flagged.keySet == Set(20L, 21L),
+      s"MAD must flag the spike AND the masked anomaly: $flagged")
+    assert(flagged(20L) > 3.5 && flagged(21L) > 3.5)
+    // the z-score twin misses the masked 25.0 on the same input
+    val dir = java.nio.file.Files.createTempDirectory("madvz").toString
+    ev.select(col("event_id"),
+        expr("timestamp_micros(1700000000000000 + event_id * 1000000)")
+          .as("ts"),
+        col("user_id"), lit("view").as("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val zFlagged = Events.qOutliers(s, dir).collect().map(_.getLong(0)).toSet
+    assert(!zFlagged.contains(21L),
+      s"the masking premise: z-score must miss the 25.0 anomaly: $zFlagged")
+  }
+
   test("ewma: hand-computed fold, single-event identity, horizon truncation") {
     val s = spark
     import s.implicits._
