@@ -1095,6 +1095,139 @@ object TextAnalysis {
     * predicate [[qualityRules]] projects as `keep`. */
   def qualityKeep: Column = gateCols(toks).keep
 
+  // ---------------------------------------------------------------- gopher gate
+  /** Gopher's published stopword list (Rae et al. 2021, A1.1): a doc
+    * must contain ≥ 2 DISTINCT members. Distinct from this file's
+    * [[Stopwords]] scoring list — the point of this operator is the
+    * paper's exact rule set, not a re-tuned one. */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The MassiveText quality gate exactly as published (Rae et al.
+    * 2021 "Scaling Language Models: … Gopher", Appendix A1.1) — the
+    * rule set most pipelines start from before re-tuning, shipped
+    * next to the re-tuned [[qualityRules]] so a user can run the
+    * paper's thresholds verbatim: word count in [50, 100k], mean
+    * word length in [3, 10], symbol-to-word ratio (# or …) ≤ 0.1,
+    * ≤ 90% of lines bullet-started and ≤ 30% ellipsis-ended, ≥ 80%
+    * of words with ≥ 1 alphabetic char, ≥ 2 distinct stopwords.
+    * Line rules evaluate on '\n'-split lines (a single-line corpus
+    * passes them vacuously — stated rather than silently dropped).
+    *
+    * Every metric is an integer-derived per-row projection (counts,
+    * replace-based occurrence counts, higher-order filters over the
+    * token array) with the one double division at the end — the
+    * cross-engine discipline of every text op here; `keep` and
+    * `fail_reason` derive from the same expressions, so the audit
+    * columns cannot desynchronize from the decision. Stateless and
+    * shuffle-free at any corpus size. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    // one split each for tokens and lines, referenced by name:
+    // whole-stage codegen's subexpression elimination already dedupes
+    // the identical split subtrees, so this is a modest measured win
+    // (sf10 29.5 → 26.2 s, sf1 3.2 → 2.5 s — the lambda-arg positions
+    // CSE can't reach), not a structural one; it also keeps the seven
+    // metric expressions readable against the paper's rule list
+    val t = col("t")
+    val nW = size(t)
+    val meanLen = length(regexp_replace(col("text"), "\\s+", ""))
+      .cast("double") / nW
+    // non-overlapping leftmost occurrence counts, identical on both
+    // engines: '#' per char, '...' per replace-removed triple
+    val nSym = (length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))) +
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val symRatio = nSym.cast("double") / nW
+    val alphaRatio =
+      size(filter(t, x => x.rlike("[A-Za-z]"))).cast("double") / nW
+    val nStops = GopherStops
+      .map(s => when(array_contains(t, s), 1).otherwise(0))
+      .reduce(_ + _)
+    val lines = col("ls")
+    val nL = size(lines)
+    val bulletShare = size(filter(lines,
+      l => l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+      .cast("double") / nL
+    val ellipsisShare = size(filter(lines, l => l.endsWith("...")))
+      .cast("double") / nL
+    val rWords = nW >= 50 && nW <= 100000
+    val rMean = meanLen >= 3.0d && meanLen <= 10.0d
+    val rSym = symRatio <= 0.1d
+    val rBullet = bulletShare <= 0.9d
+    val rEllipsis = ellipsisShare <= 0.3d
+    val rAlpha = alphaRatio >= 0.8d
+    val rStops = nStops >= 2
+    docs
+      .withColumn("t", toks)
+      .withColumn("ls", filter(split(col("text"), "\n"), l => l =!= ""))
+      .select(
+      col("doc_id"),
+      nW.as("n_words"),
+      rnd(meanLen, 4).as("mean_word_len"),
+      rnd(symRatio, 4).as("symbol_ratio"),
+      rnd(bulletShare, 4).as("bullet_share"),
+      rnd(ellipsisShare, 4).as("ellipsis_share"),
+      rnd(alphaRatio, 4).as("alpha_word_ratio"),
+      nStops.as("n_stopwords"),
+      (rWords && rMean && rSym && rBullet && rEllipsis && rAlpha && rStops)
+        .as("keep"),
+      when(!rWords, "word_count").when(!rMean, "mean_word_len")
+        .when(!rSym, "symbol_ratio").when(!rBullet, "bullet_lines")
+        .when(!rEllipsis, "ellipsis_lines").when(!rAlpha, "alpha_words")
+        .when(!rStops, "stopwords").as("fail_reason"))
+  }
+
+  def textFilterGopher(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  private val textFilterGopherSql = {
+    val stops = GopherStops.map(s => s"CASE WHEN list_contains(tk, '$s') " +
+      "THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, $toksSql AS tk,
+       |    list_filter(regexp_split_to_array(text, chr(10)), l -> l <> '')
+       |      AS ls
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    cast(len(tk) as int) AS n_words,
+       |    cast(length(regexp_replace(text, '\\s+', '', 'g')) as double)
+       |      / len(tk) AS mean_word_len,
+       |    cast((length(text) - length(replace(text, '#', '')))
+       |      + (length(text) - length(replace(text, '...', ''))) // 3
+       |      as double) / len(tk) AS symbol_ratio,
+       |    cast(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%'
+       |      OR l LIKE chr(8226) || '%')) as double) / len(ls)
+       |      AS bullet_share,
+       |    cast(len(list_filter(ls, l -> l LIKE '%...')) as double)
+       |      / len(ls) AS ellipsis_share,
+       |    cast(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+       |      as double) / len(tk) AS alpha_word_ratio,
+       |    cast($stops as int) AS n_stopwords
+       |  FROM t)
+       |SELECT doc_id, n_words,
+       |  ${rndSql("mean_word_len", 4)} AS mean_word_len,
+       |  ${rndSql("symbol_ratio", 4)} AS symbol_ratio,
+       |  ${rndSql("bullet_share", 4)} AS bullet_share,
+       |  ${rndSql("ellipsis_share", 4)} AS ellipsis_share,
+       |  ${rndSql("alpha_word_ratio", 4)} AS alpha_word_ratio,
+       |  n_stopwords,
+       |  (n_words BETWEEN 50 AND 100000) AND mean_word_len BETWEEN 3.0 AND 10.0
+       |    AND symbol_ratio <= 0.1 AND bullet_share <= 0.9
+       |    AND ellipsis_share <= 0.3 AND alpha_word_ratio >= 0.8
+       |    AND n_stopwords >= 2 AS keep,
+       |  CASE WHEN NOT (n_words BETWEEN 50 AND 100000) THEN 'word_count'
+       |    WHEN NOT (mean_word_len BETWEEN 3.0 AND 10.0) THEN 'mean_word_len'
+       |    WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+       |    WHEN bullet_share > 0.9 THEN 'bullet_lines'
+       |    WHEN ellipsis_share > 0.3 THEN 'ellipsis_lines'
+       |    WHEN alpha_word_ratio < 0.8 THEN 'alpha_words'
+       |    WHEN n_stopwords < 2 THEN 'stopwords'
+       |    ELSE NULL END AS fail_reason
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   def qualityRules(docs: DataFrame): DataFrame = {
     val g = gateCols(col("t"))
     docs
@@ -1164,6 +1297,8 @@ object TextAnalysis {
     QueryDef("mg_topk", mgTopkHeavyHitters _, None),
     QueryDef("text_heavy_hitters", textHeavyHitters _,
       Some(textHeavyHittersSql)),
+    QueryDef("text_filter_gopher", textFilterGopher _,
+      Some(textFilterGopherSql)),
     QueryDef("text_filter_quality", textFilterQuality _,
       Some(textFilterQualitySql)),
     QueryDef("bpe_train", bpeTrain _, Some(bpeTrainSql)),

@@ -49,6 +49,46 @@ class TextFilterSpec extends SparkSpec {
     assert(out(5L) == (false, Some("distinct_ratio")))
   }
 
+  test("gopher gate: each published rule fires on its planted doc; line rules work on real lines") {
+    val s = spark
+    import s.implicits._
+    // 60 distinct alpha words incl. >= 2 gopher stopwords, mean len
+    // in [3, 10] -> passes every rule
+    val okWords = (0 until 58).map(i => s"word$i") ++ Seq("the", "with")
+    val ok = okWords.mkString(" ")
+    val docs = Seq(
+      (0L, ok),                                        // passes all
+      (1L, "the with tiny"),                           // word_count (3)
+      (2L, (0 until 60).map(_ => "extraordinarily" * 2).mkString(" ")
+        + " the with"),                                // mean_word_len > 10
+      (3L, ok + " " + (0 until 12).map(_ => "#").mkString(" ")), // symbol_ratio
+      (4L, okWords.map(w => s"- $w\n").mkString),      // every line a bullet
+      // 10 lines x 10 words; 4 lines ...-ended -> ellipsis share 0.4
+      // while symbols stay 4/102 (the symbol rule must NOT fire first)
+      (5L, (0 until 10).map(j =>
+        (0 until 10).map(i => s"word${j}x$i").mkString(" ") +
+          (if (j < 4) "..." else "") + (if (j == 9) " the with" else ""))
+        .mkString("\n")),
+      (6L, ok + " " + (0 until 20).map(_ => "123456").mkString(" ")), // alpha < 0.8
+      (7L, (0 until 60).map(i => s"word$i").mkString(" ") + " the") // 1 stopword
+    ).map { case (id, text) => (id, text, "en", "src0", text.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("gopher").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.textFilterGopher(s, dir)
+      .select("doc_id", "keep", "fail_reason").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2)))))
+      .toMap
+    assert(out(0L) == ((true, None)), s"doc 0 must pass: $out")
+    assert(out(1L) == ((false, Some("word_count"))))
+    assert(out(2L) == ((false, Some("mean_word_len"))))
+    assert(out(3L) == ((false, Some("symbol_ratio"))))
+    assert(out(4L) == ((false, Some("bullet_lines"))))
+    assert(out(5L) == ((false, Some("ellipsis_lines"))))
+    assert(out(6L) == ((false, Some("alpha_words"))))
+    assert(out(7L) == ((false, Some("stopwords"))))
+  }
+
   test("cooccurrence: hand-computed pairs and lift on a planted corpus") {
     val s = spark
     import s.implicits._
