@@ -292,6 +292,86 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- MIPS
+  /** Exact max-inner-product top-k per query — the objective
+    * two-tower retrieval and recommender stacks actually rank by
+    * (user·item): cosine's normalization DISCARDS the magnitude
+    * signal those models learn (a popular item's larger norm IS its
+    * prior), so a cosine engine silently re-ranks their output.
+    * Same plan as [[annBruteforce]] — broadcast query set, one scan,
+    * per-query window — with the score = the raw dot product.
+    * Determinism: the dot is the same pinned left-to-right fold on
+    * both engines, ranking uses the unrounded value, output rounds
+    * once (the annBruteforce discipline, minus the division). */
+  def annMips(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("ip", dot(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        rnd(col("ip"), 6).as("ip"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val annMipsSql =
+    s"""WITH e AS ($vecsSql),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, ${dotSql("q.qv", "e.v")} AS ip
+       |  FROM e JOIN q ON e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, ip,
+       |    cast(row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, vec_id) as int) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id AS neighbor_id, rank, ${rndSql("ip", 6)} AS ip
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Norm-augmentation MIPS→cosine reduction (Neyshabur & Srebro,
+    * ICML 2015 "On Symmetric and Asymmetric LSHs for Inner Product
+    * Search", the simple-LSH transform): with M = max corpus norm,
+    * aug(x) = [x ; √(M²−|x|²)] gives |aug(x)| = M for EVERY corpus
+    * vector, and aug(q) = [q ; 0] keeps ⟨aug(x), aug(q)⟩ = ⟨x, q⟩ —
+    * so augmented cosine is ⟨x,q⟩/(M·|q|), a per-query MONOTONE
+    * transform of the inner product. Consequence: every cosine tier
+    * in this file (bounded-agg exact, the IVF probe, the SQ/PQ code
+    * ladder) becomes a MIPS engine with zero changes — augment once
+    * at index-build time, append a literal 0 to queries.
+    *
+    * Plan: M is one map-side-combined max aggregate (1-row scalar
+    * probe, the allowlisted corpus-stat pattern); the augmentation is
+    * a per-row projection fused into whatever scan follows. The √
+    * argument clamps at 0 — the max-norm row itself can land −1 ulp
+    * under FP subtraction. Returns (augmented corpus, augmented
+    * queries) with the same (vec_id, v) / (q_id, qv) shapes the
+    * cosine kernels take. */
+  def mipsAugment(vectors: DataFrame, queries: DataFrame): (DataFrame, DataFrame) = {
+    val mRow = vectors.agg(max(VectorFunctions.norm(col("v")))).head()
+    val m = if (mRow.isNullAt(0)) 0.0 else mRow.getDouble(0) // empty corpus
+    val aug = vectors.withColumn("v",
+      concat(col("v"), array(sqrt(greatest(lit(0.0),
+        lit(m * m) - dot(col("v"), col("v")))))))
+    val augQ = queries.withColumn("qv",
+      concat(col("qv"), array(lit(0.0))))
+    (aug, augQ)
+  }
+
+  /** MIPS top-k THROUGH the cosine stack: [[mipsAugment]] then the
+    * bounded-agg exact kernel. The reported score is the augmented
+    * cosine — rank-equivalent to the inner product ([[annMips]]
+    * reports the ip itself); SimilaritySpec proves the rankings
+    * coincide neighbor-for-neighbor and that the IVF probe composes
+    * the same way. */
+  def mipsTopKViaCosine(vectors: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val (aug, augQ) = mipsAugment(vectors, queries)
+    cosineTopKExact(aug, augQ, k)
+  }
+
   // ---------------------------------------------------------------- range search
   /** Cosine threshold for [[annRangeSearch]]: ~p99 of this corpus's
     * query-to-corpus cosine distribution, so each query matches a
@@ -2121,6 +2201,7 @@ object Similarity {
     QueryDef("ann_ivfpq_rerank", annIvfPqRerank _, Some(annIvfPqRerankSql)),
     QueryDef("ann_ivfpq_indexed", annIvfPqIndexed _, Some(annIvfPqSql)),
     QueryDef("ann_bruteforce", annBruteforce _, Some(annBruteforceSql)),
+    QueryDef("ann_mips", annMips _, Some(annMipsSql)),
     QueryDef("ann_bruteforce_agg", annBruteforceAgg _,
       Some(annBruteforceSql)), // same oracle: bounded-agg == window form
     QueryDef("ann_ivf", annIvf _, Some(annIvfSql)),

@@ -146,6 +146,8 @@ class PlanShapeSpec extends SparkSpec {
   private val allowedNestedLoop = Set(
     "q_range_join",                       // 5-row literal bucket table
     "ann_bruteforce", "ann_bruteforce_agg", "ann_ivf", "ann_ivf_trained", "ann_kmeans",
+    "ann_mips",                           // ann_bruteforce's broadcast theta-join
+                                          // with the raw dot as the score
     "ann_range_search",                   // broadcast query set, pure selection scan
     "ann_pq",                             // broadcast query set, codes-only corpus side
     "ann_ivfpq",                          // broadcast centroid + query sets,

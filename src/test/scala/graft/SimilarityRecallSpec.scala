@@ -716,4 +716,76 @@ class SimilarityRecallSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"))
   }
+
+  /** MIPS corpus: the planted-cluster vectors SCALED by id-dependent
+    * magnitudes (1 + (id mod 7)·0.3) so inner-product order genuinely
+    * disagrees with cosine order — without the scaling, the near-unit
+    * norms make MIPS ≈ cosine and the augmentation would be untested
+    * dead weight. */
+  private lazy val mipsCorpus: Seq[(Long, Seq[Double])] =
+    corpus.map { case (id, v) =>
+      (id, v.map(_ * (1.0 + (id % 7).toDouble * 0.3)))
+    }
+
+  private def driverIp(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+
+  test("MIPS: norm-augmentation through the cosine kernel equals exact inner-product top-k; cosine alone does not") {
+    val s = spark
+    import s.implicits._
+    // driver-side exact MIPS truth (same left-to-right fold as the
+    // engine's dot): per query, top-K by (ip desc, vec_id)
+    val truth: Map[Long, Seq[Long]] = queries.map { case (qid, qv) =>
+      qid -> mipsCorpus.map { case (id, v) => (id, driverIp(qv, v)) }
+        .sortBy { case (id, ip) => (-ip, id) }.take(K).map(_._1)
+    }.toMap
+    // cosine truth must DIFFER for at least one query, or the corpus
+    // fails to discriminate the two objectives
+    val cosTruth: Map[Long, Seq[Long]] = queries.map { case (qid, qv) =>
+      val qn = Similarity.driverNorm(qv)
+      qid -> mipsCorpus.map { case (id, v) =>
+        (id, driverIp(qv, v) / (qn * Similarity.driverNorm(v)))
+      }.sortBy { case (id, c) => (-c, id) }.take(K).map(_._1)
+    }.toMap
+    assert(queries.exists { case (qid, _) => truth(qid) != cosTruth(qid) },
+      "scaled corpus must make MIPS order differ from cosine order")
+
+    val got = Similarity.mipsTopKViaCosine(
+        mipsCorpus.toDF("vec_id", "v"), queries.toDF("q_id", "qv"), K)
+      .select("q_id", "rank", "neighbor_id").collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    assert(got == truth,
+      "augmented-cosine ranking must equal exact MIPS neighbor-for-neighbor")
+  }
+
+  test("MIPS through the IVF probe: recall@10 vs exact MIPS holds a floor and is nprobe-monotone") {
+    val s = spark
+    import s.implicits._
+    val truth: Map[Long, Set[Long]] = queries.map { case (qid, qv) =>
+      qid -> mipsCorpus.map { case (id, v) => (id, driverIp(qv, v)) }
+        .sortBy { case (id, ip) => (-ip, id) }.take(K).map(_._1).toSet
+    }.toMap
+    val (augC, augQ) = Similarity.mipsAugment(
+      mipsCorpus.toDF("vec_id", "v"), queries.toDF("q_id", "qv"))
+    val vecs = augC.withColumn("nrm", VectorFunctions.norm(col("v"))).persist()
+    val qs = augQ.withColumn("qn", VectorFunctions.norm(col("qv")))
+    val (cent, _) = Similarity.kmeansTrain(
+      vecs.select(col("vec_id"), col("v"), col("nrm")), NClusters, iters = 2)
+    val cents = Similarity.collectCentroids(cent)
+    val curve = Seq(2, 4).map { nprobe =>
+      val got = Similarity.ivfTopK(vecs, qs, cents, nprobe, K)
+        .select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = got.count { case (qid, id) => truth(qid)(id) }.toDouble /
+        truth.values.map(_.size).sum
+      info(f"MIPS-IVF nprobe=$nprobe recall@$K=$recall%.3f")
+      nprobe -> recall
+    }.toMap
+    vecs.unpersist()
+    assert(curve(2) >= 0.8, s"MIPS-IVF recall floor: nprobe=2 got ${curve(2)}")
+    assert(curve(4) >= curve(2), "recall must be monotone in nprobe")
+  }
 }
