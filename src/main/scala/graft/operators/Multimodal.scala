@@ -324,6 +324,140 @@ object Multimodal {
     })
   }
 
+  // ---------------------------------------------------------------- audio
+  /** REAL audio plumbing — the third modality next to the imageio
+    * kernels and the frame container: RIFF/WAVE PCM16, the one audio
+    * format parseable with zero external codecs (the WAV container is
+    * a public byte layout, like the length-prefixed frame container
+    * above). `packWav` writes canonical PCM16 WAV bytes; `parseWav`
+    * walks the RIFF chunk list (skipping unknown chunks and odd-size
+    * padding, stopping cleanly on a corrupt tail — crawl bytes are
+    * never trusted) and returns None for anything that is not PCM16
+    * WAVE, giving callers the same drop-vs-quarantine choice as
+    * [[decodeImage]]. */
+  case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_frames: Long, duration_us: Long)
+
+  /** Canonical PCM16 little-endian WAV: RIFF header, 16-byte fmt
+    * chunk (format tag 1), data chunk of interleaved frames. */
+  def packWav(samples: Array[Short], sampleRate: Int, channels: Int): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      s"sample count ${samples.length} not a multiple of $channels channels")
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)                       // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)         // byte rate
+      .putShort((channels * 2).toShort)          // block align
+      .putShort(16.toShort)                      // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** RIFF walk → (sampleRate, channels, bits, interleaved samples).
+    * PCM16 only; None on corrupt/truncated/unsupported payloads. */
+  def parseWav(payload: Array[Byte]): Option[(Int, Int, Int, Array[Short])] =
+    try {
+      val buf = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val a = new Array[Byte](4); buf.get(a); new String(a, "US-ASCII")
+      }
+      if (buf.remaining() < 12 || tag() != "RIFF") return None
+      buf.getInt() // declared RIFF size: not trusted, the walk is bounded below
+      if (tag() != "WAVE") return None
+      var fmt: Option[(Int, Int, Int)] = None
+      var data: Option[Array[Short]] = None
+      while ((fmt.isEmpty || data.isEmpty) && buf.remaining() >= 8) {
+        val id = tag()
+        val len = buf.getInt()
+        if (len < 0 || len > buf.remaining()) return None // corrupt tail
+        val next = buf.position() + len + (len & 1)       // odd sizes pad
+        id match {
+          case "fmt " =>
+            if (len < 16) return None
+            val tagFmt = buf.getShort()
+            val ch = buf.getShort().toInt
+            val rate = buf.getInt()
+            buf.getInt(); buf.getShort()                  // byte rate, align
+            val bits = buf.getShort().toInt
+            if (tagFmt != 1 || bits != 16 || ch < 1 || rate <= 0) return None
+            fmt = Some((rate, ch, bits))
+          case "data" =>
+            val n = len / 2
+            val s = new Array[Short](n)
+            var i = 0
+            while (i < n) { s(i) = buf.getShort(); i += 1 }
+            data = Some(s)
+          case _ => // skip unknown chunk (LIST, fact, …)
+        }
+        if (next > buf.limit()) return None
+        buf.position(next)
+      }
+      for ((rate, ch, bits) <- fmt; s <- data if s.length % ch == 0)
+        yield (rate, ch, bits, s)
+    } catch { case _: Exception => None }
+
+  /** Typed metadata over a WAV payload column — narrow per-partition
+    * map, unparseable payloads dropped ([[decodeBatch]] discipline;
+    * pair with [[decodeAttempts]]-style splitting when the corrupt
+    * side must be kept). duration_us = frames·10⁶/rate in exact long
+    * arithmetic. */
+  def audioMetaBatch(ds: Dataset[RawMedia]): Dataset[AudioMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { m =>
+      parseWav(m.payload).map { case (rate, ch, bits, s) =>
+        val frames = (s.length / ch).toLong
+        AudioMeta(m.doc_id, rate, ch, bits, frames,
+          frames * 1000000L / rate)
+      }
+    })
+  }
+
+  /** Windowed RMS energy — the audio feature-extraction step (voice
+    * activity, silence trimming, loudness profiling all start here):
+    * frames are cut into windows of `windowFrames`, each window's RMS
+    * computed over ALL its channels' samples. The sum of squares is
+    * EXACT long arithmetic (≤ 2³⁰ per sample, no FP accumulation
+    * order to disagree on); the single double division + sqrt happen
+    * once per window. Narrow per-partition flatMap. */
+  case class AudioEnergy(doc_id: Long, window_no: Int, n_samples: Int,
+      rms: Double)
+
+  def audioEnergyBatch(ds: Dataset[RawMedia],
+      windowFrames: Int): Dataset[AudioEnergy] = {
+    import ds.sparkSession.implicits._
+    require(windowFrames >= 1, s"windowFrames must be >= 1, got $windowFrames")
+    ds.mapPartitions(_.flatMap { m =>
+      parseWav(m.payload).toSeq.flatMap { case (_, ch, _, s) =>
+        s.grouped(windowFrames * ch).zipWithIndex.map { case (w, i) =>
+          val ssq = w.foldLeft(0L)((acc, x) => acc + x.toLong * x.toLong)
+          AudioEnergy(m.doc_id, i, w.length,
+            math.sqrt(ssq.toDouble / w.length))
+        }
+      }
+    })
+  }
+
+  /** Deterministic synthetic WAV parameters for [[mmAudioMeta]] —
+    * doc_id-derived so the DuckDB oracle can compute every expected
+    * output in closed form while the Spark side goes through the REAL
+    * pack → parse byte round-trip. */
+  private[graft] def synthWav(docId: Long): (Int, Int, Array[Short]) = {
+    val rate = 8000 + (docId % 3).toInt * 4000
+    val channels = 1 + (docId % 2).toInt
+    val frames = 64 + (docId % 129).toInt
+    val samples = Array.tabulate[Short](frames * channels)(i =>
+      (((docId * 31 + i.toLong * 17) % 2048) - 1024).toShort)
+    (rate, channels, samples)
+  }
+
   /** Documents' text bytes as the stand-in binary payload column. */
   def asBinary(spark: SparkSession, dir: String): Dataset[RawMedia] = {
     import spark.implicits._
@@ -437,8 +571,64 @@ object Multimodal {
       Similarity.collectCentroids(cent), FeatKnnProbe, FeatKnnK)
   }
 
+  // ---------------------------------------------------------------- audio query
+  /** The audio pipeline END TO END under the hash gate: synthesize a
+    * doc_id-parameterized PCM16 WAV per document ([[synthWav]]), run
+    * the REAL [[packWav]] → [[parseWav]] byte round-trip, report the
+    * parsed metadata plus whole-clip RMS computed from the PARSED
+    * samples. The oracle computes every column in closed form from
+    * doc_id arithmetic — so a single flipped byte, mis-walked chunk,
+    * or endianness slip in the writer or parser breaks the hash (the
+    * mm_binary_meta discipline, with real codec plumbing in the
+    * loop). RMS: exact long sum of squares, one double division +
+    * sqrt, rounded once. */
+  def mmAudioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.CrossEngine.rnd
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (rate, ch, samples) = synthWav(id)
+        val parsed = parseWav(packWav(samples, rate, ch))
+        val (pRate, pCh, pBits, pS) = parsed.getOrElse(
+          throw new IllegalStateException(s"own WAV failed to parse: doc $id"))
+        val frames = (pS.length / pCh).toLong
+        val ssq = pS.foldLeft(0L)((acc, x) => acc + x.toLong * x.toLong)
+        (id, pRate, pCh, pBits, frames, frames * 1000000L / pRate,
+          math.sqrt(ssq.toDouble / pS.length))
+      })
+      .toDF("doc_id", "sample_rate", "channels", "bits", "n_frames",
+        "duration_us", "rms")
+      .withColumn("rms", rnd(col("rms"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmAudioMetaSql =
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    cast(8000 + (doc_id % 3) * 4000 as int) AS sample_rate,
+      |    cast(1 + (doc_id % 2) as int) AS channels,
+      |    64 + (doc_id % 129) AS frames
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, frames * channels)) AS i
+      |  FROM d),
+      |q AS (
+      |  SELECT doc_id,
+      |    sum(((doc_id * 31 + i * 17) % 2048 - 1024)
+      |      * ((doc_id * 31 + i * 17) % 2048 - 1024)) AS ssq,
+      |    count(*) AS n
+      |  FROM s GROUP BY doc_id)
+      |SELECT d.doc_id, d.sample_rate, d.channels, 16 AS bits,
+      |  cast(d.frames as bigint) AS n_frames,
+      |  cast(d.frames * 1000000 // d.sample_rate as bigint) AS duration_us,
+      |  ${graft.functions.CrossEngine.rndSql(
+             "sqrt(cast(q.ssq as double) / q.n)", 6)} AS rms
+      |FROM d JOIN q USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("mm_binary_meta", mmBinaryMeta _, Some(mmBinaryMetaSql)),
+    QueryDef("mm_audio_meta", mmAudioMeta _, Some(mmAudioMetaSql)),
     QueryDef("mm_frame_sample", mmFrameSample _, Some(mmFrameSampleSql)),
     // rows-only: spec-proven parity with the exact kernel (see above)
     QueryDef("mm_feature_knn", mmFeatureKnn _, None))

@@ -340,4 +340,64 @@ class SourcesSpec extends SparkSpec {
     val (r3, c3, _) = Sources.readZBox(s, dir, uHi + 10, uHi + 20, vLo, vHi)
     assert(c3 <= tot && r3.count() == 0)
   }
+
+  test("audio: WAV pack/parse round-trip, chunk skipping, corrupt quarantine") {
+    val s = spark
+    import s.implicits._
+    val samples = Array.tabulate[Short](200)(i => ((i * 37) % 2048 - 1024).toShort)
+    val wav = Multimodal.packWav(samples, 16000, 2)
+    val parsed = Multimodal.parseWav(wav)
+    assert(parsed.isDefined, "own WAV must parse")
+    val (rate, ch, bits, back) = parsed.get
+    assert(rate == 16000 && ch == 2 && bits == 16)
+    assert(back.toSeq == samples.toSeq, "PCM samples must round-trip bit-exactly")
+
+    // a LIST chunk (odd length -> pad byte) BEFORE fmt/data must be skipped
+    val list = {
+      val extra = Array[Byte]('L', 'I', 'S', 'T', 7, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 0)
+      val buf = java.nio.ByteBuffer.allocate(wav.length + extra.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(wav, 0, 12).put(extra).put(wav, 12, wav.length - 12)
+      buf.array()
+    }
+    assert(Multimodal.parseWav(list).map(_._4.toSeq).contains(samples.toSeq),
+      "unknown odd-size chunk must be skipped via its padded length")
+
+    // corrupt payloads -> None, never an exception
+    assert(Multimodal.parseWav("RIFFxxxx".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseWav(wav.take(30)).isEmpty, "truncated fmt")
+    val floatFmt = wav.clone(); floatFmt(20) = 3 // IEEE-float tag
+    assert(Multimodal.parseWav(floatFmt).isEmpty, "non-PCM16 rejected")
+    val lyingLen = wav.clone()
+    lyingLen(40) = -1; lyingLen(41) = -1; lyingLen(42) = -1; lyingLen(43) = 127
+    assert(Multimodal.parseWav(lyingLen).isEmpty, "data len > remaining rejected")
+
+    // batch kernel: good rows parsed, corrupt dropped (decodeBatch discipline)
+    val ds = Seq(
+      Multimodal.RawMedia(1L, wav),
+      Multimodal.RawMedia(2L, Multimodal.packWav(Array[Short](100, -100), 8000, 1)),
+      Multimodal.RawMedia(3L, "not audio".getBytes("UTF-8"))).toDS()
+    val meta = Multimodal.audioMetaBatch(ds).collect().map(m => m.doc_id -> m).toMap
+    assert(meta.keySet == Set(1L, 2L))
+    assert(meta(1L).n_frames == 100 && meta(1L).duration_us == 100L * 1000000 / 16000)
+    assert(meta(2L).sample_rate == 8000 && meta(2L).channels == 1 &&
+      meta(2L).n_frames == 2 && meta(2L).duration_us == 250L) // 2/8000 s
+  }
+
+  test("audio: windowed RMS energy is exact on planted constant/silent windows") {
+    val s = spark
+    import s.implicits._
+    // 3 windows of 4 frames (stereo): amplitude 1000, silence, then a
+    // 2-frame tail at amplitude 500
+    val samples =
+      Array.fill[Short](8)(1000) ++ Array.fill[Short](8)(0) ++ Array.fill[Short](4)(500)
+    val ds = Seq(Multimodal.RawMedia(7L, Multimodal.packWav(samples, 8000, 2))).toDS()
+    val win = Multimodal.audioEnergyBatch(ds, windowFrames = 4)
+      .collect().sortBy(_.window_no)
+    assert(win.map(_.window_no).toSeq == Seq(0, 1, 2))
+    assert(win.map(_.n_samples).toSeq == Seq(8, 8, 4), "tail window is partial")
+    assert(win(0).rms == 1000.0, "constant amplitude => rms == amplitude")
+    assert(win(1).rms == 0.0)
+    assert(win(2).rms == 500.0)
+  }
 }
