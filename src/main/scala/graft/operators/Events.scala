@@ -825,6 +825,117 @@ object Events {
       |  AND abs(0.6745 * (dev.value - dev.med) / mad.mad) > 3.5
       |ORDER BY dev.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- CUSUM
+  /** CUSUM slack κ in micro-value units (2.0 value units): the
+    * allowance subtracted per step, so in-control wander around the
+    * mean accumulates nothing and only a SUSTAINED shift above
+    * mean + κ grows the statistic (Page 1954's k, fixed rather than
+    * σ-derived to stay integer-exact). */
+  private val CusumSlackMicro = 2000000L
+
+  /** Drift threshold in value units for the `drift` flag (Page's h).
+    * The synthetic corpus's heavy-tailed values put per-user maxima
+    * at 127-951 (measured at sf1 AND sf10 — the distribution is
+    * SF-stable because per-user history length is); 500 ≈ p87 keeps
+    * both sides of the flag populated at every SF. A deployment
+    * calibrates h to its own in-control run — it is a knob, not a
+    * constant of the algorithm. */
+  private val CusumH = 500.0
+
+  /** Per-user one-sided CUSUM change-point statistic (Page,
+    * Biometrika 1954) — the DRIFT detector completing the anomaly
+    * family: `q_outliers`/`q_anomaly_mad` flag single points,
+    * `q_trend` fits a global slope; CUSUM catches a SUSTAINED shift
+    * of the level (a sensor that starts reading 5 units high, a
+    * feed whose mean moves) that point rules never see and a global
+    * fit dilutes. Cᵢ = max(0, Cᵢ₋₁ + (vᵢ − μ − κ)) over the user's
+    * events in time order; reported is max Cᵢ and the event where
+    * the max is first attained.
+    *
+    * THE SCALE MOVE: the recurrence max(0, prev + d) unrolls to
+    * Cᵢ = Sᵢ − min(0, min_{j≤i} Sⱼ) with S the plain prefix sum of
+    * deviations — so CUSUM is TWO window functions (running sum,
+    * running min) on the user_id partitioning every events op
+    * already shuffles on, not a per-user array fold: no collect_list,
+    * per-row state only, linear at any user-history length (the
+    * EWMA horizon trick is unnecessary here because the algebra,
+    * not a truncation, removes the sequential state).
+    *
+    * Determinism: values scale to exact longs (⌊v·10⁶ + ½⌋, v ≥ 0 on
+    * this table); deviations multiply through by n so the per-user
+    * mean never becomes FP (dᵢ = n·(vᵢ' − κ') − Σv'): prefix sums,
+    * running mins, maxima, and the C == max tie-break (min event_id)
+    * are all exact integer arithmetic on both engines; the single
+    * double division by n·10⁶ converts back to value units at the
+    * end, rounded once. Overflow bound: |d| ≤ n·max(v')
+    * ≈ 10³·5.6·10⁸ at 10× this corpus's per-user density — prefix
+    * sums stay ~10 orders under Long.Max. */
+  def cusumOf(events: DataFrame): DataFrame = {
+    val vi = floor(col("value").cast("double") * lit(1e6) + lit(0.5))
+      .cast("long")
+    val ev = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), vi.as("v"))
+    val wUser = Window.partitionBy(col("user_id"))
+    val wTime = wUser.orderBy(col("us"), col("event_id"))
+    val wRun = wTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withStats = ev
+      .withColumn("n", count(lit(1)).over(wUser))
+      .withColumn("sv", sum(col("v")).over(wUser))
+    val withC = withStats
+      .withColumn("d", col("n") * (col("v") - lit(CusumSlackMicro)) - col("sv"))
+      .withColumn("s", sum(col("d")).over(wRun))
+      .withColumn("c", col("s") - least(lit(0L), min(col("s")).over(wRun)))
+      .withColumn("cmax", max(col("c")).over(wUser))
+    withC.groupBy(col("user_id"))
+      .agg(
+        first(col("n")).as("n"),
+        rnd(first(col("cmax")).cast("double") /
+          (first(col("n")).cast("double") * lit(1e6)), 4).as("cusum_max"),
+        min(when(col("c") === col("cmax"), col("event_id"))).as("at_event"))
+      .withColumn("drift", col("cusum_max") > lit(CusumH))
+  }
+
+  def qCusum(spark: SparkSession, dir: String): DataFrame =
+    cusumOf(Tables.events(spark, dir)).orderBy(col("user_id"))
+
+  private val qCusumSql =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |    cast(floor(cast(value as double) * 1e6 + 0.5) as bigint) AS v
+       |  FROM events),
+       |st AS (
+       |  SELECT user_id, event_id, us, v,
+       |    count(*) OVER (PARTITION BY user_id) AS n,
+       |    sum(v) OVER (PARTITION BY user_id) AS sv
+       |  FROM ev),
+       |ps AS (
+       |  SELECT user_id, event_id, us, n,
+       |    sum(n * (v - $CusumSlackMicro) - sv) OVER (
+       |      PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+       |  FROM st),
+       |cu AS (
+       |  SELECT user_id, event_id, n,
+       |    s - least(0, min(s) OVER (
+       |      PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS c
+       |  FROM ps),
+       |mx AS (
+       |  SELECT user_id, n, c, event_id,
+       |    max(c) OVER (PARTITION BY user_id) AS cmax
+       |  FROM cu)
+       |SELECT user_id, n,
+       |  ${graft.functions.CrossEngine.rndSql(
+            "cast(cmax as double) / (cast(n as double) * 1e6)", 4)}
+       |    AS cusum_max,
+       |  min(CASE WHEN c = cmax THEN event_id END) AS at_event,
+       |  ${graft.functions.CrossEngine.rndSql(
+            "cast(cmax as double) / (cast(n as double) * 1e6)", 4)}
+       |    > $CusumH AS drift
+       |FROM mx
+       |GROUP BY user_id, n, cmax
+       |ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- retention
   /** Daily cohort retention matrix — the product-analytics staple
     * missing between sessionize (within-visit) and funnel (ordered
@@ -1110,6 +1221,7 @@ object Events {
       Some(qRetentionCohortsSql)),
     QueryDef("q_outliers", qOutliers _, Some(qOutliersSql)),
     QueryDef("q_anomaly_mad", qAnomalyMad _, Some(qAnomalyMadSql)),
+    QueryDef("q_cusum", qCusum _, Some(qCusumSql)),
     QueryDef("q_interval_join", qIntervalJoin _, Some(qIntervalJoinSql)),
     QueryDef("q_active_users", qActiveUsers _, Some(qActiveUsersSql)),
     QueryDef("q_active_users_approx", qActiveUsersApprox _, None),

@@ -308,6 +308,42 @@ class RelationalSpec extends SparkSpec {
     assert(got == ((32L, 2.0)), s"horizon must truncate to 32: $got")
   }
 
+  test("cusum: sustained shift flagged at its hand-computed mass; constant and point-noise users stay at zero") {
+    val s = spark
+    import s.implicits._
+    def ev(rows: Seq[(Long, Long, Double)]) =
+      rows.toDF("event_id", "user_id", "value")
+        .select(col("user_id"), col("event_id"),
+          expr("timestamp_micros(1700000000000000 + event_id * 1000000)")
+            .as("ts"), col("value"))
+    // user 1: constant 10.0 -> every deviation is -kappa*n, C pinned
+    // at 0. user 2: 10 events at 10.0 then 10 at 30.0 (mu = 20,
+    // shift >> kappa=2): hand fold gives max C/n = 80.0 exactly, first
+    // attained at the LAST event. user 3: one modest 12.0 point among
+    // 10.0s — under the slack, so CUSUM accumulates nothing (the
+    // point-noise immunity that distinguishes it from q_outliers).
+    val rows =
+      (0 until 10).map(i => (i.toLong, 1L, 10.0)) ++
+      (10 until 20).map(i => (i.toLong, 2L, 10.0)) ++
+      (20 until 30).map(i => (i.toLong, 2L, 30.0)) ++
+      (30 until 50).map(i => (i.toLong, 3L, 10.0)) ++ Seq((50L, 3L, 12.0)) ++
+      (51 until 61).map(i => (i.toLong, 4L, 10.0)) ++
+      (61 until 71).map(i => (i.toLong, 4L, 1210.0))
+    val out = Events.cusumOf(ev(rows)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == ((10L, 0.0, 0L, false)),
+      s"constant user must sit at C=0 with at_event = first: $out")
+    assert(out(2L) == ((20L, 80.0, 29L, false)),
+      s"sustained +20 shift: max C/n = 10*(30-20-2) mass = 80.0 at the last event: $out")
+    assert(out(3L)._2 == 0.0 && !out(3L)._4,
+      s"a 12.0 point under the slack must accumulate nothing: $out")
+    // +1200 shift: mu = 610, max C/n = 10*(1210-610-2) = 5980 > h
+    assert(out(4L) == ((20L, 5980.0, 70L, true)),
+      s"a shift past Page's h must set the drift flag: $out")
+  }
+
   test("mode: winner is the true per-source argmax with the documented tie-break") {
     val expected = Tables.documents(spark, sf)
       .groupBy("source", "lang").count().collect()
