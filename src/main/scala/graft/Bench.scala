@@ -435,7 +435,11 @@ object Bench {
         ds => StreamingJobs.asofEnrichStream(ds).toDF()),
       drive[StreamingJobs.EwmaEv]("stream_ewma",
         cdcEvs.map(e => StreamingJobs.EwmaEv(e.user_id, e.event_id, e.us, e.value)),
-        ds => StreamingJobs.ewmaStream(ds).toDF()))
+        ds => StreamingJobs.ewmaStream(ds).toDF()),
+      drive[StreamingJobs.CusumEv]("stream_cusum",
+        cdcEvs.map(e => StreamingJobs.CusumEv(e.user_id, e.event_id, e.us,
+          math.floor(e.value * 1e6 + 0.5).toLong)),
+        ds => StreamingJobs.cusumStream(ds, mu0Micro = 35000000L).toDF()))
     evalNgrams.unpersist()
     parts
   }

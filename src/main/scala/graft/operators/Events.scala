@@ -831,7 +831,7 @@ object Events {
     * mean accumulates nothing and only a SUSTAINED shift above
     * mean + κ grows the statistic (Page 1954's k, fixed rather than
     * σ-derived to stay integer-exact). */
-  private val CusumSlackMicro = 2000000L
+  private[graft] val CusumSlackMicro = 2000000L
 
   /** Drift threshold in value units for the `drift` flag (Page's h).
     * The synthetic corpus's heavy-tailed values put per-user maxima
@@ -840,7 +840,7 @@ object Events {
     * both sides of the flag populated at every SF. A deployment
     * calibrates h to its own in-control run — it is a knob, not a
     * constant of the algorithm. */
-  private val CusumH = 500.0
+  private[graft] val CusumH = 500.0
 
   /** Per-user one-sided CUSUM change-point statistic (Page,
     * Biometrika 1954) — the DRIFT detector completing the anomaly
@@ -870,7 +870,15 @@ object Events {
     * end, rounded once. Overflow bound: |d| ≤ n·max(v')
     * ≈ 10³·5.6·10⁸ at 10× this corpus's per-user density — prefix
     * sums stay ~10 orders under Long.Max. */
-  def cusumOf(events: DataFrame): DataFrame = {
+  /** `fixedMeanMicro`: None = the offline two-pass form (reference
+    * level is the user's own full-history mean, exact via the ×n
+    * rescale); Some(μ'₀) = the MONITORING form against a calibrated
+    * in-control level in micro-value units — the shape a stream can
+    * compute (the full-history mean needs the future), and the
+    * contract [[graft.streaming.StreamingJobs.cusumStream]] matches
+    * BIT-EXACTLY since every quantity is integer arithmetic. */
+  def cusumOf(events: DataFrame,
+      fixedMeanMicro: Option[Long] = None): DataFrame = {
     val vi = floor(col("value").cast("double") * lit(1e6) + lit(0.5))
       .cast("long")
     val ev = events.select(col("user_id"), col("event_id"),
@@ -878,11 +886,20 @@ object Events {
     val wUser = Window.partitionBy(col("user_id"))
     val wTime = wUser.orderBy(col("us"), col("event_id"))
     val wRun = wTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withStats = ev
-      .withColumn("n", count(lit(1)).over(wUser))
-      .withColumn("sv", sum(col("v")).over(wUser))
+    // d = scale·(v − κ) − base: (n, Σv) in the self-referenced form
+    // (deviations ×n so the mean never becomes FP), (1, μ'₀) when the
+    // reference level is given
+    val withStats = fixedMeanMicro match {
+      case None => ev
+        .withColumn("scale", count(lit(1)).over(wUser))
+        .withColumn("base", sum(col("v")).over(wUser))
+      case Some(mu) => ev
+        .withColumn("scale", lit(1L))
+        .withColumn("base", lit(mu))
+    }
     val withC = withStats
-      .withColumn("d", col("n") * (col("v") - lit(CusumSlackMicro)) - col("sv"))
+      .withColumn("n", count(lit(1)).over(wUser))
+      .withColumn("d", col("scale") * (col("v") - lit(CusumSlackMicro)) - col("base"))
       .withColumn("s", sum(col("d")).over(wRun))
       .withColumn("c", col("s") - least(lit(0L), min(col("s")).over(wRun)))
       .withColumn("cmax", max(col("c")).over(wUser))
@@ -890,7 +907,7 @@ object Events {
       .agg(
         first(col("n")).as("n"),
         rnd(first(col("cmax")).cast("double") /
-          (first(col("n")).cast("double") * lit(1e6)), 4).as("cusum_max"),
+          (first(col("scale")).cast("double") * lit(1e6)), 4).as("cusum_max"),
         min(when(col("c") === col("cmax"), col("event_id"))).as("at_event"))
       .withColumn("drift", col("cusum_max") > lit(CusumH))
   }

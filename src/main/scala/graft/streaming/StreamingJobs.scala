@@ -321,6 +321,61 @@ object StreamingJobs {
       }
   }
 
+  // ------------------------------------------------------------------ cusum
+  case class CusumEv(user_id: Long, event_id: Long, us: Long, v: Long)
+  case class CusumState(s: Long, minS: Long, cmax: Long, atEvent: Long,
+      n: Long)
+  case class CusumOut(user_id: Long, n: Long, cusum_max: Double,
+      at_event: Long, drift: Boolean)
+
+  /** Streaming CUSUM drift monitor — the ingest twin of
+    * `Events.qCusum` in its MONITORING form: the offline query
+    * references each user's full-history mean (which needs the
+    * future), the production stream monitors against a CALIBRATED
+    * in-control level μ'₀ — exactly `cusumOf(ev, Some(mu0Micro))`,
+    * and because every quantity is integer arithmetic (prefix sum,
+    * running min, max, first-argmax tie-break; v already scaled to
+    * micro-units), streamed == batch BIT-EXACTLY on a time-split
+    * feed, the strongest contract in the streaming suite next to the
+    * HLL job. State is FIVE longs per key (the unrolled recurrence's
+    * running sum, running min, max, its first event, count) — no
+    * window, no history; the same append-mode arrival-order caveat
+    * as `ewmaStream` applies, with the batch form as reconciliation.
+    * Emits the key's updated row each batch; a consumer keeps the
+    * latest. */
+  def cusumStream(events: Dataset[CusumEv], mu0Micro: Long): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    val kappa = graft.operators.Events.CusumSlackMicro
+    val h = graft.operators.Events.CusumH
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[CusumEv], state: GroupState[CusumState]) =>
+          val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(
+              CusumState(0L, 0L, Long.MinValue, Long.MinValue, 0L))
+            evs.foreach { e =>
+              val s = st.s + (e.v - kappa - mu0Micro)
+              val minS = math.min(st.minS, s) // min includes S₀ = 0
+              val c = s - math.min(0L, minS)
+              // batch tie rule: the MIN event_id among rows attaining
+              // the max (min(when(c === cmax, event_id)) in cusumOf)
+              val (cmax, at) =
+                if (c > st.cmax) (c, e.event_id)
+                else if (c == st.cmax) (st.cmax, math.min(st.atEvent, e.event_id))
+                else (st.cmax, st.atEvent)
+              st = CusumState(s, minS, cmax, at, st.n + 1L)
+            }
+            state.update(st)
+            val units = math.floor(st.cmax.toDouble / 1e6 * 1e4 + 0.5) / 1e4
+            Iterator.single(CusumOut(uid, st.n, units, st.atEvent, units > h))
+          }
+      }
+  }
+
   case class Ev(user_id: Long, us: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       duration_us: Long, session_start_us: Long)

@@ -302,6 +302,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming cusum: fixed-reference monitor equals the batch form bit-exactly on a time-split feed") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val evDF = Tables.events(s, sf)
+    val mu0 = 35000000L // 35.0 value units in micros — a calibration level
+    val ev = evDF
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+          .as("v"))
+      .as[StreamingJobs.CusumEv].collect().sortBy(e => (e.us, e.event_id))
+    val cut = ev(ev.length / 2).us
+
+    val in = MemoryStream[StreamingJobs.CusumEv](s)
+    val q = StreamingJobs.cusumStream(in.toDS(), mu0).writeStream
+      .format("memory").queryName("cusum_out").outputMode("append").start()
+    in.addData(ev.filter(_.us < cut).toSeq)
+    q.processAllAvailable()
+    in.addData(ev.filter(_.us >= cut).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from cusum_out")
+      .as[StreamingJobs.CusumOut].collect()
+      .groupBy(_.user_id).map { case (u, os) => u -> os.maxBy(_.n) }
+    val batch = Events.cusumOf(evDF, Some(mu0)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (u, o) =>
+      assert((o.n, o.cusum_max, o.at_event, o.drift) == batch(u),
+        s"user $u: stream $o vs batch ${batch(u)} — integer CUSUM must be bit-equal")
+    }
+    // the feed must actually exercise both flag states
+    assert(streamed.values.exists(_.drift) && streamed.values.exists(!_.drift),
+      "calibration level must leave both drift states populated")
+  }
+
   test("foreachBatch upsert sink merges micro-batches by key") {
     val s = spark
     import s.implicits._
