@@ -1952,6 +1952,81 @@ object Dedup {
        |FROM ch JOIN c USING (ck)
        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- paragraph dedup
+  /** Paragraph-level dedup — the NATURAL-boundary tier of the span
+    * ladder (fixed chunks 38a, content-defined chunks 38a-cdc, token
+    * shingles 38a'), and the pass published pipelines actually run
+    * first (Dolma's paragraph dedup, CCNet's line dedup): repeated
+    * boilerplate — cookie banners, nav footers, license headers —
+    * recurs as WHOLE paragraphs, so the paragraph is the unit that
+    * catches it without any window parameter. This is the APPLY form:
+    * every non-FIRST corpus-wide occurrence of a paragraph is cut and
+    * the document rebuilt from its kept paragraphs in order ("first"
+    * = minimal (doc_id, paragraph index) — a total order both engines
+    * share; a doc whose every paragraph appeared earlier rebuilds to
+    * the empty string rather than vanishing).
+    *
+    * Plan: one posexplode of '\n'-paragraphs; first-occurrence table
+    * = groupBy md5(para) min(packed position) with map-side combine
+    * (∝ DISTINCT paragraphs); the probe joins back on the same md5
+    * key (AQE reuses the keyed shuffle); rebuild is one per-doc
+    * aggregate of the kept (idx, para) structs. Three exchanges, all
+    * ∝ paragraph mass — the dedup_chunk shape with the rebuild
+    * aggregate on top. packed = doc_id·2²⁰ + idx assumes < 2²⁰
+    * paragraphs per doc (a million '\n' blocks — far past any real
+    * document; stated, not silently wrong: idx past the bound would
+    * bleed into the next doc_id's range) and keeps the order key one
+    * long. */
+  def paragraphDedup(docs: DataFrame, cache: Boolean = true): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val paras0 = docs
+      .select(col("doc_id"),
+        filter(split(col("text"), "\n"), p => p =!= "").as("ps"))
+      .select(col("doc_id"), posexplode(col("ps")).as(Seq("idx", "para")))
+      .select(col("doc_id"), col("idx"), col("para"),
+        md5(col("para")).as("ph"),
+        (col("doc_id") * lit(1048576L) + col("idx")).as("packed"))
+    val paras = // first-occurrence table + probe share one split pass
+      if (cache) paras0.persist(StorageLevel.MEMORY_AND_DISK) else paras0
+    val firsts = paras.groupBy(col("ph")).agg(min(col("packed")).as("kp"))
+    paras.join(firsts, "ph")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("packed") === col("kp"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(
+              when(col("packed") === col("kp"),
+                struct(col("idx"), col("para"))))),
+            s => s.getField("para"))).as("text"))
+  }
+
+  def dedupParagraph(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedup(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  private val dedupParagraphSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, chr(10)), p -> p <> '')
+      |      AS ps
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, unnest(range(1, len(ps) + 1)) AS i, ps FROM d),
+      |p AS (
+      |  SELECT doc_id, i - 1 AS idx, ps[i] AS para,
+      |    doc_id * 1048576 + (i - 1) AS packed
+      |  FROM x),
+      |f AS (SELECT para, min(packed) AS kp FROM p GROUP BY para)
+      |SELECT p.doc_id,
+      |  cast(count(*) as bigint) AS n_paras,
+      |  cast(sum(CASE WHEN packed = kp THEN 1 ELSE 0 END) as bigint)
+      |    AS n_kept,
+      |  coalesce(string_agg(CASE WHEN packed = kp THEN para END, chr(10)
+      |    ORDER BY idx), '') AS text
+      |FROM p JOIN f USING (para)
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- CDC chunks
   /** Expected CDC chunk length (tokens): a token starts a new chunk
     * iff its salted md5 ≡ 0 (mod this) — comparable granularity to
@@ -2357,6 +2432,7 @@ object Dedup {
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_chunk", dedupChunk _, Some(dedupChunkSql)),
+    QueryDef("dedup_paragraph", dedupParagraph _, Some(dedupParagraphSql)),
     QueryDef("dedup_cdc_chunks", dedupCdcChunks _, Some(dedupCdcChunksSql)),
     QueryDef("dedup_substring", dedupSubstring _, Some(dedupSubstringSql)),
     QueryDef("dedup_substring_spans", dedupSubstringSpans _,

@@ -377,6 +377,32 @@ class PipelinesSpec extends SparkSpec {
     assert(byId(2L)._2 == 6L)
   }
 
+  test("paragraphDedup: global first occurrence kept, later and intra-doc copies cut, fully-copied doc rebuilds empty") {
+    val docs = docsDf(Seq(
+      1L -> "alpha one\nbeta two",
+      // beta already seen in doc 1 (twice here: cross-doc AND
+      // intra-doc copies both cut); gamma is new
+      2L -> "beta two\ngamma three\nbeta two",
+      // every paragraph seen before -> rebuilds to the EMPTY string,
+      // does not vanish
+      3L -> "alpha one",
+      // intra-doc duplicate only: first kept, second cut
+      4L -> "delta four\ndelta four",
+      // empty lines are not paragraphs (the '\n\n' split artifact)
+      5L -> "\n\nepsilon five\n\n"))
+    val got = Dedup.paragraphDedup(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((2L, 2L, "alpha one\nbeta two")),
+      s"first carrier untouched: $got")
+    assert(got(2L) == ((3L, 1L, "gamma three")),
+      s"both beta copies cut, gamma kept: $got")
+    assert(got(3L) == ((1L, 0L, "")), s"fully-copied doc rebuilds empty: $got")
+    assert(got(4L) == ((2L, 1L, "delta four")), s"intra-doc copy cut: $got")
+    assert(got(5L) == ((1L, 1L, "epsilon five")), s"blank lines ignored: $got")
+  }
+
   test("chunkDupStats: planted spans — cross-doc copy, self-repetition, clean doc") {
     val span = (1 to 8).map(i => s"w$i").mkString(" ") // one full chunk
     val docs = docsDf(Seq(
