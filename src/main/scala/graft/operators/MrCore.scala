@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
+import graft.functions.CrossEngine.rnd
 
 /** The reference's observable applications (SURVEY.md §2 A),
   * re-expressed as declarative plans over the `documents`/`events`
@@ -566,6 +567,83 @@ object MrCore {
        |SELECT node, comp, count(*) OVER (PARTITION BY comp) AS comp_size
        |FROM lab ORDER BY node""".stripMargin
 
+  // ---------------------------------------------------------------- link prediction
+  /** Output bound for [[graphLinks]]: the top candidate links by
+    * score — link prediction is a recommendation surface, so the
+    * consumer wants a ranked shortlist, and the bound keeps output
+    * size independent of graph size. */
+  private val LinkTopK = 100
+
+  /** Common-neighbor link prediction with Jaccard scoring
+    * (Liben-Nowell & Kleinberg, CIKM 2003 — the classical baselines
+    * their study starts from): for each NON-adjacent pair with ≥ 1
+    * common neighbor, score = |N(u)∩N(v)| / |N(u)∪N(v)|, reported
+    * with the raw common-neighbor count. Jaccard and not Adamic-Adar
+    * deliberately: AA's Σ1/ln(deg) sums floats whose addition order
+    * neither engine pins, where common/union is INTEGER arithmetic
+    * until one final division — the cross-engine-exactness rule.
+    *
+    * Plan: wedge self-join on the middle vertex enumerates each
+    * candidate pair once per shared neighbor (shuffle ∝ Σd², the
+    * wedge mass — bounded here by the top-2000-edge graph; at hub
+    * skew the degree-ordered orientation of
+    * [[triangleCountsDegreeOrdered]] drops in); common counts are one
+    * hash aggregate on the pair; existing edges leave via LEFT ANTI
+    * on the canonical edge list; degrees broadcast back (|V| rows);
+    * the shortlist is a TakeOrdered on (score DESC, pair) — ordering
+    * uses the UNROUNDED division (both engines divide the same exact
+    * integers, so the double sets are identical), output rounds once
+    * (the annBruteforce discipline). */
+  def linkPrediction(edges: DataFrame, topK: Int = LinkTopK): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // wedge both sides + degree table share one symmetrization
+    val sym = edges
+      .unionAll(edges.select(col("s2").as("s1"), col("s1").as("s2")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("s1")).agg(count(lit(1)).as("d"))
+    val common = sym.select(col("s1").as("m"), col("s2").as("a"))
+      .join(sym.select(col("s1").as("m"), col("s2").as("c")), Seq("m"))
+      .filter(col("a") < col("c"))
+      .groupBy(col("a"), col("c")).agg(count(lit(1)).as("n_common"))
+    val score = col("n_common").cast("double") /
+      (col("da") + col("dc") - col("n_common")).cast("double")
+    common
+      .join(edges.select(col("s1").as("a"), col("s2").as("c")),
+        Seq("a", "c"), "left_anti")
+      .join(broadcast(deg.select(col("s1").as("a"), col("d").as("da"))), "a")
+      .join(broadcast(deg.select(col("s1").as("c"), col("d").as("dc"))), "c")
+      .orderBy(score.desc, col("a"), col("c"))
+      .limit(topK)
+      .select(col("a").as("node_a"), col("c").as("node_b"),
+        col("n_common"), rnd(score, 6).as("jaccard"))
+  }
+
+  def graphLinks(spark: SparkSession, dir: String): DataFrame =
+    linkPrediction(coOrderEdges(spark, dir))
+      .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
+
+  private val graphLinksSql =
+    s"""WITH $coOrderSqlCtes,
+      |sym AS (SELECT s1, s2 FROM co UNION ALL SELECT s2, s1 FROM co),
+      |deg AS (SELECT s1, count(*) AS d FROM sym GROUP BY s1),
+      |cm AS (
+      |  SELECT w1.s2 AS a, w2.s2 AS c, count(*) AS n_common
+      |  FROM sym w1 JOIN sym w2 ON w1.s1 = w2.s1 AND w1.s2 < w2.s2
+      |  GROUP BY 1, 2),
+      |ne AS (
+      |  SELECT cm.* FROM cm
+      |  LEFT JOIN co ON co.s1 = cm.a AND co.s2 = cm.c
+      |  WHERE co.s1 IS NULL),
+      |sc AS (
+      |  SELECT ne.a, ne.c, ne.n_common,
+      |    cast(ne.n_common as double)
+      |      / (da.d + dc.d - ne.n_common) AS score
+      |  FROM ne JOIN deg da ON da.s1 = ne.a JOIN deg dc ON dc.s1 = ne.c)
+      |SELECT a AS node_a, c AS node_b, n_common,
+      |  ${graft.functions.CrossEngine.rndSql("score", 6)} AS jaccard
+      |FROM sc
+      |ORDER BY score DESC, a, c LIMIT $LinkTopK""".stripMargin
+
   private val graphTrianglesSql =
     s"""WITH $coOrderSqlCtes,
       |tri AS (
@@ -591,5 +669,6 @@ object MrCore {
     QueryDef("mr_pagerank", mrPagerank _, Some(mrPagerankSql)),
     QueryDef("graph_triangles", graphTriangles _, Some(graphTrianglesSql)),
     QueryDef("graph_bfs", graphBfs _, Some(graphBfsSql)),
-    QueryDef("graph_cc", graphCc _, Some(graphCcSql)))
+    QueryDef("graph_cc", graphCc _, Some(graphCcSql)),
+    QueryDef("graph_links", graphLinks _, Some(graphLinksSql)))
 }

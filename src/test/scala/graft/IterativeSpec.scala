@@ -110,6 +110,27 @@ class IterativeSpec extends SparkSpec {
     CacheHygiene.sweep(spark)
   }
 
+  test("link prediction: hand-computed jaccard on a square + pendant; edges and strangers excluded") {
+    val s = spark
+    import s.implicits._
+    // square 1-2-3-4-1 with pendant 5 hanging off 4:
+    //   (1,3): common {2,4}, deg 2+2 -> jaccard 2/(2+2-2) = 1.0
+    //   (2,4): common {1,3}, deg 2+3 -> 2/3
+    //   (1,5), (3,5): common {4}    -> 1/(2+1-1) = 0.5
+    //   adjacent pairs share no neighbors here; (2,5) shares none
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 5L))
+      .toDF("s1", "s2")
+    val got = MrCore.linkPrediction(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (-t._4, t._1, t._2))
+    assert(got == Seq(
+      (1L, 3L, 2L, 1.0),
+      (2L, 4L, 2L, 0.666667),
+      (1L, 5L, 1L, 0.5),
+      (3L, 5L, 1L, 0.5)), s"hand-computed link scores: $got")
+    CacheHygiene.sweep(spark)
+  }
+
   test("graph_cc: labels are component minima with consistent sizes") {
     val df = MrCore.graphCc(spark, sf).persist()
     try {
