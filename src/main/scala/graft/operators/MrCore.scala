@@ -644,6 +644,138 @@ object MrCore {
       |FROM sc
       |ORDER BY score DESC, a, c LIMIT $LinkTopK""".stripMargin
 
+  // ---------------------------------------------------------------- k-core
+  /** Peel parameters of the registered `graph_kcore`: k adapts to the
+    * corpus as `max_degree / 3` (integer division, computed from the
+    * same degree frame by both engines — a fixed k degenerates on
+    * this graph family, whose density swings from a complete K10 at
+    * sf0.001 to median-degree-4 at sf0.1), under at most 10 peel
+    * rounds. 10 bounds the unrolled oracle — every tested corpus
+    * converges in ≤ 8 rounds, and the ROUND CAP is part of the
+    * registered semantics (both engines stop at 10), so the query
+    * stays deterministic even on a corpus that would peel longer. */
+  private val KCoreDegDiv = 3
+  private val KCoreRounds = 10
+
+  /** Iterative k-core peeling (Seidman, Social Networks 1983; the
+    * distributed formulation follows the Batagelj–Zaveršnik degree
+    * recursion) over a SYMMETRIC edge frame (`src`, `dst`, both
+    * directions present): each round removes every node whose degree
+    * among survivors is < k, until a fixpoint or `maxRounds`.
+    * Returns (node, layer): layer = the round (1-based) the node was
+    * peeled, 0 = survived all rounds (the k-core, plus any
+    * not-yet-peeled nodes if the cap bound first — capped and
+    * converged runs agree whenever the fixpoint arrives within the
+    * cap, because post-fixpoint rounds remove nothing).
+    *
+    * Loop discipline (the [[pageRank]]/[[bfs]] pattern): edges
+    * persisted once, src-partitioned; the alive set advances one
+    * eager localCheckpoint per round with superseded blocks freed
+    * ([[Dedup.checkpointTracked]]/[[Dedup.freeBlocks]]); each peeled
+    * layer is checkpointed (node-set-sized, tiny) and the rounds'
+    * union happens once at the end. Driver actions: ONE removed-count
+    * scalar per round — never node data. Per-round shuffles are
+    * alive-set-sized (two semi-join-shaped equi-joins + one count
+    * aggregate), never the corpus: on a 100 TB-derived graph the
+    * peel cost is rounds × |V|-scale exchanges, the same envelope as
+    * the components loop. All arithmetic is integer (degree counts,
+    * set membership) — cross-engine exact by construction. */
+  def kCorePeel(edges0: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges0.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val edges = edges0.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var (alive, aliveIds) = Dedup.checkpointTracked(
+      edges.select(col("src").as("node")).distinct())
+    var layers: List[DataFrame] = Nil
+    var layerIds: Set[Int] = Set.empty
+    var r = 0
+    var fixed = false
+    while (r < maxRounds && !fixed) {
+      r += 1
+      val next = edges
+        .join(alive, col("src") === col("node")).drop("node")
+        .join(alive, col("dst") === col("node")).drop("node")
+        .groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("src").as("node"))
+      val (peeled, peeledIds) = Dedup.checkpointTracked(
+        alive.join(next.select(col("node").as("kept")),
+            col("node") === col("kept"), "left_anti")
+          .select(col("node"), lit(r).as("layer")))
+      val (nextCp, nextIds) = Dedup.checkpointTracked(next)
+      Dedup.freeBlocks(spark, aliveIds)
+      alive = nextCp; aliveIds = nextIds
+      layers ::= peeled; layerIds ++= peeledIds
+      fixed = peeled.limit(1).count() == 0 // bounded scalar per round
+    }
+    val out = layers
+      .foldLeft(alive.select(col("node"), lit(0).as("layer")))(_ unionAll _)
+    edges.unpersist(blocking = false)
+    out.select(col("node"), col("layer").cast("int").as("layer"))
+  }
+
+  /** k-core decomposition of the supplier co-order graph: each node's
+    * peel layer (0 = in the core) plus its initial degree — the
+    * density skeleton next to 5c's triangles and 5e's components.
+    * k = max_degree / [[KCoreDegDiv]] (one collected integer scalar —
+    * the bounded 1-row probe pattern), giving non-trivial layering
+    * across this family's density range. The fixed (divisor, rounds)
+    * pair is what makes an ITERATIVE algorithm oracle-checkable (the
+    * `mr_pagerank` unrolling discipline): the DuckDB twin unrolls
+    * exactly [[KCoreRounds]] survivor CTEs and derives each node's
+    * layer as the first round it went missing. */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val co = coOrderEdges(spark, dir)
+    val sym = co
+      .unionAll(co.select(col("s2").as("s1"), col("s1").as("s2")))
+      .select(col("s1").as("src"), col("s2").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = (deg.agg(max(col("deg0"))).head.getLong(0) / KCoreDegDiv).toInt
+    kCorePeel(sym, math.max(k, 1), KCoreRounds)
+      .join(broadcast(deg), "node") // |V| rows — always broadcastable
+      .select(col("node"), col("layer"), col("deg0"))
+      .orderBy(col("node"))
+  }
+
+  private val graphKcoreSql = {
+    // Every CTE is MATERIALIZED: a{r} references a{r-1} twice and the
+    // final SELECT references all of a1..aR, so DuckDB's default
+    // inlining would re-derive the co-order graph 2^R times — measured
+    // as a multi-minute hang at sf0.01 vs 0.6 s materialized.
+    val coMat = coOrderSqlCtes
+      .replace("li AS (", "li AS MATERIALIZED (")
+      .replace("co AS (", "co AS MATERIALIZED (")
+    // a0 = all nodes; a{r} = nodes with >= k alive neighbors in a{r-1}
+    val survivorCtes = (1 to KCoreRounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT e.s1 AS node FROM sym e
+         |  JOIN a${r - 1} x ON e.s1 = x.node
+         |  JOIN a${r - 1} y ON e.s2 = y.node
+         |  GROUP BY e.s1 HAVING count(*) >= (SELECT k FROM kv))""".stripMargin
+    }.mkString(",\n")
+    val layerCase = (1 to KCoreRounds)
+      .map(r => s"WHEN a$r.node IS NULL THEN $r").mkString(" ")
+    val layerJoins = (1 to KCoreRounds)
+      .map(r => s"LEFT JOIN a$r ON a$r.node = d.node").mkString("\n")
+    s"""WITH $coMat,
+       |sym AS MATERIALIZED (SELECT s1, s2 FROM co UNION ALL SELECT s2, s1 FROM co),
+       |deg AS MATERIALIZED (SELECT s1 AS node, count(*) AS deg0 FROM sym GROUP BY s1),
+       |kv AS MATERIALIZED (SELECT greatest(max(deg0) // $KCoreDegDiv, 1) AS k FROM deg),
+       |a0 AS MATERIALIZED (SELECT node FROM deg),
+       |$survivorCtes
+       |SELECT d.node, cast(CASE $layerCase ELSE 0 END AS int) AS layer,
+       |  d.deg0
+       |FROM deg d
+       |$layerJoins
+       |ORDER BY d.node""".stripMargin
+  }
+
   private val graphTrianglesSql =
     s"""WITH $coOrderSqlCtes,
       |tri AS (
@@ -670,5 +802,6 @@ object MrCore {
     QueryDef("graph_triangles", graphTriangles _, Some(graphTrianglesSql)),
     QueryDef("graph_bfs", graphBfs _, Some(graphBfsSql)),
     QueryDef("graph_cc", graphCc _, Some(graphCcSql)),
-    QueryDef("graph_links", graphLinks _, Some(graphLinksSql)))
+    QueryDef("graph_links", graphLinks _, Some(graphLinksSql)),
+    QueryDef("graph_kcore", graphKcore _, Some(graphKcoreSql)))
 }

@@ -131,6 +131,29 @@ class IterativeSpec extends SparkSpec {
     CacheHygiene.sweep(spark)
   }
 
+  test("k-core peel: layered removal on a triangle+tail; cap semantics honored") {
+    val s = spark
+    import s.implicits._
+    // triangle 1-2-3 with tail 3-4-5-6; k=2: the tail peels inward one
+    // node per round (6 -> 5 -> 4), the triangle is the 2-core
+    val co = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("s1", "s2")
+    val sym = co.unionAll(co.select(col("s2").as("s1"), col("s1").as("s2")))
+      .select(col("s1").as("src"), col("s2").as("dst"))
+    def run(k: Int, rounds: Int) =
+      MrCore.kCorePeel(sym, k, rounds).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(run(2, 10) == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 3, 5L -> 2, 6L -> 1))
+    // round cap is part of the semantics: with 2 rounds, node 4 is
+    // still alive when the cap hits and reports layer 0
+    assert(run(2, 2) == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 2, 6L -> 1))
+    // k=3: only node 3 has degree 3, so it survives round 1 — then its
+    // neighbors are gone and it peels in round 2 (the cascade case)
+    assert(run(3, 10) ==
+      Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 1, 6L -> 1))
+    CacheHygiene.sweep(spark)
+  }
+
   test("graph_cc: labels are component minima with consistent sizes") {
     val df = MrCore.graphCc(spark, sf).persist()
     try {
