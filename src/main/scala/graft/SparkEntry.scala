@@ -8,7 +8,7 @@ object SparkEntry {
 
   /** All oracle-checked operators, aggregated from the modules. */
   def allDefs: Seq[QueryDef] =
-    MrCore.defs ++ Relational.defs ++ Advanced.defs ++ ScalarOps.defs ++
+    MrCore.defs ++ Relational.defs ++ TpchSuite.defs ++ Advanced.defs ++ ScalarOps.defs ++
       Events.defs ++ TextAnalysis.defs ++ Dedup.defs ++ Similarity.defs ++
       Multimodal.defs ++ Pipelines.defs
 

@@ -736,7 +736,9 @@ object MrCore {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg0"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val k = (deg.agg(max(col("deg0"))).head.getLong(0) / KCoreDegDiv).toInt
+    val maxRow = deg.agg(max(col("deg0"))).head
+    // empty corpus → max is NULL → k floors to 1 and the peel no-ops
+    val k = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)).toInt / KCoreDegDiv
     kCorePeel(sym, math.max(k, 1), KCoreRounds)
       .join(broadcast(deg), "node") // |V| rows — always broadcastable
       .select(col("node"), col("layer"), col("deg0"))

@@ -179,10 +179,17 @@ class PlanShapeSpec extends SparkSpec {
                                           // to merge trailing-7d HLL sketches
     "q_sample_weighted",                  // broadcast single-row total-weight
                                           // frame (the corpus-N pattern)
+    "q11_important_parts",                // broadcast single-row grand-total
+                                          // (the global-share HAVING)
+    "q15_top_supplier",                   // broadcast single-row max-revenue
+    "q22_global_sales",                   // broadcast single-row (sum, n)
+                                          // balance stats for the avg threshold
     "q_join_size_estimate",               // three single-row frames (two
                                           // sketches + the exact count) joined
     "pipeline_curate_v5",                 // same single-row total via the
                                           // shared weighted-draw kernel
+    "pipeline_mixture_temperature",       // broadcast single-row n_min joined
+                                          // to the |sources| rate table
     "text_tfidf",                         // broadcast single-row corpus size N
     "text_cooccurrence",                  // broadcast 1-row (T, P) totals frame
     "text_bm25",                          // broadcast single-row (N, Σdl, df) stats
