@@ -778,6 +778,110 @@ object MrCore {
        |ORDER BY d.node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- label propagation
+  /** Round count of the registered `graph_lpa`. Synchronous LPA can
+    * oscillate on bipartite structure, so community detection runs a
+    * FIXED round budget rather than to convergence — the cap is part
+    * of the registered semantics (both engines stop there), which is
+    * also what makes the iterative kernel oracle-checkable (the
+    * `graph_kcore`/`mr_pagerank` unrolling discipline). 4 rounds
+    * propagate labels across the tested graphs' diameters. */
+  private val LpaRounds = 4
+
+  /** Synchronous label propagation (Raghavan et al., Phys. Rev. E
+    * 2007) over a SYMMETRIC edge frame: labels start as node ids;
+    * each round every node adopts the most frequent label among its
+    * neighbors, ties to the SMALLEST label (the deterministic
+    * tie-break that replaces the paper's random choice — integer
+    * (count, label) ordering, cross-engine exact by construction).
+    * Nodes with no surviving neighbor keep their label.
+    *
+    * Loop discipline (the [[pageRank]]/[[kCorePeel]] pattern): edges
+    * persisted once, dst-partitioned for the per-round label join;
+    * labels advance one eager localCheckpoint per round with
+    * superseded blocks freed. Per-round cost: one |E| join against
+    * the |V| label frame, one (node, label) hash aggregate, one
+    * per-node window pick — every exchange ∝ |E|, never re-derived
+    * input. At 100 TB-derived graphs: rounds × edge-sized exchanges,
+    * the same envelope as the components loop; the window partitions
+    * by node, so hub skew bounds a task at one node's distinct
+    * neighbor-label count, not its degree. */
+  def labelPropagation(edges0: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges0.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val edges = edges0.select(col("src"), col("dst"))
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var (labels, labelIds) = Dedup.checkpointTracked(
+      edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lab")))
+    for (_ <- 1 to rounds) {
+      val picked = edges
+        .join(labels, col("dst") === col("node")).drop("node")
+        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("c").desc, col("lab"))))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("lab"))
+      val (next, nextIds) = Dedup.checkpointTracked(
+        // no-neighbor nodes keep their previous label
+        labels.select(col("node"), col("lab").as("prev"))
+          .join(picked.select(col("node"), col("lab").as("picked")), Seq("node"), "left")
+          .select(col("node"), coalesce(col("picked"), col("prev")).as("lab")))
+      Dedup.freeBlocks(spark, labelIds)
+      labels = next; labelIds = nextIds
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Community detection on the supplier co-order graph: each node's
+    * LPA community label (= a member node id) and the community size
+    * — the mesoscale structure next to 5e's exact components and 5g's
+    * density cores. The DuckDB twin unrolls exactly [[LpaRounds]]
+    * label frames; every CTE is MATERIALIZED (the `graph_kcore`
+    * lesson: each round references the previous one twice). */
+  def graphLpa(spark: SparkSession, dir: String): DataFrame = {
+    val co = coOrderEdges(spark, dir)
+    val sym = co
+      .unionAll(co.select(col("s2").as("s1"), col("s1").as("s2")))
+      .select(col("s1").as("src"), col("s2").as("dst"))
+    val labels = labelPropagation(sym, LpaRounds)
+      .select(col("node"), col("lab").as("community"))
+    val sizes = labels.groupBy(col("community")).agg(count(lit(1)).as("community_size"))
+    labels.join(broadcast(sizes), "community") // |V| rows — always broadcastable
+      .select(col("node"), col("community"), col("community_size"))
+      .orderBy(col("node"))
+  }
+
+  private val graphLpaSql = {
+    val roundCtes = (1 to LpaRounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT a.node, coalesce(p.lab, a.lab) AS lab
+         |  FROM l${r - 1} a LEFT JOIN (
+         |    SELECT node, lab FROM (
+         |      SELECT e.src AS node, x.lab, count(*) AS c,
+         |        row_number() OVER (PARTITION BY e.src
+         |          ORDER BY count(*) DESC, x.lab) AS rn
+         |      FROM sym e JOIN l${r - 1} x ON e.dst = x.node
+         |      GROUP BY e.src, x.lab)
+         |    WHERE rn = 1) p ON a.node = p.node)""".stripMargin
+    }.mkString(",\n")
+    val coMat = coOrderSqlCtes
+      .replace("li AS (", "li AS MATERIALIZED (")
+      .replace("co AS (", "co AS MATERIALIZED (")
+    s"""WITH $coMat,
+       |sym AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM co
+       |  UNION ALL SELECT s2, s1 FROM co),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM sym),
+       |$roundCtes
+       |SELECT node, lab AS community,
+       |  count(*) OVER (PARTITION BY lab) AS community_size
+       |FROM l$LpaRounds
+       |ORDER BY node""".stripMargin
+  }
+
   private val graphTrianglesSql =
     s"""WITH $coOrderSqlCtes,
       |tri AS (
@@ -805,5 +909,6 @@ object MrCore {
     QueryDef("graph_bfs", graphBfs _, Some(graphBfsSql)),
     QueryDef("graph_cc", graphCc _, Some(graphCcSql)),
     QueryDef("graph_links", graphLinks _, Some(graphLinksSql)),
-    QueryDef("graph_kcore", graphKcore _, Some(graphKcoreSql)))
+    QueryDef("graph_kcore", graphKcore _, Some(graphKcoreSql)),
+    QueryDef("graph_lpa", graphLpa _, Some(graphLpaSql)))
 }

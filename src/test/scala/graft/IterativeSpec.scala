@@ -154,6 +154,22 @@ class IterativeSpec extends SparkSpec {
     CacheHygiene.sweep(spark)
   }
 
+  test("label propagation: two bridged triangles resolve to two communities") {
+    val s = spark
+    import s.implicits._
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4: hand-unrolled
+    // synchronous rounds with the min-label tie-break converge to
+    // community 1 (left) and community 3 (right) by round 4
+    val co = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("s1", "s2")
+    val sym = co.unionAll(co.select(col("s2").as("s1"), col("s1").as("s2")))
+      .select(col("s1").as("src"), col("s2").as("dst"))
+    val got = MrCore.labelPropagation(sym, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    CacheHygiene.sweep(spark)
+  }
+
   test("graph_cc: labels are component minima with consistent sizes") {
     val df = MrCore.graphCc(spark, sf).persist()
     try {
