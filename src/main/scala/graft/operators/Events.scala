@@ -1054,6 +1054,50 @@ object Events {
        |FROM edges
        |ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------- event paths
+  /** Output bound for [[qEventPaths]]: the top sequences — path
+    * mining is a reporting surface, so the consumer wants a ranked
+    * shortlist and the bound keeps output independent of corpus
+    * size. */
+  private val EventPathTopK = 25
+
+  /** Top length-3 event paths (the sequential-pattern extension of
+    * [[qEventTransitions]]'s bigram matrix — SPAM/PrefixSpan-style
+    * contiguous patterns at fixed length, the form one window pass
+    * can mine): per user, every consecutive (step1, step2, step3)
+    * triple in event-time order, counted corpus-wide, top-25 by
+    * (count, path). The double lead() rides ONE user_id exchange —
+    * the same window as the bigram operator, so path length extends
+    * cost-free to any fixed k; counts are integers (cross-engine
+    * exact) and the shortlist is a TakeOrdered, no global sort. */
+  def qEventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("step2", lead(col("event_type"), 1).over(w))
+      .withColumn("step3", lead(col("event_type"), 2).over(w))
+      .filter(col("step3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(EventPathTopK)
+  }
+
+  private val qEventPathsSql =
+    s"""WITH seq AS (
+       |  SELECT event_type AS step1,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS step2,
+       |    lead(event_type, 2) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS step3
+       |  FROM events)
+       |SELECT step1, step2, step3, count(*) AS n
+       |FROM seq WHERE step3 IS NOT NULL
+       |GROUP BY 1, 2, 3
+       |ORDER BY n DESC, step1, step2, step3
+       |LIMIT $EventPathTopK""".stripMargin
+
   // ---------------------------------------------------------------- table diff
   /** Snapshot instants for [[qTableDiff]] (UTC epoch-micros): the
     * corpus spans Jan 2024, so T1 mid-month / T2 near the end give
@@ -1222,6 +1266,7 @@ object Events {
     QueryDef("q_table_diff", qTableDiff _, Some(qTableDiffSql)),
     QueryDef("q_event_transitions", qEventTransitions _,
       Some(qEventTransitionsSql)),
+    QueryDef("q_event_paths", qEventPaths _, Some(qEventPathsSql)),
     QueryDef("q_json", qJson _, Some(qJsonSql)),
     QueryDef("q_tumbling_window", qTumblingWindow _, Some(qTumblingWindowSql)),
     QueryDef("q_ohlc_bars", qOhlcBars _, Some(qOhlcBarsSql)),

@@ -586,8 +586,53 @@ object Relational {
        |GROUP BY user_id, c_mktsegment
        |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- period movers
+  /** Output bound for [[qPeriodMovers]]: movers are a reporting
+    * shortlist; the bound keeps output independent of part count. */
+  private val MoversTopK = 15
+
+  /** Period-over-period mover detection — the month-on-month revenue
+    * delta per part, top movers by absolute change: the classic OLAP
+    * "what changed" report. Both periods come out of ONE aggregate
+    * pass (CASE-split [[dsum]]s — no self-join on the period offset,
+    * no second fact scan); the delta subtracts two already-exact
+    * rounded doubles, abs is sign-exact, ties break on the part key.
+    * One fact exchange; at 100 TB the shipdate filter prunes the
+    * scan to the two months before anything shuffles. */
+  def qPeriodMovers(spark: SparkSession, dir: String): DataFrame = {
+    val aug = col("l_shipdate") >= lit("1997-08-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1997-09-01").cast("timestamp")
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-08-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(
+        dsum(when(aug, vol).otherwise(lit(0.0))).as("rev_prev"),
+        dsum(when(!aug, vol).otherwise(lit(0.0))).as("rev_curr"))
+      .withColumn("delta", col("rev_curr") - col("rev_prev"))
+      .orderBy(abs(col("delta")).desc, col("p_partkey"))
+      .limit(MoversTopK)
+  }
+
+  private val qPeriodMoversSql =
+    s"""WITH m AS (
+       |  SELECT l_partkey AS p_partkey,
+       |    ${dsumSql("CASE WHEN l_shipdate < timestamp '1997-09-01' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", "rev_prev")},
+       |    ${dsumSql("CASE WHEN l_shipdate >= timestamp '1997-09-01' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", "rev_curr")}
+       |  FROM lineitem
+       |  WHERE l_shipdate >= timestamp '1997-08-01'
+       |    AND l_shipdate < timestamp '1997-10-01'
+       |  GROUP BY l_partkey)
+       |SELECT p_partkey, rev_prev, rev_curr,
+       |  rev_curr - rev_prev AS delta
+       |FROM m
+       |ORDER BY abs(rev_curr - rev_prev) DESC, p_partkey
+       |LIMIT $MoversTopK""".stripMargin
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_period_movers", qPeriodMovers _, Some(qPeriodMoversSql)),
     QueryDef("q_join_skew_salted", qJoinSkewSalted _, Some(qJoinSkewSaltedSql)),
     QueryDef("q1_pricing_summary", q1PricingSummary _, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3ShippingPriority _, Some(q3Sql)),
