@@ -2190,8 +2190,104 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- MMR rerank
+  /** MMR parameters of the registered `ann_mmr`: shortlist size,
+    * final k, and the relevance/diversity trade λ (0.7 = the common
+    * retrieval default — mostly relevance, enough diversity pressure
+    * to break up near-duplicate runs). */
+  private val MmrShortlist = 20
+  private val MmrK = 10
+  private val MmrLambda = 0.7
+
+  /** One MMR candidate: relevance to the query plus the raw vector
+    * for pairwise diversity scoring inside the greedy. */
+  private[graft] case class MmrCand(
+    qId: Long, vecId: Long, rel: Double, v: Seq[Double], nrm: Double)
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998): greedily pick k of a shortlist maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s) — the diversity
+    * pass retrieval stacks run so the context window isn't spent on
+    * near-duplicates of one hit (for training data: diverse
+    * negatives / diverse few-shot pools). Greedy selection is
+    * inherently sequential IN k, so it runs per query group over the
+    * BOUNDED shortlist (≤ [[MmrShortlist]] rows — memory and work
+    * O(S·k·dim) per group, embarrassingly parallel across queries;
+    * the kernel the 100 TB path feeds from any distributed shortlist
+    * tier: bruteforce here, IVF/SQ/PQ at scale). Rows-only by
+    * declared design: the selection DEPENDS on unrounded float
+    * comparisons at every step, so a SQL twin could flip a whole
+    * suffix of picks on one ulp — the spec pins the semantics
+    * instead (λ=1 ⇔ relevance order; a planted near-dup pair splits;
+    * exact ties break on vec_id).
+    *
+    * Determinism: rel and pairwise cosines use the same pinned
+    * left-to-right fold as every vector kernel (driver-side
+    * [[driverNorm]] discipline); ties pick the smallest vec_id. */
+  private[graft] def mmrSelect(
+      cands: Seq[MmrCand], lambda: Double, k: Int): Seq[(MmrCand, Double, Int)] = {
+    def cos(a: MmrCand, b: MmrCand): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.v.length) { s += a.v(i) * b.v(i); i += 1 }
+      val d = a.nrm * b.nrm
+      if (d == 0.0) 0.0 else s / d
+    }
+    val pool = scala.collection.mutable.ArrayBuffer(
+      cands.sortBy(_.vecId): _*) // stable deterministic scan order
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(MmrCand, Double, Int)]
+    var rank = 1
+    while (rank <= k && pool.nonEmpty) {
+      var bestIdx = -1; var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < pool.length) {
+        val c = pool(i)
+        val div = if (picked.isEmpty) 0.0
+          else picked.iterator.map(p => cos(c, p._1)).max
+        val score = lambda * c.rel - (1.0 - lambda) * div
+        // strict > + vecId-ascending scan order = min-id tie-break
+        if (score > bestScore) { bestScore = score; bestIdx = i }
+        i += 1
+      }
+      picked += ((pool.remove(bestIdx), bestScore, rank))
+      rank += 1
+    }
+    picked.toSeq
+  }
+
+  /** Registered query: bruteforce cosine shortlist (top
+    * [[MmrShortlist]] per query, the [[annBruteforce]] plan) → MMR
+    * to [[MmrK]] at λ = [[MmrLambda]]. Output: per query the MMR
+    * rank, the kept neighbor, its relevance, and the marginal score
+    * it was picked at (both rounded once, selection on unrounded). */
+  def annMmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vecs(spark, dir)
+    val w = Window.partitionBy(col("qId")).orderBy(col("cos").desc, col("vec_id"))
+    val shortlist = e.join(broadcast(
+        e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("qId"), col("v").as("qv"), col("nrm").as("qn"))),
+        col("vec_id") =!= col("qId"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= MmrShortlist)
+      .select(col("qId"), col("vec_id").as("vecId"), col("cos").as("rel"),
+        col("v"), col("nrm"))
+      .as[MmrCand]
+    shortlist.groupByKey(_.qId)
+      .flatMapGroups { (qid, it) =>
+        mmrSelect(it.toSeq, MmrLambda, MmrK).map { case (c, score, rank) =>
+          (qid, rank, c.vecId, c.rel, score)
+        }
+      }
+      .toDF("q_id", "mmr_rank", "neighbor_id", "rel_raw", "score_raw")
+      .select(col("q_id"), col("mmr_rank"), col("neighbor_id"),
+        rnd(col("rel_raw"), 6).as("rel"), rnd(col("score_raw"), 6).as("mmr_score"))
+      .orderBy(col("q_id"), col("mmr_rank"))
+  }
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ann_mmr", annMmr _, None), // rows-only: see annMmr scaladoc
     QueryDef("ann_sq", annSq _, Some(annSqSql)),
     QueryDef("ann_ivfsq", annIvfSq _, Some(annIvfSqSql)),
     QueryDef("pipeline_hard_negatives", pipelineHardNegatives _,

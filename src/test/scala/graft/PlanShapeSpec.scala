@@ -148,6 +148,8 @@ class PlanShapeSpec extends SparkSpec {
     "ann_bruteforce", "ann_bruteforce_agg", "ann_ivf", "ann_ivf_trained", "ann_kmeans",
     "ann_mips",                           // ann_bruteforce's broadcast theta-join
                                           // with the raw dot as the score
+    "ann_mmr",                            // the same bruteforce shortlist feeds
+                                          // the per-query MMR greedy
     "ann_range_search",                   // broadcast query set, pure selection scan
     "ann_pq",                             // broadcast query set, codes-only corpus side
     "ann_ivfpq",                          // broadcast centroid + query sets,

@@ -788,4 +788,60 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(curve(2) >= 0.8, s"MIPS-IVF recall floor: nprobe=2 got ${curve(2)}")
     assert(curve(4) >= curve(2), "recall must be monotone in nprobe")
   }
+
+  test("MMR: lambda=1 reduces to pure relevance order") {
+    import graft.operators.Similarity.{MmrCand, mmrSelect}
+    val cands = Seq(
+      MmrCand(0L, 10L, 0.9, Seq(1.0, 0.0), 1.0),
+      MmrCand(0L, 11L, 0.7, Seq(0.0, 1.0), 1.0),
+      MmrCand(0L, 12L, 0.8, Seq(1.0, 1.0), math.sqrt(2)),
+      MmrCand(0L, 13L, 0.6, Seq(-1.0, 0.0), 1.0))
+    val picks = mmrSelect(cands, lambda = 1.0, k = 3).map(_._1.vecId)
+    assert(picks == Seq(10L, 12L, 11L), s"got $picks")
+  }
+
+  test("MMR: a near-duplicate of the top hit yields to a diverse lower-rel candidate") {
+    import graft.operators.Similarity.{MmrCand, mmrSelect}
+    // A and A' are the two most relevant but nearly identical;
+    // B is clearly different. Pure top-2 = {A, A'}; MMR at
+    // lambda=0.5 pays cos(A,A')~1 and takes B instead.
+    val a  = MmrCand(0L, 10L, 0.95, Seq(1.0, 0.01), driverNormOf(Seq(1.0, 0.01)))
+    val a2 = MmrCand(0L, 11L, 0.94, Seq(1.0, 0.00), 1.0)
+    val b  = MmrCand(0L, 12L, 0.80, Seq(0.0, 1.00), 1.0)
+    val picks = mmrSelect(Seq(a, a2, b), lambda = 0.5, k = 2).map(_._1.vecId)
+    assert(picks == Seq(10L, 12L), s"got $picks")
+    // and the marginal score of the second pick reflects the diversity term
+    val scores = mmrSelect(Seq(a, a2, b), lambda = 0.5, k = 3)
+    assert(scores.map(_._3) == Seq(1, 2, 3))
+  }
+
+  test("MMR: exact ties break on the smallest vec_id") {
+    import graft.operators.Similarity.{MmrCand, mmrSelect}
+    val t1 = MmrCand(0L, 21L, 0.5, Seq(1.0, 0.0), 1.0)
+    val t2 = MmrCand(0L, 20L, 0.5, Seq(1.0, 0.0), 1.0)
+    val picks = mmrSelect(Seq(t1, t2), lambda = 1.0, k = 2).map(_._1.vecId)
+    assert(picks == Seq(20L, 21L))
+  }
+
+  test("ann_mmr: k rows per query, rank-1 is the relevance argmax, picks come from the shortlist") {
+    val out = graft.operators.Similarity.annMmr(spark, sf).collect()
+    val brute = graft.operators.Similarity.annBruteforce(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 10, s"query $q: expected k=10 rows")
+      assert(rows.map(_.getAs[Int]("mmr_rank")).sorted.toSeq == (1 to 10))
+      // rank 1 has no diversity term: it is the pure relevance argmax,
+      // which bruteforce rank 1 also is
+      val top = rows.minBy(_.getAs[Int]("mmr_rank"))
+      val bTop = brute(q).minBy(_.getAs[Int]("rank"))
+      assert(top.getAs[Long]("neighbor_id") == bTop.getAs[Long]("neighbor_id"),
+        s"query $q: MMR rank-1 must equal the cosine argmax")
+    }
+    CacheHygiene.sweep(spark)
+  }
+
+  private def driverNormOf(v: Seq[Double]): Double =
+    graft.operators.Similarity.driverNorm(v)
 }
