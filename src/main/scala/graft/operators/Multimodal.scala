@@ -626,7 +626,97 @@ object Multimodal {
              "sqrt(cast(q.ssq as double) / q.n)", 6)} AS rms
       |FROM d JOIN q USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- scene cut
+  /** Frame size of [[mmSceneCut]] in hex chars (= 64 payload bytes,
+    * matching [[mmFrameSample]]'s chunk). */
+  private val SceneFrameHex = 128
+
+  /** Scene-cut detection over opaque media payloads — the maximal
+    * content transition per document: payload → 64-byte frames →
+    * 16-bin high-nibble byte histogram per frame (INTEGER counts, the
+    * [[featureBatch]] signature made SQL-expressible by counting hex
+    * digits) → L1 distance to the previous frame → per document the
+    * frame with the LARGEST transition (ties to the earliest frame)
+    * plus the frame count. Argmax instead of a threshold: a cut
+    * threshold needs per-corpus calibration, where the maximal
+    * transition is well-defined and non-degenerate on any corpus —
+    * the downstream consumer thresholds on `cut_l1` itself.
+    * Documents under two frames carry no transition and are absent.
+    *
+    * Everything is integer arithmetic (histogram counts, |a−b| sums),
+    * so the oracle is exact. Plan: per-row projections (hex, frame
+    * explode, nibble counts) — one narrow pass ∝ payload bytes; the
+    * lag and argmax windows both partition on doc_id, ONE exchange;
+    * a real codec drops in by replacing the histogram column with
+    * [[featureBatch]]'s decoded form (the spec ties the two). */
+  def mmSceneCut(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ONE codegen'd pass over the raw payload bytes per document
+    // (graft.functions.MediaFunctions.NibbleHistFrames): the string
+    // forms of this derivation (hex → nibble-strip → chunk split →
+    // 16 translate/regex scans per frame) measured 14-18 s at sf1,
+    // allocation-bound at ~17 intermediate strings per frame; the
+    // native expression allocates exactly the output arrays
+    val hist = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.MediaFunctions.nibbleHistFrames(
+          encode(col("text"), "UTF-8"), SceneFrameHex / 2).as("hvs"))
+      .select(col("doc_id"), posexplode(col("hvs")))
+      .toDF("doc_id", "frame_no", "hv")
+    val wLag = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    val l1 = hist
+      .withColumn("ph", lag(col("hv"), 1).over(wLag))
+      .filter(col("ph").isNotNull)
+      .select(col("doc_id"), col("frame_no"),
+        aggregate(zip_with(col("hv"), col("ph"), (a, b) => abs(a - b)),
+          lit(0), (acc, x) => acc + x).cast("long").as("dist"))
+    val wPick = Window.partitionBy(col("doc_id"))
+      .orderBy(col("dist").desc, col("frame_no"))
+    l1
+      .withColumn("rn", row_number().over(wPick))
+      .withColumn("n_frames",
+        (count(lit(1)).over(Window.partitionBy(col("doc_id"))) + 1).cast("long"))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_frames"),
+        col("frame_no").as("cut_frame"), col("dist").as("cut_l1"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmSceneCutSql =
+    s"""WITH hx AS (
+       |  SELECT doc_id, hex(cast(text AS blob)) AS h FROM documents),
+       |fr AS (
+       |  SELECT doc_id, cast(f AS int) AS frame_no,
+       |    regexp_replace(substring(h, cast(f AS int) * $SceneFrameHex + 1,
+       |      $SceneFrameHex), '(.).', '\\1', 'g') AS hi
+       |  FROM hx, unnest(range(0,
+       |    cast(ceil(length(h) / $SceneFrameHex.0) AS bigint))) AS t(f)),
+       |hist AS (
+       |  SELECT doc_id, frame_no,
+       |    list_transform(range(0, 16), i ->
+       |      length(hi) - length(replace(hi,
+       |        substring('0123456789ABCDEF', cast(i AS int) + 1, 1), ''))) AS hv
+       |  FROM fr),
+       |d AS (
+       |  SELECT doc_id, frame_no, hv,
+       |    lag(hv) OVER (PARTITION BY doc_id ORDER BY frame_no) AS ph
+       |  FROM hist),
+       |l1 AS (
+       |  SELECT doc_id, frame_no,
+       |    cast(list_sum(list_transform(range(1, 17),
+       |      j -> abs(hv[cast(j AS int)] - ph[cast(j AS int)]))) AS bigint) AS dist
+       |  FROM d WHERE ph IS NOT NULL),
+       |pick AS (
+       |  SELECT doc_id, frame_no AS cut_frame, dist AS cut_l1,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY dist DESC, frame_no) AS rn,
+       |    count(*) OVER (PARTITION BY doc_id) + 1 AS n_frames
+       |  FROM l1)
+       |SELECT doc_id, cast(n_frames AS bigint) AS n_frames, cut_frame, cut_l1
+       |FROM pick WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("mm_scene_cut", mmSceneCut _, Some(mmSceneCutSql)),
     QueryDef("mm_binary_meta", mmBinaryMeta _, Some(mmBinaryMetaSql)),
     QueryDef("mm_audio_meta", mmAudioMeta _, Some(mmAudioMetaSql)),
     QueryDef("mm_frame_sample", mmFrameSample _, Some(mmFrameSampleSql)),

@@ -400,4 +400,42 @@ class SourcesSpec extends SparkSpec {
     assert(win(1).rms == 0.0)
     assert(win(2).rms == 500.0)
   }
+
+  test("NibbleHistFrames: exact per-frame high-nibble counts, partial tail, codegen == eval") {
+    import graft.functions.MediaFunctions
+    val s = spark
+    import s.implicits._
+    // payload bytes 0x00..0xFF at frameBytes=16: frame f holds the 16
+    // bytes with high nibble f, so its histogram is 16 at bin f
+    val full = (0 until 256).map(_.toByte).toArray
+    // 70 bytes at frameBytes=64: frames of 64 and 6 bytes
+    val partial = Array.fill[Byte](70)(0x7f.toByte)
+    val df = Seq((1L, full, 16), (2L, partial, 64)).toDF("id", "payload", "fb")
+    val got16 = df.filter(col("id") === 1L)
+      .select(MediaFunctions.nibbleHistFrames(col("payload"), 16).as("h"))
+      .head.getSeq[scala.collection.Seq[Int]](0)
+    assert(got16.length == 16)
+    got16.zipWithIndex.foreach { case (h, f) =>
+      assert(h.zipWithIndex.forall { case (c, b) => c == (if (b == f) 16 else 0) },
+        s"frame $f histogram wrong: $h")
+    }
+    val got70 = df.filter(col("id") === 2L)
+      .select(MediaFunctions.nibbleHistFrames(col("payload"), 64).as("h"))
+      .head.getSeq[scala.collection.Seq[Int]](0)
+    assert(got70.length == 2)
+    assert(got70(0)(7) == 64 && got70(0).sum == 64)
+    assert(got70(1)(7) == 6 && got70(1).sum == 6)
+    // interpreted eval path agrees with the codegen'd DataFrame path
+    val ev = MediaFunctions.NibbleHistFrames(
+      org.apache.spark.sql.catalyst.expressions.Literal(full),
+      16).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(ev.numElements == 16)
+    val first = ev.getArray(0)
+    assert((0 until 16).map(first.getInt) == got16.head.toSeq)
+    // empty payload: zero frames (the posexplode drops the doc)
+    val empty = Seq((3L, Array.empty[Byte])).toDF("id", "payload")
+      .select(MediaFunctions.nibbleHistFrames(col("payload"), 64).as("h"))
+      .head.getSeq[scala.collection.Seq[Int]](0)
+    assert(empty.isEmpty)
+  }
 }
