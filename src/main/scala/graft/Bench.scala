@@ -439,7 +439,10 @@ object Bench {
       drive[StreamingJobs.CusumEv]("stream_cusum",
         cdcEvs.map(e => StreamingJobs.CusumEv(e.user_id, e.event_id, e.us,
           math.floor(e.value * 1e6 + 0.5).toLong)),
-        ds => StreamingJobs.cusumStream(ds, mu0Micro = 35000000L).toDF()))
+        ds => StreamingJobs.cusumStream(ds, mu0Micro = 35000000L).toDF()),
+      drive[(Long, String)]("stream_scene_cut", docs,
+        ds => StreamingJobs.sceneCutStream(ds.toDF("doc_id", "text"),
+          encode(col("text"), "UTF-8"))))
     evalNgrams.unpersist()
     parts
   }

@@ -644,43 +644,54 @@ object Multimodal {
     * Documents under two frames carry no transition and are absent.
     *
     * Everything is integer arithmetic (histogram counts, |a−b| sums),
-    * so the oracle is exact. Plan: per-row projections (hex, frame
-    * explode, nibble counts) — one narrow pass ∝ payload bytes; the
-    * lag and argmax windows both partition on doc_id, ONE exchange;
-    * a real codec drops in by replacing the histogram column with
-    * [[featureBatch]]'s decoded form (the spec ties the two). */
-  def mmSceneCut(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // ONE codegen'd pass over the raw payload bytes per document
-    // (graft.functions.MediaFunctions.NibbleHistFrames): the string
-    // forms of this derivation (hex → nibble-strip → chunk split →
-    // 16 translate/regex scans per frame) measured 14-18 s at sf1,
-    // allocation-bound at ~17 intermediate strings per frame; the
-    // native expression allocates exactly the output arrays
-    val hist = Tables.documents(spark, dir)
+    * so the oracle is exact; a real codec drops in by replacing the
+    * histogram column with [[featureBatch]]'s decoded form.
+    *
+    * The scene-cut computation is a PURE PER-ROW projection over any
+    * (doc_id, payload binary) frame: ONE codegen'd pass over the raw
+    * payload bytes (graft.functions.MediaFunctions.NibbleHistFrames —
+    * the string forms of this derivation measured 14-18 s at sf1,
+    * allocation-bound at ~17 intermediate strings per frame), then
+    * the L1 lag sequence and the argmax both fold over the in-row
+    * histogram array with HOFs. A document's frames never leave its
+    * row, so the operator is ZERO-EXCHANGE in batch (the registered
+    * query's orderBy is oracle-compare support) and append-legal on a
+    * stream ([[graft.streaming.StreamingJobs.sceneCutStream]] is this
+    * same projection at the stream head). The (dist, −frame) struct
+    * max picks the largest transition with ties to the EARLIEST
+    * frame; `when(n ≥ 2, …)` guards the fold on short docs (Spark's
+    * sequence would descend and ANSI element_at would throw). */
+  def sceneCutFrameCols(docs: DataFrame, payload: org.apache.spark.sql.Column): DataFrame = {
+    // hvs is BOUND to a named column before the HOF folds reference
+    // it: embedding the expression inside the lambda bodies would
+    // re-run the payload pass per element (measured 3.6 s vs 1.1 s at
+    // sf1 — lambda bodies sit outside codegen subexpression
+    // elimination); CollapseProject keeps the split because the alias
+    // is referenced more than once and is non-cheap
+    val hvs = col("hvs")
+    val n = size(hvs)
+    val picks = transform(sequence(lit(1), n - 1), i =>
+      struct(
+        aggregate(zip_with(element_at(hvs, i + 1), element_at(hvs, i),
+            (a, b) => abs(a - b)),
+          lit(0), (acc, x) => acc + x).as("dist"),
+        (-i).as("negf")))
+    docs
+      .select(col("doc_id"), graft.functions.MediaFunctions
+        .nibbleHistFrames(payload, SceneFrameHex / 2).as("hvs"))
       .select(col("doc_id"),
-        graft.functions.MediaFunctions.nibbleHistFrames(
-          encode(col("text"), "UTF-8"), SceneFrameHex / 2).as("hvs"))
-      .select(col("doc_id"), posexplode(col("hvs")))
-      .toDF("doc_id", "frame_no", "hv")
-    val wLag = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
-    val l1 = hist
-      .withColumn("ph", lag(col("hv"), 1).over(wLag))
-      .filter(col("ph").isNotNull)
-      .select(col("doc_id"), col("frame_no"),
-        aggregate(zip_with(col("hv"), col("ph"), (a, b) => abs(a - b)),
-          lit(0), (acc, x) => acc + x).cast("long").as("dist"))
-    val wPick = Window.partitionBy(col("doc_id"))
-      .orderBy(col("dist").desc, col("frame_no"))
-    l1
-      .withColumn("rn", row_number().over(wPick))
-      .withColumn("n_frames",
-        (count(lit(1)).over(Window.partitionBy(col("doc_id"))) + 1).cast("long"))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("n_frames"),
-        col("frame_no").as("cut_frame"), col("dist").as("cut_l1"))
-      .orderBy(col("doc_id"))
+        when(n >= 2, struct(n.cast("long").as("n_frames"),
+          array_max(picks).as("best"))).as("c"))
+      .filter(col("c").isNotNull)
+      .select(col("doc_id"), col("c.n_frames"),
+        (-col("c.best.negf")).as("cut_frame"),
+        col("c.best.dist").cast("long").as("cut_l1"))
   }
+
+  def mmSceneCut(spark: SparkSession, dir: String): DataFrame =
+    sceneCutFrameCols(Tables.documents(spark, dir),
+      encode(col("text"), "UTF-8"))
+      .orderBy(col("doc_id"))
 
   private val mmSceneCutSql =
     s"""WITH hx AS (

@@ -501,6 +501,20 @@ object StreamingJobs {
   def qualityFilterStream(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.qualityRules(docs)
 
+  /** Ingest-time scene-cut detection — the batch
+    * [[graft.operators.Multimodal.sceneCutFrameCols]] projection
+    * (ONE shared kernel) applied at the stream head: every arriving
+    * media payload is stamped with its maximal frame transition
+    * before it is stored, so a curation rule can quarantine
+    * static/degenerate media on arrival. A document's frames never
+    * leave its row (the native NibbleHistFrames pass + in-row HOF
+    * folds), so this is a stateless per-row projection — no
+    * watermark, append-legal — and streamed == batch BIT-EQUAL by
+    * construction; StreamingSpec proves the plumbing. */
+  def sceneCutStream(docs: DataFrame,
+      payload: org.apache.spark.sql.Column): DataFrame =
+    graft.operators.Multimodal.sceneCutFrameCols(docs, payload)
+
   /** Ingest-time shard routing — the batch permutation's assignment
     * half ([[graft.operators.Pipelines.shardOf]], ONE shared hash
     * definition) applied at the stream head: every arriving document

@@ -550,6 +550,31 @@ class StreamingSpec extends SparkSpec {
       "gate must discriminate on the corpus")
   }
 
+  test("stream scene cut: streamed transitions equal the batch query bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val batch = graft.operators.Multimodal.mmSceneCut(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty)
+
+    val docs = Tables.documents(s, sf).select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("sc-in").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val src = s.readStream.schema(docs.schema).parquet(tmp)
+    val q = StreamingJobs.sceneCutStream(src, encode(col("text"), "UTF-8"))
+      .writeStream.format("memory").queryName("sc_out")
+      .outputMode("append") // stateless per-row projection: append-legal
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select doc_id, n_frames, cut_frame, cut_l1 from sc_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(streamed == batch,
+      "ingest-time scene cuts must equal the batch operator bit-for-bit")
+  }
+
   test("stream shard assign: routed shards equal the batch permutation's assignment") {
     val s = spark
     import s.implicits._
