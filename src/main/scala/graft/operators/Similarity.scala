@@ -2190,6 +2190,57 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- filtered search
+  /** Label predicate of the registered `ann_filtered` (~30% of the
+    * corpus — selective enough that post-filtering visibly starves). */
+  private val FilterLabels = Seq(2, 5, 7)
+
+  /** Metadata-filtered vector search — top-k among ONLY the corpus
+    * vectors whose label passes the predicate (the "filtered vector
+    * search" every production vector store exposes). This is
+    * PRE-filtering: the predicate cuts the candidate set before
+    * ranking, so every query gets its full k from the eligible set.
+    * The naive alternative — post-filtering an unfiltered top-k —
+    * silently returns FEWER than k whenever the neighborhood is
+    * dominated by excluded labels (the spec demonstrates the
+    * starvation on this corpus); that loss is exactly why stores
+    * implement the filter natively. Scale: the predicate is a plain
+    * pushed scan filter ahead of the broadcast theta-join here, and
+    * composes unchanged with the IVF tier (`ivfTopK` over the
+    * filtered frame — the spec proves full-probe parity with the
+    * exact form), where it prunes INSIDE probed partitions. */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    e.filter(col("label").isin(FilterLabels: _*))
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("label"),
+        col("rank"), rnd(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val annFilteredSql =
+    s"""WITH e AS ($vecsSql),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, e.label,
+       |    ${dotSql("q.qv", "e.v")} / (q.qn * e.nrm) AS cos
+       |  FROM e JOIN q ON e.vec_id <> q.q_id
+       |  WHERE e.label IN (${FilterLabels.mkString(", ")})),
+       |ranked AS (
+       |  SELECT q_id, vec_id, label, cos,
+       |    cast(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) as int) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id AS neighbor_id, label, rank,
+       |  ${rndSql("cos", 6)} AS cos_sim
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- MMR rerank
   /** MMR parameters of the registered `ann_mmr`: shortlist size,
     * final k, and the relevance/diversity trade λ (0.7 = the common
@@ -2287,6 +2338,7 @@ object Similarity {
 
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ann_filtered", annFiltered _, Some(annFilteredSql)),
     QueryDef("ann_mmr", annMmr _, None), // rows-only: see annMmr scaladoc
     QueryDef("ann_sq", annSq _, Some(annSqSql)),
     QueryDef("ann_ivfsq", annIvfSq _, Some(annIvfSqSql)),

@@ -150,6 +150,8 @@ class PlanShapeSpec extends SparkSpec {
                                           // with the raw dot as the score
     "ann_mmr",                            // the same bruteforce shortlist feeds
                                           // the per-query MMR greedy
+    "ann_filtered",                       // bruteforce theta-join over the
+                                          // label-filtered (pushed) scan
     "ann_range_search",                   // broadcast query set, pure selection scan
     "ann_pq",                             // broadcast query set, codes-only corpus side
     "ann_ivfpq",                          // broadcast centroid + query sets,

@@ -844,4 +844,27 @@ class SimilarityRecallSpec extends SparkSpec {
 
   private def driverNormOf(v: Seq[Double]): Double =
     graft.operators.Similarity.driverNorm(v)
+
+  test("ann_filtered: pre-filtering fills k where post-filtering starves; IVF full-probe parity") {
+    import graft.operators.Similarity
+    val pre = Similarity.annFiltered(spark, sf).collect()
+    val byQ = pre.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    // every neighbor passes the predicate and every query fills k
+    assert(pre.forall(r => Seq(2, 5, 7).contains(r.getAs[Int]("label"))))
+    assert(byQ.values.forall(_.length == 5), "pre-filtering must fill k per query")
+    // post-filtering the UNFILTERED top-k: some query comes up short —
+    // the starvation native filtered search exists to avoid
+    val post = Similarity.annBruteforce(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val postCounts = post.map { case (q, rows) =>
+      q -> rows.count(r => Seq(2, 5, 7).contains(e(r.getAs[Long]("neighbor_id"))))
+    }
+    assert(postCounts.values.exists(_ < 5),
+      s"corpus should exhibit post-filter starvation, got $postCounts")
+    CacheHygiene.sweep(spark)
+  }
 }
