@@ -343,6 +343,97 @@ object Events {
       |  FROM events GROUP BY user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Conversion-latency distribution by signup cohort — the companion
+    * report to [[qFunnel]]: for users whose first purchase follows
+    * their first signup, the signup→purchase delay, summarized per
+    * signup month as count / min / DISCRETE median / max. The median
+    * is an actual element picked by rank (row_number at (n+1)/2
+    * within the cohort) — no interpolation, so every output is exact
+    * long microseconds cross-engine. Scale: the per-user firsts are
+    * one map-side-combined aggregate; the rank window partitions on
+    * the cohort month, so state is one cohort's converters per task,
+    * and the summary aggregate reuses the same exchange. */
+  def qFunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("su"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("pu"))
+      .filter(col("pu") > col("su")) // converted: nulls fail the comparison
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("su")), "yyyy-MM").as("cohort"),
+        (col("pu") - col("su")).as("delta_us"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("delta_us"), col("user_id"))
+    firsts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("cohort"))))
+      .groupBy(col("cohort"))
+      .agg(
+        max(col("n")).as("n_converted"),
+        min(col("delta_us")).as("min_latency_us"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("delta_us")))
+          .as("median_latency_us"),
+        max(col("delta_us")).as("max_latency_us"))
+      .orderBy(col("cohort"))
+  }
+
+  private val qFunnelLatencySql =
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS su,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS pu
+      |  FROM events GROUP BY user_id),
+      |conv AS (
+      |  SELECT user_id, strftime(make_timestamp(su), '%Y-%m') AS cohort,
+      |    pu - su AS delta_us
+      |  FROM firsts WHERE pu > su),
+      |ranked AS (
+      |  SELECT cohort, user_id, delta_us,
+      |    row_number() OVER (PARTITION BY cohort
+      |      ORDER BY delta_us, user_id) AS rn,
+      |    count(*) OVER (PARTITION BY cohort) AS n
+      |  FROM conv)
+      |SELECT cohort,
+      |  max(n) AS n_converted,
+      |  min(delta_us) AS min_latency_us,
+      |  max(CASE WHEN rn = (n + 1) // 2 THEN delta_us END) AS median_latency_us,
+      |  max(delta_us) AS max_latency_us
+      |FROM ranked
+      |GROUP BY cohort
+      |ORDER BY cohort""".stripMargin
+
+  /** Daily user acquisition — new users (first-ever event that day)
+    * and the running total: the growth curve every product report
+    * starts from. Per-user first is one map-side-combined aggregate;
+    * the day rollup and the running sum operate on a DAYS-sized frame
+    * (bounded by the calendar, not the corpus), so the unpartitioned
+    * running window is a post-aggregate frame the driver could hold —
+    * the q_active_users discipline. Integer counts throughout. */
+  def qNewUsers(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"))
+      .select(date_format(timestamp_micros(col("first_us")), "yyyy-MM-dd").as("day"))
+    val daily = firstDay.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    daily
+      .withColumn("cum_users",
+        sum(col("new_users")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("day"))
+  }
+
+  private val qNewUsersSql =
+    """WITH fd AS (
+      |  SELECT strftime(make_timestamp(min(epoch_us(ts))), '%Y-%m-%d') AS day
+      |  FROM events GROUP BY user_id),
+      |daily AS (SELECT day, count(*) AS new_users FROM fd GROUP BY day)
+      |SELECT day, new_users,
+      |  cast(sum(new_users) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS cum_users
+      |FROM daily
+      |ORDER BY day""".stripMargin
+
   // ---------------------------------------------------------------- funnel steps
   /** K-step ORDERED funnel (signup → view → click → purchase) with
     * per-step conversion — the general form of `q_funnel`'s 2-step
@@ -1267,6 +1358,8 @@ object Events {
     QueryDef("q_event_transitions", qEventTransitions _,
       Some(qEventTransitionsSql)),
     QueryDef("q_event_paths", qEventPaths _, Some(qEventPathsSql)),
+    QueryDef("q_funnel_latency", qFunnelLatency _, Some(qFunnelLatencySql)),
+    QueryDef("q_new_users", qNewUsers _, Some(qNewUsersSql)),
     QueryDef("q_json", qJson _, Some(qJsonSql)),
     QueryDef("q_tumbling_window", qTumblingWindow _, Some(qTumblingWindowSql)),
     QueryDef("q_ohlc_bars", qOhlcBars _, Some(qOhlcBarsSql)),
