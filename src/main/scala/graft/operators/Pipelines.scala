@@ -1123,7 +1123,97 @@ object Pipelines {
        |FROM mixed GROUP BY source, lang
        |ORDER BY source, lang""".stripMargin
 
+  // ---------------------------------------------------------------- DQ audit
+  /** Data-quality constraint audit (the Deequ/dbt-test shape, Schelter
+    * et al. VLDB 2018): a declared check suite over the warehouse —
+    * referential integrity, key uniqueness, value ranges, null
+    * discipline — evaluated in one run, one row per check with its
+    * violation count and the row count it examined. The report a
+    * pipeline gates a publish on.
+    *
+    * Every check is independently shaped for scale: FK checks are
+    * LEFT ANTI counts (one shuffle each, the honest cost of
+    * referential integrity at 100 TB — or free where the layout
+    * bucketed both sides); uniqueness is a map-side-combined
+    * key-count aggregate billing `extra = n − 1` per duplicated key;
+    * range/null checks are pushed scan filters. All counts integer →
+    * exact oracle. The union is six 1-row frames. */
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    def check(name: String, violations: Column, examined: Column,
+        over: DataFrame): DataFrame =
+      over.agg(violations.cast("long").as("n_violations"),
+        examined.cast("long").as("n_rows"))
+        .select(lit(name).as("check"), col("n_violations"), col("n_rows"))
+    // FK checks report no examined-rows figure: the anti-join frame
+    // holds only the violations, and re-counting the full fact here
+    // would double its scan for a label
+    val fkLineOrder = check("lineitem_orderkey_fk",
+      count(lit(1)), lit(null),
+      li.join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti"))
+    val fkOrderCust = check("orders_custkey_fk",
+      count(lit(1)), lit(null),
+      ord.join(cust.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti"))
+    val uniq = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") - 1).cast("long").as("n_violations"),
+        count(lit(1)).cast("long").as("n_rows"))
+      .select(lit("lineitem_linenumber_unique").as("check"),
+        col("n_violations"), col("n_rows"))
+    val qtyRange = check("l_quantity_range_1_50",
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)), count(lit(1)), li)
+    val balNull = check("c_acctbal_not_null",
+      sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)), count(lit(1)), cust)
+    val dateBounds = check("o_orderdate_bounds",
+      sum(when(col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
+        col("o_orderdate") >= lit("2002-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)), count(lit(1)), ord)
+    fkLineOrder.unionAll(fkOrderCust).unionAll(uniq)
+      .unionAll(qtyRange).unionAll(balNull).unionAll(dateBounds)
+      .orderBy(col("check"))
+  }
+
+  private val dqAuditSql =
+    """SELECT * FROM (
+      |  SELECT 'lineitem_orderkey_fk' AS "check",
+      |    cast(count(*) AS bigint) AS n_violations,
+      |    cast(NULL AS bigint) AS n_rows
+      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  UNION ALL
+      |  SELECT 'orders_custkey_fk',
+      |    cast(count(*) AS bigint), cast(NULL AS bigint)
+      |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |  UNION ALL
+      |  SELECT 'lineitem_linenumber_unique',
+      |    cast(sum(n - 1) AS bigint), cast(count(*) AS bigint)
+      |  FROM (SELECT count(*) AS n FROM lineitem
+      |        GROUP BY l_orderkey, l_linenumber)
+      |  UNION ALL
+      |  SELECT 'l_quantity_range_1_50',
+      |    cast(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+      |      THEN 1 ELSE 0 END) AS bigint),
+      |    cast(count(*) AS bigint)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'c_acctbal_not_null',
+      |    cast(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS bigint),
+      |    cast(count(*) AS bigint)
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'o_orderdate_bounds',
+      |    cast(sum(CASE WHEN o_orderdate < timestamp '1990-01-01'
+      |      OR o_orderdate >= timestamp '2002-01-01' THEN 1 ELSE 0 END) AS bigint),
+      |    cast(count(*) AS bigint)
+      |  FROM orders)
+      |ORDER BY "check"""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("pipeline_dq_audit", dqAudit _, Some(dqAuditSql)),
     QueryDef("pipeline_curate_v2", pipelineCurateV2 _, Some(pipelineCurateV2Sql)),
     QueryDef("pipeline_training_data", trainingData _, Some(trainingDataSql)),
     QueryDef("pipeline_decontaminate", decontaminate _, Some(decontaminateSql)),
