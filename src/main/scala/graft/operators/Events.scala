@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.functions.CrossEngine.{dsum, dsumSql, rnd}
+import graft.functions.CrossEngine.{dsum, dsumSql, rnd, rndSql}
 
 /** Event / time-series analytics (SURVEY.md §2 C) plus JSON
   * extraction (§2 B #25). All session/funnel logic works on integer
@@ -433,6 +433,51 @@ object Events {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS cum_users
       |FROM daily
       |ORDER BY day""".stripMargin
+
+  /** Per-user maximum drawdown — the peak-to-trough depth of each
+    * user's value series (the risk metric finance runs on every
+    * series; for product metrics: the worst engagement sag).
+    * running_peak = running max over event time; drawdown = peak −
+    * value; the report keeps each user's worst drawdown and the peak
+    * it fell from. Determinism: running max PICKS existing doubles
+    * (no accumulation), the subtraction is one IEEE op on identical
+    * operands cross-engine, and the per-user argmax breaks ties on
+    * the earliest event — all window passes share ONE user_id
+    * exchange. */
+  def qDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.partitionBy(col("user_id"))
+      .orderBy(col("dd").desc, col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("peak", max(col("value")).over(wRun))
+      .withColumn("dd", col("peak") - col("value"))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), rnd(col("dd"), 2).as("max_drawdown"),
+        rnd(col("peak"), 2).as("peak_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val qDrawdownSql =
+    s"""WITH dd AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+       |    max(value) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+       |  FROM events),
+       |ranked AS (
+       |  SELECT user_id, peak, peak - value AS d,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY peak - value DESC, us, event_id) AS rn
+       |  FROM dd)
+       |SELECT user_id, ${rndSql("d", 2)} AS max_drawdown,
+       |  ${rndSql("peak", 2)} AS peak_value
+       |FROM ranked WHERE rn = 1
+       |ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------- funnel steps
   /** K-step ORDERED funnel (signup → view → click → purchase) with
@@ -1360,6 +1405,7 @@ object Events {
     QueryDef("q_event_paths", qEventPaths _, Some(qEventPathsSql)),
     QueryDef("q_funnel_latency", qFunnelLatency _, Some(qFunnelLatencySql)),
     QueryDef("q_new_users", qNewUsers _, Some(qNewUsersSql)),
+    QueryDef("q_drawdown", qDrawdown _, Some(qDrawdownSql)),
     QueryDef("q_json", qJson _, Some(qJsonSql)),
     QueryDef("q_tumbling_window", qTumblingWindow _, Some(qTumblingWindowSql)),
     QueryDef("q_ohlc_bars", qOhlcBars _, Some(qOhlcBarsSql)),
