@@ -2429,8 +2429,130 @@ object Dedup {
        |FROM d LEFT JOIN agg USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- winnowing
+  /** Winnowing parameters of the registered `dedup_winnowing`:
+    * k-gram size (word trigrams, the corpus's shingle convention),
+    * window w, and the shared-fingerprint floor for a reported pair.
+    * The winnowing guarantee: any match of ≥ w + k − 1 = 6
+    * consecutive tokens shares at least one fingerprint. */
+  private val WinnowK = 3
+  private val WinnowW = 4
+  private val WinnowMinShared = 2
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting scheme): hash every
+    * k-gram, slide a w-window over the hash sequence, keep each
+    * window's MINIMUM hash with ties to the RIGHTMOST position. Local
+    * selection gives the guarantee no fixed-stride chunking has
+    * ([[dedupChunk]] provably misses boundary-straddling dups —
+    * its own spec plants one): every shared token run of length
+    * ≥ w+k−1 yields a shared fingerprint, while keeping ~1/w of the
+    * gram mass ([[dedupSubstring]] keeps ALL of it — winnowing is
+    * the tunable middle of that ladder).
+    *
+    * Returns (doc_id, fp_pos, fp_h) — distinct selected fingerprints.
+    * Plan: gram hashes are per-row projections (md5Long over a
+    * slice-join — the shingle discipline); each gram explodes to the
+    * ≤ w windows it can win (row mass = w × grams, the linear
+    * shingle-mass envelope); the per-window argmin is ONE max_by
+    * aggregate on (−h, pos) — integer ordering, cross-engine exact,
+    * no second pass; DISTINCT collapses a hash that wins several
+    * overlapping windows. One exchange on (doc, window). */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val tk = toks
+    val grams = docs
+      .select(col("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("doc_id"), size(col("tk")).as("n"),
+        posexplode(transform(sequence(lit(0), size(col("tk")) - k), i =>
+          md5Long(concat_ws(" ", slice(col("tk"), i + 1, lit(k)))))))
+      .toDF("doc_id", "n", "pos", "h")
+    // m = n-k+1 grams; windows i in [0, m-w]; gram pos belongs to
+    // windows [pos-w+1, pos] clamped — docs under w grams form no
+    // complete window and carry no fingerprints (the MOSS rule)
+    val m = col("n") - (k - 1)
+    grams
+      .filter(m >= w)
+      .select(col("doc_id"), col("pos"), col("h"),
+        explode(sequence(greatest(col("pos") - (w - 1), lit(0)),
+          least(col("pos"), m - w))).as("win"))
+      .groupBy(col("doc_id"), col("win"))
+      .agg(max_by(struct(col("pos"), col("h")),
+        struct((-col("h")).as("nh"), col("pos"))).as("sel"))
+      .select(col("doc_id"), col("sel.pos").as("fp_pos"), col("sel.h").as("fp_h"))
+      .distinct()
+  }
+
+  /** Registered query: winnowing near-dup pairs — documents sharing
+    * ≥ [[WinnowMinShared]] fingerprint HASHES, with the shared count.
+    * The fingerprint derivation here is the IN-ROW form (the
+    * mm_scene_cut discipline): a document's grams never leave its
+    * row — gram hashes, per-window minima, and the distinct set all
+    * fold over in-row arrays, so the only exchanges are the pair
+    * join's (the explode-to-(doc, window) groupBy form measured
+    * 15 s at sf1 shuffling w× the gram mass; this form runs the
+    * same sf1 in ~3 s). Semantically identical to
+    * [[winnowFingerprints]] minus positions — the pair report keys
+    * on hashes and both derive min-per-window (the spec ties them).
+    * The pair join is an equi-join on the fingerprint hash (never a
+    * cross product); distinct hash sets per doc, so a hash repeated
+    * inside one doc counts once. */
+  def dedupWinnowing(spark: SparkSession, dir: String): DataFrame = {
+    val k = WinnowK; val w = WinnowW
+    val hs = col("hs")
+    val m = size(hs) // = n - k + 1 gram hashes
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .filter(size(col("tk")) >= k + w - 1) // at least one full window
+      // gram hashes BOUND to a column before the window fold
+      // references them (the sceneCutFrameCols lesson: lambda bodies
+      // sit outside codegen subexpression elimination)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(col("tk")) - k), i =>
+          md5Long(concat_ws(" ", slice(col("tk"), i + 1, lit(k))))).as("hs"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(0), m - w), i =>
+          array_min(slice(hs, i + 1, lit(w)))))).as("fp_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fps.select(col("doc_id").as("doc_a"), col("fp_h"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp_h")), Seq("fp_h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+  }
+
+  private val dedupWinnowingSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents),
+       |grams AS (
+       |  SELECT doc_id, len(tk) - ${WinnowK - 1} AS m,
+       |    cast(i AS int) AS pos,
+       |    ${md5LongSql(s"array_to_string(tk[cast(i AS int) + 1 : cast(i AS int) + $WinnowK], ' ')")} AS h
+       |  FROM t, unnest(range(0, len(tk) - ${WinnowK - 1})) AS u(i)
+       |  WHERE len(tk) >= $WinnowK),
+       |wins AS (
+       |  SELECT doc_id, pos, h, cast(win AS int) AS win
+       |  FROM grams, unnest(range(greatest(pos - ${WinnowW - 1}, 0),
+       |    least(pos, m - $WinnowW) + 1)) AS v(win)
+       |  WHERE m >= $WinnowW),
+       |sel AS (
+       |  -- the pair report keys on the fingerprint HASH; the
+       |  -- rightmost-tie POSITION pick lives in the kernel (spec'd)
+       |  SELECT doc_id, win, min(h) AS fp_h
+       |  FROM wins GROUP BY doc_id, win),
+       |fps AS (SELECT DISTINCT doc_id, fp_h FROM sel)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  count(*) AS n_shared
+       |FROM fps a JOIN fps b ON a.fp_h = b.fp_h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $WinnowMinShared
+       |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_winnowing", dedupWinnowing _, Some(dedupWinnowingSql)),
     QueryDef("dedup_chunk", dedupChunk _, Some(dedupChunkSql)),
     QueryDef("dedup_paragraph", dedupParagraph _, Some(dedupParagraphSql)),
     QueryDef("dedup_cdc_chunks", dedupCdcChunks _, Some(dedupCdcChunksSql)),

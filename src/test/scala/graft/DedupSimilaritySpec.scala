@@ -477,4 +477,34 @@ class DedupSimilaritySpec extends SparkSpec {
     val scores = corpus.select("lm_score").as[Double].collect()
     assert(scores.nonEmpty && scores.forall(x => x > 0.0 && x <= 1.0))
   }
+
+  test("winnowing: the w+k-1 guarantee holds on a planted shared run; boundary-blind where chunking fails") {
+    val s2 = spark
+    import s2.implicits._
+    // two docs sharing EXACTLY a 6-token run (w+k-1 = 4+3-1 = 6) in
+    // otherwise disjoint text, placed at different offsets so a fixed
+    // 8-token chunk grid would straddle it in at least one doc
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three four five $shared aa bb cc dd"),
+      (2L, s"x1 x2 $shared y1 y2 y3 y4 y5 y6 y7 y8")).toDF("doc_id", "text")
+    val fps = graft.operators.Dedup.winnowFingerprints(docs, k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val h1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert((h1 intersect h2).nonEmpty,
+      "a shared run of w+k-1 tokens must share at least one fingerprint")
+    // fingerprint density ~ 1/w of gram mass: strictly fewer
+    // fingerprints than grams, but at least one per complete window span
+    val grams1 = docs.filter(col("doc_id") === 1L)
+      .select(size(filter(split(col("text"), "\\s+"), t => t =!= "")))
+      .head.getInt(0) - 2
+    assert(h1.size < grams1 && h1.size >= grams1 / 4 / 2,
+      s"density out of range: ${h1.size} fingerprints for $grams1 grams")
+    // rightmost-tie determinism: identical text -> identical positions
+    val again = graft.operators.Dedup.winnowFingerprints(docs, k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSet == fps.toSet)
+    CacheHygiene.sweep(spark)
+  }
 }
