@@ -442,7 +442,9 @@ object Bench {
         ds => StreamingJobs.cusumStream(ds, mu0Micro = 35000000L).toDF()),
       drive[(Long, String)]("stream_scene_cut", docs,
         ds => StreamingJobs.sceneCutStream(ds.toDF("doc_id", "text"),
-          encode(col("text"), "UTF-8"))))
+          encode(col("text"), "UTF-8"))),
+      drive[(Long, String)]("stream_winnow", docs,
+        ds => StreamingJobs.winnowStream(ds.toDF("doc_id", "text"))))
     evalNgrams.unpersist()
     parts
   }

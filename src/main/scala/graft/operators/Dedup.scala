@@ -2497,11 +2497,16 @@ object Dedup {
     * The pair join is an equi-join on the fingerprint hash (never a
     * cross product); distinct hash sets per doc, so a hash repeated
     * inside one doc counts once. */
-  def dedupWinnowing(spark: SparkSession, dir: String): DataFrame = {
+  /** The in-row winnowing fingerprint projection over any (doc_id,
+    * text) frame — one row per (doc, distinct fingerprint hash).
+    * Stateless per-row (a document's grams never leave its row), so
+    * it runs unchanged at a stream head
+    * ([[graft.streaming.StreamingJobs.winnowStream]]). */
+  def winnowFingerprintHashes(docs: DataFrame): DataFrame = {
     val k = WinnowK; val w = WinnowW
     val hs = col("hs")
     val m = size(hs) // = n - k + 1 gram hashes
-    val fps = Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), toks.as("tk"))
       .filter(size(col("tk")) >= k + w - 1) // at least one full window
       // gram hashes BOUND to a column before the window fold
@@ -2513,6 +2518,10 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(transform(sequence(lit(0), m - w), i =>
           array_min(slice(hs, i + 1, lit(w)))))).as("fp_h"))
+  }
+
+  def dedupWinnowing(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFingerprintHashes(Tables.documents(spark, dir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fps.select(col("doc_id").as("doc_a"), col("fp_h"))
       .join(fps.select(col("doc_id").as("doc_b"), col("fp_h")), Seq("fp_h"))

@@ -515,6 +515,19 @@ object StreamingJobs {
       payload: org.apache.spark.sql.Column): DataFrame =
     graft.operators.Multimodal.sceneCutFrameCols(docs, payload)
 
+  /** Ingest-time winnowing fingerprints — the batch
+    * [[graft.operators.Dedup.winnowFingerprintHashes]] projection
+    * (ONE shared kernel) at the stream head: every arriving document
+    * is stamped with its MOSS fingerprint hashes, the rows an
+    * incremental near-dup index ingests (the `dedup_incremental`
+    * band-index pattern at winnowing granularity — the pair JOIN
+    * stays a batch/index concern; a stream only fingerprints).
+    * Stateless per-row in-row folds — no watermark, append-legal —
+    * so streamed == batch BIT-EQUAL by construction; StreamingSpec
+    * proves the plumbing. */
+  def winnowStream(docs: DataFrame): DataFrame =
+    graft.operators.Dedup.winnowFingerprintHashes(docs)
+
   /** Ingest-time shard routing — the batch permutation's assignment
     * half ([[graft.operators.Pipelines.shardOf]], ONE shared hash
     * definition) applied at the stream head: every arriving document

@@ -575,6 +575,29 @@ class StreamingSpec extends SparkSpec {
       "ingest-time scene cuts must equal the batch operator bit-for-bit")
   }
 
+  test("stream winnowing: streamed fingerprints equal the batch kernel bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(s, sf).select("doc_id", "text")
+    val batch = graft.operators.Dedup.winnowFingerprintHashes(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+    val tmp = java.nio.file.Files.createTempDirectory("win-in").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val src = s.readStream.schema(docs.schema).parquet(tmp)
+    val q = StreamingJobs.winnowStream(src)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append") // stateless per-row projection: append-legal
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select doc_id, fp_h from win_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      "ingest-time fingerprints must equal the batch kernel bit-for-bit")
+  }
+
   test("stream shard assign: routed shards equal the batch permutation's assignment") {
     val s = spark
     import s.implicits._
