@@ -630,8 +630,68 @@ object Relational {
        |ORDER BY abs(rev_curr - rev_prev) DESC, p_partkey
        |LIMIT $MoversTopK""".stripMargin
 
+  // ---------------------------------------------------------------- market basket
+  /** Output bound for [[qMarketBasket]]: affinity reports are ranked
+    * shortlists; the bound keeps output independent of catalog size. */
+  private val BasketTopK = 25
+
+  /** Market-basket affinity — the top part pairs co-purchased in one
+    * order, with support and lift (Agrawal & Srikant's association
+    * setting at the 2-itemset level — the shape one self-join can
+    * mine; deeper itemsets grow from these pairs): support = orders
+    * containing both, lift = P(ab)/(P(a)·P(b)) against independence.
+    * Plan: distinct (order, part) first (dedups multi-line parts),
+    * pair self-join on the ORDER key — pair mass ∝ Σ(parts/order)²,
+    * bounded by small baskets, the wedge-join envelope; per-part
+    * order counts broadcast back (|parts| rows); N is one collected
+    * scalar (the mr_pagerank bounded 1-row probe). Lift divides
+    * exact integer counts once and rounds once — deterministic. */
+  def qMarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = op.select(col("l_orderkey")).distinct().count() // 1 scalar
+    val partN = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .join(broadcast(partN.select(col("l_partkey").as("part_a"),
+        col("n_part").as("n_a"))), "part_a")
+      .join(broadcast(partN.select(col("l_partkey").as("part_b"),
+        col("n_part").as("n_b"))), "part_b")
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(BasketTopK)
+      .select(col("part_a"), col("part_b"), col("support"),
+        rnd(col("support").cast("double") * n /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+
+  private val qMarketBasketSql =
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+       |pn AS (SELECT l_partkey, count(*) AS n_part FROM op GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       |    count(*) AS support
+       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  ORDER BY support DESC, part_a, part_b
+       |  LIMIT $BasketTopK)
+       |SELECT part_a, part_b, support,
+       |  ${rndSql("cast(support AS double) * (SELECT n_orders FROM n) / (pa.n_part * pb.n_part)", 6)} AS lift
+       |FROM pairs
+       |JOIN pn pa ON part_a = pa.l_partkey
+       |JOIN pn pb ON part_b = pb.l_partkey
+       |ORDER BY support DESC, part_a, part_b""".stripMargin
+
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_market_basket", qMarketBasket _, Some(qMarketBasketSql)),
     QueryDef("q_period_movers", qPeriodMovers _, Some(qPeriodMoversSql)),
     QueryDef("q_join_skew_salted", qJoinSkewSalted _, Some(qJoinSkewSaltedSql)),
     QueryDef("q1_pricing_summary", q1PricingSummary _, Some(q1Sql)),
