@@ -479,6 +479,58 @@ object Events {
        |FROM ranked WHERE rn = 1
        |ORDER BY user_id""".stripMargin
 
+  /** Per-user inactivity profile — the churn-risk signal next to the
+    * acquisition curve (28e''): each user's LONGEST gap between
+    * consecutive events, when it started, and how many gaps exceeded
+    * a day. All integer microsecond arithmetic on one lag window +
+    * one aggregate, sharing the user_id exchange every events op
+    * uses; single-event users carry no gap and are absent (the
+    * funnel-latency convention). */
+  def qInactivity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("user_id"), col("prev_us"),
+        (col("us") - col("prev_us")).as("gap_us"))
+      // rank-pick (the q_funnel_latency discipline): the longest gap's
+      // row, ties to the EARLIEST start; the over-a-day tally rides
+      // the same user partition
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("gap_us").desc, col("prev_us"))))
+      .withColumn("n_gaps_over_day",
+        sum(when(col("gap_us") > 86400000000L, 1L).otherwise(0L))
+          .over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("gap_us").as("max_gap_us"),
+        col("prev_us").as("max_gap_start_us"), col("n_gaps_over_day"))
+      .orderBy(col("user_id"))
+  }
+
+  private val qInactivitySql =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_us,
+      |    epoch_us(ts) AS us
+      |  FROM events),
+      |gaps AS (
+      |  SELECT user_id, prev_us, us - prev_us AS gap_us
+      |  FROM g WHERE prev_us IS NOT NULL),
+      |ranked AS (
+      |  SELECT user_id, prev_us, gap_us,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY gap_us DESC, prev_us) AS rn,
+      |    cast(sum(CASE WHEN gap_us > 86400000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id) AS bigint) AS n_gaps_over_day
+      |  FROM gaps)
+      |SELECT user_id, gap_us AS max_gap_us, prev_us AS max_gap_start_us,
+      |  n_gaps_over_day
+      |FROM ranked WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- funnel steps
   /** K-step ORDERED funnel (signup → view → click → purchase) with
     * per-step conversion — the general form of `q_funnel`'s 2-step
@@ -1406,6 +1458,7 @@ object Events {
     QueryDef("q_funnel_latency", qFunnelLatency _, Some(qFunnelLatencySql)),
     QueryDef("q_new_users", qNewUsers _, Some(qNewUsersSql)),
     QueryDef("q_drawdown", qDrawdown _, Some(qDrawdownSql)),
+    QueryDef("q_inactivity", qInactivity _, Some(qInactivitySql)),
     QueryDef("q_json", qJson _, Some(qJsonSql)),
     QueryDef("q_tumbling_window", qTumblingWindow _, Some(qTumblingWindowSql)),
     QueryDef("q_ohlc_bars", qOhlcBars _, Some(qOhlcBarsSql)),
