@@ -334,8 +334,11 @@ object Bench {
     // time-ordered so the watermark advances realistically (an
     // unordered feed would mark most input late and GC it unprocessed)
     val evs = Tables.events(spark, sfDir)
-      .select(col("user_id"), unix_micros(col("ts")).as("us"))
-      .orderBy(col("us")).limit(200000)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      // event_id tiebreak: `us` alone has ties, so the 200k prefix
+      // (and every derived stream metric) must not flap across runs
+      .orderBy(col("us"), col("event_id")).limit(200000)
+      .select("user_id", "us")
       .as[StreamingJobs.Ev].collect().toSeq
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
@@ -397,7 +400,8 @@ object Bench {
     val cdcEvs = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), unix_micros(col("ts")).as("us"))
-      .orderBy(col("us")).limit(200000)
+      // (us, event_id) is a total order → deterministic 200k prefix
+      .orderBy(col("us"), col("event_id")).limit(200000)
       .as[StreamingJobs.CdcEv].collect().toSeq
 
     val parts = Seq(

@@ -67,4 +67,47 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Size-gated broadcast hint for dimension-shaped frames whose row
+    * count GROWS with scale factor — customer, supplier, part, and
+    * frames derived from them (per-part min tables, qualifying-supplier
+    * shortlists). This is the 100-TB contract for every OLAP join in
+    * the library:
+    *
+    *   - At the tested SFs these frames fit comfortably under
+    *     `spark.sql.autoBroadcastJoinThreshold`, so the hint fires and
+    *     the plans keep their broadcast joins (zero behavior change at
+    *     small scale).
+    *   - At cluster scale (TPC-H sf≈100k ⇒ customer ≈ 15 B rows) the
+    *     estimate exceeds the threshold, the hint is WITHHELD, and
+    *     AQE's runtime size-based planning picks the join strategy —
+    *     including demotion to sort-merge. A forced `broadcast()` hint
+    *     would DISABLE that demotion and turn the first TPC-H-shaped
+    *     query into an executor OOM, which is why growing dims must
+    *     never carry an unconditional hint.
+    *
+    * Plain `broadcast()` remains correct only for frames bounded by
+    * construction: nation (25 rows), region (5), single-row scalar
+    * aggregates, and `.limit(k)` shortlists.
+    *
+    * The estimate is Catalyst's optimized-plan size: file-length-based
+    * for scans, conservative pass-through for filters/aggregates, and
+    * a children-size product for inner joins — so a derived frame only
+    * gets the static hint when even its UNREDUCED input fits, and
+    * anything larger is left to AQE (which sees the true post-shuffle
+    * size and still broadcasts it at every tested SF). The gate honors
+    * whatever threshold the session has configured, so one conf tunes
+    * both this hint and Spark's own planner identically.
+    */
+  def dimHint(df: DataFrame): DataFrame = {
+    val raw = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val threshold =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      catch { case _: NumberFormatException => -1L } // "-1" = disabled
+    if (threshold > 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold))
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
 }

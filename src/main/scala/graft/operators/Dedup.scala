@@ -2439,6 +2439,22 @@ object Dedup {
   private val WinnowW = 4
   private val WinnowMinShared = 2
 
+  /** Hot-fingerprint cap of the registered `dedup_winnowing`: a
+    * fingerprint held by more than this many documents is DROPPED
+    * before the pair join. Without it a fingerprint shared by m docs
+    * contributes m(m−1)/2 pairs — quadratic on the boilerplate every
+    * real crawl contains (license headers, navigation chrome), the
+    * classic LSH hot-bucket failure. With it pair mass is bounded by
+    * df_cap × |postings| — linear in corpus size. The recall trade
+    * (the 36b banded-containment precedent, documented the same way):
+    * a pair whose ONLY shared fingerprints are over-frequent ones is
+    * missed — exactly the pairs whose overlap is corpus-wide
+    * boilerplate rather than document-specific text, which published
+    * winnowing/LSH pipelines drop for the same reason. The synthetic
+    * corpus never reaches the cap (max df at sf0.01 is 7), so the
+    * cap is exercised by the planted hot-fingerprint spec corpus. */
+  private val WinnowMaxDf = 64L
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS local fingerprinting scheme): hash every
     * k-gram, slide a w-window over the hash sequence, keep each
@@ -2520,11 +2536,26 @@ object Dedup {
           array_min(slice(hs, i + 1, lit(w)))))).as("fp_h"))
   }
 
-  def dedupWinnowing(spark: SparkSession, dir: String): DataFrame = {
-    val fps = winnowFingerprintHashes(Tables.documents(spark, dir))
+  def dedupWinnowing(spark: SparkSession, dir: String): DataFrame =
+    winnowPairs(winnowFingerprintHashes(Tables.documents(spark, dir)))
+
+  /** Pair report over a (doc_id, fp_h) fingerprint frame, with the
+    * [[WinnowMaxDf]] hot-fingerprint drop ACTIVE: one wordcount-shaped
+    * df aggregate, an anti-join discarding over-frequent hashes (the
+    * hot list is tiny — ≤ |postings|/cap rows — so AQE broadcasts
+    * it), then the equi-join on the surviving hashes. The per-run
+    * persist of the fingerprint frame is a documented cost (three
+    * consumers: the df table and both pair-join sides); bench/verify
+    * reclaim it via CacheHygiene.sweep — the pipeline_curate_v6
+    * precedent. */
+  def winnowPairs(fingerprints: DataFrame): DataFrame = {
+    val fps = fingerprints
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    fps.select(col("doc_id").as("doc_a"), col("fp_h"))
-      .join(fps.select(col("doc_id").as("doc_b"), col("fp_h")), Seq("fp_h"))
+    val hot = fps.groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > WinnowMaxDf).select(col("fp_h"))
+    val kept = fps.join(hot, Seq("fp_h"), "left_anti")
+    kept.select(col("doc_id").as("doc_a"), col("fp_h"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("fp_h")), Seq("fp_h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -2551,10 +2582,16 @@ object Dedup {
        |  -- rightmost-tie POSITION pick lives in the kernel (spec'd)
        |  SELECT doc_id, win, min(h) AS fp_h
        |  FROM wins GROUP BY doc_id, win),
-       |fps AS (SELECT DISTINCT doc_id, fp_h FROM sel)
+       |fps AS (SELECT DISTINCT doc_id, fp_h FROM sel),
+       |-- hot-fingerprint df cap: over-frequent hashes drop before
+       |-- the pair join (mirrors the kernel's WinnowMaxDf anti-join)
+       |df AS (SELECT fp_h, count(*) AS df FROM fps GROUP BY 1),
+       |kept AS (
+       |  SELECT fps.* FROM fps
+       |  JOIN df USING (fp_h) WHERE df.df <= $WinnowMaxDf)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  count(*) AS n_shared
-       |FROM fps a JOIN fps b ON a.fp_h = b.fp_h AND a.doc_id < b.doc_id
+       |FROM kept a JOIN kept b ON a.fp_h = b.fp_h AND a.doc_id < b.doc_id
        |GROUP BY 1, 2
        |HAVING count(*) >= $WinnowMinShared
        |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin

@@ -618,6 +618,10 @@ object MrCore {
         col("n_common"), rnd(score, 6).as("jaccard"))
   }
 
+  // selection into the top-K uses the raw score on BOTH engines (exact
+  // integer division → identical doubles); the PRESENTATION sort is on
+  // the rounded jaccard on both engines too — two pairs whose raw
+  // scores round to the same 6-decimal value must order identically
   def graphLinks(spark: SparkSession, dir: String): DataFrame =
     linkPrediction(coOrderEdges(spark, dir))
       .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
@@ -639,10 +643,12 @@ object MrCore {
       |    cast(ne.n_common as double)
       |      / (da.d + dc.d - ne.n_common) AS score
       |  FROM ne JOIN deg da ON da.s1 = ne.a JOIN deg dc ON dc.s1 = ne.c)
-      |SELECT a AS node_a, c AS node_b, n_common,
-      |  ${graft.functions.CrossEngine.rndSql("score", 6)} AS jaccard
-      |FROM sc
-      |ORDER BY score DESC, a, c LIMIT $LinkTopK""".stripMargin
+      |SELECT * FROM (
+      |  SELECT a AS node_a, c AS node_b, n_common,
+      |    ${graft.functions.CrossEngine.rndSql("score", 6)} AS jaccard
+      |  FROM sc
+      |  ORDER BY score DESC, a, c LIMIT $LinkTopK)
+      |ORDER BY jaccard DESC, node_a, node_b""".stripMargin
 
   // ---------------------------------------------------------------- k-core
   /** Peel parameters of the registered `graph_kcore`: k adapts to the

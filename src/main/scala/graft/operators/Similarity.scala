@@ -1890,9 +1890,23 @@ object Similarity {
     * DuckDB proves the whole write/read round-trip, not just the
     * in-memory math. The index lands in a per-invocation temp dir
     * (build cost is billed to the query — the honest bench shape). */
-  /** Previous [[annIvfPqIndexed]] index dir, reclaimed on the next
-    * invocation (ADVICE r11: bound per-JVM disk to one index). */
+  /** Previous [[annIvfPqIndexed]] index dir, reclaimed on the NEXT
+    * invocation once that invocation's index is fully written (ADVICE
+    * r11: bound per-JVM disk to one index), with a JVM shutdown hook
+    * for the final one. CONTRACT (single-threaded, sequential): each
+    * returned plan must be consumed before the next `annIvfPqIndexed`
+    * call — the reclaim is not atomic with build+probe, so building
+    * two plans before executing either, or calling concurrently,
+    * can read an already-deleted index. Callers that need overlapping
+    * live plans should drive [[writeIvfPqIndex]]/[[probeIvfPqIndex]]
+    * directly with caller-managed directories. */
   private val lastIdxDir = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      Option(lastIdxDir.getAndSet(null))
+        .foreach(p => deleteRecursively(new java.io.File(p)))))
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles()
@@ -1912,19 +1926,18 @@ object Similarity {
       .withColumn("res", zip_with(col("v"), col("cv"), (a, b) => a - b))
     val cb = pqCodebook(withRes.select(col("vec_id"), col("res").as("v")))
     // each invocation writes a fresh index; the PREVIOUS invocation's
-    // temp dir is deleted here (its lazy probe plan has necessarily
-    // been consumed by then), so repeated bench/verify runs in one
-    // JVM hold at most one index on disk — deleting the new dir
-    // before the returned plan runs would break the probe.
-    lastIdxDir.getAndSet(null) match {
+    // temp dir is deleted only after the new index is fully written
+    // (under lastIdxDir's sequential-consumption contract above), so
+    // repeated bench/verify runs in one JVM hold at most one live
+    // index plus one being handed over.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-idx").toString
+    val path = root + "/idx"
+    writeIvfPqIndex(ev, cents, cb, path)
+    lastIdxDir.getAndSet(root) match {
       case null => ()
       case prev => deleteRecursively(new java.io.File(prev))
     }
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-ivfpq-idx").toString
-    lastIdxDir.set(root)
-    val path = root + "/idx"
-    writeIvfPqIndex(ev, cents, cb, path)
     val q = ev.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     probeIvfPqIndex(spark, path, q, cents, cb, NProbe, TopK)

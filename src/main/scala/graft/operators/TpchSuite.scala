@@ -32,12 +32,20 @@ import graft.functions.CrossEngine.{dsum, dsumSql, rnd, rndSql}
   * (`5·qty·cnt < sum` instead of `qty < 0.2·sum/cnt`), and a total
   * order on every output.
   *
-  * Scale notes (SURVEY.md §4): dimensions broadcast; every fact-side
-  * aggregate gets map-side partial aggregation; fact⋈fact (Q4's
-  * EXISTS, Q13's outer count, Q18's having, Q21's per-order stats)
-  * shuffles once on the order key — the plan a 1000-executor run
-  * wants. Single-row scalar frames (Q11's total, Q15's max, Q22's
-  * avg) ride the allowlisted broadcast-1-row crossJoin pattern. */
+  * Scale notes (SURVEY.md §4, §18): SF-growing dimensions
+  * (customer/supplier/part and frames derived from them) go through
+  * [[Tables.dimHint]] — the size-gated broadcast hint that fires at
+  * tested SFs and yields to AQE's runtime join planning once the
+  * frame outgrows `spark.sql.autoBroadcastJoinThreshold` (a forced
+  * hint would OOM at TPC-H sf≈100k and disable AQE's demotion);
+  * only frames bounded by construction (nation = 25 rows, region = 5,
+  * single-row scalars, limit-k shortlists) carry a plain
+  * `broadcast()`. Every fact-side aggregate gets map-side partial
+  * aggregation; fact⋈fact (Q4's EXISTS, Q13's outer count, Q18's
+  * having, Q21's per-order stats) shuffles once on the order key —
+  * the plan a 1000-executor run wants. Single-row scalar frames
+  * (Q11's total, Q15's max, Q22's avg) ride the allowlisted
+  * broadcast-1-row crossJoin pattern. */
 object TpchSuite {
 
   // ---------------------------------------------------------------- q2
@@ -45,19 +53,20 @@ object TpchSuite {
     * Without partsupp, "cost" is the observed min unit price over
     * shipped lineitems of each p_size=25 part; ties keep every
     * offering supplier (Q2's semantics). The min table is |parts in
-    * the size class| rows — broadcast for the join-back, so the fact
-    * side is scanned once and shuffles only for its own aggregate. */
+    * the size class| rows — size-gated ([[Tables.dimHint]]) for the
+    * join-back: broadcast while it fits, AQE-planned once the part
+    * count outgrows the threshold. */
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(spark, dir).filter(col("p_size") === 25)
     val offers = Tables.lineitem(spark, dir)
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(Tables.dimHint(part), col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("l_suppkey"),
         (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
     val minU = offers.groupBy(col("p_partkey"))
       .agg(min(col("unit_price")).as("min_price"))
-    offers.join(broadcast(minU), Seq("p_partkey"))
+    offers.join(Tables.dimHint(minU), Seq("p_partkey"))
       .filter(col("unit_price") === col("min_price"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.dimHint(Tables.supplier(spark, dir)),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))
@@ -128,9 +137,9 @@ object TpchSuite {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
       .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.dimHint(Tables.supplier(spark, dir)),
         col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(spark, dir)),
+      .join(Tables.dimHint(Tables.customer(spark, dir)),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
@@ -178,15 +187,15 @@ object TpchSuite {
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
     val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")),
+      .join(Tables.dimHint(Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")),
         col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      .join(broadcast(Tables.customer(spark, dir)),
+      .join(Tables.dimHint(Tables.customer(spark, dir)),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(asiaNations), col("c_nationkey") === col("c_nk"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.dimHint(Tables.supplier(spark, dir)),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
@@ -231,11 +240,11 @@ object TpchSuite {
     * year → nation rollup) is what the shape exercises. */
   def q9ProductProfit(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)
+      .join(Tables.dimHint(Tables.part(spark, dir)
           .filter(col("p_name").contains("red"))),
         col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.dimHint(Tables.supplier(spark, dir)),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))
@@ -267,7 +276,7 @@ object TpchSuite {
           .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp"))
           .filter(col("o_orderdate") < lit("1997-10-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)),
+      .join(Tables.dimHint(Tables.customer(spark, dir)),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
@@ -308,10 +317,15 @@ object TpchSuite {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"))
     val value = Tables.lineitem(spark, dir)
-      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.dimHint(asiaSupp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey").as("p_partkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("value"))
-    val total = value.agg(sum(col("value")).as("grand_total"),
+    // decimal accumulate (q22's pattern): `value` entries are 2-decimal
+    // doubles, exact in decimal(18,6), so grand_total is order-
+    // independent — a plain FP sum could flip a boundary part between
+    // engines/runs under the strict `>` filter below
+    val total = value.agg(
+      sum(col("value").cast("decimal(18,6)")).cast("double").as("grand_total"),
       count(lit(1)).as("n_parts"))
     value.crossJoin(broadcast(total))
       .filter(col("value") * col("n_parts") > col("grand_total") * lit(2.0))
@@ -331,7 +345,8 @@ object TpchSuite {
        |  GROUP BY l_partkey)
        |SELECT p_partkey, value FROM value
        |WHERE value * (SELECT count(*) FROM value)
-       |    > (SELECT sum(value) FROM value) * 2.0
+       |    > (SELECT cast(sum(cast(value AS decimal(18,6))) AS double)
+       |       FROM value) * 2.0
        |ORDER BY value DESC, p_partkey""".stripMargin
 
   // ---------------------------------------------------------------- q12
@@ -413,7 +428,7 @@ object TpchSuite {
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp"))
       .filter(col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
-      .join(broadcast(Tables.part(spark, dir)),
+      .join(Tables.dimHint(Tables.part(spark, dir)),
         col("l_partkey") === col("p_partkey"))
       .agg(
         dsum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0))).as("pr"),
@@ -446,7 +461,7 @@ object TpchSuite {
     val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
     rev.crossJoin(broadcast(top))
       .filter(col("total_revenue") === col("max_revenue"))
-      .join(broadcast(Tables.supplier(spark, dir)),
+      .join(Tables.dimHint(Tables.supplier(spark, dir)),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy(col("s_suppkey"))
@@ -477,12 +492,12 @@ object TpchSuite {
     val excluded = Tables.supplier(spark, dir)
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)
+      .join(Tables.dimHint(Tables.part(spark, dir)
           .filter(col("p_brand") =!= "Brand#9")
           .filter(col("p_type") =!= "PROMO")
           .filter(col("p_size").isin(sizes: _*))),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Tables.dimHint(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -508,12 +523,12 @@ object TpchSuite {
     * `5·qty·cnt < sum` so no engine ever divides. */
   def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
     val br = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir).filter(col("p_brand") === "Brand#3")),
+      .join(Tables.dimHint(Tables.part(spark, dir).filter(col("p_brand") === "Brand#3")),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
     val stats = br.groupBy(col("l_partkey").as("pk"))
       .agg(sum(col("l_quantity").cast("long")).as("sq"), count(lit(1)).as("cq"))
-    br.join(broadcast(stats), col("l_partkey") === col("pk"))
+    br.join(Tables.dimHint(stats), col("l_partkey") === col("pk"))
       .filter(col("l_quantity") * col("cq") * lit(5.0) < col("sq"))
       .agg(dsum(col("l_extendedprice")).as("s"))
       .select(rnd(col("s") / lit(7.0), 2).as("avg_yearly"))
@@ -547,7 +562,7 @@ object TpchSuite {
       .filter(col("sum_qty") > 300)
     Tables.orders(spark, dir)
       .join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)),
+      .join(Tables.dimHint(Tables.customer(spark, dir)),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
@@ -574,7 +589,7 @@ object TpchSuite {
     * quantity ranges apply per-block after the join). */
   def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)),
+      .join(Tables.dimHint(Tables.part(spark, dir)),
         col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
@@ -607,14 +622,14 @@ object TpchSuite {
     val shipped = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
       .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      .join(broadcast(Tables.part(spark, dir).filter(col("p_type") === "PROMO")),
+      .join(Tables.dimHint(Tables.part(spark, dir).filter(col("p_type") === "PROMO")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("long")).as("q"))
       .filter(col("q") > 400)
       .select(col("l_suppkey"))
     Tables.supplier(spark, dir)
-      .join(broadcast(shipped), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(Tables.dimHint(shipped), col("s_suppkey") === col("l_suppkey"), "left_semi")
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
@@ -668,7 +683,7 @@ object TpchSuite {
         sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
         max(when(col("late"), col("l_suppkey"))).as("late_supp"))
       .filter(col("n_supp") >= 2 && col("n_late") === 1)
-      .join(broadcast(Tables.supplier(spark, dir)
+      .join(Tables.dimHint(Tables.supplier(spark, dir)
           .join(broadcast(Tables.nation(spark, dir)),
             col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),

@@ -507,4 +507,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(again.toSet == fps.toSet)
     CacheHygiene.sweep(spark)
   }
+
+  test("winnowing: hot-fingerprint df cap drops boilerplate-only pairs, keeps genuine near-dups") {
+    val s = spark
+    import s.implicits._
+    // 70 docs (> WinnowMaxDf = 64) that are NOTHING BUT shared
+    // boilerplate: every fingerprint they carry has df = 70, so the
+    // cap drops them all and the 70·69/2 = 2415-pair quadratic blowup
+    // never reaches the join — the LSH hot-bucket failure mode the
+    // cap exists for
+    val boiler = "all rights reserved please subscribe to our newsletter " +
+      "for the latest updates and exclusive offers every single day"
+    val hot = (0L until 70L).map(i => (i, boiler))
+    // one genuine near-dup pair: a long document-specific shared run
+    // (df = 2 fingerprints — comfortably under the cap)
+    val shared = "the quick brown fox jumps over the lazy dog near " +
+      "the quiet river bank at dawn while birds sing"
+    val pair = Seq((1000L, shared + " alpha beta gamma"),
+      (1001L, shared + " delta epsilon zeta"))
+    val docs = (hot ++ pair).toDF("doc_id", "text")
+    val got = Dedup.winnowPairs(Dedup.winnowFingerprintHashes(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1000L, 1001L)),
+      s"expected ONLY the genuine pair (boilerplate pairs capped away), got $got")
+    CacheHygiene.sweep(spark)
+  }
 }

@@ -383,4 +383,34 @@ class PlanShapeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(typed == sql, s"typed=${typed.size} sql=${sql.size}")
   }
+
+  test("dimHint: broadcast fires at tested SF, is withheld once the dim outgrows the threshold") {
+    val s = spark
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val p = Tables.dimHint(df).queryExecution.logical.toString
+      p.contains("ResolvedHint") || p.contains("UnresolvedHint")
+    }
+    // tested SF: customer fits under the session threshold → the hint
+    // fires, so the plans keep the broadcast joins the old forced
+    // hints produced (zero behavior change at small scale) …
+    assert(hinted(Tables.customer(s, sf)),
+      "at tested SF the size gate must still apply the broadcast hint")
+    val q3 = graft.operators.Relational.q3ShippingPriority(s, sf)
+      .queryExecution.executedPlan.toString
+    assert(q3.contains("BroadcastHashJoin"),
+      s"q3's customer join must still plan as a broadcast join at tested SF:\n$q3")
+    // … and at cluster scale (surrogate: shrink the threshold below the
+    // frame's size estimate) the hint is WITHHELD so AQE owns the join
+    // strategy — a forced hint would disable its demotion and OOM at
+    // TPC-H sf≈100k where customer ≈ 15 B rows
+    val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+      assert(!hinted(Tables.customer(s, sf)),
+        "an over-threshold dim must carry NO static hint (AQE decides)")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // disabled
+      assert(!hinted(Tables.customer(s, sf)),
+        "with broadcast disabled the gate must never hint")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }

@@ -606,4 +606,54 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq((1L, "changed"), (3L, "removed"), (4L, "added")),
       s"expected changed/removed/added only, got $got")
   }
+
+  test("market basket: Apriori item prune is lossless above minSupport and drops rare pairs") {
+    val s = spark
+    import s.implicits._
+    // planted long-tail catalog: items 100/200/300 are frequent (3
+    // orders each), items 901-905 appear in ONE order each — the tail
+    // the prune must remove before the pair self-join
+    val op = Seq(
+      (1L, 100L), (1L, 200L), (1L, 901L),
+      (2L, 100L), (2L, 200L), (2L, 902L),
+      (3L, 100L), (3L, 200L), (3L, 300L),
+      (4L, 300L), (4L, 903L),
+      (5L, 300L), (5L, 904L), (5L, 905L)
+    ).toDF("l_orderkey", "l_partkey")
+    val pruned = operators.Relational.basketTopPairs(op, minSupport = 2L)
+      .collect()
+    // reference: NO item prune, same support filter — support(a,b) ≤
+    // min(n_a, n_b) makes the prune lossless, so these must be EQUAL
+    val n = op.select("l_orderkey").distinct.count
+    val partN = op.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
+    val ref = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .join(partN.select(col("l_partkey").as("part_a"), col("n_part").as("n_a")),
+        "part_a")
+      .join(partN.select(col("l_partkey").as("part_b"), col("n_part").as("n_b")),
+        "part_b")
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .select(col("part_a"), col("part_b"), col("support"),
+        graft.functions.CrossEngine.rnd(
+          col("support").cast("double") * n / (col("n_a") * col("n_b")), 6)
+          .as("lift"))
+      .collect()
+    assert(pruned.map(_.toSeq).toSeq == ref.map(_.toSeq).toSeq,
+      s"prune must be lossless above minSupport: ${pruned.toSeq} vs ${ref.toSeq}")
+    // exactly the hot pair survives: support 3, lift = 3·5/(3·3)
+    assert(pruned.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((100L, 200L, 3L)))
+    assert(pruned.head.getDouble(3) == 1.666667)
+    // the unpruned form DOES see the support-1 tail — the prune is
+    // doing real work on this corpus, not vacuously passing
+    val unpruned = operators.Relational.basketTopPairs(op, minSupport = 1L)
+      .collect()
+    assert(unpruned.length > pruned.length,
+      "planted rare pairs must exist unpruned and be dropped by the prune")
+    CacheHygiene.sweep(spark)
+  }
 }
