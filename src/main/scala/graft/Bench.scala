@@ -145,6 +145,40 @@ object Bench {
     if (!doWarm)
       System.err.println(s"[bench] warmup dir $warmDir missing — running UNWARMED")
 
+    // materialized co-order layout (round 13, SURVEY §2 A5c-5h): pay
+    // the shared graph derivation ONCE per bench run — rebuilt fresh
+    // every run, so it can never serve stale edges — and time the
+    // graph family in the production shape (bucketed layout read
+    // instead of re-deriving the lineitem self-join inside each of
+    // the six graph queries; ~20 s of each query's 22-26 s at sf10).
+    // The build is billed as its own `graph_layout_build` entry.
+    // Verify never sets the conf, so the driver's oracle gate always
+    // checks the inline derivation.
+    val graphQueries = Set("graph_triangles", "graph_bfs", "graph_cc",
+      "graph_links", "graph_kcore", "graph_lpa")
+    val wantLayout = sys.env.get("SPARK_GRAFT_QUERIES")
+      .forall(_.split(",").exists(graphQueries.contains))
+    val layoutBuild: Option[(String, (Double, Double))] =
+      if (!wantLayout) None
+      else try {
+        // warm build too: warmed graph plans must have the same shape
+        // (layout scan) as the timed ones, or the codegen warmup is
+        // compiling the wrong plan
+        if (doWarm && warmDir != sfDir)
+          operators.MrCore.buildCoOrderLayout(spark, warmDir)
+        isolate()
+        val t0 = System.nanoTime()
+        operators.MrCore.buildCoOrderLayout(spark, sfDir)
+        val dt = (System.nanoTime() - t0) / 1e9
+        isolate()
+        spark.conf.set("spark.graft.coOrderLayout", "true")
+        Some("graph_layout_build" -> (dt, dt))
+      } catch { case e: Throwable =>
+        System.err.println("[bench] co-order layout build failed " +
+          s"(graph family will derive inline): ${e.getMessage}")
+        None
+      }
+
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       if (doWarm) {
@@ -230,7 +264,7 @@ object Bench {
         }
     val policy =
       if (doWarm) "warm-sf0.01+min-of-2-cold" else "min-of-2-cold"
-    printLine(results, fastResults, streaming, policy, sfDir)
+    printLine(results ++ layoutBuild, fastResults, streaming, policy, sfDir)
     spark.stop()
     // a failed query must not masquerade as a speedup (its -1 is
     // excluded from the total): surface it in the exit code — a

@@ -457,7 +457,19 @@ object MrCore {
     * [[graft.CacheHygiene.sweep]] (Verify/Bench sweep between
     * queries; EmptyInputSpec asserts full release). */
   private val CoOrderTopEdges = 2000
-  private def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
+  private def coOrderEdges(spark: SparkSession, dir: String): DataFrame =
+    coOrderLayout(spark, dir) match {
+      // layout read: a bucketed 2·TopK-row scan per consumer is cheaper
+      // than a cached block, and skipping persist keeps the bucket
+      // distribution visible to the plan (persist would be harmless but
+      // pointless at this size)
+      case Some(sym) => sym.filter(col("src") < col("dst"))
+        .select(col("src").as("s1"), col("dst").as("s2"))
+      case None => deriveCoOrderEdges(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def deriveCoOrderEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
     li.select(col("l_orderkey"), col("l_suppkey").as("s1"))
@@ -468,7 +480,117 @@ object MrCore {
       .orderBy(col("shared").desc, col("s1"), col("s2"))
       .limit(CoOrderTopEdges)
       .select(col("s1"), col("s2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  // ------------------------------------------------ co-order layout
+  /** Materialized co-order graph (round 13): all six graph queries
+    * share one expensive derivation — lineitem distinct + wedge
+    * self-join + top-2000 — that dominated each query's runtime at
+    * sf10 (~20 s of 22-26 s, measured). [[buildCoOrderLayout]] pays
+    * it ONCE, writing the SYMMETRIZED edge list (src, dst) as a
+    * bucketed+sorted managed table (`Sources.writeBucketed` on `src`,
+    * so degree aggregates and src-keyed edge joins read a frame
+    * already hash-distributed on the key — zero edge-side exchange,
+    * layout-spec-proven), committed by an atomic MANIFEST pointer
+    * rename in the warehouse dir (the [[graft.sources.ManifestTable]]
+    * discipline applied to versioned table names: readers resolve the
+    * pointer and see the previous complete version or the new one,
+    * never a half-written table; the previous version is retained one
+    * commit for in-flight readers, older ones dropped).
+    *
+    * The read path is OPT-IN via `spark.graft.coOrderLayout=true`:
+    * Verify never sets it, so the driver's oracle gate always
+    * exercises the inline derivation (a regenerated testdata dir can
+    * never be served stale edges); Bench builds the layout fresh each
+    * run (billed as its own `graph_layout_build` entry) and then
+    * times the graph family against it — the production shape, where
+    * a nightly layout build amortizes over every graph query of the
+    * day. Layout and inline edges are identical by construction (the
+    * same deterministic top-k derivation; spec-asserted). */
+  private val CoOrderLayoutKey = "spark.graft.coOrderLayout"
+
+  private[graft] def coOrderLayoutBase(dir: String): String =
+    "graft_co_order_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
+  private def layoutManifestPath(spark: SparkSession, base: String) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"$base.MANIFEST")
+
+  /** Table name the pointer currently publishes, if any. */
+  private[graft] def currentCoOrderLayout(spark: SparkSession,
+      dir: String): Option[String] = {
+    val mf = layoutManifestPath(spark, coOrderLayoutBase(dir))
+    val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mf)) None
+    else {
+      val in = fs.open(mf)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  private def coOrderLayout(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (!spark.conf.get(CoOrderLayoutKey, "false").toBoolean) None
+    else currentCoOrderLayout(spark, dir)
+      .filter(spark.catalog.tableExists)
+      .map(spark.table)
+
+  /** Derive + publish the layout for `dir`; returns the versioned
+    * table name. Single writer assumed (the ManifestTable contract). */
+  def buildCoOrderLayout(spark: SparkSession, dir: String): String = {
+    val base = coOrderLayoutBase(dir)
+    val v = currentCoOrderLayout(spark, dir)
+      .map(_.stripPrefix(s"${base}_v").toLong).getOrElse(-1L) + 1L
+    val table = f"${base}_v$v%05d"
+    val co = deriveCoOrderEdges(spark, dir)
+      .select(col("s1").as("src"), col("s2").as("dst"))
+    graft.sources.Sources.writeBucketed(
+      co.unionAll(co.select(col("dst").as("src"), col("src").as("dst"))),
+      table, "src", nBuckets = 4)
+    // phase 2: one atomic rename publishes the new version
+    val mf = layoutManifestPath(spark, base)
+    val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(mf.getParent, mf.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(table.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, fs.makeQualified(mf),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // retention: keep v-1 for in-flight readers, drop anything older
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(s"${base}_v"))
+      .filter(_.stripPrefix(s"${base}_v").toLong < v - 1)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    table
+  }
+
+  /** Wedge mass — the candidate-pair count the triangle join
+    * materializes — of an (s1, s2) edge list under each orientation,
+    * WITHOUT materializing the wedges: orient every edge, then
+    * Σᵤ C(out_deg(u), 2) in one bounded aggregate. This is the
+    * measurable quantity behind [[triangleCountsDegreeOrdered]]'s
+    * O(m^1.5) claim (Chiba–Nishizeki / Schank–Wagner: orienting each
+    * edge toward the higher (degree, id) bounds every out-degree by
+    * O(√m), so wedge mass is O(m^1.5) on ANY graph — where the naive
+    * lower-id orientation is Θ(m²) on a hub). The scaling spec
+    * measures both on planted hub graphs at growing |E|; SCALING.md
+    * records the decade rows. */
+  private[graft] def wedgeMass(edges: DataFrame, degreeOrdered: Boolean): Long = {
+    val sym = edges.unionAll(edges.select(col("s2").as("s1"), col("s1").as("s2")))
+    val oriented =
+      if (degreeOrdered) {
+        val deg = sym.groupBy(col("s1")).agg(count(lit(1)).as("d"))
+        edges
+          .join(deg.select(col("s1"), col("d").as("d1")), "s1")
+          .join(deg.select(col("s1").as("s2"), col("d").as("d2")), "s2")
+          .select(when(struct(col("d1"), col("s1")) < struct(col("d2"), col("s2")),
+            col("s1")).otherwise(col("s2")).as("u"))
+      } else edges.select(least(col("s1"), col("s2")).as("u"))
+    oriented.groupBy(col("u")).agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2"))) // integer div: exact long sum
+      .head().getLong(0)
   }
 
   // degree-ordered since round 7: identical counts (oracle unchanged),

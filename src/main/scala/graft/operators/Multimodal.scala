@@ -277,6 +277,150 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------- video near-dup
+  /** Per-frame perceptual hash of a packed clip container: demux the
+    * length-prefixed frames, [[aHash]] every `stride`-th one — the
+    * narrow per-partition map that turns a video column into a
+    * joinable signature frame. Undecodable frames are dropped
+    * (quarantine discipline, like [[demuxFrames]]). */
+  case class FrameHash(doc_id: Long, frame_no: Int, phash: Long)
+
+  def demuxFrameHashes(ds: Dataset[RawMedia],
+      stride: Int = 1): Dataset[FrameHash] = {
+    import ds.sparkSession.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    ds.mapPartitions(_.flatMap { m =>
+      unpackFrames(m.payload).zipWithIndex
+        .collect { case (bytes, i) if i % stride == 0 => (bytes, i) }
+        .flatMap { case (bytes, i) =>
+          aHash(RawMedia(m.doc_id, bytes)).map(FrameHash(m.doc_id, i, _))
+        }
+    })
+  }
+
+  /** Hot-band df cap of [[videoDupStats]]: a (band, value) posting
+    * held by more frames than this is dropped before the pair join —
+    * the [[graft.operators.Dedup]] winnowing-cap discipline applied
+    * to the video band join (real video corpora are full of black
+    * frames, station logos, and title cards; an m-frame hot band is
+    * m² candidate pairs). The recall trade: a frame pair agreeing
+    * ONLY on over-frequent bands is missed — exactly the corpus-wide
+    * boilerplate frames a dedup pass should not be pairing anyway. */
+  private val VideoBandDfCap = 1024L
+
+  /** Duplicate-frame share per video — the [[graft.operators.Dedup
+    * .chunkDupStats]] twin for the video modality: a frame is
+    * duplicated iff some OTHER document has a frame within
+    * `maxHamming` bits of its perceptual hash (re-encodes and
+    * resolution changes preserve [[aHash]], so a re-encoded duplicate
+    * clip scores share 1.0). Per doc: frame count, duplicated count,
+    * share — what a curation pass thresholds to drop near-duplicate
+    * clips.
+    *
+    * Plan shape: signatures are a narrow map (64 bits/frame in
+    * flight, never pixels); candidates come from the same 4×16-bit
+    * banded equi-join as [[phashNearDup]] (full recall to Hamming 3
+    * by pigeonhole, never all-pairs), with the [[VideoBandDfCap]]
+    * hot-band drop bounding pair mass ∝ cap × postings; the verify
+    * popcount runs on candidates only; per-doc stats are two bounded
+    * aggregates. The per-run persist of the hash frame is a
+    * documented cost (three consumers); callers reclaim it via
+    * CacheHygiene.sweep — the pipeline_curate_v6 precedent. */
+  def videoDupStats(hashes: Dataset[FrameHash], maxHamming: Int = 3,
+      bandDfCap: Long = VideoBandDfCap): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding guarantees recall only to Hamming 3")
+    val fh = hashes.toDF("doc_id", "frame_no", "phash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = fh.select(col("doc_id"), col("frame_no"), col("phash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("phash"), b * 16)
+              .bitwiseAND(lit(0xffffL)).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("frame_no"), col("phash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val hot = bands.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > bandDfCap)
+      .select(col("band"), col("bv"))
+    val kept = bands.join(hot, Seq("band", "bv"), "left_anti")
+    val matched = kept
+      .join(kept.select(col("doc_id").as("other_doc"),
+        col("phash").as("phash2"), col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("doc_id") =!= col("other_doc"))
+      .filter(bit_count(col("phash").bitwiseXOR(col("phash2"))) <= maxHamming)
+      .select(col("doc_id"), col("frame_no")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_frames"))
+    fh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("n_dup_frames"), lit(0L)).as("n_dup_frames"),
+        graft.functions.CrossEngine.rnd(
+          coalesce(col("n_dup_frames"), lit(0L)).cast("double")
+            / col("n_frames"), 6).as("dup_share"))
+  }
+
+  /** Frame count and base resolution of the synthetic clips. */
+  private val ClipFrames = 3
+
+  /** Deterministic synthetic clip corpus for [[mmVideoNearDup]]: doc
+    * pair (2k, 2k+1) is the SAME clip content (keyed by k) packed at
+    * DIFFERENT resolutions (16 px vs 24 px — a re-encode, the way one
+    * crawl video appears twice), so every doc whose pair partner
+    * exists is a planted near-duplicate the pipeline must find.
+    * Frames are 8×8-block grayscale patterns (block size 2 px / 3 px
+    * — divisible, so the bilinear 8×8 thumbnail recovers the exact
+    * block pattern and [[aHash]] is resolution-invariant by
+    * construction, spec-asserted); distinct keys give ~32-bit-apart
+    * hashes. Real codec note: the PNG encode→container→demux→decode
+    * round trip is REAL `javax.imageio` work — only the pixel content
+    * is synthetic, because this container ships no video corpus. */
+  private[graft] def blockFramePng(key: Long, frame: Int, size: Int): Array[Byte] = {
+    require(size % 8 == 0, s"block pattern needs size % 8 == 0, got $size")
+    val im = new java.awt.image.BufferedImage(
+      size, size, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = im.getRaster
+    val block = size / 8
+    var y = 0
+    while (y < size) {
+      var x = 0
+      while (x < size) {
+        val b = (y / block) * 8 + (x / block)
+        // murmur-style finalizer: a plain linear combination keeps its
+        // low bits linear in b (every constant is odd), making distinct
+        // keys collide on most blocks
+        var h = key * 2654435761L + frame.toLong * 40503L + b.toLong * 2246822519L
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        raster.setSample(x, y, 0, if ((h & 3L) == 0L) 255 else 0)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", baos)
+    baos.toByteArray
+  }
+
+  private[graft] def syntheticClips(spark: SparkSession, dir: String): Dataset[RawMedia] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
+      val size = if (id % 2 == 0) 16 else 24 // odd partner = the re-encode
+      RawMedia(id, packFrames(
+        (0 until ClipFrames).map(f => blockFramePng(id / 2, f, size))))
+    }
+  }
+
+  /** Registered video near-dup query: synthetic clip corpus →
+    * [[demuxFrameHashes]] → [[videoDupStats]] → per-doc duplicate-
+    * frame share, ordered. Rows-only by declared design (the
+    * mm_feature_knn precedent: a DuckDB twin would have to
+    * re-implement the PNG codec, bilinear thumbnail, and aHash bit
+    * math — re-implementation, not verification); SourcesSpec plants
+    * the contract instead: a re-encoded duplicate clip is found at
+    * share 1.0, a distinct clip is not, and the hot-band cap drops
+    * boilerplate-frame blowups. */
+  def mmVideoNearDup(spark: SparkSession, dir: String): DataFrame =
+    videoDupStats(demuxFrameHashes(syntheticClips(spark, dir)))
+      .orderBy(col("doc_id"))
+
   /** Frame sampling over OPAQUE payloads: every `stride`-th fixed-size
     * chunk as one "frame" row — the codec-free twin of `demuxFrames`
     * (deliberately SQL-expressible: `mm_frame_sample` is its
@@ -732,5 +876,8 @@ object Multimodal {
     QueryDef("mm_audio_meta", mmAudioMeta _, Some(mmAudioMetaSql)),
     QueryDef("mm_frame_sample", mmFrameSample _, Some(mmFrameSampleSql)),
     // rows-only: spec-proven parity with the exact kernel (see above)
-    QueryDef("mm_feature_knn", mmFeatureKnn _, None))
+    QueryDef("mm_feature_knn", mmFeatureKnn _, None),
+    // rows-only: planted re-encode/distinct/hot-band contract in
+    // SourcesSpec (a DuckDB twin would re-implement the codec)
+    QueryDef("mm_video_neardup", mmVideoNearDup _, None))
 }

@@ -193,4 +193,90 @@ class IterativeSpec extends SparkSpec {
     assert(total == Tables.embeddings(spark, sf).count())
     assert(df.forall(r => !r.getDouble(2).isNaN && r.getDouble(2) > 0))
   }
+
+  test("wedge mass at growing |E|: degree-ordered stays linear on hub graphs where id-ordered is quadratic") {
+    val s = spark
+    import s.implicits._
+    // planted hub topology at growing edge mass: one hub adjacent to
+    // every node, plus a ring — the adversarial case for triangle
+    // enumeration. |E| = 2n, so doubling n doubles the edge mass.
+    def hubGraph(n: Int) = {
+      val star = (1L to n.toLong).map(i => (0L, i))
+      val ring = (1L until n.toLong).map(i => (i, i + 1))
+      (star ++ ring).toDF("s1", "s2")
+    }
+    val sizes = Seq(2000, 8000, 32000) // |E| ≈ 4k, 16k, 64k: two decades of 4×
+    val rows = sizes.map { n =>
+      val g = hubGraph(n)
+      val degOrd = MrCore.wedgeMass(g, degreeOrdered = true)
+      val idOrd = MrCore.wedgeMass(g, degreeOrdered = false)
+      info(s"|E|=${2 * n - 1}: degree-ordered wedges=$degOrd, id-ordered wedges=$idOrd")
+      (n, degOrd, idOrd)
+    }
+    rows.foreach { case (n, degOrd, idOrd) =>
+      // id-ordered: every star edge orients hub→leaf (0 is the lowest
+      // id), so the hub alone contributes C(n,2) — quadratic
+      assert(idOrd >= n.toLong * (n - 1) / 2,
+        s"id-ordered must be hub-quadratic at n=$n: $idOrd")
+      // degree-ordered: every out-degree is O(√m); on this topology the
+      // orientation sends star edges leaf→hub, so mass stays LINEAR
+      assert(degOrd <= 4L * (2L * n),
+        s"degree-ordered wedge mass must stay within a linear envelope at n=$n: $degOrd")
+    }
+    // growth across the 4× steps: degree-ordered tracks |E| (ratio ≈ 4),
+    // id-ordered tracks |E|² (ratio ≈ 16)
+    rows.sliding(2).foreach { case Seq((_, d1, i1), (_, d2, i2)) =>
+      assert(d2.toDouble / d1 <= 6.0,
+        s"degree-ordered growth must be ~linear in |E|: $d1 -> $d2")
+      assert(i2.toDouble / i1 >= 12.0,
+        s"id-ordered growth must be ~quadratic in |E|: $i1 -> $i2")
+    }
+    // and the enumeration the mass predicts: the degree-ordered kernel
+    // counts the hub graph's triangles correctly at the largest size
+    // (every ring edge (i, i+1) closes exactly one triangle via the hub)
+    val n = sizes.last
+    val tri = MrCore.triangleCountsDegreeOrdered(hubGraph(n))
+      .agg(sum("n_tri")).head().getLong(0)
+    assert(tri == 3L * (n - 1),
+      s"hub graph has n-1 triangles, 3 incidences each: got $tri")
+    CacheHygiene.sweep(s)
+  }
+
+  test("co-order layout: identical results, derivation gone from the plan, zero edge-side exchange, atomic repoint") {
+    val s = spark
+    // inline baseline FIRST (conf off — the Verify/driver shape)
+    val inline = MrCore.graphLinks(s, sf).collect().map(_.toSeq).toSeq
+    CacheHygiene.sweep(s)
+    val t1 = MrCore.buildCoOrderLayout(s, sf)
+    try {
+      s.conf.set("spark.graft.coOrderLayout", "true")
+      val viaLayout = MrCore.graphLinks(s, sf)
+      // the layout serves the SAME edges the inline derivation builds
+      assert(viaLayout.collect().map(_.toSeq).toSeq == inline,
+        "layout-backed graph query must equal the inline derivation")
+      // … without ever touching lineitem: the shared ~20s-at-sf10
+      // derivation is gone from the per-query plan
+      val plan = viaLayout.queryExecution.executedPlan.toString
+      assert(!plan.contains("lineitem"),
+        s"layout read must not re-derive from lineitem:\n$plan")
+      // bucketed-by-src layout: the degree aggregate reads a frame
+      // already hash-distributed on the key — zero edge-side exchange
+      val deg = s.table(t1).groupBy(col("src")).agg(count(lit(1)).as("d"))
+      assert(!deg.queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning"),
+        "degree aggregate over the bucketed layout must plan no exchange")
+      // atomic repoint + retention: each build publishes a new version,
+      // keeps the previous for in-flight readers, drops older ones
+      val t2 = MrCore.buildCoOrderLayout(s, sf)
+      assert(t2 != t1 && MrCore.currentCoOrderLayout(s, sf).contains(t2))
+      assert(s.catalog.tableExists(t1), "v-1 retained for in-flight readers")
+      val t3 = MrCore.buildCoOrderLayout(s, sf)
+      assert(MrCore.currentCoOrderLayout(s, sf).contains(t3))
+      assert(s.catalog.tableExists(t2) && !s.catalog.tableExists(t1),
+        "versions older than v-1 are dropped at publish")
+    } finally {
+      s.conf.set("spark.graft.coOrderLayout", "false")
+      CacheHygiene.sweep(s)
+    }
+  }
 }

@@ -438,4 +438,43 @@ class SourcesSpec extends SparkSpec {
       .head.getSeq[scala.collection.Seq[Int]](0)
     assert(empty.isEmpty)
   }
+
+  test("video near-dup: re-encoded duplicate clip found at share 1.0, distinct clip not, hot-band cap bites") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.RawMedia
+    // aHash resolution invariance is the load-bearing claim: the same
+    // block pattern at 16 px and 24 px must hash identically
+    val h16 = Multimodal.aHash(RawMedia(0L, Multimodal.blockFramePng(7L, 0, 16)))
+    val h24 = Multimodal.aHash(RawMedia(0L, Multimodal.blockFramePng(7L, 0, 24)))
+    assert(h16.isDefined && h16 == h24,
+      s"block-pattern aHash must be resolution-invariant: $h16 vs $h24")
+    // planted corpus: docs 0/1 are the SAME clip re-encoded at
+    // different resolutions; doc 2 is a distinct clip
+    def clip(id: Long, key: Long, size: Int) = RawMedia(id,
+      Multimodal.packFrames((0 until 3).map(f =>
+        Multimodal.blockFramePng(key, f, size))))
+    val corpus = Seq(clip(0L, 10L, 16), clip(1L, 10L, 24), clip(2L, 99L, 16)).toDS()
+    val got = Multimodal.videoDupStats(Multimodal.demuxFrameHashes(corpus))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(0L) == ((3L, 3L, 1.0)), s"re-encoded dup must score share 1.0: $got")
+    assert(got(1L) == ((3L, 3L, 1.0)), s"the re-encode itself must score 1.0: $got")
+    assert(got(2L) == ((3L, 0L, 0.0)), s"a distinct clip must score 0.0: $got")
+    CacheHygiene.sweep(s)
+    // hot-band cap: 10 clips that are NOTHING BUT the same title card
+    // (every band df = 10 > cap 8) pair-explode without the cap; with
+    // it they are dropped while a genuine low-df pair is still found
+    val boiler = (100L until 110L).map(id => clip(id, 1234L, 16))
+    val pair = Seq(clip(500L, 77L, 16), clip(501L, 77L, 24))
+    val capped = Multimodal.videoDupStats(
+        Multimodal.demuxFrameHashes((boiler ++ pair).toDS()), bandDfCap = 8L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((100L until 110L).forall(capped(_) == 0L),
+      s"boilerplate clips above the band cap must not pair: $capped")
+    assert(capped(500L) == 3L && capped(501L) == 3L,
+      s"a genuine under-cap pair must survive the cap: $capped")
+    CacheHygiene.sweep(s)
+  }
 }
