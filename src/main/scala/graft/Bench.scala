@@ -438,6 +438,15 @@ object Bench {
       .orderBy(col("us"), col("event_id")).limit(200000)
       .as[StreamingJobs.CdcEv].collect().toSeq
 
+    // per-frame hash feed for the streaming video near-dup: the
+    // registered query's synthetic clip corpus hashed OUTSIDE the
+    // timed region (the signature map is stateless; the bucket-state
+    // matching is what's being measured), capped like the other feeds
+    val frameHashes = graft.operators.Multimodal.demuxFrameHashes(
+      graft.operators.Multimodal.syntheticClips(spark, sfDir)
+        .filter(col("doc_id") < 4000L))
+      .collect().toSeq
+
     val parts = Seq(
       drive[StreamingJobs.Ev]("stream_sessionize", evs,
         ds => StreamingJobs.sessionize(ds).toDF()),
@@ -482,7 +491,10 @@ object Bench {
         ds => StreamingJobs.sceneCutStream(ds.toDF("doc_id", "text"),
           encode(col("text"), "UTF-8"))),
       drive[(Long, String)]("stream_winnow", docs,
-        ds => StreamingJobs.winnowStream(ds.toDF("doc_id", "text"))))
+        ds => StreamingJobs.winnowStream(ds.toDF("doc_id", "text"))),
+      drive[graft.operators.Multimodal.FrameHash]("stream_videodup",
+        frameHashes,
+        ds => StreamingJobs.videoDupStream(ds).toDF()))
     evalNgrams.unpersist()
     parts
   }

@@ -171,6 +171,79 @@ object StreamingJobs {
       }
   }
 
+  // ------------------------------------------------------------- video near-dup
+  case class FrameBandHit(doc_id: Long, frame_no: Int, phash: Long,
+    band: Int, bv: Long)
+  case class FrameDupOut(doc_id: Long, frame_no: Int, dup_of: Long,
+    band: Int, hamming: Int)
+  case class FrameBucketState(minDoc: Long, minFrame: Int, phash: Long,
+    seen: Long)
+
+  /** Streaming video near-dup — the ingest twin of
+    * `Multimodal.videoDupStats`, possible because the per-frame
+    * signature is a stateless narrow map (`demuxFrameHashes`) and the
+    * 4×16-bit band keys are pure projections. The stateful step is
+    * the minhashDedupStream bucket pattern with one addition: the
+    * bucket retains the canonical frame's FULL 64-bit hash, so an
+    * arriving frame VERIFIES with a popcount before it is emitted —
+    * band equality alone is a candidate, not a match. `bucketCap` is
+    * the ingest-time form of the batch side's hot-band df cap: a
+    * bucket that has admitted more frames stops matching (black
+    * frames / title cards would otherwise route a corpus's worth of
+    * traffic through one state key). State: ONE fixed-size record per
+    * non-empty bucket (4/frame), sharded by the bucket key; the
+    * bounding/compaction options are minhashDedupStream's. Emits each
+    * frame that near-matches the retained canonical of ANOTHER doc,
+    * per band (consumers distinct on (doc_id, frame_no), like the
+    * batch side). On a batch frame the same code sees each bucket as
+    * one complete group in (doc_id, frame_no) order — StreamingSpec
+    * proves streamed == batch == the planted re-encode expectation. */
+  def videoDupStream(hashes: Dataset[graft.operators.Multimodal.FrameHash],
+      maxHamming: Int = 3, bucketCap: Long = 4096L): Dataset[FrameDupOut] = {
+    import hashes.sparkSession.implicits._
+    require(maxHamming <= 3, "4x16-bit banding guarantees recall only to Hamming 3")
+    val bands = hashes.toDF("doc_id", "frame_no", "phash")
+      .select(col("doc_id"), col("frame_no"), col("phash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("phash"), b * 16)
+              .bitwiseAND(lit(0xffffL)).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("frame_no"), col("phash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .as[FrameBandHit]
+    bands.groupByKey(b => (b.band, b.bv))
+      .flatMapGroupsWithState[FrameBucketState, FrameDupOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), it: Iterator[FrameBandHit],
+            state: GroupState[FrameBucketState]) =>
+          // (doc_id, frame_no) order within the batch: deterministic on
+          // any arrival interleaving; on a batch frame = global order
+          val hits = it.toArray.sortBy(h => (h.doc_id, h.frame_no))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FrameDupOut]
+          var st = state.getOption
+            .getOrElse(FrameBucketState(Long.MaxValue, 0, 0L, 0L))
+          hits.foreach { h =>
+            if (st.seen < bucketCap) {
+              if (st.minDoc == Long.MaxValue)
+                st = st.copy(minDoc = h.doc_id, minFrame = h.frame_no,
+                  phash = h.phash)
+              else if (h.doc_id != st.minDoc) {
+                val ham = java.lang.Long.bitCount(h.phash ^ st.phash)
+                if (ham <= maxHamming)
+                  out += FrameDupOut(h.doc_id, h.frame_no, st.minDoc, key._1, ham)
+                // canonical stays the minimum (doc, frame) admitted
+                if (h.doc_id < st.minDoc)
+                  st = st.copy(minDoc = h.doc_id, minFrame = h.frame_no,
+                    phash = h.phash)
+              }
+            }
+            st = st.copy(seen = st.seen + 1)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ------------------------------------------------------------- CDC changelog
   case class CdcEv(user_id: Long, event_id: Long, event_type: String,
     value: Double, us: Long)

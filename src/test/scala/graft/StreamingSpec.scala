@@ -598,6 +598,48 @@ class StreamingSpec extends SparkSpec {
       "ingest-time fingerprints must equal the batch kernel bit-for-bit")
   }
 
+  test("stream video near-dup: streamed == batch, re-encode matched with popcount verify, bucket cap bites") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{FrameHash, RawMedia}
+    // planted clips: 0/1 same content re-encoded (16 px vs 24 px),
+    // 2 distinct — the SourcesSpec corpus at the stream head
+    def clip(id: Long, key: Long, size: Int) = RawMedia(id,
+      Multimodal.packFrames((0 until 3).map(f =>
+        Multimodal.blockFramePng(key, f, size))))
+    val clips = Seq(clip(0L, 10L, 16), clip(1L, 10L, 24), clip(2L, 99L, 16))
+    val hashes = Multimodal.demuxFrameHashes(clips.toDS()).collect().toSeq
+    val hashDf = hashes.toDS()
+    // batch run of the SAME job code: complete buckets, global order
+    val batch = StreamingJobs.videoDupStream(hashDf).collect()
+      .map(d => (d.doc_id, d.frame_no, d.dup_of, d.band, d.hamming)).toSet
+    // planted expectation: every frame of doc 1 matches its doc-0
+    // canonical at Hamming 0 on all 4 bands; doc 2 matches nothing
+    assert(batch.map(t => (t._1, t._2, t._3, t._5)) ==
+      (0 until 3).map(f => (1L, f, 0L, 0)).toSet,
+      s"re-encoded frames must match their canonicals exactly: $batch")
+    val tmp = java.nio.file.Files.createTempDirectory("vdup-in").toString
+    hashDf.toDF().write.mode("overwrite").parquet(tmp)
+    val src = s.readStream.schema(hashDf.toDF().schema).parquet(tmp)
+      .as[FrameHash]
+    val q = StreamingJobs.videoDupStream(src)
+      .writeStream.format("memory").queryName("vdup_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from vdup_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4))).toSet
+    assert(streamed == batch, "ingest-time matches must equal the batch run")
+    // bucket cap: with the cap at 1 every bucket admits only its
+    // canonical and stops — no matches can be emitted
+    val capped = StreamingJobs.videoDupStream(hashDf, bucketCap = 1L).collect()
+    assert(capped.isEmpty, s"a cap-1 bucket must never match: ${capped.toSeq}")
+  }
+
   test("stream shard assign: routed shards equal the batch permutation's assignment") {
     val s = spark
     import s.implicits._
