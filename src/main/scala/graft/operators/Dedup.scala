@@ -2582,11 +2582,15 @@ object Dedup {
        |  -- rightmost-tie POSITION pick lives in the kernel (spec'd)
        |  SELECT doc_id, win, min(h) AS fp_h
        |  FROM wins GROUP BY doc_id, win),
-       |fps AS (SELECT DISTINCT doc_id, fp_h FROM sel),
+       |-- MATERIALIZED (the kcore-oracle lesson): the pair join reads
+       |-- `kept` twice and the df aggregate reads `fps` once more —
+       |-- DuckDB's default inlining would re-derive the whole gram
+       |-- pipeline per reference and blow the spill cap at sf10
+       |fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp_h FROM sel),
        |-- hot-fingerprint df cap: over-frequent hashes drop before
        |-- the pair join (mirrors the kernel's WinnowMaxDf anti-join)
        |df AS (SELECT fp_h, count(*) AS df FROM fps GROUP BY 1),
-       |kept AS (
+       |kept AS MATERIALIZED (
        |  SELECT fps.* FROM fps
        |  JOIN df USING (fp_h) WHERE df.df <= $WinnowMaxDf)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -748,11 +748,20 @@ object MrCore {
     linkPrediction(coOrderEdges(spark, dir))
       .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
 
-  private val graphLinksSql =
-    s"""WITH $coOrderSqlCtes,
-      |sym AS (SELECT s1, s2 FROM co UNION ALL SELECT s2, s1 FROM co),
-      |deg AS (SELECT s1, count(*) AS d FROM sym GROUP BY s1),
-      |cm AS (
+  // co-order CTEs MATERIALIZED (the kcore-oracle lesson): sym is read
+  // twice by cm, co three times (sym ×2 + the ne anti-join), deg twice
+  // by sc — DuckDB's default inlining re-derives the 60M-row li
+  // self-join per reference, which accumulated past the 55.8 GiB
+  // spill cap at sf10 (round 13 forensics: every stage is tiny — co
+  // is 2000 rows in 8 s — only the re-derivation count blows up)
+  private val graphLinksSql = {
+    val coMat = coOrderSqlCtes
+      .replace("li AS (", "li AS MATERIALIZED (")
+      .replace("co AS (", "co AS MATERIALIZED (")
+    s"""WITH $coMat,
+      |sym AS MATERIALIZED (SELECT s1, s2 FROM co UNION ALL SELECT s2, s1 FROM co),
+      |deg AS MATERIALIZED (SELECT s1, count(*) AS d FROM sym GROUP BY s1),
+      |cm AS MATERIALIZED (
       |  SELECT w1.s2 AS a, w2.s2 AS c, count(*) AS n_common
       |  FROM sym w1 JOIN sym w2 ON w1.s1 = w2.s1 AND w1.s2 < w2.s2
       |  GROUP BY 1, 2),
@@ -771,6 +780,7 @@ object MrCore {
       |  FROM sc
       |  ORDER BY score DESC, a, c LIMIT $LinkTopK)
       |ORDER BY jaccard DESC, node_a, node_b""".stripMargin
+  }
 
   // ---------------------------------------------------------------- k-core
   /** Peel parameters of the registered `graph_kcore`: k adapts to the
@@ -1010,9 +1020,17 @@ object MrCore {
        |ORDER BY node""".stripMargin
   }
 
-  private val graphTrianglesSql =
-    s"""WITH $coOrderSqlCtes,
-      |tri AS (
+  // co MATERIALIZED: the triangle join reads co THREE times and the
+  // incidence union reads tri three — inlining re-derived the 60M-row
+  // li self-join per reference, the recorded cause of this oracle's
+  // sf10 infeasibility (round 13: materialized, it completes — see
+  // CORRECTNESS_SF10.json)
+  private val graphTrianglesSql = {
+    val coMat = coOrderSqlCtes
+      .replace("li AS (", "li AS MATERIALIZED (")
+      .replace("co AS (", "co AS MATERIALIZED (")
+    s"""WITH $coMat,
+      |tri AS MATERIALIZED (
       |  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
       |  FROM co e1
       |  JOIN co e2 ON e1.s2 = e2.s1
@@ -1023,6 +1041,7 @@ object MrCore {
       |  UNION ALL SELECT c FROM tri)
       |SELECT node, count(*) AS n_tri FROM nodes
       |GROUP BY node ORDER BY node""".stripMargin
+  }
 
   // ---------------------------------------------------------------- registry
   def defs: Seq[QueryDef] = Seq(

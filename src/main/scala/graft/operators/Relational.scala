@@ -715,11 +715,14 @@ object Relational {
           (col("n_a") * col("n_b")), 6).as("lift"))
   }
 
+  // op/pn MATERIALIZED (the kcore-oracle lesson): op is read by n,
+  // pn, and BOTH pair-join sides — DuckDB's default inlining would
+  // re-derive the sf10 60M-row distinct per reference
   private val qMarketBasketSql =
-    s"""WITH op AS (
+    s"""WITH op AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
-       |pn AS (SELECT l_partkey, count(*) AS n_part FROM op GROUP BY 1),
+       |pn AS MATERIALIZED (SELECT l_partkey, count(*) AS n_part FROM op GROUP BY 1),
        |pairs AS (
        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
        |    count(*) AS support
@@ -736,11 +739,11 @@ object Relational {
        |ORDER BY support DESC, part_a, part_b""".stripMargin
 
   private val qMarketBasketPrunedSql =
-    s"""WITH op AS (
+    s"""WITH op AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
-       |pn AS (SELECT l_partkey, count(*) AS n_part FROM op GROUP BY 1),
-       |opf AS (
+       |pn AS MATERIALIZED (SELECT l_partkey, count(*) AS n_part FROM op GROUP BY 1),
+       |opf AS MATERIALIZED (
        |  SELECT op.* FROM op
        |  WHERE l_partkey IN
        |    (SELECT l_partkey FROM pn WHERE n_part >= $BasketMinSupport)),
