@@ -224,31 +224,37 @@ object MrCore {
 
   private val mrPagerankSql = {
     val scale = "1000000000000000"
-    """WITH fwd AS (
+    // every CTE MATERIALIZED (the kcore/graph_links lesson applied in
+    // round 13): edges is read by nodes/deg/c1/c2/c3 and fwd twice by
+    // edges — DuckDB's default inlining re-derived the sf10 60M-row
+    // lineitem⋈orders DISTINCT once per reference, the recorded cause
+    // of this oracle's >70 GiB spill death; materialized, each frame
+    // is derived once per round like the engine side
+    """WITH fwd AS MATERIALIZED (
       |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT src, dst FROM fwd
       |  UNION ALL
       |  SELECT dst AS src, src AS dst FROM fwd),
-      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
       |nn AS (SELECT count(*) AS n FROM nodes),
-      |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-      |r0 AS (SELECT node, SCALE // n AS rank FROM nodes CROSS JOIN nn),
-      |c1 AS (SELECT e.dst, sum(r.rank // d.outdeg) AS s
+      |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      |r0 AS MATERIALIZED (SELECT node, SCALE // n AS rank FROM nodes CROSS JOIN nn),
+      |c1 AS MATERIALIZED (SELECT e.dst, sum(r.rank // d.outdeg) AS s
       |       FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
       |       GROUP BY e.dst),
-      |r1 AS (SELECT node, ((15 * SCALE) // 100) // n + (85 * coalesce(s, 0)) // 100 AS rank
+      |r1 AS MATERIALIZED (SELECT node, ((15 * SCALE) // 100) // n + (85 * coalesce(s, 0)) // 100 AS rank
       |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON node = dst),
-      |c2 AS (SELECT e.dst, sum(r.rank // d.outdeg) AS s
+      |c2 AS MATERIALIZED (SELECT e.dst, sum(r.rank // d.outdeg) AS s
       |       FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
       |       GROUP BY e.dst),
-      |r2 AS (SELECT node, ((15 * SCALE) // 100) // n + (85 * coalesce(s, 0)) // 100 AS rank
+      |r2 AS MATERIALIZED (SELECT node, ((15 * SCALE) // 100) // n + (85 * coalesce(s, 0)) // 100 AS rank
       |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON node = dst),
-      |c3 AS (SELECT e.dst, sum(r.rank // d.outdeg) AS s
+      |c3 AS MATERIALIZED (SELECT e.dst, sum(r.rank // d.outdeg) AS s
       |       FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
       |       GROUP BY e.dst),
-      |r3 AS (SELECT node, ((15 * SCALE) // 100) // n + (85 * coalesce(s, 0)) // 100 AS rank
+      |r3 AS MATERIALIZED (SELECT node, ((15 * SCALE) // 100) // n + (85 * coalesce(s, 0)) // 100 AS rank
       |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON node = dst)
       |SELECT node, cast(rank as bigint) AS rank_scaled FROM r3
       |ORDER BY node""".stripMargin.replace("SCALE", scale)

@@ -856,10 +856,10 @@ object Similarity {
          |    cast(sum(cast(x as decimal(28,12))) as double) / count(*) AS m
          |  FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a$i)
          |  GROUP BY cluster, dim),
-         |c$i AS (SELECT cluster AS c_id, list(m ORDER BY dim) AS cv FROM u$i GROUP BY cluster)""".stripMargin
+         |c$i AS MATERIALIZED (SELECT cluster AS c_id, list(m ORDER BY dim) AS cv FROM u$i GROUP BY cluster)""".stripMargin
     }.mkString(",\n")
-    s"""en AS ($vecsSql),
-       |c0 AS (SELECT cast(vec_id as int) AS c_id, v AS cv FROM en WHERE vec_id < ($kSql)),
+    s"""en AS MATERIALIZED ($vecsSql),
+       |c0 AS MATERIALIZED (SELECT cast(vec_id as int) AS c_id, v AS cv FROM en WHERE vec_id < ($kSql)),
        |$rounds""".stripMargin
   }
 
@@ -878,11 +878,16 @@ object Similarity {
       carry: Seq[String], outCte: String): String = {
     val acCols = carry.map(c => s"en.$c").mkString(", ")
     val outInner = carry.map(c => s"ac.$c").mkString(", ")
-    s"""r$sfx AS (
+    // every multi-referenced CTE MATERIALIZED (the round-13 oracle
+    // lesson, see MrCore's pagerank/graph oracles): r is read three
+    // times per round and en once per round across rounds — DuckDB's
+    // default inlining re-derives them per reference, which is what
+    // pushed this chain past the sf10 spill cap
+    s"""r$sfx AS MATERIALIZED (
        |  SELECT c_id, cv, ${sqlNrm("cv")} AS cn FROM (
        |    SELECT c_id, cv, row_number() OVER (ORDER BY c_id) AS rn FROM $centCte)
        |  WHERE rn <= (SELECT cast(ceil(sqrt(count(*))) as int) FROM $centCte)),
-       |g$sfx AS (
+       |g$sfx AS MATERIALIZED (
        |  SELECT c_id, cv, cn, grp FROM (
        |    SELECT c.c_id, c.cv, ${sqlNrm("c.cv")} AS cn,
        |      CASE WHEN c.c_id IN (SELECT c_id FROM r$sfx) THEN c.c_id
@@ -891,14 +896,14 @@ object Similarity {
        |        ORDER BY ${sqlDot("r.cv", "c.cv")} / (r.cn * ${sqlNrm("c.cv")}) DESC, r.c_id) AS rr
        |    FROM $centCte c CROSS JOIN r$sfx r)
        |  WHERE rr = 1),
-       |ac$sfx AS (
+       |ac$sfx AS MATERIALIZED (
        |  SELECT $acCols, en.nrm AS _nrm, grp FROM (
        |    SELECT en.*, r.c_id AS grp,
        |      row_number() OVER (PARTITION BY en.vec_id
        |        ORDER BY ${sqlDot("r.cv", "en.v")} / (r.cn * en.nrm) DESC, r.c_id) AS rr
        |    FROM en CROSS JOIN r$sfx r) en
        |  WHERE rr = 1),
-       |$outCte AS (
+       |$outCte AS MATERIALIZED (
        |  SELECT ${carry.mkString(", ")}, cluster FROM (
        |    SELECT $outInner, g.c_id AS cluster,
        |      row_number() OVER (PARTITION BY ac.vec_id
@@ -920,10 +925,10 @@ object Similarity {
          |    cast(sum(cast(x as decimal(28,12))) as double) / count(*) AS m
          |  FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM a$i)
          |  GROUP BY cluster, dim),
-         |c$i AS (SELECT cluster AS c_id, list(m ORDER BY dim) AS cv FROM u$i GROUP BY cluster)""".stripMargin
+         |c$i AS MATERIALIZED (SELECT cluster AS c_id, list(m ORDER BY dim) AS cv FROM u$i GROUP BY cluster)""".stripMargin
     }.mkString(",\n")
-    s"""en AS ($vecsSql),
-       |c0 AS (SELECT cast(vec_id as int) AS c_id, v AS cv FROM en WHERE vec_id < ($kSql)),
+    s"""en AS MATERIALIZED ($vecsSql),
+       |c0 AS MATERIALIZED (SELECT cast(vec_id as int) AS c_id, v AS cv FROM en WHERE vec_id < ($kSql)),
        |$rounds""".stripMargin
   }
 
