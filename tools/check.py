@@ -54,6 +54,12 @@ def main():
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    # optional per-query wall-clock bound (CHECK_TIMEOUT_S env var):
+    # the deliberately quadratic all-pairs oracles (dedup_jaccard
+    # family at sf >= 1) would otherwise stall a full-registry sweep
+    # for hours; a timed-out query is reported, not failed — matching
+    # the historical ORACLE_TIMEOUT record in CORRECTNESS_SF1.txt.
+    timeout_s = int(os.environ.get("CHECK_TIMEOUT_S", "0"))
     failures = 0
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
@@ -62,8 +68,22 @@ def main():
         if name not in oracle:
             print(f"{name}: no oracle (rows-only)")
             continue
-        sr, sc, sh = table_hash(con, f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-        orr, oc, oh = table_hash(con, oracle[name])
+        timer = None
+        if timeout_s:
+            # a SIGALRM handler cannot preempt duckdb's C execution
+            # (the GIL is held); interrupt() from a watchdog thread can
+            import threading
+            timer = threading.Timer(timeout_s, con.interrupt)
+            timer.start()
+        try:
+            sr, sc, sh = table_hash(con, f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+            orr, oc, oh = table_hash(con, oracle[name])
+        except duckdb.InterruptException:
+            print(f"{name}: ORACLE_TIMEOUT_{timeout_s}s")
+            continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         ok = (sr == orr) and (sc == oc) and (sh == oh)
         print(f"{name}: rows {sr}/{orr} schema_match={sc == oc} hash_match={sh == oh}"
               + ("" if ok else "  <-- MISMATCH"))
