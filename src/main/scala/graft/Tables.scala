@@ -68,6 +68,32 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Cheap content fingerprint of a source parquet table — file count
+    * plus total bytes from ONE recursive FS listing (no data read).
+    * Derived layouts (the co-order graph table, a materialized IVF
+    * index) record this at build time and their read paths compare it
+    * before serving, so a REGENERATED source dir can never be silently
+    * answered from a layout built over the old data. Count+bytes is
+    * the right granularity for immutable-write parquet dirs: any
+    * rewrite changes file sizes (row-group payloads are content-
+    * dependent) and most change the file count; mtimes are excluded
+    * so a byte-identical copy still matches. */
+  def sourceFingerprint(spark: SparkSession, dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) s"$name:absent"
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      var bytes = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) { n += 1; bytes += st.getLen }
+      }
+      s"$name:$n:$bytes"
+    }
+  }
+
   /** Size-gated broadcast hint for dimension-shaped frames whose row
     * count GROWS with scale factor — customer, supplier, part, and
     * frames derived from them (per-part min tables, qualifying-supplier
@@ -98,15 +124,41 @@ object Tables {
     * size and still broadcasts it at every tested SF). The gate honors
     * whatever threshold the session has configured, so one conf tunes
     * both this hint and Spark's own planner identically.
+    *
+    * The size estimate requires a Catalyst analyze+optimize of the
+    * subtree at DataFrame-construction time; a TPC-H query build calls
+    * dimHint a handful of times and many of those share the same scan
+    * subtree, so the ESTIMATE (threshold-independent) is memoized by
+    * the analyzed plan's canonical form. The threshold comparison
+    * itself is re-evaluated per call, so a session that re-tunes
+    * `autoBroadcastJoinThreshold` mid-flight sees the new gate
+    * immediately (PlanShapeSpec flips it at runtime). The cache is
+    * size-estimate-only: a stale entry can only mis-tier the HINT,
+    * never the data, and it is dropped wholesale at a small bound
+    * rather than LRU-tracked.
     */
+  private val sizeEstimateCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, BigInt]()
+  private val SizeCacheMax = 1024
+
   def dimHint(df: DataFrame): DataFrame = {
     val raw = df.sparkSession.conf
       .get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     val threshold =
       try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
       catch { case _: NumberFormatException => -1L } // "-1" = disabled
-    if (threshold > 0 &&
-        df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold))
+    if (threshold <= 0) return df
+    val key = df.queryExecution.analyzed.canonicalized
+    val size = sizeEstimateCache.get(key) match {
+      case null =>
+        val s = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (sizeEstimateCache.size >= SizeCacheMax) sizeEstimateCache.clear()
+        sizeEstimateCache.put(key, s)
+        s
+      case hit => hit
+    }
+    if (size <= BigInt(threshold))
       org.apache.spark.sql.functions.broadcast(df)
     else df
   }

@@ -164,11 +164,13 @@ object MrCore {
     val Scale = 1000000000000000L // 1e15 fixed point
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-    // orders is the 4x-smaller side and only 2 narrow columns: broadcast
-    // it so the (larger) lineitem never shuffles for the edge build.
-    // At TPC-H ratios this holds to ~SF100; beyond that AQE's
-    // size-based planning would demote it to a shuffle join anyway.
-    val fwd = li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    // orders is the 4x-smaller side and only 2 narrow columns, but it
+    // GROWS with SF (~150 B rows at the 100-TB north star), so a forced
+    // broadcast() hint — which Spark never demotes, even under AQE —
+    // would be a driver OOM at scale. dimHint applies the static hint
+    // only while orders' estimated size fits the session threshold and
+    // otherwise leaves the join to AQE's size-based planning.
+    val fwd = li.join(Tables.dimHint(ord), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
       .distinct()
     // Iteration-invariant frames are persisted once: without this the
@@ -515,6 +517,8 @@ object MrCore {
     * same deterministic top-k derivation; spec-asserted). */
   private val CoOrderLayoutKey = "spark.graft.coOrderLayout"
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private[graft] def coOrderLayoutBase(dir: String): String =
     "graft_co_order_" + java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -523,24 +527,50 @@ object MrCore {
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), s"$base.MANIFEST")
 
-  /** Table name the pointer currently publishes, if any. */
-  private[graft] def currentCoOrderLayout(spark: SparkSession,
-      dir: String): Option[String] = {
+  /** (table name, source fingerprint) the pointer currently
+    * publishes, if any. Line 1 is the versioned table name; line 2
+    * (round 14) is [[Tables.sourceFingerprint]] of the lineitem dir
+    * the layout was derived from — a pre-r14 single-line manifest
+    * parses as fingerprint-less and is treated as STALE by the read
+    * path (rebuilding is cheap; silently serving unverifiable edges
+    * is not). */
+  private[graft] def currentCoOrderLayoutEntry(spark: SparkSession,
+      dir: String): Option[(String, Option[String])] = {
     val mf = layoutManifestPath(spark, coOrderLayoutBase(dir))
     val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(mf)) None
     else {
       val in = fs.open(mf)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-      finally in.close()
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          .split("\n").toSeq
+        finally in.close()
+      Some((lines.head.trim, lines.drop(1).headOption.map(_.trim)))
     }
   }
 
+  /** Table name the pointer currently publishes, if any. */
+  private[graft] def currentCoOrderLayout(spark: SparkSession,
+      dir: String): Option[String] =
+    currentCoOrderLayoutEntry(spark, dir).map(_._1)
+
   private def coOrderLayout(spark: SparkSession, dir: String): Option[DataFrame] =
     if (!spark.conf.get(CoOrderLayoutKey, "false").toBoolean) None
-    else currentCoOrderLayout(spark, dir)
-      .filter(spark.catalog.tableExists)
-      .map(spark.table)
+    else currentCoOrderLayoutEntry(spark, dir).flatMap { case (table, fp) =>
+      // staleness guard: the layout is only served while the SOURCE
+      // dir still fingerprints as it did at build time — a session
+      // with the layout conf on over regenerated parquet falls back
+      // to the inline derivation (correct, just unamortized) instead
+      // of silently answering from the old corpus's edges.
+      val now = Tables.sourceFingerprint(spark, dir, "lineitem")
+      if (!fp.contains(now)) {
+        log.warn(s"co-order layout $table is STALE for $dir " +
+          s"(built over ${fp.getOrElse("<no fingerprint>")}, source now $now); " +
+          "falling back to the inline derivation — rebuild with buildCoOrderLayout")
+        None
+      } else if (!spark.catalog.tableExists(table)) None
+      else Some(spark.table(table))
+    }
 
   /** Derive + publish the layout for `dir`; returns the versioned
     * table name. Single writer assumed (the ManifestTable contract). */
@@ -549,6 +579,11 @@ object MrCore {
     val v = currentCoOrderLayout(spark, dir)
       .map(_.stripPrefix(s"${base}_v").toLong).getOrElse(-1L) + 1L
     val table = f"${base}_v$v%05d"
+    // fingerprint BEFORE the derivation reads the source: if the dir
+    // is regenerated mid-build, the published fingerprint can only be
+    // pessimistic (guard refuses, readers fall back inline) — never a
+    // fresh fingerprint over stale edges
+    val fp = Tables.sourceFingerprint(spark, dir, "lineitem")
     val co = deriveCoOrderEdges(spark, dir)
       .select(col("s1").as("src"), col("s2").as("dst"))
     graft.sources.Sources.writeBucketed(
@@ -559,7 +594,7 @@ object MrCore {
     val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(mf.getParent, mf.getName + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(table.getBytes("UTF-8")) finally out.close()
+    try out.write(s"$table\n$fp".getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri,
       spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, fs.makeQualified(mf),

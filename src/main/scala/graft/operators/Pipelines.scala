@@ -98,16 +98,18 @@ object Pipelines {
     val evalNgrams = fivegrams(evalDocs)
       .select(col("s").as("es"), col("doc_id").as("eval_doc")).distinct()
     val hits = fivegrams(train)
-      .join(broadcast(evalNgrams), col("s") === col("es"))
+      .join(Tables.dimHint(evalNgrams), col("s") === col("es"))
       .groupBy(col("doc_id"))
       .agg(
         countDistinct(col("s")).as("sh"),
         countDistinct(col("eval_doc")).as("ed"))
     // one row per TRAIN doc (the keep/drop list a pipeline consumes),
-    // clean docs carrying zeros — the hit aggregate is tiny, so this
-    // left join broadcasts it back onto the doc list
+    // clean docs carrying zeros. The hit aggregate is bounded only by
+    // the CONTAMINATION RATE — tiny on honest corpora, unbounded when
+    // the eval suite contains common phrases — so the hint goes
+    // through dimHint, never a forced broadcast().
     train.select(col("doc_id"))
-      .join(broadcast(hits), Seq("doc_id"), "left_outer")
+      .join(Tables.dimHint(hits), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("sh"), lit(0L)).as("n_shared_ngrams"),
         coalesce(col("ed"), lit(0L)).as("n_eval_docs"),
@@ -199,13 +201,15 @@ object Pipelines {
     val flagged = fivegrams(train)
       .filter(bloomMightContain(bm, m, col("s")))
     val hits = flagged
-      .join(broadcast(evalNgrams), col("s") === col("es"))
+      .join(Tables.dimHint(evalNgrams), col("s") === col("es"))
       .groupBy(col("doc_id"))
       .agg(
         countDistinct(col("s")).as("sh"),
         countDistinct(col("eval_doc")).as("ed"))
+    // dimHint, not broadcast(): hit volume is contamination-bounded,
+    // not structurally small (see decontaminateAgainst)
     train.select(col("doc_id"))
-      .join(broadcast(hits), Seq("doc_id"), "left_outer")
+      .join(Tables.dimHint(hits), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("sh"), lit(0L)).as("n_shared_ngrams"),
         coalesce(col("ed"), lit(0L)).as("n_eval_docs"),

@@ -525,11 +525,41 @@ object Similarity {
     * promises at 100 TB — [[probeIvfIndex]] then touches only the
     * probed clusters' directories. */
   def writeIvfIndex(vectors: DataFrame,
-      cents: Seq[(Int, Seq[Double], Double)], path: String): Unit =
+      cents: Seq[(Int, Seq[Double], Double)], path: String,
+      sourceFingerprint: Option[String] = None): Unit = {
     vectors
       .withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cluster").parquet(path)
+    // staleness guard (round 14, the co-order layout's discipline):
+    // record what the index was built FROM so a probe can refuse an
+    // index whose source corpus has since been regenerated. The
+    // leading underscore keeps the sidecar invisible to the parquet
+    // scan (the _SUCCESS convention).
+    sourceFingerprint.foreach(fp =>
+      writeSidecar(vectors.sparkSession, ivfFpPath(path), fp))
+  }
+
+  private def ivfFpPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_SOURCE_FINGERPRINT")
+
+  private def writeSidecar(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSidecar(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path): Option[String] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
 
   /** Append a vector batch to a materialized IVF index WITHOUT
     * retraining — the index-maintenance path a live corpus needs
@@ -549,11 +579,18 @@ object Similarity {
     * batch, retrain per epoch; pair with [[ManifestTable]] when the
     * swap must be atomic for readers. */
   def appendIvfIndex(batch: DataFrame,
-      cents: Seq[(Int, Seq[Double], Double)], path: String): Unit =
+      cents: Seq[(Int, Seq[Double], Double)], path: String,
+      sourceFingerprint: Option[String] = None): Unit = {
     batch
       .withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cluster").parquet(path)
+    // an append advances what the index covers: the caller hands the
+    // post-batch source fingerprint so subsequent guarded probes
+    // accept the grown corpus
+    sourceFingerprint.foreach(fp =>
+      writeSidecar(batch.sparkSession, ivfFpPath(path), fp))
+  }
 
   /** Probe a materialized IVF index: each query's `nprobe` closest
     * clusters come from the same broadcast-sized window as
@@ -564,9 +601,21 @@ object Similarity {
     * check in SimilarityRecallSpec. Results are identical to
     * [[ivfTopK]] over the same centroids. */
   def probeIvfIndex(spark: SparkSession, path: String, queries: DataFrame,
-      cents: Seq[(Int, Seq[Double], Double)], nprobe: Int, k: Int): DataFrame =
+      cents: Seq[(Int, Seq[Double], Double)], nprobe: Int, k: Int,
+      expectFingerprint: Option[String] = None): DataFrame = {
+    // refuse a stale index outright (vs the co-order layout's silent
+    // inline fallback — a probe has no inline equivalent to fall back
+    // to, so failing loud is the only honest behavior)
+    expectFingerprint.foreach { want =>
+      val have = readSidecar(spark, ivfFpPath(path))
+      if (!have.contains(want)) throw new IllegalStateException(
+        s"IVF index at $path is STALE: built over " +
+          s"${have.getOrElse("<no fingerprint>")}, source now $want — " +
+          "rebuild with writeIvfIndex")
+    }
     rankProbed(spark.read.parquet(path),
       probeClusters(queries, cents, nprobe), k)
+  }
 
   /** IVF-bucketed ANN query: `ivfTopK` with deterministic centroid
     * seeds (the `NCentroids` lowest-id vectors; their `cn` is the

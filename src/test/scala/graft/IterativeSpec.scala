@@ -279,4 +279,53 @@ class IterativeSpec extends SparkSpec {
       CacheHygiene.sweep(s)
     }
   }
+
+  test("co-order layout staleness guard: a regenerated source dir is never served the old layout") {
+    val s = spark
+    // a private "source dir" this test can regenerate (the derivation
+    // reads only lineitem, so that is all the dir needs)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stale-src").toString
+    s.read.parquet(s"$sf/lineitem.parquet")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    val t1 = MrCore.buildCoOrderLayout(s, tmp)
+    try {
+      s.conf.set("spark.graft.coOrderLayout", "true")
+      // fresh build over the current source: the layout is served
+      val fresh = MrCore.graphLinks(s, tmp)
+      assert(!fresh.queryExecution.executedPlan.toString.contains("lineitem"),
+        "a fingerprint-matching layout must be served")
+      fresh.collect()
+      CacheHygiene.sweep(s)
+      // REGENERATE the source (different rows ⇒ different file bytes)
+      s.read.parquet(s"$sf/lineitem.parquet")
+        .limit(100).coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+      // the pointer still names t1 but its recorded fingerprint no
+      // longer matches the dir — the read path must fall back inline
+      assert(MrCore.currentCoOrderLayout(s, tmp).contains(t1))
+      val stale = MrCore.graphLinks(s, tmp)
+      assert(stale.queryExecution.executedPlan.toString.contains("lineitem"),
+        "a stale layout must NOT be served: the plan must re-derive from lineitem")
+      // inline fallback computes over the REGENERATED data, identical
+      // to what a layout-off session sees
+      val viaGuard = stale.collect().map(_.toSeq).toSeq
+      CacheHygiene.sweep(s)
+      s.conf.set("spark.graft.coOrderLayout", "false")
+      val inline = MrCore.graphLinks(s, tmp).collect().map(_.toSeq).toSeq
+      assert(viaGuard == inline, "guarded fallback must equal the inline derivation")
+      s.conf.set("spark.graft.coOrderLayout", "true")
+      CacheHygiene.sweep(s)
+      // a rebuild over the regenerated source re-arms the layout path
+      val t2 = MrCore.buildCoOrderLayout(s, tmp)
+      assert(t2 != t1)
+      val rebuilt = MrCore.graphLinks(s, tmp)
+      assert(!rebuilt.queryExecution.executedPlan.toString.contains("lineitem"),
+        "after a rebuild the layout must be served again")
+      assert(rebuilt.collect().map(_.toSeq).toSeq == inline,
+        "rebuilt layout must serve the regenerated source's edges")
+    } finally {
+      s.conf.set("spark.graft.coOrderLayout", "false")
+      CacheHygiene.sweep(s)
+    }
+  }
 }

@@ -413,4 +413,49 @@ class PlanShapeSpec extends SparkSpec {
         "with broadcast disabled the gate must never hint")
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("dimHint on mrPagerank's SF-growing orders frame: hinted at tested SF, withheld over-threshold") {
+    val s = spark
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val p = Tables.dimHint(df).queryExecution.logical.toString
+      p.contains("ResolvedHint") || p.contains("UnresolvedHint")
+    }
+    // the exact frame mrPagerank's edge build joins against lineitem —
+    // orders GROWS with SF (~150 B rows at the 100-TB north star), so
+    // it must go through the size gate, never a forced broadcast()
+    val ord = Tables.orders(s, sf).select(col("o_orderkey"), col("o_custkey"))
+    assert(hinted(ord),
+      "at tested SF the orders projection fits and must carry the hint")
+    val pr = MrCore.mrPagerank(s, sf).queryExecution.executedPlan.toString
+    assert(pr.contains("BroadcastHashJoin"),
+      s"at tested SF the edge build must still plan as a broadcast join:\n$pr")
+    val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+      assert(!hinted(ord),
+        "once orders outgrows the threshold the static hint must be withheld " +
+          "(a forced hint is never demoted, even by AQE — the 100-TB OOM)")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("q17's DERIVED stats frame: static hint may be withheld, AQE still broadcasts the final plan") {
+    val s = spark
+    // the stats frame is an aggregate over a join — Catalyst's static
+    // estimate (children-size product) exceeds the threshold even at
+    // tested SF, so dimHint withholds the hint and the join's broadcast
+    // depends entirely on AQE seeing the true post-shuffle size. This
+    // pins that runtime behavior so an AQE regression is visible.
+    val q17 = graft.operators.TpchSuite.q17SmallQtyRevenue(s, sf)
+    q17.collect()
+    // the adaptive plan's toString appends the pre-AQE "Initial Plan"
+    // (where the un-hinted stats join IS sort-merge); assert on the
+    // final section only — the plan that actually ran
+    val fin = q17.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(fin.contains("isFinalPlan=true"), s"q17 must have re-planned:\n$fin")
+    assert(fin.contains("BroadcastHashJoin"),
+      s"q17's joins must end up broadcast in the FINAL adaptive plan:\n$fin")
+    assert(!fin.contains("SortMergeJoin"),
+      s"no q17 join should survive as sort-merge at tested SF:\n$fin")
+  }
 }

@@ -195,6 +195,54 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning"))
   }
 
+  test("IVF index staleness guard: a fingerprinted index refuses a regenerated source") {
+    val s = spark
+    import s.implicits._
+    val vecs = corpus.toDF("vec_id", "v")
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    val qs = queries.toDF("q_id", "qv")
+      .withColumn("qn", VectorFunctions.norm(col("qv")))
+    val cents = centers.zipWithIndex.map { case (c, i) =>
+      (i, c, Similarity.driverNorm(c))
+    }
+    // a source dir the test can regenerate, fingerprinted like a
+    // production embeddings table
+    val src = java.nio.file.Files.createTempDirectory("ivf-fp-src").toString
+    vecs.write.parquet(s"$src/embeddings.parquet")
+    val fp0 = Tables.sourceFingerprint(s, src, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("ivf-fp-idx").toString + "/idx"
+    Similarity.writeIvfIndex(vecs, cents, path, sourceFingerprint = Some(fp0))
+    // matching fingerprint: the guarded probe answers like the unguarded one
+    val guarded = Similarity
+      .probeIvfIndex(s, path, qs, cents, nprobe = 2, k = K, expectFingerprint = Some(fp0))
+      .collect().map(_.toSeq).toSeq
+    val plain = Similarity.probeIvfIndex(s, path, qs, cents, nprobe = 2, k = K)
+      .collect().map(_.toSeq).toSeq
+    assert(guarded == plain)
+    // REGENERATE the source: the guarded probe must refuse the index
+    vecs.limit(3).coalesce(1)
+      .write.mode("overwrite").parquet(s"$src/embeddings.parquet")
+    val fp1 = Tables.sourceFingerprint(s, src, "embeddings")
+    assert(fp1 != fp0, "regeneration must change the fingerprint")
+    val e = intercept[IllegalStateException] {
+      Similarity.probeIvfIndex(s, path, qs, cents, nprobe = 2, k = K,
+        expectFingerprint = Some(fp1))
+    }
+    assert(e.getMessage.contains("STALE"))
+    // an un-fingerprinted legacy index also refuses a guarded probe
+    val legacy = java.nio.file.Files.createTempDirectory("ivf-fp-leg").toString + "/idx"
+    Similarity.writeIvfIndex(vecs, cents, legacy)
+    intercept[IllegalStateException] {
+      Similarity.probeIvfIndex(s, legacy, qs, cents, nprobe = 2, k = K,
+        expectFingerprint = Some(fp1))
+    }
+    // and an append hands over the grown corpus's fingerprint
+    Similarity.appendIvfIndex(vecs.limit(2), cents, path,
+      sourceFingerprint = Some(fp1))
+    Similarity.probeIvfIndex(s, path, qs, cents, nprobe = 2, k = K,
+      expectFingerprint = Some(fp1)).collect() // accepted, no throw
+  }
+
   test("PQ recall@10 vs brute force: trained codebook beats init, codes round-trip") {
     val s = spark
     import s.implicits._
