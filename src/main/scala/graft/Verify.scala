@@ -17,6 +17,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional broadcast-threshold override. The no-broadcast sweep
+    // (SPARK_GRAFT_BCAST_THRESHOLD=-1) withholds every dimHint AND
+    // demotes every auto-broadcast to a shuffle join — run against
+    // the oracle it proves the suite's RESULTS never depend on which
+    // join strategy the planner picked (the 100-TB insurance: at
+    // cluster scale AQE makes that choice per-query, per-day).
+    sys.env.get("SPARK_GRAFT_BCAST_THRESHOLD")
+      .foreach(v => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

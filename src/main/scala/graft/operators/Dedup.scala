@@ -2548,18 +2548,24 @@ object Dedup {
     * consumers: the df table and both pair-join sides); bench/verify
     * reclaim it via CacheHygiene.sweep — the pipeline_curate_v6
     * precedent. */
-  def winnowPairs(fingerprints: DataFrame): DataFrame = {
+  def winnowPairs(fingerprints: DataFrame,
+      maxDf: Long = WinnowMaxDf,
+      minShared: Long = WinnowMinShared): DataFrame = {
+    // maxDf is the §18 tuning knob: raise it on corpora whose genuine
+    // near-dups share very common fingerprints (pair mass grows only
+    // linearly, maxDf × |postings|); the registered query keeps the
+    // default so its oracle's cap clause stays in lockstep
     val fps = fingerprints
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = fps.groupBy(col("fp_h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > WinnowMaxDf).select(col("fp_h"))
+      .filter(col("df") > maxDf).select(col("fp_h"))
     val kept = fps.join(hot, Seq("fp_h"), "left_anti")
     kept.select(col("doc_id").as("doc_a"), col("fp_h"))
       .join(kept.select(col("doc_id").as("doc_b"), col("fp_h")), Seq("fp_h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= WinnowMinShared)
+      .filter(col("n_shared") >= minShared)
       .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
   }
 

@@ -665,15 +665,25 @@ object MrCore {
       srcRow.getLong(0), maxDepth = 4)
   }
 
-  private val coOrderSqlCtes =
-    s"""li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-      |co AS (
+  /** The co-order derivation CTEs, parameterized on DuckDB CTE
+    * materialization (vs the former post-hoc string .replace, which a
+    * formatting drift would silently no-op, reintroducing the sf10
+    * re-derivation spill with no test guarding it). `materialized`
+    * forces li/co to evaluate once for oracles that reference them
+    * repeatedly — see graphLinksSql/graphTrianglesSql/graphKcoreSql. */
+  private def coOrderCtes(materialized: Boolean): String = {
+    val m = if (materialized) " MATERIALIZED" else ""
+    s"""li AS$m (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |co AS$m (
       |  SELECT s1, s2 FROM (
       |    SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS shared
       |    FROM li a JOIN li b
       |      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
       |    GROUP BY 1, 2
       |    ORDER BY shared DESC, s1, s2 LIMIT $CoOrderTopEdges))""".stripMargin
+  }
+
+  private val coOrderSqlCtes = coOrderCtes(materialized = false)
 
   private val graphBfsSql =
     s"""WITH RECURSIVE $coOrderSqlCtes,
@@ -796,9 +806,7 @@ object MrCore {
   // spill cap at sf10 (round 13 forensics: every stage is tiny — co
   // is 2000 rows in 8 s — only the re-derivation count blows up)
   private val graphLinksSql = {
-    val coMat = coOrderSqlCtes
-      .replace("li AS (", "li AS MATERIALIZED (")
-      .replace("co AS (", "co AS MATERIALIZED (")
+    val coMat = coOrderCtes(materialized = true)
     s"""WITH $coMat,
       |sym AS MATERIALIZED (SELECT s1, s2 FROM co UNION ALL SELECT s2, s1 FROM co),
       |deg AS MATERIALIZED (SELECT s1, count(*) AS d FROM sym GROUP BY s1),
@@ -929,9 +937,7 @@ object MrCore {
     // final SELECT references all of a1..aR, so DuckDB's default
     // inlining would re-derive the co-order graph 2^R times — measured
     // as a multi-minute hang at sf0.01 vs 0.6 s materialized.
-    val coMat = coOrderSqlCtes
-      .replace("li AS (", "li AS MATERIALIZED (")
-      .replace("co AS (", "co AS MATERIALIZED (")
+    val coMat = coOrderCtes(materialized = true)
     // a0 = all nodes; a{r} = nodes with >= k alive neighbors in a{r-1}
     val survivorCtes = (1 to KCoreRounds).map { r =>
       s"""a$r AS MATERIALIZED (
@@ -1047,9 +1053,7 @@ object MrCore {
          |      GROUP BY e.src, x.lab)
          |    WHERE rn = 1) p ON a.node = p.node)""".stripMargin
     }.mkString(",\n")
-    val coMat = coOrderSqlCtes
-      .replace("li AS (", "li AS MATERIALIZED (")
-      .replace("co AS (", "co AS MATERIALIZED (")
+    val coMat = coOrderCtes(materialized = true)
     s"""WITH $coMat,
        |sym AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM co
        |  UNION ALL SELECT s2, s1 FROM co),
@@ -1067,9 +1071,7 @@ object MrCore {
   // sf10 infeasibility (round 13: materialized, it completes — see
   // CORRECTNESS_SF10.json)
   private val graphTrianglesSql = {
-    val coMat = coOrderSqlCtes
-      .replace("li AS (", "li AS MATERIALIZED (")
-      .replace("co AS (", "co AS MATERIALIZED (")
+    val coMat = coOrderCtes(materialized = true)
     s"""WITH $coMat,
       |tri AS MATERIALIZED (
       |  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c

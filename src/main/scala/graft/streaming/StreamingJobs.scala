@@ -216,8 +216,17 @@ object StreamingJobs {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: (Int, Long), it: Iterator[FrameBandHit],
             state: GroupState[FrameBucketState]) =>
-          // (doc_id, frame_no) order within the batch: deterministic on
-          // any arrival interleaving; on a batch frame = global order
+          // (doc_id, frame_no) order WITHIN one micro-batch: the emitted
+          // set is deterministic for any interleaving inside a batch; on
+          // a batch frame (one batch = everything) that is global order.
+          // ACROSS batches the canonical is the min doc admitted SO FAR:
+          // if a lower doc_id first arrives in a LATER batch, earlier
+          // batches' rows were matched against the then-canonical and are
+          // not retracted (append mode) — the (doc_id, dup_of) attribution
+          // can differ from the single-batch run, while "which frames are
+          // flagged at all" still requires a ≤maxHamming canonical match.
+          // StreamingSpec pins both: the single-batch == batch equality
+          // and the two-batch late-canonical contract.
           val hits = it.toArray.sortBy(h => (h.doc_id, h.frame_no))
           val out = scala.collection.mutable.ArrayBuffer.empty[FrameDupOut]
           var st = state.getOption

@@ -640,6 +640,49 @@ class StreamingSpec extends SparkSpec {
     assert(capped.isEmpty, s"a cap-1 bucket must never match: ${capped.toSeq}")
   }
 
+  test("stream video near-dup across micro-batches: late lower doc_id re-canonicalizes, attribution is per-arrival") {
+    // the documented cross-batch contract (videoDupStream scaladoc):
+    // determinism is WITHIN a micro-batch; the canonical is the min doc
+    // admitted SO FAR, so a lower doc_id arriving in a LATER batch is
+    // matched against the then-canonical (not retro-attributed), and
+    // subsequent arrivals match against the NEW canonical
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{FrameHash, RawMedia}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def clip(id: Long, key: Long, size: Int) = RawMedia(id,
+      Multimodal.packFrames((0 until 3).map(f =>
+        Multimodal.blockFramePng(key, f, size))))
+    // three re-encodes of the SAME content; doc 0 arrives LAST
+    val hashes = Multimodal.demuxFrameHashes(
+      Seq(clip(0L, 10L, 16), clip(1L, 10L, 24), clip(5L, 10L, 16)).toDS())
+      .collect().toSeq
+    val in = MemoryStream[FrameHash](s)
+    val q = StreamingJobs.videoDupStream(in.toDS()).writeStream
+      .format("memory").queryName("vdup2_out")
+      .outputMode("append").start()
+    in.addData(hashes.filter(h => h.doc_id == 1L || h.doc_id == 5L))
+    q.processAllAvailable()
+    in.addData(hashes.filter(_.doc_id == 0L)) // the late lower doc
+    q.processAllAvailable()
+    q.stop()
+    val byDoc = s.sql("select * from vdup2_out").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet // (doc_id, dup_of)
+    // batch 1: doc 1 is canonical (min of {1,5}); doc 5 attributed to it.
+    // batch 2: doc 0 matches the RETAINED canonical 1 (not retracted,
+    // not re-attributed) and only then takes over as canonical.
+    assert(byDoc == Set((5L, 1L), (0L, 1L)),
+      s"cross-batch attribution must follow arrival order: $byDoc")
+    // vs the single-batch run, where doc 0 is canonical from the start —
+    // the attribution DIFFERENCE is the documented contract, while both
+    // runs agree that exactly two of the three re-encodes are flagged
+    val single = StreamingJobs.videoDupStream(hashes.toDS()).collect()
+      .map(d => (d.doc_id, d.dup_of)).toSet
+    assert(single == Set((1L, 0L), (5L, 0L)))
+    assert(single.map(_._1).size == byDoc.map(_._1).size)
+  }
+
   test("stream shard assign: routed shards equal the batch permutation's assignment") {
     val s = spark
     import s.implicits._
@@ -921,5 +964,31 @@ class StreamingSpec extends SparkSpec {
     val sums = (df: org.apache.spark.sql.DataFrame) =>
       df.agg(sum(col("user_id")), sum(col("value"))).collect()(0)
     assert(sums(back).toString == sums(batch).toString)
+  }
+}
+
+/** The ENTIRE streaming suite re-run under the RocksDB state store
+  * provider — the backend a 100-TB ingest runs once aggregate state
+  * outgrows the executor heap. §18 claims the provider swap is safe
+  * BECAUSE every job's state is bounded and asserted; this subclass
+  * turns that claim into a measurement across all 20 jobs' contracts
+  * (not just the single minhash case above): every streamed==batch
+  * equality, state bound, timeout emission, and checkpoint-restart
+  * test must hold bit-for-bit under RocksDB. Stateless jobs ride
+  * along at negligible cost — the point is that NO contract in this
+  * file is provider-dependent. */
+class RocksDbStreamingSpec extends StreamingSpec {
+  private val Key = "spark.sql.streaming.stateStore.providerClass"
+  private val Rocks =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  override protected def withFixture(test: NoArgTest): org.scalatest.Outcome = {
+    val old = spark.conf.getOption(Key)
+    spark.conf.set(Key, Rocks)
+    try super.withFixture(test)
+    finally old match {
+      case Some(v) => spark.conf.set(Key, v)
+      case None    => spark.conf.unset(Key)
+    }
   }
 }

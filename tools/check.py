@@ -47,12 +47,16 @@ def main():
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 
-    con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    def fresh_con():
+        c = duckdb.connect()
+        for t in ["region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"]:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
+
+    con = fresh_con()
 
     # optional per-query wall-clock bound (CHECK_TIMEOUT_S env var):
     # the deliberately quadratic all-pairs oracles (dedup_jaccard
@@ -69,21 +73,43 @@ def main():
             print(f"{name}: no oracle (rows-only)")
             continue
         timer = None
+        fired = None
+        phase = "engine-output"
         if timeout_s:
             # a SIGALRM handler cannot preempt duckdb's C execution
             # (the GIL is held); interrupt() from a watchdog thread can
             import threading
-            timer = threading.Timer(timeout_s, con.interrupt)
+            fired = threading.Event()
+
+            def interrupt(c=con, f=fired):
+                f.set()
+                c.interrupt()
+
+            timer = threading.Timer(timeout_s, interrupt)
             timer.start()
         try:
             sr, sc, sh = table_hash(con, f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+            phase = "oracle"
             orr, oc, oh = table_hash(con, oracle[name])
-        except duckdb.InterruptException:
-            print(f"{name}: ORACLE_TIMEOUT_{timeout_s}s")
-            continue
-        finally:
             if timer is not None:
                 timer.cancel()
+        except duckdb.InterruptException:
+            if timer is not None:
+                timer.cancel()
+            # name the query that was actually running: a slow ENGINE
+            # dump read is not an oracle problem
+            label = "ORACLE_TIMEOUT" if phase == "oracle" else "READ_TIMEOUT"
+            print(f"{name}: {label}_{timeout_s}s (during {phase} query)")
+            # an interrupted connection may hold leftover interrupt
+            # state; start clean so the next query cannot be aborted
+            con = fresh_con()
+            continue
+        # the timer can fire in the gap between query completion and
+        # cancel(), leaving a PENDING interrupt that would abort the
+        # next query and mislabel it as a timeout — detect the race
+        # and drop the connection instead of carrying it forward
+        if fired is not None and fired.is_set():
+            con = fresh_con()
         ok = (sr == orr) and (sc == oc) and (sh == oh)
         print(f"{name}: rows {sr}/{orr} schema_match={sc == oc} hash_match={sh == oh}"
               + ("" if ok else "  <-- MISMATCH"))
