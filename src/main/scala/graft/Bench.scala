@@ -544,6 +544,24 @@ object Bench {
       else s""""${s.name}":{"failed":true}"""
     }.mkString("{", ",", "}")
     val head = s""""metric":"total","value":${"%.3f".format(total)},"unit":"sec","policy":"$policy""""
+    // measured same-process drift band (VERDICT r13 #6): every headline
+    // query already runs twice warm, so the run-pair ratio max/min IS
+    // this box's repeat noise, measured on THIS run — recorded so a
+    // 1.2-1.5x sub-second flutter on an untouched query reads as
+    // in-band instead of costing an adjudication round. (The r12
+    // forensics put the box's full-sequence band at ±15-30% for
+    // sub-second entries; the live field tracks it per run.)
+    val ratios = results.collect {
+      case (_, (a, b)) if a > 0 && b > 0 => math.max(a, b) / math.min(a, b)
+    }.sorted
+    val drift =
+      if (ratios.isEmpty) """"drift":{}"""
+      else {
+        val med = ratios(ratios.size / 2)
+        s""""drift":{"n":${ratios.size},"min":${"%.2f".format(ratios.head)},""" +
+          s""""median":${"%.2f".format(med)},"max":${"%.2f".format(ratios.last)},""" +
+          s""""basis":"warm run-pair ratio per headline query"}"""
+      }
     // compact fast-tier rollup for stdout; per-query detail below
     val fastOkSecs = fastResults.map(_._2).filter(_ >= 0)
     val fastShort = s""""fast":{"n":${fastResults.size},""" +
@@ -552,7 +570,7 @@ object Bench {
     val fastFull = fastResults.filter(_._2 >= 0).map { case (k, v) =>
       s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     val tail = s""""failed":$failed,"sf":"$sfDir""""
-    println(s"""{$head,"queries":$qs,$fastShort,"streaming":$streamShort,$tail}""")
+    println(s"""{$head,$drift,"queries":$qs,$fastShort,"streaming":$streamShort,$tail}""")
     // Subset mode (SPARK_GRAFT_QUERIES) must NOT clobber the tracked
     // full-run artifact: a 2-query iteration file committed by mistake
     // erases the round's 100+-query comparison basis (it happened —
@@ -577,8 +595,28 @@ object Bench {
             s""""mass_subset":${"%.0f".format(c.massSubset)}}"""
         }.mkString("{", ",", "}")
     }
+    // comparison-tooling note (ADVICE r13): since r13 the graph family's
+    // per-query timings read the prebuilt layout, with the shared
+    // derivation billed ONCE as graph_layout_build — a per-query diff
+    // against pre-r13 numbers must amortize the build back in, or the
+    // methodology change reads as a phantom 2.5-3x engine speedup
+    val graphFamily = {
+      val build = results.collectFirst {
+        case ("graph_layout_build", v) if best(v) >= 0 => best(v) }
+      val members = Seq("graph_triangles", "graph_bfs", "graph_cc",
+        "graph_links", "graph_kcore", "graph_lpa")
+        .filter(m => results.exists { case (k, v) => k == m && best(v) >= 0 })
+      build match {
+        case Some(b) if members.nonEmpty =>
+          s""""graph_family":{"layout_build_sec":${"%.3f".format(b)},""" +
+            s""""amortized_over":${members.map(m => s""""$m"""").mkString("[", ",", "]")},""" +
+            s""""per_query_amortized_add_sec":${"%.3f".format(b / members.size)},""" +
+            s""""note":"per-query graph timings exclude the shared derivation since r13; compare to pre-r13 as (query + layout_build/n)"}"""
+        case _ => """"graph_family":{}"""
+      }
+    }
     val detail =
-      s"""{$head,"queries":$qs,"runs":$runs,"fast":$fastFull,"streaming":$streamFull,"banding_probe":$banding,$tail}"""
+      s"""{$head,$drift,"queries":$qs,"runs":$runs,"fast":$fastFull,"streaming":$streamFull,"banding_probe":$banding,$graphFamily,$tail}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => // detail file is best-effort; the

@@ -285,17 +285,44 @@ object Multimodal {
     * (quarantine discipline, like [[demuxFrames]]). */
   case class FrameHash(doc_id: Long, frame_no: Int, phash: Long)
 
-  def demuxFrameHashes(ds: Dataset[RawMedia],
-      stride: Int = 1): Dataset[FrameHash] = {
-    import ds.sparkSession.implicits._
-    require(stride >= 1, s"stride must be >= 1, got $stride")
-    ds.mapPartitions(_.flatMap { m =>
-      unpackFrames(m.payload).zipWithIndex
-        .collect { case (bytes, i) if i % stride == 0 => (bytes, i) }
+  /** The CODEC SEAM: anything that turns one raw media container into
+    * per-frame perceptual hashes. Everything downstream of this
+    * interface — the banded near-dup join ([[videoDupStats]]), the
+    * ingest-time bucket matcher (`StreamingJobs.videoDupStream`), and
+    * the registered `mm_video_neardup` pipeline — consumes only
+    * `FrameHash` rows, so a production deployment swaps in an
+    * ffmpeg/JNI-backed implementation here WITHOUT touching any join,
+    * cap, or state logic (§18 documents the swap). `stride` belongs
+    * to the codec because a real demuxer strides at the container
+    * level (keyframe-only decode), exactly as the packed-PNG
+    * implementation skips decoding non-selected frames.
+    *
+    * Contract: emit `FrameHash(m.doc_id, frame_no, hash)` for every
+    * `stride`-th frame; DROP undecodable frames (the quarantine
+    * discipline of [[decodeBatch]]); be deterministic per payload.
+    * Implementations must be Serializable — instances ship to
+    * executors inside a `mapPartitions`. */
+  trait FrameHasher extends Serializable {
+    def frameHashes(m: RawMedia, stride: Int): Iterator[FrameHash]
+  }
+
+  /** The in-repo codec: length-prefixed PNG demux + imageio decode +
+    * [[aHash]]. Real plumbing, synthetic container format — the
+    * documented honest limit of the modality. */
+  object PackedPngAHash extends FrameHasher {
+    override def frameHashes(m: RawMedia, stride: Int): Iterator[FrameHash] =
+      unpackFrames(m.payload).iterator.zipWithIndex
+        .filter(_._2 % stride == 0)
         .flatMap { case (bytes, i) =>
           aHash(RawMedia(m.doc_id, bytes)).map(FrameHash(m.doc_id, i, _))
         }
-    })
+  }
+
+  def demuxFrameHashes(ds: Dataset[RawMedia], stride: Int = 1,
+      hasher: FrameHasher = PackedPngAHash): Dataset[FrameHash] = {
+    import ds.sparkSession.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    ds.mapPartitions(_.flatMap(hasher.frameHashes(_, stride)))
   }
 
   /** Hot-band df cap of [[videoDupStats]]: a (band, value) posting

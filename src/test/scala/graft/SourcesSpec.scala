@@ -477,4 +477,45 @@ class SourcesSpec extends SparkSpec {
       s"a genuine under-cap pair must survive the cap: $capped")
     CacheHygiene.sweep(s)
   }
+
+  test("codec seam: a custom FrameHasher drops into the video near-dup pipeline unchanged") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.RawMedia
+    // FakeFrameCodec stands in for an ffmpeg/JNI codec: no PNG decode,
+    // hashes derive from raw payload content — the seam's contract is
+    // only (doc_id, frame_no, phash) rows, so the banded join, the
+    // hot-band cap, and the per-doc stats run untouched
+    val a = Array.fill[Byte](64)(7)
+    val b = Array.fill[Byte](64)(9)
+    val ds = Seq(RawMedia(1L, a), RawMedia(2L, a.clone()), RawMedia(3L, b)).toDS()
+    val got = Multimodal
+      .videoDupStats(Multimodal.demuxFrameHashes(ds, hasher = FakeFrameCodec))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)) && got(2L) == ((3L, 3L, 1.0)),
+      s"byte-identical payloads must pair through the custom codec: $got")
+    assert(got(3L) == ((3L, 0L, 0.0)),
+      s"a distinct payload must not pair: $got")
+    // stride reaches the codec (container-level frame skipping, the
+    // keyframe-only-decode shape of a real demuxer)
+    val strided = Multimodal.demuxFrameHashes(ds, stride = 2,
+      hasher = FakeFrameCodec).collect()
+    assert(strided.nonEmpty && strided.forall(_.frame_no % 2 == 0))
+    CacheHygiene.sweep(s)
+  }
+}
+
+/** Stand-in for an ffmpeg/JNI codec behind [[graft.operators.Multimodal
+  * .FrameHasher]] — top-level so the task closure serializes without an
+  * outer spec reference. Emits 3 deterministic content-derived hashes
+  * per container. */
+object FakeFrameCodec extends graft.operators.Multimodal.FrameHasher {
+  override def frameHashes(m: graft.operators.Multimodal.RawMedia,
+      stride: Int): Iterator[graft.operators.Multimodal.FrameHash] =
+    (0 until 3).iterator.filter(_ % stride == 0).map { i =>
+      val h = java.util.Arrays.hashCode(m.payload).toLong * 2654435761L + i
+      graft.operators.Multimodal.FrameHash(m.doc_id, i, h)
+    }
 }
