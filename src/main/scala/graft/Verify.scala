@@ -25,6 +25,15 @@ object Verify {
     // cluster scale AQE makes that choice per-query, per-day).
     sys.env.get("SPARK_GRAFT_BCAST_THRESHOLD")
       .foreach(v => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+    // generic runtime-conf override for invariance sweeps
+    // (semicolon-separated k=v pairs), e.g. the AQE-off sweep:
+    // SPARK_GRAFT_SQL_CONF="spark.sql.adaptive.enabled=false"
+    sys.env.get("SPARK_GRAFT_SQL_CONF").foreach(_.split(";")
+      .map(_.trim).filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
