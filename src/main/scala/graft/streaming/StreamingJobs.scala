@@ -551,6 +551,16 @@ object StreamingJobs {
     * eval table is small by nature (benchmarks, not corpora), exactly
     * the broadcast-static side this plan wants.
     *
+    * DELIBERATE divergence from the batch kernels' `Tables.dimHint`
+    * (which size-gates the same join in `decontaminateAgainst`):
+    * streaming plans run WITHOUT AQE, so a withheld hint cannot be
+    * rescued by runtime re-planning — it becomes a per-micro-batch
+    * shuffle of the STREAM side against a static frame. The static
+    * side of a stream-static join must therefore be broadcast-sized
+    * BY CONTRACT: callers with an oversized eval suite should thin it
+    * upstream (distinct n-grams of the benchmark split, not a corpus)
+    * rather than expect the planner to absorb it.
+    *
     * `docs` needs (doc_id, text); `evalNgrams` needs (es, eval_doc). */
   def decontaminateStream(docs: DataFrame, evalNgrams: DataFrame): DataFrame =
     // one 5-gram definition repo-wide: the batch decontamination owns
