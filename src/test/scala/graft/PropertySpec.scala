@@ -602,4 +602,100 @@ class PropertySpec extends SparkSpec {
         }
     }
   }
+
+  // (user, us, value) event series; small us range so (us, event_id)
+  // tie-breaks are actually exercised
+  private val cusumGen: Gen[List[(Long, Long, Double)]] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      u <- Gen.choose(0L, 2L)
+      us <- Gen.choose(0L, 20L).map(_ * 1000000L)
+      v <- Gen.choose(0, 80).map(_ / 10.0)
+    } yield (u, us, v))
+  } yield rows
+
+  test("property: cusumOf's window unroll equals the sequential CUSUM recurrence") {
+    // the SCALE claim behind q_cusum: Cᵢ = max(0, Cᵢ₋₁ + dᵢ) unrolls
+    // to Sᵢ − min(0, min_{j≤i} Sⱼ) — here checked against a direct
+    // per-user fold on random series, in BOTH forms (fixed reference
+    // level and the self-referenced ×n deviations), including the
+    // rounded output, the min-event-id tie rule, and the drift flag
+    val s = spark
+    import s.implicits._
+    val mu0 = 3000000L // 3.0 value units
+    forAll(cusumGen) { rows0 =>
+      val rows = rows0.zipWithIndex.map { case ((u, us, v), i) =>
+        (u, i.toLong, us, v)
+      }
+      val df = rows.toDF("user_id", "event_id", "us", "value")
+        .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+      def reference(fixed: Option[Long]): Map[Long, (Long, Double, Long, Boolean)] =
+        rows.groupBy(_._1).map { case (u, rs0) =>
+          val rs = rs0.sortBy(r => (r._3, r._2))
+          val vs = rs.map(r => math.floor(r._4 * 1e6 + 0.5).toLong)
+          val (scale, base) = fixed match {
+            case Some(mu) => (1L, mu)
+            case None     => (vs.size.toLong, vs.sum)
+          }
+          val ds = vs.map(v =>
+            scale * (v - graft.operators.Events.CusumSlackMicro) - base)
+          var c = 0L
+          val cs = ds.map { d => c = math.max(0L, c + d); c }
+          val cmax = cs.max
+          val at = rs.zip(cs).filter(_._2 == cmax).map(_._1._2).min
+          val cm = math.floor(cmax.toDouble / (scale.toDouble * 1e6) * 1e4 + 0.5) / 1e4
+          u -> ((vs.size.toLong, cm, at, cm > graft.operators.Events.CusumH))
+        }
+      Seq(Some(mu0), None).foreach { form =>
+        val got = graft.operators.Events.cusumOf(df, form).collect()
+          .map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))))
+          .toMap
+        assert(got == reference(form),
+          s"form=$form: window unroll must equal the sequential recurrence\n" +
+            s"got $got\nexp ${reference(form)}")
+      }
+    }
+  }
+
+  // two docs sharing one identical token run of length >= w+k-1,
+  // embedded at random offsets in doc-unique context
+  private val winnowGen: Gen[(List[String], List[String], List[String])] = for {
+    runLen <- Gen.choose(6, 20) // WinnowK + WinnowW - 1 = 6
+    run <- Gen.listOfN(runLen, Gen.choose(0, 9).map(x => s"sh$x"))
+    p1 <- Gen.choose(0, 15); s1 <- Gen.choose(0, 15)
+    p2 <- Gen.choose(0, 15); s2 <- Gen.choose(0, 15)
+  } yield (
+    List.tabulate(p1)(i => s"a$i") ++ run ++ List.tabulate(s1)(i => s"b$i"),
+    List.tabulate(p2)(i => s"c$i") ++ run ++ List.tabulate(s2)(i => s"d$i"),
+    run)
+
+  test("property: winnowing guarantee — any shared run >= w+k-1 tokens shares a fingerprint") {
+    // Schleimer/MOSS theorem under the repo's min-hash +
+    // rightmost-tie selection, randomized over run content, run
+    // length, and embedding offsets (the planted spec pins one case;
+    // this pins the guarantee itself). Converse sanity on disjoint
+    // docs: zero shared fingerprints.
+    val s = spark
+    import s.implicits._
+    forAll(winnowGen) { case (t1, t2, _) =>
+      val docs = Seq((1L, t1.mkString(" ")), (2L, t2.mkString(" ")))
+        .toDF("doc_id", "text")
+      val fps = graft.operators.Dedup.winnowFingerprintHashes(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val (f1, f2) = (fps.filter(_._1 == 1L).map(_._2).toSet,
+        fps.filter(_._1 == 2L).map(_._2).toSet)
+      assert((f1 & f2).nonEmpty,
+        s"docs sharing a ${6}+-token run must share a fingerprint:\n$t1\n$t2")
+    }
+    val disjoint = Seq(
+      (1L, (0 until 12).map(i => s"x$i").mkString(" ")),
+      (2L, (0 until 12).map(i => s"y$i").mkString(" "))).toDF("doc_id", "text")
+    val dfp = graft.operators.Dedup.winnowFingerprintHashes(disjoint)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dfp.nonEmpty &&
+      (dfp.filter(_._1 == 1L).map(_._2).toSet &
+        dfp.filter(_._1 == 2L).map(_._2).toSet).isEmpty,
+      "disjoint docs must share nothing")
+  }
 }
