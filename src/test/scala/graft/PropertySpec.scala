@@ -698,4 +698,42 @@ class PropertySpec extends SparkSpec {
         dfp.filter(_._1 == 2L).map(_._2).toSet).isEmpty,
       "disjoint docs must share nothing")
   }
+
+  private val packGen: Gen[(List[Long], Int)] = for {
+    n <- Gen.choose(1, 80)
+    toks <- Gen.listOfN(n, Gen.choose(0L, 30L))
+    seqLen <- Gen.choose(1, 25)
+  } yield (toks, seqLen)
+
+  test("property: packManifest's distributed prefix-sum equals the sequential greedy packer") {
+    // the pipeline_pack_sequences claim: global seq assignment via
+    // partition-offset + local prefix (no corpus-sized window) must
+    // equal a single sequential fold for any doc lengths and budget —
+    // including zero-length docs and docs longer than the budget
+    // (which span sequences without emitting rows for them)
+    val s = spark
+    import s.implicits._
+    forAll(packGen) { case (toks, seqLen) =>
+      val docs = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.Pipelines
+        .packManifest(docs.toDF("doc_id", "toks"), seqLen,
+          partitions = 5, cache = false, tokCol = col("toks"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      var running = 0L
+      val acc = scala.collection.mutable.Map
+        .empty[Long, (Long, Long, Long, Long)]
+      docs.sortBy(_._1).foreach { case (id, t) =>
+        val seq = running / seqLen
+        val cur = acc.getOrElse(seq, (0L, 0L, Long.MaxValue, Long.MinValue))
+        acc(seq) = (cur._1 + 1, cur._2 + t,
+          math.min(cur._3, id), math.max(cur._4, id))
+        running += t
+      }
+      assert(got == acc.toMap,
+        s"seqLen=$seqLen toks=$toks:\ngot $got\nexp ${acc.toMap}")
+    }
+  }
 }

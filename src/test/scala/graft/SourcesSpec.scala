@@ -339,6 +339,23 @@ class SourcesSpec extends SparkSpec {
     // a box outside the data space reads nothing
     val (r3, c3, _) = Sources.readZBox(s, dir, uHi + 10, uHi + 20, vLo, vHi)
     assert(c3 <= tot && r3.count() == 0)
+
+    // randomized boxes (seeded, deterministic): pruning must be exact
+    // for ANY box — the full-scan filter rows, never one missed
+    val rng = new scala.util.Random(42)
+    (1 to 8).foreach { i =>
+      def span(lo: Double, hi: Double) = {
+        val (x, y) = (lo + (hi - lo) * rng.nextDouble(),
+          lo + (hi - lo) * rng.nextDouble())
+        (math.min(x, y), math.max(x, y))
+      }
+      val (bu1, bu2) = span(uLo, uHi)
+      val (bv1, bv2) = span(vLo, vHi)
+      val (rr, _, _) = Sources.readZBox(s, dir, bu1, bu2, bv1, bv2)
+      assert(rr.select("event_id").collect().map(_.getLong(0)).toSet ==
+        expect(bu1, bu2, bv1, bv2),
+        s"random box #$i ($bu1,$bu2)x($bv1,$bv2) must return exactly the box rows")
+    }
   }
 
   test("audio: WAV pack/parse round-trip, chunk skipping, corrupt quarantine") {
