@@ -551,16 +551,22 @@ object Bench {
     // in-band instead of costing an adjudication round. (The r12
     // forensics put the box's full-sequence band at ±15-30% for
     // sub-second entries; the live field tracks it per run.)
+    // graph_layout_build is a single timed build recorded as (dt, dt):
+    // its synthetic 1.00 ratio would deflate the noise band's floor
     val ratios = results.collect {
-      case (_, (a, b)) if a > 0 && b > 0 => math.max(a, b) / math.min(a, b)
+      case (k, (a, b)) if a > 0 && b > 0 && k != "graph_layout_build" =>
+        math.max(a, b) / math.min(a, b)
     }.sorted
     val drift =
       if (ratios.isEmpty) """"drift":{}"""
       else {
-        val med = ratios(ratios.size / 2)
+        // true median: average the two middle elements for even n
+        val med =
+          if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+          else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
         s""""drift":{"n":${ratios.size},"min":${"%.2f".format(ratios.head)},""" +
           s""""median":${"%.2f".format(med)},"max":${"%.2f".format(ratios.last)},""" +
-          s""""basis":"warm run-pair ratio per headline query"}"""
+          s""""basis":"warm run-pair ratio per headline query (layout build excluded)"}"""
       }
     // compact fast-tier rollup for stdout; per-query detail below
     val fastOkSecs = fastResults.map(_._2).filter(_ >= 0)
@@ -570,7 +576,14 @@ object Bench {
     val fastFull = fastResults.filter(_._2 >= 0).map { case (k, v) =>
       s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     val tail = s""""failed":$failed,"sf":"$sfDir""""
-    println(s"""{$head,$drift,"queries":$qs,$fastShort,"streaming":$streamShort,$tail}""")
+    // stdout carries NO drift block (ADVICE r14: with drift the compact
+    // line reconstructed to ~2120 chars — past the ~2000-char driver
+    // tail window documented above; drift lives in BENCH_DETAIL.json)
+    val line = s"""{$head,"queries":$qs,$fastShort,"streaming":$streamShort,$tail}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: stdout line ${line.length} chars" +
+        " — approaching the ~2000-char driver tail window")
+    println(line)
     // Subset mode (SPARK_GRAFT_QUERIES) must NOT clobber the tracked
     // full-run artifact: a 2-query iteration file committed by mistake
     // erases the round's 100+-query comparison basis (it happened —

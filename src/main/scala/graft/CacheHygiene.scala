@@ -30,6 +30,9 @@ object CacheHygiene {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = blocking))
+    // the dimHint size-estimate memo keys on canonicalized LogicalPlans
+    // (which retain session refs) — drop it with the blocks (ADVICE r14)
+    Tables.clearSizeEstimates()
   }
 
   /** True when no catalog-cached plan and no persistent RDD remains —

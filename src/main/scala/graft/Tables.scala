@@ -15,8 +15,56 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema registry: ADVICE r14 measured ~55-70 ms per
+    * `spark.read.parquet` frame construction, most of it parquet-footer
+    * schema inference — paid again by EVERY `Tables.x()` call in a
+    * query build (a TPC-H build touches 5-8 tables, several twice).
+    * Caching the inferred StructType per (dir, table) and issuing each
+    * call as a fresh `read.schema(cached).parquet(path)` skips the
+    * footer reads while keeping every call's AttributeReferences
+    * DISTINCT — deliberately NOT a DataFrame cache: handing two callers
+    * the same frame object would turn `lineitem ⋈ lineitem` builds into
+    * ambiguous self-joins. Entries are invalidated by
+    * [[sourceFingerprint]] (one cheap FS listing, no data read), so a
+    * regenerated source dir re-infers instead of serving a stale
+    * schema; StructType holds no session references, so the cache is
+    * retention-safe across sessions and cleared anyway by
+    * [[CacheHygiene.sweep]]. */
+  private case class SchemaEntry(fp: String,
+      schema: org.apache.spark.sql.types.StructType)
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), SchemaEntry]()
+  private val SchemaCacheMax = 256
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val fp = sourceFingerprint(spark, dir, name)
+    val cached = schemaCache.get((dir, name))
+    val schema =
+      if (cached != null && cached.fp == fp) cached.schema
+      else {
+        val s = spark.read.parquet(path).schema
+        if (schemaCache.size >= SchemaCacheMax) schemaCache.clear()
+        schemaCache.put((dir, name), SchemaEntry(fp, s))
+        s
+      }
+    spark.read.schema(schema).parquet(path)
+  }
+
+  /** Drop the size-estimate cache. Called from [[CacheHygiene.sweep]]
+    * so long-lived sessions (the test suite, Verify/Bench sweeps) never
+    * retain canonicalized LogicalPlan trees — and their session
+    * references — across queries/sessions (ADVICE r14). The schema
+    * cache deliberately SURVIVES sweeps: it holds only StructTypes
+    * (no session refs) and is fingerprint-invalidated, so clearing it
+    * between queries would just re-pay the footer reads it exists to
+    * skip. [[clearAllRegistries]] is the test-teardown full reset. */
+  private[graft] def clearSizeEstimates(): Unit = sizeEstimateCache.clear()
+
+  private[graft] def clearAllRegistries(): Unit = {
+    schemaCache.clear()
+    sizeEstimateCache.clear()
+  }
 
   /** Name-dispatched loader (applies the per-table fixups, e.g. the
     * nanosecond-timestamp conversion on `events`). */

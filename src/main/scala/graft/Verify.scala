@@ -28,11 +28,15 @@ object Verify {
     // generic runtime-conf override for invariance sweeps
     // (semicolon-separated k=v pairs), e.g. the AQE-off sweep:
     // SPARK_GRAFT_SQL_CONF="spark.sql.adaptive.enabled=false"
+    // trim around '=' and reject empty keys: "a = b" must set key "a",
+    // not the silently-unread key "a " (ADVICE r14 — a sweep run with a
+    // mis-parsed override would test the WRONG configuration and pass)
     sys.env.get("SPARK_GRAFT_SQL_CONF").foreach(_.split(";")
       .map(_.trim).filter(_.contains("="))
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        val Array(k, v) = kv.split("=", 2).map(_.trim)
+        if (k.nonEmpty) spark.conf.set(k, v)
+        else System.err.println(s"[verify] skipping SQL_CONF pair with empty key: '$kv'")
       })
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

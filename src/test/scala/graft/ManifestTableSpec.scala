@@ -151,4 +151,72 @@ class ManifestTableSpec extends SparkSpec {
     q.stop()
     assert(stateOf(t) == Set((1L, "a0"), (2L, "b1"), (3L, "c1")))
   }
+
+  test("two interleaved writers: one wins, the second fails loudly (lease)") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.ManifestTable.ConcurrentWriterException
+    val t = tmpTable()
+    ManifestTable.upsertBatch(Seq((1L, "a0")).toDF("k", "v"), t, Seq("k"))
+    // writer A claims the table and stages (mid-commit)
+    ManifestTable.acquireLease(s, t, "writer-A")
+    val vA = ManifestTable.prepare(s, t) { dir =>
+      Seq((1L, "a1")).toDF("k", "v").write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+    // writer B arrives WHILE A holds the lease: every entry point must
+    // refuse — the raw claim, the shipped upsert, and the compactor
+    intercept[ConcurrentWriterException] {
+      ManifestTable.acquireLease(s, t, "writer-B")
+    }
+    intercept[ConcurrentWriterException] {
+      ManifestTable.upsertBatch(Seq((2L, "b0")).toDF("k", "v"), t, Seq("k"))
+    }
+    intercept[ConcurrentWriterException] { ManifestTable.compact(s, t, 10L) }
+    // B's failure changed nothing: A publishes and the table is A's state
+    ManifestTable.publish(s, t, vA, writerId = Some("writer-A"))
+    ManifestTable.releaseLease(s, t, "writer-A")
+    assert(stateOf(t) == Set((1L, "a1")))
+    // after A releases, B succeeds normally
+    ManifestTable.upsertBatch(Seq((2L, "b0")).toDF("k", "v"), t, Seq("k"))
+    assert(stateOf(t) == Set((1L, "a1"), (2L, "b0")))
+    assert(ManifestTable.currentLease(s, t).isEmpty, "lease released after commit")
+  }
+
+  test("stalled writer is fenced: an expired lease is broken, and the loser cannot publish") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.ManifestTable.ConcurrentWriterException
+    val t = tmpTable()
+    ManifestTable.upsertBatch(Seq((1L, "a0")).toDF("k", "v"), t, Seq("k"))
+    // writer A claims, stages, then STALLS past its TTL
+    ManifestTable.acquireLease(s, t, "writer-A")
+    val vA = ManifestTable.prepare(s, t) { dir =>
+      Seq((1L, "stale")).toDF("k", "v").write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+    Thread.sleep(30) // let A's heartbeat age past the tiny TTL below
+    // writer B finds the expired lease, breaks it, and commits
+    ManifestTable.acquireLease(s, t, "writer-B", ttlMs = 10L)
+    val vB = ManifestTable.prepare(s, t) { dir =>
+      Seq((1L, "fresh")).toDF("k", "v").write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+    ManifestTable.publish(s, t, vB, writerId = Some("writer-B"))
+    // A wakes up and tries to publish its stale staging: the fencing
+    // check at the commit point must refuse, and B's state must stand
+    intercept[ConcurrentWriterException] {
+      ManifestTable.publish(s, t, vA, writerId = Some("writer-A"))
+    }
+    assert(stateOf(t) == Set((1L, "fresh")))
+    // A's release is a no-op on the lost lease (must not unfence B)
+    ManifestTable.releaseLease(s, t, "writer-A")
+    assert(ManifestTable.currentLease(s, t).exists(_._1 == "writer-B"))
+    ManifestTable.releaseLease(s, t, "writer-B")
+    // heartbeat keeps a healthy writer alive: re-claim, heartbeat, and a
+    // would-be breaker with the same tiny TTL sees a FRESH lease again
+    ManifestTable.acquireLease(s, t, "writer-C")
+    ManifestTable.heartbeat(s, t, "writer-C")
+    intercept[ConcurrentWriterException] {
+      ManifestTable.acquireLease(s, t, "writer-D", ttlMs = 5000L)
+    }
+    ManifestTable.releaseLease(s, t, "writer-C")
+  }
 }

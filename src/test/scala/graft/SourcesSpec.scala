@@ -522,6 +522,51 @@ class SourcesSpec extends SparkSpec {
     assert(strided.nonEmpty && strided.forall(_.frame_no % 2 == 0))
     CacheHygiene.sweep(s)
   }
+
+  test("codec seam: the JDK JPEG codec is a SECOND real FrameHasher (cross-codec near-dup)") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{PackedJpegAHash, RawMedia}
+    assume(PackedJpegAHash.available, "JVM ships no JPEG ImageReader plugin")
+    // strictness: a PNG frame must be QUARANTINED by the jpeg hasher
+    // (SOI check), not sniffed through ImageIO's auto-detection
+    val pngClip = RawMedia(9L,
+      Multimodal.packFrames(Seq(Multimodal.blockFramePng(5L, 0, 16))))
+    assert(PackedJpegAHash.frameHashes(pngClip, 1).isEmpty,
+      "non-JPEG frames must be dropped by the strict jpeg hasher")
+    // lossy-decode fidelity: the JPEG re-encode of a block frame must
+    // hash within the banded join's Hamming-3 budget of the PNG original
+    // (aHash's robustness-to-re-encode claim, measured not assumed)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (key <- Seq(3L, 10L, 77L); f <- 0 until 3) {
+      val png = Multimodal.aHash(RawMedia(0L, Multimodal.blockFramePng(key, f, 16))).get
+      val jpg = PackedJpegAHash.frameHashes(RawMedia(0L, Multimodal.packFrames(
+        Seq(Multimodal.blockFrameJpeg(key, f, 16)))), 1).next().phash
+      assert(ham(png, jpg) <= 3,
+        s"JPEG quantization pushed key=$key f=$f to Hamming ${ham(png, jpg)} > 3")
+    }
+    // end to end ACROSS codecs: doc 0 is a PNG clip, doc 1 the same clip
+    // JPEG-re-encoded at a different resolution, doc 2 distinct; each
+    // demuxed by ITS codec, unioned, then the shared near-dup join must
+    // pair 0↔1 and isolate 2 — the real-corpus scenario (one video
+    // crawled twice in different encodes) through two REAL codecs
+    def pngClipOf(id: Long, key: Long, size: Int) = RawMedia(id,
+      Multimodal.packFrames((0 until 3).map(f => Multimodal.blockFramePng(key, f, size))))
+    def jpgClipOf(id: Long, key: Long, size: Int) = RawMedia(id,
+      Multimodal.packFrames((0 until 3).map(f => Multimodal.blockFrameJpeg(key, f, size))))
+    val pngSide = Multimodal.demuxFrameHashes(
+      Seq(pngClipOf(0L, 10L, 16), pngClipOf(2L, 99L, 16)).toDS())
+    val jpgSide = Multimodal.demuxFrameHashes(
+      Seq(jpgClipOf(1L, 10L, 24)).toDS(), hasher = PackedJpegAHash)
+    val got = Multimodal.videoDupStats(pngSide.union(jpgSide))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((3L, 3L, 1.0)) && got(1L) == ((3L, 3L, 1.0)),
+      s"cross-codec re-encode must pair at share 1.0: $got")
+    assert(got(2L) == ((3L, 0L, 0.0)), s"distinct clip must stay isolated: $got")
+    CacheHygiene.sweep(s)
+  }
 }
 
 /** Stand-in for an ffmpeg/JNI codec behind [[graft.operators.Multimodal

@@ -92,7 +92,11 @@ def main():
             phase = "oracle"
             orr, oc, oh = table_hash(con, oracle[name])
             if timer is not None:
+                # cancel() does not wait for an in-flight callback — join
+                # the timer thread so the callback either ran (fired set)
+                # or never will, before we inspect `fired` below
                 timer.cancel()
+                timer.join()
         except duckdb.InterruptException:
             if timer is not None:
                 timer.cancel()
