@@ -1,0 +1,19 @@
+#!/usr/bin/env bash
+# Run a graft main (graft.Verify / graft.Bench) via plain java, outside
+# sbt — lets a long invariance sweep run in the background while sbt
+# keeps the foreground (sbt's target/ lock allows only one process).
+# Mirrors build.sbt's fork options (JDK17 add-opens, UTC, no UI).
+# Usage: tools/run_main.sh graft.Verify <sfDir> <outDir> [queries]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+OPENS=(java.lang java.lang.invoke java.lang.reflect java.io java.net \
+  java.nio java.util java.util.concurrent java.util.concurrent.atomic)
+FLAGS=()
+for p in "${OPENS[@]}"; do FLAGS+=("--add-opens=java.base/$p=ALL-UNNAMED"); done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  FLAGS+=("--add-opens=java.base/$p=ALL-UNNAMED")
+done
+exec java "${FLAGS[@]}" \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
