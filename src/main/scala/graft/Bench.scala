@@ -109,6 +109,15 @@ object Bench {
     // (the driver never sets it, so its rounds always run the full set)
     val selected = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").toSeq).getOrElse(headline)
+    // SPARK_GRAFT_RUNS=1 drops the second cold run — for the multi-
+    // minute sf100 decade sweeps, where a 10-min query's repeat noise
+    // is a few percent and the doubled wall-clock buys nothing. The
+    // policy field records it; the driver never sets it.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    // SPARK_GRAFT_SPILL=1: per-query spill/peak-memory report (stderr)
+    // for the squeezed-heap proof runs
+    val spillOn = sys.env.get("SPARK_GRAFT_SPILL").contains("1")
+    if (spillOn) SpillStats.install(spark)
     // fail fast with a readable message: a typo'd name would otherwise
     // throw NoSuchElementException mid-loop with no JSON emitted
     val unknown = selected.filterNot(SparkEntry.queries.contains)
@@ -200,7 +209,8 @@ object Bench {
         if (ok) dt else -1.0
       }
       val r1 = once()
-      val r2 = if (r1 < 0) -1.0 else once()
+      val r2 = if (r1 < 0) -1.0 else if (nRuns < 2) r1 else once()
+      if (spillOn) SpillStats.report(name)
       name -> (r1, r2)
     }
     // streaming section: skipped in SPARK_GRAFT_QUERIES subset mode
@@ -262,8 +272,9 @@ object Bench {
           }) else r1
           name -> best
         }
+    val runsTag = if (nRuns < 2) "1-run-cold" else "min-of-2-cold"
     val policy =
-      if (doWarm) "warm-sf0.01+min-of-2-cold" else "min-of-2-cold"
+      if (doWarm) s"warm-sf0.01+$runsTag" else runsTag
     printLine(results ++ layoutBuild, fastResults, streaming, policy, sfDir)
     spark.stop()
     // a failed query must not masquerade as a speedup (its -1 is
@@ -505,6 +516,39 @@ object Bench {
 
   private def best(v: (Double, Double)): Double =
     if (v._1 < 0 || v._2 < 0) -1.0 else math.min(v._1, v._2)
+
+  /** Opt-in (SPARK_GRAFT_SPILL=1) task-metrics rollup for the
+    * constrained-memory proof runs (SURVEY §18): sums shuffle/agg/sort
+    * spill bytes and tracks the max per-task execution memory across
+    * the sweep, so a squeezed-heap run reports "spilled X GiB, zero
+    * failures" as a measurement instead of a survival anecdote.
+    * Listener delivery is async, but each read sits behind isolate()'s
+    * blocking unpersist + GC, so the per-query attribution is stable. */
+  private object SpillStats {
+    val mem = new java.util.concurrent.atomic.AtomicLong
+    val disk = new java.util.concurrent.atomic.AtomicLong
+    val peakTask = new java.util.concurrent.atomic.AtomicLong
+    private var lastMem, lastDisk = 0L
+    def install(spark: SparkSession): Unit =
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            mem.addAndGet(m.memoryBytesSpilled)
+            disk.addAndGet(m.diskBytesSpilled)
+            peakTask.accumulateAndGet(m.peakExecutionMemory, (a, b) => math.max(a, b))
+          }
+        }
+      })
+    /** stderr delta since the previous report (per-query attribution). */
+    def report(name: String): Unit = synchronized {
+      val (m, d) = (mem.get, disk.get)
+      System.err.println(f"[spill] $name memSpilledMB=${(m - lastMem) / 1e6}%.1f " +
+        f"diskSpilledMB=${(d - lastDisk) / 1e6}%.1f " +
+        f"totalMemSpilledMB=${m / 1e6}%.1f peakTaskMemMB=${peakTask.get / 1e6}%.1f")
+      lastMem = m; lastDisk = d
+    }
+  }
 
   /** The driver keeps only a bounded tail of stdout (observed: 2000
     * chars) and parses the LAST JSON line it finds there. Rounds 3-5

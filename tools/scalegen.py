@@ -2,6 +2,8 @@
 """Derive a larger scale factor from the driver-generated sf0.1 tables.
 
 Usage: python3 tools/scalegen.py [outDir] [copies]
+  sf1 = 10 copies, sf10 = 100, sf100 = 1000 (~15 GB; copies stream
+  through a ParquetWriter so memory stays at one ~2M-row chunk).
 
 Produces <outDir> (default /root/repo/testdata-sf1) with the same
 schema as /root/testdata/sf0.1, scaled <copies>x (default 10) by
@@ -76,12 +78,21 @@ def shifted_copy(tbl, shifts, c):
 
 def copy_tag(c):
     """Copy 1..9 keep the original single-char 'r'..'z' tags (so a
-    10-copy run reproduces testdata-sf1 byte-identically); copies >= 10
-    get a two-char lowercase tag ('aa', 'ab', ...) for sf10+."""
+    10-copy run reproduces testdata-sf1 contents exactly); copies >= 10
+    get a multi-char lowercase tag ('aa'.. then 'aaa'.., widening as
+    needed) so any copy count stays token-disjoint and alphabetic."""
     if c <= 9:
         return chr(ord("q") + c)
     k = c - 10
-    return chr(ord("a") + k // 26) + chr(ord("a") + k % 26)
+    width = 2
+    while k >= 26 ** width:
+        k -= 26 ** width
+        width += 1
+    tag = ""
+    for _ in range(width):
+        tag = chr(ord("a") + k % 26) + tag
+        k //= 26
+    return tag
 
 
 def perturb_documents(tbl, c):
@@ -101,15 +112,30 @@ def perturb_documents(tbl, c):
     return pa.table(cols, schema=tbl.schema)
 
 
+def splitmix_np(xs):
+    """Vectorized splitmix for large copy counts; bit-for-bit identical
+    to splitmix() (uint64 wrap-around == the & masks; the final float64
+    division is the same operation)."""
+    import numpy as np
+    with np.errstate(over="ignore"):
+        z = xs.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z.astype(np.float64) / 2.0**63 - 1.0
+
+
 def perturb_embeddings(tbl, c):
-    vecs = tbl.column("embedding").to_pylist()
-    ids = tbl.column("vec_id").to_pylist()
-    out = []
-    for vid, v in zip(ids, vecs):
-        norm = sum(x * x for x in v) ** 0.5
-        amp = 0.8 * norm / (len(v) ** 0.5)
-        out.append([x + amp * splitmix(c * 1_000_003 + vid * 131 + i)
-                    for i, x in enumerate(v)])
+    import numpy as np
+    dim = len(tbl.column("embedding")[0])
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    ids = np.array(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+    amp = 0.8 * norms / (dim ** 0.5)
+    idx = (c * 1_000_003 + ids[:, None] * 131
+           + np.arange(dim)[None, :]).astype(np.uint64)
+    out_np = vecs + amp[:, None] * splitmix_np(idx)
+    out = [[float(x) for x in row] for row in out_np]
     cols = {}
     for name in tbl.column_names:
         if name == "embedding":
@@ -136,17 +162,26 @@ def main():
             assert mx is None or mx < DOM[dom], (
                 f"{t}.{col} max {mx} exceeds domain {dom}={DOM[dom]}; "
                 f"update DOM to match the source tables")
-        parts = []
+        # Stream copies through a ParquetWriter, flushing ~2M-row
+        # chunks: sf100 (1000 copies, 600M lineitem rows) must never
+        # hold the whole table in memory the way concat_tables did.
+        writer = pq.ParquetWriter(f"{DST}/{t}.parquet", src.schema)
+        parts, buffered, total = [], 0, 0
         for c in range(COPIES):
             if t == "documents" and c > 0:
-                parts.append(perturb_documents(src, c))
+                part = perturb_documents(src, c)
             elif t == "embeddings" and c > 0:
-                parts.append(perturb_embeddings(src, c))
+                part = perturb_embeddings(src, c)
             else:
-                parts.append(shifted_copy(src, shifts, c))
-        big = pa.concat_tables(parts)
-        pq.write_table(big, f"{DST}/{t}.parquet")
-        print(f"{t}: {src.num_rows} -> {big.num_rows} rows")
+                part = shifted_copy(src, shifts, c)
+            parts.append(part)
+            buffered += part.num_rows
+            if buffered >= 2_000_000 or c == COPIES - 1:
+                writer.write_table(pa.concat_tables(parts))
+                total += buffered
+                parts, buffered = [], 0
+        writer.close()
+        print(f"{t}: {src.num_rows} -> {total} rows")
 
 
 if __name__ == "__main__":
