@@ -64,6 +64,11 @@ def main():
     # for hours; a timed-out query is reported, not failed — matching
     # the historical ORACLE_TIMEOUT record in CORRECTNESS_SF1.txt.
     timeout_s = int(os.environ.get("CHECK_TIMEOUT_S", "0"))
+    # CHECK_JSON_OUT=<path>: also write the per-query results as the
+    # CORRECTNESS_*.json artifact shape ({"results": {name: {...}}});
+    # the caller owns the "_meta" block (merged if the file exists)
+    json_out = os.environ.get("CHECK_JSON_OUT")
+    results = {}
     failures = 0
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
@@ -71,6 +76,7 @@ def main():
             continue
         if name not in oracle:
             print(f"{name}: no oracle (rows-only)")
+            results[name] = {"rows_only_by_design": True, "err": None}
             continue
         timer = None
         fired = None
@@ -104,6 +110,7 @@ def main():
             # dump read is not an oracle problem
             label = "ORACLE_TIMEOUT" if phase == "oracle" else "READ_TIMEOUT"
             print(f"{name}: {label}_{timeout_s}s (during {phase} query)")
+            results[name] = {"err": f"{label}_{timeout_s}s"}
             # an interrupted connection may hold leftover interrupt
             # state; start clean so the next query cannot be aborted
             con = fresh_con()
@@ -117,10 +124,32 @@ def main():
         ok = (sr == orr) and (sc == oc) and (sh == oh)
         print(f"{name}: rows {sr}/{orr} schema_match={sc == oc} hash_match={sh == oh}"
               + ("" if ok else "  <-- MISMATCH"))
+        results[name] = {
+            "rows_match": sr == orr, "schema_match": sc == oc,
+            "hash_match": sh == oh, "spark_rows": sr, "oracle_rows": orr,
+            "err": None,
+        }
         if not ok:
             failures += 1
             if sc != oc:
                 print(f"   spark cols: {sc}\n   oracle cols: {oc}")
+    # an oracle-paired query with NO engine dump (its Verify run
+    # failed) must not silently vanish from a full-registry sweep
+    if only is None:
+        for name in sorted(oracle):
+            if name not in results and not os.path.isdir(os.path.join(out_dir, name)):
+                print(f"{name}: ENGINE_OUTPUT_MISSING  <-- MISMATCH")
+                results[name] = {"err": "ENGINE_OUTPUT_MISSING"}
+                failures += 1
+    if json_out:
+        doc = {}
+        if os.path.exists(json_out):
+            with open(json_out) as f:
+                doc = json.load(f)
+        doc.setdefault("results", {}).update(results)
+        with open(json_out, "w") as f:
+            json.dump(doc, f, indent=1)
+            f.write("\n")
     sys.exit(1 if failures else 0)
 
 
