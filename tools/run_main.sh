@@ -13,7 +13,12 @@ for p in "${OPENS[@]}"; do FLAGS+=("--add-opens=java.base/$p=ALL-UNNAMED"); done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   FLAGS+=("--add-opens=java.base/$p=ALL-UNNAMED")
 done
+# SPARK_EXTRA_JAVA_OPTS: additional JVM flags, e.g. static Spark confs
+# that must precede SparkContext creation (-Dspark.memory.fraction=0.2
+# for the constrained-memory proof runs — SparkConf loads spark.*
+# system properties).
+# shellcheck disable=SC2086
 exec java "${FLAGS[@]}" \
-  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" ${SPARK_EXTRA_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
