@@ -62,9 +62,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions default to the core count (right at sf<=1),
+    // but §18's sizing rule applies on this box too: at sf100 a
+    // 900M-key aggregation over 32 partitions is ~28M keys/partition
+    // — past the hash-agg spill cliff. SPARK_GRAFT_SHUFFLE_PARTITIONS
+    // overrides for the big-SF sweeps (err high; AQE coalesces down).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // the sf dirs are single ~MB-scale parquet files; split them so

@@ -478,11 +478,25 @@ object MrCore {
     }
 
   private def deriveCoOrderEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    li.select(col("l_orderkey"), col("l_suppkey").as("s1"))
-      .join(li.select(col("l_orderkey"), col("l_suppkey").as("s2")), Seq("l_orderkey"))
-      .filter(col("s1") < col("s2"))
+    // per-order supplier sets, then ordered pairs from the sorted set
+    // array — NOT distinct + self-join: that shape shuffles lineitem
+    // three times (the distinct, then an exchange+sort per join side)
+    // and its sort-merge join was the 190 GB spill / 19.6x decade step
+    // at sf100 (SCALING.md round-15 rows). One exchange on l_orderkey
+    // builds the sets (collect_set dedups in the partial aggregate;
+    // TPC-H orders carry <= 7 lineitems, so the arrays are bounded),
+    // the pair explode is per-row codegen'd array work, and only the
+    // ~|lines choose 2|-per-order pair stream hits the second
+    // (map-side-combined) exchange. array_sort makes i < j imply
+    // s1 < s2, matching the joined form exactly.
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(expr("array_sort(collect_set(l_suppkey))").as("sa"))
+      .select(explode(expr(
+        """flatten(transform(sa, (x, i) ->
+          |  transform(slice(sa, i + 2, size(sa) - i - 1),
+          |    y -> struct(x AS s1, y AS s2))))""".stripMargin)).as("p"))
+      .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("shared"))
       .orderBy(col("shared").desc, col("s1"), col("s2"))
