@@ -477,20 +477,27 @@ object MrCore {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  private def deriveCoOrderEdges(spark: SparkSession, dir: String): DataFrame = {
-    // per-order supplier sets, then ordered pairs from the sorted set
-    // array — NOT distinct + self-join: that shape shuffles lineitem
-    // three times (the distinct, then an exchange+sort per join side)
-    // and its sort-merge join was the 190 GB spill / 19.6x decade step
-    // at sf100 (SCALING.md round-15 rows). One exchange on l_orderkey
-    // builds the sets (collect_set dedups in the partial aggregate;
-    // TPC-H orders carry <= 7 lineitems, so the arrays are bounded),
-    // the pair explode is per-row codegen'd array work, and only the
-    // ~|lines choose 2|-per-order pair stream hits the second
-    // (map-side-combined) exchange. array_sort makes i < j imply
-    // s1 < s2, matching the joined form exactly.
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
+  private def deriveCoOrderEdges(spark: SparkSession, dir: String): DataFrame =
+    coOrderTopEdges(Tables.lineitem(spark, dir))
+
+  /** Top-`topK` co-order supplier pairs of an (l_orderkey, l_suppkey)
+    * frame, by shared-order count then (s1, s2) — a total order, so
+    * the cut is deterministic. Shape: per-order supplier sets, then
+    * ordered pairs from the sorted set array — NOT distinct +
+    * self-join: that shape shuffles lineitem three times (the
+    * distinct, then an exchange+sort per join side) and its
+    * sort-merge join was part of the 190 GB spill / 19.6x decade step
+    * at sf100 (SCALING.md round-15 rows). One exchange on l_orderkey
+    * builds the sets (collect_set dedups in the partial aggregate;
+    * TPC-H orders carry <= 17 suppliers, so the arrays are bounded),
+    * the pair explode is per-row array work, and only the
+    * ~|suppliers choose 2|-per-order pair stream hits the second
+    * (map-side-combined) exchange. array_sort makes i < j imply
+    * s1 < s2, matching the joined form exactly (property-tested
+    * against the distinct+self-join reference in IterativeSpec). */
+  private[graft] def coOrderTopEdges(li: DataFrame,
+      topK: Int = CoOrderTopEdges): DataFrame =
+    li.groupBy(col("l_orderkey"))
       .agg(expr("array_sort(collect_set(l_suppkey))").as("sa"))
       .select(explode(expr(
         """flatten(transform(sa, (x, i) ->
@@ -500,9 +507,8 @@ object MrCore {
       .groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("shared"))
       .orderBy(col("shared").desc, col("s1"), col("s2"))
-      .limit(CoOrderTopEdges)
+      .limit(topK)
       .select(col("s1"), col("s2"))
-  }
 
   // ------------------------------------------------ co-order layout
   /** Materialized co-order graph (round 13): all six graph queries

@@ -328,4 +328,35 @@ class IterativeSpec extends SparkSpec {
       CacheHygiene.sweep(s)
     }
   }
+
+  test("property: set-explode co-order derivation equals the distinct+self-join reference") {
+    val s = spark
+    import s.implicits._
+    // randomized order/supplier incidence with duplicates (collect_set
+    // must dedup them exactly like the reference's distinct), plus
+    // single-supplier orders (no pairs) and a hot supplier (ties in
+    // shared counts exercise the (shared desc, s1, s2) cut order)
+    val rng = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      val rows = (0 until 400 + round * 100).map { _ =>
+        (rng.nextInt(60).toLong, (if (rng.nextInt(4) == 0) 0
+          else rng.nextInt(15)).toLong)
+      }
+      val li = rows.toDF("l_orderkey", "l_suppkey")
+      val topK = 5 + round * 7 // small enough that the limit bites
+      val got = MrCore.coOrderTopEdges(li, topK)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val d = li.distinct()
+      val ref = d.select(col("l_orderkey"), col("l_suppkey").as("s1"))
+        .join(d.select(col("l_orderkey"), col("l_suppkey").as("s2")), Seq("l_orderkey"))
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("shared"))
+        .orderBy(col("shared").desc, col("s1"), col("s2")).limit(topK)
+        .select(col("s1"), col("s2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // both cuts follow the same total order, so exact sequence equality
+      assert(got.toSeq == ref.toSeq,
+        s"round $round: got ${got.toSeq} vs ref ${ref.toSeq}")
+    }
+  }
 }
