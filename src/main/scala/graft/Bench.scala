@@ -273,7 +273,11 @@ object Bench {
             if (ok) dt else -1.0
           }
           val r1 = once()
-          val best = if (r1 >= 2.0) math.min(r1, once() match {
+          // the >=2 s re-run is gated on nRuns too (ADVICE r15): a
+          // SPARK_GRAFT_RUNS=1 sweep tags its line "1-run-cold", so
+          // every tier must honor it or the policy field lies about
+          // the fast tier's heaviest entries
+          val best = if (r1 >= 2.0 && nRuns >= 2) math.min(r1, once() match {
             case bad if bad < 0 => r1 // second run failing: keep the good sample
             case r2 => r2
           }) else r1
@@ -529,8 +533,14 @@ object Bench {
     * spill bytes and tracks the max per-task execution memory across
     * the sweep, so a squeezed-heap run reports "spilled X GiB, zero
     * failures" as a measurement instead of a survival anecdote.
-    * Listener delivery is async, but each read sits behind isolate()'s
-    * blocking unpersist + GC, so the per-query attribution is stable. */
+    * Listener delivery is async: isolate()'s blocking unpersist + GC
+    * drains most of the bus, but queued onTaskEnd events can still
+    * land after it returns (ADVICE r15), so report() additionally
+    * POLLS the counters to quiescence (two identical reads 100 ms
+    * apart, 2 s cap) before taking the per-query delta. Totals are
+    * exact either way; the per-query attribution is quiesced-best-
+    * effort — a listener stall past the cap bleeds into the next
+    * query's delta and is flagged on stderr. */
   private object SpillStats {
     val mem = new java.util.concurrent.atomic.AtomicLong
     val disk = new java.util.concurrent.atomic.AtomicLong
@@ -549,6 +559,21 @@ object Bench {
       })
     /** stderr delta since the previous report (per-query attribution). */
     def report(name: String): Unit = synchronized {
+      // quiesce: the listener bus is async, so wait until the counters
+      // stop moving (two identical reads 100 ms apart) before taking
+      // the delta — bounded at 2 s so a stalled bus can't hang the run
+      val deadline = System.nanoTime() + 2000000000L
+      var prev = (mem.get, disk.get, peakTask.get)
+      var settled = false
+      while (!settled && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val cur = (mem.get, disk.get, peakTask.get)
+        settled = cur == prev
+        prev = cur
+      }
+      if (!settled)
+        System.err.println(s"[spill] $name: counters still moving at the 2 s " +
+          "quiescence cap — this delta may include the previous query's tail")
       val (m, d) = (mem.get, disk.get)
       System.err.println(f"[spill] $name memSpilledMB=${(m - lastMem) / 1e6}%.1f " +
         f"diskSpilledMB=${(d - lastDisk) / 1e6}%.1f " +

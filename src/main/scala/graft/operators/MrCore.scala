@@ -592,39 +592,75 @@ object MrCore {
       else Some(spark.table(table))
     }
 
+  /** Lease root for a layout base: a sibling dir of the MANIFEST
+    * holding the [[graft.sources.ManifestTable]] LEASE sentinel, so
+    * the layout build shares the enforced single-writer discipline of
+    * every other writer (VERDICT r15 #5: two concurrent nightly
+    * builds must fail loudly, not silently last-rename-wins). */
+  private def layoutLeasePath(spark: SparkSession, base: String): String =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"$base.lock").toString
+
   /** Derive + publish the layout for `dir`; returns the versioned
-    * table name. Single writer assumed (the ManifestTable contract). */
+    * table name. The single-writer contract is ENFORCED via the
+    * [[graft.sources.ManifestTable]] lease (acquire before the version
+    * is chosen, fencing re-check immediately before the commit rename,
+    * release after): a second concurrent builder throws
+    * [[graft.sources.ManifestTable.ConcurrentWriterException]] instead
+    * of racing the pointer. A daemon thread heartbeats the lease every
+    * TTL/3 — the sf100 build runs minutes, well past the 60 s TTL, and
+    * a healthy slow builder must not look crashed to a would-be
+    * lease-breaker. */
   def buildCoOrderLayout(spark: SparkSession, dir: String): String = {
     val base = coOrderLayoutBase(dir)
-    val v = currentCoOrderLayout(spark, dir)
-      .map(_.stripPrefix(s"${base}_v").toLong).getOrElse(-1L) + 1L
-    val table = f"${base}_v$v%05d"
-    // fingerprint BEFORE the derivation reads the source: if the dir
-    // is regenerated mid-build, the published fingerprint can only be
-    // pessimistic (guard refuses, readers fall back inline) — never a
-    // fresh fingerprint over stale edges
-    val fp = Tables.sourceFingerprint(spark, dir, "lineitem")
-    val co = deriveCoOrderEdges(spark, dir)
-      .select(col("s1").as("src"), col("s2").as("dst"))
-    graft.sources.Sources.writeBucketed(
-      co.unionAll(co.select(col("dst").as("src"), col("src").as("dst"))),
-      table, "src", nBuckets = 4)
-    // phase 2: one atomic rename publishes the new version
-    val mf = layoutManifestPath(spark, base)
-    val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(mf.getParent, mf.getName + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"$table\n$fp".getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, fs.makeQualified(mf),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // retention: keep v-1 for in-flight readers, drop anything older
-    spark.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith(s"${base}_v"))
-      .filter(_.stripPrefix(s"${base}_v").toLong < v - 1)
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    table
+    val lease = layoutLeasePath(spark, base)
+    val writer = "layout-" + java.util.UUID.randomUUID().toString
+    graft.sources.ManifestTable.acquireLease(spark, lease, writer)
+    val hb = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(graft.sources.ManifestTable.DefaultLeaseTtlMs / 3)
+        graft.sources.ManifestTable.heartbeat(spark, lease, writer)
+      } catch { case _: Throwable => () } // lost lease → publish fences
+    }, s"co-order-layout-heartbeat-$base")
+    hb.setDaemon(true)
+    hb.start()
+    try {
+      val v = currentCoOrderLayout(spark, dir)
+        .map(_.stripPrefix(s"${base}_v").toLong).getOrElse(-1L) + 1L
+      val table = f"${base}_v$v%05d"
+      // fingerprint BEFORE the derivation reads the source: if the dir
+      // is regenerated mid-build, the published fingerprint can only be
+      // pessimistic (guard refuses, readers fall back inline) — never a
+      // fresh fingerprint over stale edges
+      val fp = Tables.sourceFingerprint(spark, dir, "lineitem")
+      val co = deriveCoOrderEdges(spark, dir)
+        .select(col("s1").as("src"), col("s2").as("dst"))
+      graft.sources.Sources.writeBucketed(
+        co.unionAll(co.select(col("dst").as("src"), col("src").as("dst"))),
+        table, "src", nBuckets = 4)
+      // phase 2: one atomic rename publishes the new version
+      val mf = layoutManifestPath(spark, base)
+      val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(mf.getParent, mf.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"$table\n$fp".getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri,
+        spark.sparkContext.hadoopConfiguration)
+      // fencing: a builder that stalled past its TTL and lost the lease
+      // must fail HERE, before the rename, not overwrite its successor
+      graft.sources.ManifestTable.verifyHeld(spark, lease, writer)
+      fc.rename(tmp, fs.makeQualified(mf),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // retention: keep v-1 for in-flight readers, drop anything older
+      spark.catalog.listTables().collect()
+        .map(_.name).filter(_.startsWith(s"${base}_v"))
+        .filter(_.stripPrefix(s"${base}_v").toLong < v - 1)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      table
+    } finally {
+      hb.interrupt()
+      graft.sources.ManifestTable.releaseLease(spark, lease, writer)
+    }
   }
 
   /** Wedge mass — the candidate-pair count the triangle join

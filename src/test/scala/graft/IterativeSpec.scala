@@ -329,6 +329,35 @@ class IterativeSpec extends SparkSpec {
     }
   }
 
+  test("co-order layout build is single-writer: a second interleaved builder fails loudly via the lease") {
+    val s = spark
+    import graft.sources.ManifestTable
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lease-src").toString
+    s.read.parquet(s"$sf/lineitem.parquet").limit(500)
+      .write.parquet(s"$tmp/lineitem.parquet")
+    // builder B is mid-build: it holds the layout lease (the same
+    // claim buildCoOrderLayout takes first)
+    val lease = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      MrCore.coOrderLayoutBase(tmp) + ".lock").toString
+    ManifestTable.acquireLease(s, lease, "builder-B")
+    try {
+      // builder A arriving under B's live lease must fail LOUDLY before
+      // staging anything — not silently last-rename-wins (VERDICT r15 #5)
+      intercept[ManifestTable.ConcurrentWriterException] {
+        MrCore.buildCoOrderLayout(s, tmp)
+      }
+      assert(MrCore.currentCoOrderLayout(s, tmp).isEmpty,
+        "the losing builder must publish nothing")
+    } finally ManifestTable.releaseLease(s, lease, "builder-B")
+    // B done: the next build claims, publishes, and releases its lease
+    val t = MrCore.buildCoOrderLayout(s, tmp)
+    assert(MrCore.currentCoOrderLayout(s, tmp).contains(t))
+    assert(ManifestTable.currentLease(s, lease).isEmpty,
+      "a completed build must release its lease")
+    CacheHygiene.sweep(s)
+  }
+
   test("property: set-explode co-order derivation equals the distinct+self-join reference") {
     val s = spark
     import s.implicits._
