@@ -413,18 +413,25 @@ object Multimodal {
     * aggregates. The per-run persist of the hash frame is a
     * documented cost (three consumers); callers reclaim it via
     * CacheHygiene.sweep — the pipeline_curate_v6 precedent. */
-  def videoDupStats(hashes: Dataset[FrameHash], maxHamming: Int = 3,
-      bandDfCap: Long = VideoBandDfCap): DataFrame = {
-    require(maxHamming <= 3, "4x16-bit banding guarantees recall only to Hamming 3")
-    val fh = hashes.toDF("doc_id", "frame_no", "phash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = fh.select(col("doc_id"), col("frame_no"), col("phash"),
+  /** The 4×16-bit band postings of a (doc_id, frame_no, phash) frame —
+    * the (band, bv) join key of [[videoDupStats]], exposed so
+    * [[graft.operators.Calibration.capProfile]] can profile the REAL
+    * posting distribution the [[VideoBandDfCap]] constant guards. */
+  private[graft] def frameBandPostings(fh: DataFrame): DataFrame =
+    fh.select(col("doc_id"), col("frame_no"), col("phash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftrightunsigned(col("phash"), b * 16)
               .bitwiseAND(lit(0xffffL)).as("bv"))): _*)).as("bb"))
       .select(col("doc_id"), col("frame_no"), col("phash"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
+
+  def videoDupStats(hashes: Dataset[FrameHash], maxHamming: Int = 3,
+      bandDfCap: Long = VideoBandDfCap): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding guarantees recall only to Hamming 3")
+    val fh = hashes.toDF("doc_id", "frame_no", "phash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = frameBandPostings(fh)
     val hot = bands.groupBy(col("band"), col("bv"))
       .agg(count(lit(1)).as("df")).filter(col("df") > bandDfCap)
       .select(col("band"), col("bv"))

@@ -79,20 +79,26 @@ def shifted_copy(tbl, shifts, c):
 def copy_tag(c):
     """Copy 1..9 keep the original single-char 'r'..'z' tags (so a
     10-copy run reproduces testdata-sf1 contents exactly); copies >= 10
-    get a multi-char lowercase tag ('aa'.. then 'aaa'.., widening as
-    needed) so any copy count stays token-disjoint and alphabetic."""
+    get a FIXED-width tag of three base-26 chars plus a terminal 'q'.
+
+    The combined tag set is SUFFIX-FREE: all multi-char tags share one
+    width (so none is a proper suffix of another) and end in 'q' (which
+    no single-char tag is), so no token+tag concatenation can equal a
+    different token's — the variable-width scheme this replaces allowed
+    cross-width collisions like token+'r' == (token+'a')+... whenever
+    the source vocabulary contained trailing-letter extension pairs
+    (r15 advice; measured exposure on the actual sf0.1 vocabulary: 0
+    such pairs, so previously generated dirs are collision-free and
+    stay valid). Capacity: 26^3 multi tags -> copies 10..17585."""
     if c <= 9:
         return chr(ord("q") + c)
     k = c - 10
-    width = 2
-    while k >= 26 ** width:
-        k -= 26 ** width
-        width += 1
+    assert k < 26 ** 3, f"copy {c} exceeds tag capacity (max 17585 copies)"
     tag = ""
-    for _ in range(width):
+    for _ in range(3):
         tag = chr(ord("a") + k % 26) + tag
         k //= 26
-    return tag
+    return tag + "q"
 
 
 def perturb_documents(tbl, c):
