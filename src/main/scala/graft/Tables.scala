@@ -32,9 +32,19 @@ object Tables {
     * [[CacheHygiene.sweep]]. */
   private case class SchemaEntry(fp: String,
       schema: org.apache.spark.sql.types.StructType)
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), SchemaEntry]()
   private val SchemaCacheMax = 256
+  // access-ordered LRU at the bound (r15 watch item: the former
+  // wholesale clear() at capacity re-paid EVERY table's footer read on
+  // the next query; evicting only the coldest (dir, table) keeps the
+  // working set warm). Synchronized wrapper: access-ordered get()
+  // mutates the map, so even reads need the lock.
+  private val schemaCache: java.util.Map[(String, String), SchemaEntry] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, String), SchemaEntry](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String), SchemaEntry]): Boolean =
+          size() > SchemaCacheMax
+      })
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
@@ -44,7 +54,6 @@ object Tables {
       if (cached != null && cached.fp == fp) cached.schema
       else {
         val s = spark.read.parquet(path).schema
-        if (schemaCache.size >= SchemaCacheMax) schemaCache.clear()
         schemaCache.put((dir, name), SchemaEntry(fp, s))
         s
       }
