@@ -55,10 +55,13 @@ def main():
     # Bound the oracle's own resources: a big-SF oracle join that
     # spills must not fill the root disk (the sf10 pagerank oracle
     # spilled >70 GB of join temp before dying — that oracle stays an
-    # sf<=1 check; see SCALING.md).
-    con.sql("SET memory_limit='48GB'")
+    # sf<=1 check; see SCALING.md). Env-tunable (r16): the defaults
+    # assume ~100 GB free; on a fuller disk set CHECK_TEMP_MAX below
+    # the actual headroom or the oracle's spill evicts everything else.
+    con.sql(f"SET memory_limit='{os.environ.get('CHECK_MEM_LIMIT', '48GB')}'")
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
-    con.sql("SET max_temp_directory_size='60GB'")
+    con.sql(f"SET max_temp_directory_size="
+            f"'{os.environ.get('CHECK_TEMP_MAX', '60GB')}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         p = os.path.join(sf_dir, f"{t}.parquet")

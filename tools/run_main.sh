@@ -18,7 +18,10 @@ done
 # for the constrained-memory proof runs — SparkConf loads spark.*
 # system properties).
 # shellcheck disable=SC2086
+# SPARK_GRAFT_CP: override the classes dir (e.g. a snapshot copy, so a
+# background sweep keeps a stable binary while sbt recompiles the live
+# target/ in the foreground).
 exec java "${FLAGS[@]}" \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" ${SPARK_EXTRA_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
+  -cp "${SPARK_GRAFT_CP:-target/scala-2.13/classes}:/opt/spark/jars/*" "$@"
