@@ -102,4 +102,73 @@ object Calibration {
       droppedKeys = totalKeys - keptKeys,
       maxDf = maxDf)
   }
+
+  /** One point on a cap's cost-recall frontier: how many of the
+    * labeled duplicate pairs would still be CANDIDATES (≥ `minShared`
+    * shared keys of df ≤ cap) if the join ran at this cap. */
+  case class CapRecall(cap: Long, retainedPairs: Long, totalPairs: Long) {
+    def recall: Double =
+      if (totalPairs == 0L) 1.0 else retainedPairs.toDouble / totalPairs
+  }
+
+  /** Candidate-generation recall of each candidate `cap` against a
+    * LABELED duplicate-pair sample — the validation step that must
+    * follow [[capProfile]] (round 16, measured: the 32-pairs/posting
+    * budget recommended cap 504 for the video bands, and the consumer
+    * A/B showed that cap losing 6% of planted-pair recall because the
+    * corpus's genuine pairs ride df-(504, 1024] keys — a pair-mass
+    * budget prices COST only, so a recommendation is one point on the
+    * cost-recall frontier until a labeled sample prices the RECALL
+    * side).
+    *
+    * Semantics: a labeled pair (doc_a, doc_b) is RETAINED at `cap`
+    * iff the two documents share ≥ `minShared` distinct keys whose
+    * corpus df is ≤ `cap` — exactly the candidate-survival rule of the
+    * capped equi-joins (`winnowPairs(maxDf)`, `videoDupStats
+    * (bandDfCap)`); any downstream exact-verify step only removes
+    * FALSE candidates, so this measures the recall the cap itself
+    * forfeits. All caps are evaluated in ONE pass.
+    *
+    * Plan shape (labeled-sample-bounded): one df aggregate over the
+    * postings (the [[capProfile]] pass), two equi-joins restricting
+    * postings to the labeled docs (shuffle ∝ the sample's postings,
+    * never the corpus pair mass), one conditional aggregate per cap,
+    * and a 1-row collect. The labeled sample is small by construction
+    * (it is hand-labeled), so at 100 TB the cost is the df aggregate —
+    * which calibration already pays. */
+  def recallAtCaps(postings: DataFrame, keyCols: Seq[String], docCol: String,
+      labeledPairs: DataFrame, caps: Seq[Long],
+      minShared: Long = 1L): Seq[CapRecall] = {
+    require(keyCols.nonEmpty, "keyCols must name the posting key")
+    require(caps.nonEmpty, "need at least one candidate cap")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val total = labeledPairs.count() // bounded: the labeled sample
+    // df counts RAW posting rows (what the consumers' caps threshold —
+    // video bands count every frame); key MEMBERSHIP per doc is
+    // distinct (a key shared via many frames is still one shared key)
+    val keyDf = postings.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("df"))
+    val docKeys = postings
+      .select((col(docCol).as("doc") +: keyCols.map(col)): _*)
+      .distinct()
+      .join(keyDf, keyCols)
+    val aKeys = labeledPairs.select(col("doc_a"), col("doc_b"))
+      .join(docKeys, col("doc_a") === col("doc")).drop("doc")
+    val shared = aKeys.join(
+      docKeys.select((col("doc").as("doc_b") +: keyCols.map(col)): _*),
+      Seq("doc_b") ++ keyCols)
+    val perPair = shared
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(when(col("df") <= caps.head, 1)).as(s"n_le_${caps.head}"),
+        caps.tail.map(c =>
+          count(when(col("df") <= c, 1)).as(s"n_le_$c")): _*)
+    val rolled = perPair.agg(
+      count(when(col(s"n_le_${caps.head}") >= minShared, 1)).as(s"r_${caps.head}"),
+      caps.tail.map(c =>
+        count(when(col(s"n_le_$c") >= minShared, 1)).as(s"r_$c")): _*)
+      .head()
+    caps.zipWithIndex.map { case (c, i) =>
+      CapRecall(c, rolled.getLong(i), total)
+    }
+  }
 }

@@ -89,6 +89,57 @@ class CalibrationSpec extends SparkSpec {
     CacheHygiene.sweep(s)
   }
 
+  test("recallAtCaps prices the recall side of a candidate cap on a labeled sample") {
+    val s = spark
+    import s.implicits._
+    // labeled sample: the 50 genuine pairs + one pair whose ONLY
+    // shared key is the df=200 boilerplate fingerprint
+    val labeled = ((0 until 50).map(g => (g * 10L, g * 10L + 1)) :+
+      (5000L, 5001L)).toDF("doc_a", "doc_b")
+    val rs = Calibration.recallAtCaps(plantedPostings(), Seq("fp_h"), "doc_id",
+      labeled, caps = Seq(2L, 199L, 200L), minShared = 2L)
+    // cap 2 and cap 199 retain exactly the genuine 50 (their two keys
+    // have df=2; the boilerplate pair's key df=200 exceeds both caps);
+    // cap 200 admits the hot key but the boilerplate pair shares only
+    // ONE key, so minShared=2 still excludes it
+    assert(rs.map(r => (r.cap, r.retainedPairs, r.totalPairs)) ==
+      Seq((2L, 50L, 51L), (199L, 50L, 51L), (200L, 50L, 51L)), s"got $rs")
+    // at minShared=1 the boilerplate pair IS a candidate once the cap
+    // admits its key — the recall curve is monotone in cap
+    val r1 = Calibration.recallAtCaps(plantedPostings(), Seq("fp_h"), "doc_id",
+      labeled, caps = Seq(2L, 200L), minShared = 1L)
+    assert(r1.map(_.retainedPairs) == Seq(50L, 51L), s"got $r1")
+    assert(r1.last.recall == 1.0)
+    // a pair of docs with NO postings at all is simply not retained
+    val ghost = Seq((90000L, 90001L)).toDF("doc_a", "doc_b")
+    val rg = Calibration.recallAtCaps(plantedPostings(), Seq("fp_h"), "doc_id",
+      ghost, caps = Seq(200L))
+    assert(rg == Seq(Calibration.CapRecall(200L, 0L, 1L)), s"got $rg")
+  }
+
+  test("recallAtCaps on the video (band, bv) postings reproduces the r16 A/B shape") {
+    val s = spark
+    import s.implicits._
+    // the composite-key corpus from the videoDupStats test: 3 genuine
+    // re-encode pairs + 10 boilerplate clips sharing one band value
+    def clip(id: Long, key: Long, size: Int) = Multimodal.RawMedia(id,
+      Multimodal.packFrames((0 until 3).map(f => Multimodal.blockFramePng(key, f, size))))
+    val corpus = (0L until 3L).flatMap(k =>
+      Seq(clip(k * 2, 10L + k, 16), clip(k * 2 + 1, 10L + k, 24))) ++
+      (100L until 110L).map(id => clip(id, 777L, 16))
+    val hashes = Multimodal.demuxFrameHashes(corpus.toDS())
+    val postings = Multimodal.frameBandPostings(
+      hashes.toDF("doc_id", "frame_no", "phash"))
+      .select(col("doc_id"), col("band"), col("bv"))
+    val labeled = (0L until 3L).map(k => (k * 2, k * 2 + 1)).toDF("doc_a", "doc_b")
+    // a cap admitting the genuine pairs' bands scores full recall; a
+    // cap below their df forfeits everything — the cost-recall frontier
+    val rs = Calibration.recallAtCaps(postings, Seq("band", "bv"), "doc_id",
+      labeled, caps = Seq(1L, 64L))
+    assert(rs.head.retainedPairs == 0L && rs.last.retainedPairs == 3L, s"got $rs")
+    CacheHygiene.sweep(s)
+  }
+
   test("degenerate inputs: empty postings, single-posting keys") {
     val s = spark
     import s.implicits._
