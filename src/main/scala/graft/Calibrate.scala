@@ -52,6 +52,42 @@ object Calibrate {
           .toDF("doc_id", "frame_no", "phash"))
     } (Seq("band", "bv"))
 
+    // validate-recall step (round 16 — the video A/B lesson: a
+    // pair-mass recommendation is one point on the cost-recall
+    // frontier until a labeled sample prices the recall side). The
+    // synthetic clip corpus carries its own labels — doc pair
+    // (2k, 2k+1) is the same clip re-encoded — so the video family's
+    // recall at {the 32×P recommendation, the shipped constant} is
+    // printed next to the profiles.
+    {
+      import org.apache.spark.sql.functions._
+      val postings = operators.Multimodal.frameBandPostings(
+        operators.Multimodal.demuxFrameHashes(
+          operators.Multimodal.syntheticClips(spark, sfDir))
+          .toDF("doc_id", "frame_no", "phash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val p = postings.count()
+        val rec = operators.Calibration
+          .capProfile(postings, Seq("band", "bv"), math.max(1L, 32L * p))
+          .recommendedCap
+        val labeled = Tables.documents(spark, sfDir)
+          .select((col("doc_id") - (col("doc_id") % 2)).as("doc_a"),
+            (col("doc_id") - (col("doc_id") % 2) + 1).as("doc_b"))
+          .distinct()
+        val caps = if (rec == 1024L) Seq(rec) else Seq(rec, 1024L)
+        operators.Calibration.recallAtCaps(postings, Seq("band", "bv"),
+            "doc_id", labeled, caps).foreach { r =>
+          println(s"""{"family":"video_bands","validate":"planted-pair recall",""" +
+            s""""cap":${r.cap},"retained":${r.retainedPairs},""" +
+            s""""total":${r.totalPairs},"recall":${"%.4f".format(r.recall)}}""")
+        }
+      } finally {
+        postings.unpersist(blocking = false)
+        CacheHygiene.sweep(spark, blocking = false)
+      }
+    }
+
     spark.stop()
   }
 
