@@ -117,9 +117,14 @@ object Bench {
     val selected = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").toSeq).getOrElse(headline)
     // SPARK_GRAFT_RUNS=1 drops the second cold run — for the multi-
-    // minute sf100 decade sweeps, where a 10-min query's repeat noise
-    // is a few percent and the doubled wall-clock buys nothing. The
-    // policy field records it; the driver never sets it.
+    // minute sf100 decade sweeps, where the doubled wall-clock is
+    // expensive. Measured caveat (r16): the single-run band on
+    // multi-minute queries is 1.15-1.7× on this box (page-cache state
+    // + any co-tenant load), NOT a few percent — so decade tables take
+    // the MIN of independent 1-run samples and any step near a
+    // conclusion threshold gets a confirming re-sample on an idle box
+    // (SCALING.md round-16 honesty rows). The policy field records
+    // the mode; the driver never sets it.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     // SPARK_GRAFT_SPILL=1: per-query spill/peak-memory report (stderr)
     // for the squeezed-heap proof runs
