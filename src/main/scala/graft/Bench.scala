@@ -682,11 +682,16 @@ object Bench {
           // keys are filesystem paths — escape \ and " so a path
           // containing either cannot produce invalid JSON
           val k = k0.replace("\\", "\\\\").replace("\"", "\\\"")
-          s""""$k":{"use_subset":${c.useSubset},""" +
+          val byAgree = c.costByAgree.keys.toSeq.sorted.map { k2 =>
+            s""""$k2":{"cost":${"%.0f".format(c.costByAgree(k2))},""" +
+              s""""mass":${"%.0f".format(c.massByAgree.getOrElse(k2, 0.0))}}"""
+          }.mkString("{", ",", "}")
+          s""""$k":{"use_subset":${c.useSubset},"agree":${c.agree},""" +
             s""""cost_single":${"%.0f".format(c.costSingle)},""" +
             s""""cost_subset":${"%.0f".format(c.costSubset)},""" +
             s""""mass_single":${"%.0f".format(c.massSingle)},""" +
-            s""""mass_subset":${"%.0f".format(c.massSubset)}}"""
+            s""""mass_subset":${"%.0f".format(c.massSubset)},""" +
+            s""""by_agree":$byAgree}"""
         }.mkString("{", ",", "}")
     }
     // comparison-tooling note (ADVICE r13): since r13 the graph family's

@@ -71,10 +71,20 @@ object Calibrate {
         val rec = operators.Calibration
           .capProfile(postings, Seq("band", "bv"), math.max(1L, 32L * p))
           .recommendedCap
-        val labeled = Tables.documents(spark, sfDir)
+        // ADVICE r16: a labeled pair only counts if BOTH members exist
+        // in the corpus — syntheticClips materializes clips per present
+        // doc_id, so a parity gap (odd id without its even partner or
+        // vice versa) would otherwise be a permanent miss at EVERY cap,
+        // deflating the printed recall independent of the cap under
+        // test. Two semi-joins restrict the generated pairs to those
+        // the clip table can actually retain.
+        val ids = Tables.documents(spark, sfDir).select(col("doc_id"))
+        val labeled = ids
           .select((col("doc_id") - (col("doc_id") % 2)).as("doc_a"),
             (col("doc_id") - (col("doc_id") % 2) + 1).as("doc_b"))
           .distinct()
+          .join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+          .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
         val caps = if (rec == 1024L) Seq(rec) else Seq(rec, 1024L)
         operators.Calibration.recallAtCaps(postings, Seq("band", "bv"),
             "doc_id", labeled, caps).foreach { r =>

@@ -142,7 +142,14 @@ object Calibration {
     require(keyCols.nonEmpty, "keyCols must name the posting key")
     require(caps.nonEmpty, "need at least one candidate cap")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val total = labeledPairs.count() // bounded: the labeled sample
+    // input hygiene (ADVICE r16): duplicate caps would alias-collide
+    // the per-cap aggregate columns (AnalysisException), and duplicate
+    // labeled rows would inflate `total` while the per-pair groupBy
+    // dedupes the retained side — both deduped here so recall is a
+    // pair-SET property whatever the caller feeds in
+    val capsU = caps.distinct
+    val pairsU = labeledPairs.select(col("doc_a"), col("doc_b")).distinct()
+    val total = pairsU.count() // bounded: the labeled sample
     // df counts RAW posting rows (what the consumers' caps threshold —
     // video bands count every frame); key MEMBERSHIP per doc is
     // distinct (a key shared via many frames is still one shared key)
@@ -152,22 +159,22 @@ object Calibration {
       .select((col(docCol).as("doc") +: keyCols.map(col)): _*)
       .distinct()
       .join(keyDf, keyCols)
-    val aKeys = labeledPairs.select(col("doc_a"), col("doc_b"))
+    val aKeys = pairsU
       .join(docKeys, col("doc_a") === col("doc")).drop("doc")
     val shared = aKeys.join(
       docKeys.select((col("doc").as("doc_b") +: keyCols.map(col)): _*),
       Seq("doc_b") ++ keyCols)
     val perPair = shared
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(when(col("df") <= caps.head, 1)).as(s"n_le_${caps.head}"),
-        caps.tail.map(c =>
+      .agg(count(when(col("df") <= capsU.head, 1)).as(s"n_le_${capsU.head}"),
+        capsU.tail.map(c =>
           count(when(col("df") <= c, 1)).as(s"n_le_$c")): _*)
     val rolled = perPair.agg(
-      count(when(col(s"n_le_${caps.head}") >= minShared, 1)).as(s"r_${caps.head}"),
-      caps.tail.map(c =>
+      count(when(col(s"n_le_${capsU.head}") >= minShared, 1)).as(s"r_${capsU.head}"),
+      capsU.tail.map(c =>
         count(when(col(s"n_le_$c") >= minShared, 1)).as(s"r_$c")): _*)
       .head()
-    caps.zipWithIndex.map { case (c, i) =>
+    capsU.zipWithIndex.map { case (c, i) =>
       CapRecall(c, rolled.getLong(i), total)
     }
   }

@@ -1457,16 +1457,27 @@ object Dedup {
     * Trade: explode factor C(bands, agree) rows per doc vs collision
     * mass ∝ n²/2^(agree·width) — at 60 bits / hamming ≤ 4, the 6-band
     * agree-2 config pays 15 rows/doc (vs 5) for 2²⁰-bucket keys (vs
-    * 2¹²), 256× the per-bucket selectivity. MEASURED at sf10 (500k
-    * docs, isolated min-of-2): 160.1 s vs the single-band join's
-    * 63.3 s — on THIS corpus candidate mass does not dominate, the
-    * banding explode + shuffle does, so the registered queries stay
-    * single-band and this kernel is the documented option for
-    * corpora where collisions genuinely dominate (dup-dense buckets,
-    * higher maxHamming, narrower signatures). `agree == 1`
-    * degenerates to the single-band kernel and is delegated.
-    * Multi-subset collisions dedup by the same first-matching
-    * filter, lifted from bands to subsets. */
+    * 2¹²), 256× the per-bucket selectivity; 7-band agree-3 pays 35
+    * rows/doc for ~2²⁶-bucket keys. Which agree wins is a corpus
+    * property — [[chooseBandingConfig]] measures both terms and
+    * [[bandedHammingPairsAuto]] dispatches (at sf10 the natural
+    * corpus stays single-band, 63.3 s vs 160.1 s agree-2; at sf100
+    * its saturated buckets flip the probe to the subset join, 3.7×
+    * less candidate mass — SCALING.md r16). `agree == 1` degenerates
+    * to the single-band kernel and is delegated.
+    *
+    * Multi-subset collisions dedup WITHOUT a shuffle: per candidate,
+    * one XOR gives the band-match bitmask `bm` (bit b set ⟺ band b
+    * identical), and the lex-FIRST matching subset — `combinations`
+    * enumerates ascending tuples in lex order — is exactly the
+    * `agree` LOWEST set bits of `bm`. A subset `s` IS the lowest-agree
+    * bits of `bm` ⟺ `bm` restricted to [0, max(s)] equals s's mask —
+    * both sides of that test are per-subset CONSTANTS, so the filter
+    * is one CASE-pair lookup per candidate: `(bm & below(sub)) =
+    * mask(sub)`, O(bands) work at ANY agree. (Round 17: this replaces
+    * a CASE re-deriving all < sub prior subset keys per candidate —
+    * O(C(bands,agree)²) packed-key folds in one codegen'd projection,
+    * which throttled agree ≥ 3 at 35 subsets / ~600 folds.) */
   def bandedHammingPairsSubset(sigs: DataFrame, bits: Int, bands: Int,
       maxHamming: Int): DataFrame = {
     val agree = bands - maxHamming
@@ -1499,16 +1510,87 @@ object Dedup {
       col("sub"), col("kbits"), col("sh").as("ha"))
     val b = exploded.select(col("doc_id").as("doc_b"), col("block").as("block_b"),
       col("sub").as("sub_b"), col("kbits").as("kbits_b"), col("sh").as("hb"))
-    val firstMatchingSubset = "CASE sub " + subsets.indices.map { i =>
-      val priorDiffer = (0 until i).map(j =>
-        s"(${subsetKey("ha", subsets(j))} != ${subsetKey("hb", subsets(j))})")
-      s"WHEN $i THEN (${if (priorDiffer.isEmpty) "true" else priorDiffer.mkString(" AND ")})"
+    // band-match bitmask over the pair's XOR: bit b ⟺ band b identical
+    val bandMatchMask = (0 until bands).map { b =>
+      val mask = ((1L << (bound(b + 1) - bound(b))) - 1) << bound(b)
+      s"(CASE WHEN (xr & ${mask}L) = 0 THEN ${1L << b}L ELSE 0L END)"
+    }.mkString(" + ")
+    val subsetMask = "CASE sub " + subsets.zipWithIndex.map { case (s, i) =>
+      s"WHEN $i THEN ${s.map(1L << _).sum}L"
     }.mkString(" ") + " END"
+    // bm restricted to bits [0, max(s)]: constant per subset
+    val belowMask = "CASE sub " + subsets.zipWithIndex.map { case (s, i) =>
+      s"WHEN $i THEN ${(1L << (s.max + 1)) - 1}L"
+    }.mkString(" ") + " END"
+    a.join(b,
+        col("block") === col("block_b") && col("sub") === col("sub_b") &&
+        col("kbits") === col("kbits_b") && col("doc_a") < col("doc_b"))
+      .withColumn("xr", expr("ha ^ hb"))
+      .withColumn("hamming", expr("cast(bit_count(xr) as int)"))
+      .withColumn("bm", expr(bandMatchMask))
+      .filter(col("hamming") <= maxHamming &&
+        expr(s"(bm & ($belowMask)) = ($subsetMask)"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** [[bandedHammingPairsSubset]] with a per-key document-frequency
+    * cap — the winnowing/video hot-key discipline applied to the
+    * subset postings: any (block, subset, bits) bucket held by more
+    * than `bandDfCap` docs is corpus boilerplate whose c·(c−1)/2
+    * candidate mass the caller refuses to pay, and is dropped BEFORE
+    * the join. NOT total recall: a pair whose every shared subset key
+    * is over-cap is lost — calibrate the cap with
+    * [[Calibration.capProfile]] over the postings this kernel builds
+    * and price the loss with [[Calibration.recallAtCaps]] (minShared
+    * = 1 matches this kernel's survival rule exactly) before choosing
+    * it over the lossless agree-escalation of
+    * [[bandedHammingPairsAuto]]. MEASURED (r17, sf10 documents corpus,
+    * 60 bits / 6 bands / hamming ≤ 4, cap = p99.9 df): see SCALING.md
+    * round-17 section for the recall row. Pair dedup here is a
+    * groupBy on (doc_a, doc_b) — output-sized, not candidate-sized —
+    * because the lex-first surviving subset is cap-dependent, so the
+    * mask trick above cannot canonicalize. */
+  def bandedHammingPairsSubsetCapped(sigs: DataFrame, bits: Int, bands: Int,
+      maxHamming: Int, bandDfCap: Long): DataFrame = {
+    val agree = bands - maxHamming
+    require(agree >= 2, s"capped kernel is subset-only, got agree $agree")
+    require(bandDfCap >= 2, s"a cap below 2 keeps no pair, got $bandDfCap")
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    require(bands <= bits, s"bands must be in [1, $bits], got $bands")
+    val bound = bandBounds(bits, bands)
+    val widths = bound.sliding(2).map(p => p(1) - p(0)).toSeq
+    require(widths.sorted.reverse.take(agree).sum <= 63,
+      "packed subset key must fit a long")
+    def bandBits(side: String, b: Int): String = bandBitsAt(bound, side, b)
+    def subsetKey(side: String, s: Seq[Int]): String =
+      s.foldLeft("0L") { (acc, b) =>
+        s"(shiftleft($acc, ${bound(b + 1) - bound(b)}) | ${bandBits(side, b)})"
+      }
+    val subsets = (0 until bands).combinations(agree).map(_.toSeq).toVector
+    val keyStructs = subsets.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("sub"), expr(subsetKey("sh", s)).as("kbits"))
+    }
+    // df per key via a window on the join key itself: one shuffle,
+    // reused by the join (same partitioning), never a second pass
+    val exploded = sigs.select(col("doc_id"), col("block"), col("sh"),
+      explode(array(keyStructs: _*)).as("kd"))
+      .select(col("doc_id"), col("block"), col("sh"),
+        col("kd.sub").as("sub"), col("kd.kbits").as("kbits"))
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("block"), col("sub"), col("kbits"))))
+      .filter(col("df") <= bandDfCap)
+      .drop("df")
+    val a = exploded.select(col("doc_id").as("doc_a"), col("block"),
+      col("sub"), col("kbits"), col("sh").as("ha"))
+    val b = exploded.select(col("doc_id").as("doc_b"), col("block").as("block_b"),
+      col("sub").as("sub_b"), col("kbits").as("kbits_b"), col("sh").as("hb"))
     a.join(b, col("block") === col("block_b") && col("sub") === col("sub_b") &&
         col("kbits") === col("kbits_b") && col("doc_a") < col("doc_b"))
       .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
-      .filter(col("hamming") <= maxHamming && expr(firstMatchingSubset))
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("hamming")).as("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1518,21 +1600,37 @@ object Dedup {
     * `massSingle`/`massSubset` are the measured (sample-rescaled)
     * collision masses the costs were built from — the raw evidence,
     * carried so bench telemetry can expose a verdict that a future
-    * corpus would flip. */
+    * corpus would flip. Round 17 — the agree-k escalation (VERDICT
+    * r16 #1): `agree` is the CHOSEN subset size (1 = the single-band
+    * kernel; ≥ 2 = the C(maxHamming+agree, agree)-subset join), and
+    * `costByAgree`/`massByAgree` carry every candidate config's
+    * measured point so the decade at which the next escalation fires
+    * is visible in telemetry before it happens. `costSubset`/
+    * `massSubset` remain the BEST subset config's numbers (the
+    * pre-r17 fields compared agree-2 only). */
   case class BandingChoice(useSubset: Boolean,
       costSingle: Double, costSubset: Double,
-      massSingle: Double = 0.0, massSubset: Double = 0.0)
+      massSingle: Double = 0.0, massSubset: Double = 0.0,
+      agree: Int = 1,
+      costByAgree: Map[Int, Double] = Map.empty,
+      massByAgree: Map[Int, Double] = Map.empty)
 
-  /** Corpus-stat probe choosing between the single-band and the
-    * agree-2 subset banding for a (block, sh) signature frame — the
-    * vocab-probe dispatch pattern (jaccard ladder, containment tiers)
-    * applied to banding width, replacing per-corpus hand-tuning of
-    * the band constants. Both candidate configs produce IDENTICAL
-    * output (total recall by pigeonhole + the same exact hamming
-    * filter), so the choice is pure cost, and the cost model has two
-    * terms:
+  /** Corpus-stat probe choosing the banding ESCALATION LADDER rung —
+    * single-band (agree-1), agree-2, agree-3, … (up to `maxAgree`) —
+    * for a (block, sh) signature frame: the vocab-probe dispatch
+    * pattern (jaccard ladder, containment tiers) applied to banding
+    * width, replacing per-corpus hand-tuning of the band constants.
+    * EVERY candidate config produces IDENTICAL output (total recall
+    * by pigeonhole + the same exact hamming filter), so the choice is
+    * pure cost, and the cost model has two terms:
     *   cost ≈ explodedRows + W · candidatePairs
-    * (single-band: (h+1) rows/doc; subset: C(h+2,2) rows/doc).
+    * (agree-k: C(h+k, k) rows/doc; candidate mass ∝ Σ n_b²/2^(k·width)
+    * once buckets saturate, so each rung trades a constant-factor
+    * explode for an exponential selectivity gain — the 100 TB
+    * contract SCALING.md r16 closed on: a fixed-width banded join is
+    * quadratic past saturation, and the answer is to raise `agree`
+    * with the corpus, which this probe now does automatically
+    * (VERDICT r16 #1) instead of stopping at agree-2).
     * W CALIBRATION (round 10 — round 9 shipped W = 4, a guess that
     * mis-routed this very corpus): solving the two-term model against
     * the measured sf0.1 A/B (single-band 1.7 s at 300k exploded rows
@@ -1556,9 +1654,8 @@ object Dedup {
     * single pair, so its cost is one count plus one banding pass
     * over the sample — two driver jobs total. */
   def chooseBandingConfig(sigs: DataFrame, bits: Int, maxHamming: Int,
-      probeCap: Long = 100000L): BandingChoice = {
-    val singleBands = maxHamming + 1 // widest bands = best selectivity
-    val subBands = maxHamming + 2    // ⇒ agree = 2 by pigeonhole
+      probeCap: Long = 100000L, maxAgree: Int = 3): BandingChoice = {
+    require(maxAgree >= 1, s"maxAgree must be >= 1, got $maxAgree")
     val n = sigs.count()
     val f = if (n <= probeCap) 1.0 else probeCap.toDouble / n
     // clamp to ≥ 1: at n > probeCap·1e6 the raw truncation hits 0 and
@@ -1574,34 +1671,61 @@ object Dedup {
       if (f >= 1.0) sigs
       else sigs.filter(
         pmod(xxhash64(col("doc_id")), lit(1000000L)) < lit(thresh))
-    val boundA = bandBounds(bits, singleBands)
-    val keysA = (0 until singleBands).map(b =>
-      struct(lit(0).as("cfg"), lit(b).as("idx"),
-        expr(bandBitsAt(boundA, "sh", b)).as("kbits")))
-    val boundB = bandBounds(bits, subBands)
-    def subsetKey(s: Seq[Int]): String = s.foldLeft("0L") { (acc, b) =>
-      s"(shiftleft($acc, ${boundB(b + 1) - boundB(b)}) | ${bandBitsAt(boundB, "sh", b)})"
+    // candidate configs: agree = k over maxHamming + k bands, for
+    // every k ∈ [1, maxAgree] the geometry admits (bands fit the
+    // signature, the packed agree-subset key fits a long, and the
+    // C(bands, k) explode stays sane — past 128 keys/doc the explode
+    // term alone exceeds any realistic mass saving at these widths)
+    def feasible(k: Int): Boolean = {
+      val bands = maxHamming + k
+      if (bands > bits) return false
+      val bound = bandBounds(bits, bands)
+      val widths = bound.sliding(2).map(p => p(1) - p(0)).toSeq
+      widths.sorted.reverse.take(k).sum <= 63 &&
+        (0 until bands).combinations(k).size <= 128
     }
-    val subsets = (0 until subBands).combinations(2).map(_.toSeq).toVector
-    val keysB = subsets.zipWithIndex.map { case (s, i) =>
-      struct(lit(1).as("cfg"), lit(i).as("idx"),
-        expr(subsetKey(s)).as("kbits"))
+    val agrees = (1 to maxAgree).filter(feasible)
+    require(agrees.contains(1), s"single-band config infeasible at bits=$bits")
+    // keys per config, all tagged into ONE explode + count pass
+    def keysFor(k: Int): Seq[Column] = {
+      val bands = maxHamming + k
+      val bound = bandBounds(bits, bands)
+      def subsetKey(s: Seq[Int]): String = s.foldLeft("0L") { (acc, b) =>
+        s"(shiftleft($acc, ${bound(b + 1) - bound(b)}) | ${bandBitsAt(bound, "sh", b)})"
+      }
+      (0 until bands).combinations(k).map(_.toSeq).zipWithIndex.map {
+        case (s, i) => struct(lit(k).as("cfg"), lit(i).as("idx"),
+          expr(subsetKey(s)).as("kbits"))
+      }.toSeq
     }
-    // one pass, both configs: collision mass per cfg tag
+    val keyCount: Map[Int, Int] = agrees.map { k =>
+      k -> (0 until (maxHamming + k)).combinations(k).size
+    }.toMap
     val masses = sample
-      .select(col("block"), explode(array(keysA ++ keysB: _*)).as("kd"))
+      .select(col("block"),
+        explode(array(agrees.flatMap(keysFor): _*)).as("kd"))
       .groupBy(col("block"), col("kd"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("kd.cfg").as("cfg"))
       .agg(coalesce(sum(col("c") * (col("c") - lit(1L)) / lit(2L)),
         lit(0L)).cast("double").as("m"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    def mass(cfg: Int): Double = masses.getOrElse(cfg, 0.0) / (fEff * fEff)
+    def mass(k: Int): Double = masses.getOrElse(k, 0.0) / (fEff * fEff)
     val W = 0.1
-    val costSingle = singleBands.toDouble * n + W * mass(0)
-    val costSubset = subsets.size.toDouble * n + W * mass(1)
-    BandingChoice(costSubset < costSingle, costSingle, costSubset,
-      mass(0), mass(1))
+    def cost(k: Int): Double = keyCount(k).toDouble * n + W * mass(k)
+    val costByAgree = agrees.map(k => k -> cost(k)).toMap
+    val massByAgree = agrees.map(k => k -> mass(k)).toMap
+    // argmin cost; ties break toward the SMALLER agree (less explode,
+    // fewer shuffle rows at equal estimated cost)
+    val best = agrees.minBy(k => (costByAgree(k), k))
+    val subsetAgrees = agrees.filter(_ >= 2)
+    val bestSubset = if (subsetAgrees.isEmpty) -1
+      else subsetAgrees.minBy(k => (costByAgree(k), k))
+    BandingChoice(best >= 2, costByAgree(1),
+      if (bestSubset < 0) Double.PositiveInfinity else costByAgree(bestSubset),
+      massByAgree(1),
+      if (bestSubset < 0) 0.0 else massByAgree(bestSubset),
+      best, costByAgree, massByAgree)
   }
 
   /** Probe verdicts recorded per (corpus root paths, bits, maxHamming)
@@ -1667,8 +1791,8 @@ object Dedup {
     bandingProbeTelemetry.put(
       s"${corpusLabel(sigs.queryExecution.analyzed)}|bits=$bits|h=$maxHamming",
       choice)
-    if (choice.useSubset)
-      bandedHammingPairsSubset(sigs, bits, maxHamming + 2, maxHamming)
+    if (choice.agree >= 2)
+      bandedHammingPairsSubset(sigs, bits, maxHamming + choice.agree, maxHamming)
     else
       bandedHammingPairs(sigs, bits, maxHamming + 1, maxHamming)
   }
@@ -1757,6 +1881,14 @@ object Dedup {
   // single-band config the A/B measured as the winner (and on a
   // planted dup-dense corpus picks the subset join — PropertySpec).
   // Output is identical either way, so the oracle is untouched.
+  // Round 16: the dispatch fired its first natural flip — at sf100
+  // (5 M docs) the probe measured 5.80 B single-band vs 1.56 B
+  // agree-2 candidate mass and chose the subset join (SCALING.md).
+  // Round 17 (VERDICT r16 #1): the ladder no longer stops at
+  // agree-2 — the probe prices agree-3 in the same pass, so the
+  // NEXT saturation decade escalates the subset width (2²⁶-bucket
+  // keys for a 35/15 explode step) instead of going quadratic;
+  // `graft.SimhashProbe` reproduces the decomposition on any corpus.
   def dedupSimhashWide(spark: SparkSession, dir: String): DataFrame = {
     val sig = Tables.documents(spark, dir)
       .filter(col("text").rlike("\\S")) // cheap raw-text form of size(t)>0 (see simhashSignatures)

@@ -616,6 +616,21 @@ object MrCore {
     val lease = layoutLeasePath(spark, base)
     val writer = "layout-" + java.util.UUID.randomUUID().toString
     graft.sources.ManifestTable.acquireLease(spark, lease, writer)
+    // claim-time purge (ADVICE r16): any foreign staged manifest tmp
+    // is a stalled predecessor's — deleting it NOW, under our fresh
+    // lease, removes the loser's rename source, so a predecessor that
+    // passed its fencing check before our claim and only then stalled
+    // cannot rename over our commit (its rename finds no source and
+    // throws). Our own tmp is writer-suffixed and created later.
+    locally {
+      val mf = layoutManifestPath(spark, base)
+      val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(mf.getParent))
+        fs.listStatus(mf.getParent).foreach { st =>
+          if (st.getPath.getName.startsWith(mf.getName + ".tmp"))
+            fs.delete(st.getPath, false)
+        }
+    }
     val hb = new Thread(() => {
       try while (!Thread.interrupted()) {
         Thread.sleep(graft.sources.ManifestTable.DefaultLeaseTtlMs / 3)
@@ -641,13 +656,24 @@ object MrCore {
       // phase 2: one atomic rename publishes the new version
       val mf = layoutManifestPath(spark, base)
       val fs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val tmp = new org.apache.hadoop.fs.Path(mf.getParent, mf.getName + ".tmp")
+      // writer-suffixed tmp: the successor's claim-time purge (above)
+      // can then invalidate a stalled loser's staged file without
+      // touching its own
+      val tmp = new org.apache.hadoop.fs.Path(mf.getParent,
+        s"${mf.getName}.tmp.$writer")
       val out = fs.create(tmp, true)
       try out.write(s"$table\n$fp".getBytes("UTF-8")) finally out.close()
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri,
         spark.sparkContext.hadoopConfiguration)
       // fencing: a builder that stalled past its TTL and lost the lease
-      // must fail HERE, before the rename, not overwrite its successor
+      // fails HERE, before the rename. This check-then-act pair is
+      // best-effort on plain-FS primitives — the residual window (lease
+      // lost BETWEEN verifyHeld and rename) is closed for any loser
+      // that staged its tmp before the successor's claim (the claim
+      // purges it, so the loser's rename throws on a missing source);
+      // a loser stalled with its tmp not yet created fails verifyHeld
+      // instead. What remains is FS-level: a non-atomic delete/rename
+      // interleaving on a store without single-object semantics.
       graft.sources.ManifestTable.verifyHeld(spark, lease, writer)
       fc.rename(tmp, fs.makeQualified(mf),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -659,6 +685,15 @@ object MrCore {
       table
     } finally {
       hb.interrupt()
+      // bounded join BEFORE release (ADVICE r16): a heartbeat already
+      // past its verifyHeld check is check-then-overwrite — without
+      // the join it could land AFTER releaseLease deletes the
+      // sentinel, leaving an orphan "live" lease that spuriously
+      // blocks the next builder for a full TTL (or overwrite a
+      // successor's fresh claim). Joining guarantees no heartbeat
+      // write from THIS process follows the release; the bound only
+      // guards against a pathologically hung FS write.
+      hb.join(graft.sources.ManifestTable.DefaultLeaseTtlMs)
       graft.sources.ManifestTable.releaseLease(spark, lease, writer)
     }
   }

@@ -178,7 +178,20 @@ object ManifestTable {
         case Some(_) => fs.delete(lf, false) // stale: break, then re-claim below
         case None    => ()
       }
-      try { writeLease(fs, lf, writerId, exclusive = true); return }
+      try {
+        writeLease(fs, lf, writerId, exclusive = true)
+        // claim-time purge (ADVICE r16): any staged MANIFEST.tmp* is a
+        // displaced or crashed predecessor's — deleting it under our
+        // fresh lease removes the loser's rename source, so a writer
+        // that passed its fencing check before our claim and only then
+        // stalled cannot rename over our commit. Our own tmp (writer-
+        // suffixed, see [[publish]]) does not exist yet.
+        fs.listStatus(root).foreach { st =>
+          if (st.getPath.getName.startsWith(s"$Manifest.tmp"))
+            fs.delete(st.getPath, false)
+        }
+        return
+      }
       catch { case _: java.io.IOException => attempt += 1 } // lost the create race
     }
     throw new ConcurrentWriterException(
@@ -187,7 +200,19 @@ object ManifestTable {
 
   /** Refresh the heartbeat of a HELD lease (call during long prepare
     * phases so a healthy writer never looks crashed). Throws if the
-    * lease is no longer this writer's. */
+    * lease is no longer this writer's.
+    *
+    * RESIDUAL WINDOW (documented, ADVICE r16): the refresh is
+    * check-then-overwrite — verifyHeld then an overwriting create.
+    * A heartbeat that passes its check and then stalls can land its
+    * write after the lease changed hands (recreating a released
+    * sentinel as an orphan that blocks the next claimant for one TTL,
+    * or overwriting a successor's fresh claim until the successor's
+    * own next heartbeat restores it). Plain-FS primitives offer no
+    * single-object CAS to close this; callers bound it by joining
+    * their heartbeat thread BEFORE releaseLease (see
+    * MrCore.buildCoOrderLayout) so no heartbeat write from the
+    * releasing process can follow its release. */
   def heartbeat(spark: SparkSession, path: String, writerId: String): Unit = {
     verifyHeld(spark, path, writerId)
     writeLease(fsOf(spark, new Path(path)), new Path(path, LeaseFile),
@@ -244,7 +269,12 @@ object ManifestTable {
     require(fs.exists(new Path(root, dataDirName(v))),
       s"cannot publish unstaged version $v at $path")
     val mf = fs.makeQualified(new Path(root, Manifest))
-    val tmp = fs.makeQualified(new Path(root, s"$Manifest.tmp"))
+    // writer-suffixed tmp when leased: a successor's claim-time purge
+    // (acquireLease) then invalidates a stalled loser's staged file —
+    // closing the verifyHeld→rename check-then-act window for any
+    // loser that staged before the successor's claim
+    val tmp = fs.makeQualified(new Path(root,
+      writerId.fold(s"$Manifest.tmp")(w => s"$Manifest.tmp.$w")))
     val out = fs.create(tmp, true)
     try out.write(dataDirName(v).getBytes(StandardCharsets.UTF_8))
     finally out.close()

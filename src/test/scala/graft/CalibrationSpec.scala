@@ -115,6 +115,13 @@ class CalibrationSpec extends SparkSpec {
     val rg = Calibration.recallAtCaps(plantedPostings(), Seq("fp_h"), "doc_id",
       ghost, caps = Seq(200L))
     assert(rg == Seq(Calibration.CapRecall(200L, 0L, 1L)), s"got $rg")
+    // input hygiene (ADVICE r16): duplicate caps must not alias-collide
+    // the per-cap aggregates, and duplicate labeled rows must not
+    // inflate `total` — recall is a pair-SET property
+    val dup = Calibration.recallAtCaps(plantedPostings(), Seq("fp_h"), "doc_id",
+      labeled.unionAll(labeled), caps = Seq(200L, 200L, 2L), minShared = 1L)
+    assert(dup.map(r => (r.cap, r.retainedPairs, r.totalPairs)) ==
+      Seq((200L, 51L, 51L), (2L, 50L, 51L)), s"got $dup")
   }
 
   test("recallAtCaps on the video (band, bv) postings reproduces the r16 A/B shape") {

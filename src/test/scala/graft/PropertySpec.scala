@@ -299,6 +299,74 @@ class PropertySpec extends SparkSpec {
     assert(auto == fixed, "probe-chosen config must not change the output")
   }
 
+  test("banding probe escalates to agree-3 when agree-2 buckets saturate (VERDICT r16 #1)") {
+    // uniform signatures over a NARROW bit space: at 24 bits /
+    // hamming <= 2 every config's buckets fill as n grows, and the
+    // quadratic mass term crosses the linear explode term at a
+    // different n per rung — analytic crossover agree-2 -> agree-3 at
+    // n ~ 9e4 for this geometry, so n = 3e5 must sit on agree-3
+    // (expected costs ~ 5.4e7 / 8.4e6 / 4.8e6 for agree 1/2/3). This
+    // is the sf100 banded-simhash scale story in miniature: a fixed
+    // agree carries Σ n_b²/2^(k·width) quadratic growth; the ladder
+    // escalates instead.
+    val sigs = spark.range(300000L).select(
+      org.apache.spark.sql.functions.col("id").as("doc_id"),
+      org.apache.spark.sql.functions.lit("x").as("block"),
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("id")),
+        org.apache.spark.sql.functions.lit(1L << 24)).as("sh"))
+    val c = graft.operators.Dedup.chooseBandingConfig(sigs, 24, 2)
+    assert(c.agree == 3, s"saturated agree-2 buckets must escalate: $c")
+    assert(c.useSubset, s"agree-3 is a subset config: $c")
+    assert(c.costByAgree(3) < c.costByAgree(2) &&
+      c.costByAgree(2) < c.costByAgree(1),
+      s"cost must fall along the ladder on this corpus: ${c.costByAgree}")
+    // the probe's mass estimates must see the exponential selectivity
+    // gain per rung (2^8 -> 2^12 -> 2^14+ buckets per key here)
+    assert(c.massByAgree(3) < c.massByAgree(2) &&
+      c.massByAgree(2) < c.massByAgree(1),
+      s"collision mass must fall along the ladder: ${c.massByAgree}")
+  }
+
+  test("capped subset kernel: lossless at a loose cap, documented recall trade at a tight one") {
+    val s = spark
+    import s.implicits._
+    def mix(i: Long): Long = {
+      var z = i + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val mask60 = (1L << 60) - 1
+    // 400 spread docs + one 50-doc identical cluster (boilerplate) +
+    // one planted near-dup pair (hamming 1)
+    val spread = (0L until 400L).map(i => (i, "x", mix(i) & mask60))
+    val cluster = (1000L until 1050L).map(i => (i, "x", 0x123456789ABCDEL))
+    val pair = Seq((2000L, "x", mix(9999L) & mask60),
+      (2001L, "x", (mix(9999L) & mask60) ^ (1L << 3)))
+    val df = (spread ++ cluster ++ pair).toDF("doc_id", "block", "sh")
+    val uncapped = graft.operators.Dedup
+      .bandedHammingPairsSubset(df, 60, 6, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // cap far above any key's df: identical output (every key kept)
+    val loose = graft.operators.Dedup
+      .bandedHammingPairsSubsetCapped(df, 60, 6, 4, bandDfCap = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(loose == uncapped, "a cap above max df must be lossless")
+    // tight cap: the 50-doc cluster's keys all have df 50 > 10 and are
+    // dropped (its C(50,2) pairs are the candidate mass the cap
+    // refuses); the planted pair's keys have df 2 and survive
+    val tight = graft.operators.Dedup
+      .bandedHammingPairsSubsetCapped(df, 60, 6, 4, bandDfCap = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(tight.contains((2000L, 2001L, 1)),
+      s"low-df planted pair must survive the cap: ${tight.take(5)}")
+    assert(!tight.exists(p => p._1 >= 1000L && p._1 < 1050L),
+      "over-cap cluster pairs must be dropped (the documented recall trade)")
+    assert(tight.subsetOf(uncapped), "capping must never invent pairs")
+  }
+
   test("banding probe: the sampled path (n > probeCap) preserves both verdicts") {
     val s = spark
     import s.implicits._
