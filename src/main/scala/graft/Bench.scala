@@ -59,7 +59,36 @@ object Bench {
     "mr_sort",              // full-table range-partitioned total sort (round 2)
     "q_asof_join_native")   // custom streaming-merge operator (round 2)
 
+  /** Box-state snapshot (VERDICT r16 #4): same-code sweeps measured
+    * 50.6 vs 64.4 s in one day (q1 0.98 vs 2.24 s) — pure box state,
+    * but the artifact carried no evidence of it, so round-over-round
+    * medians rested on an idle-box rule that existed only as
+    * folklore. Every bench line now records the 1-minute load average
+    * at start and end plus MemAvailable; the IDLE RULE (tools/README):
+    * a sweep is comparison-grade iff load1_pre < 0.25 × cores —
+    * otherwise rerun on a quiet box before reading deltas as
+    * regressions. */
+  private def boxState(): (Double, Double, Long) =
+    try {
+      val la = scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")
+      val mem = scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemAvailable:") =>
+          l.split("\\s+")(1).toLong / 1024 } // MiB
+      (la(0).toDouble, la(1).toDouble, mem.getOrElse(-1L))
+    } catch { case _: Throwable => (-1.0, -1.0, -1L) }
+
+  // captured at main() entry (pre-warmup — the state the sweep STARTED
+  // under, which is what the idle rule gates on); the post snapshot is
+  // taken in printLine
+  private var boxPre: (Double, Double, Long) = (-1.0, -1.0, -1L)
+
   def main(args: Array[String]): Unit = {
+    boxPre = boxState()
+    val cores = Runtime.getRuntime.availableProcessors()
+    if (boxPre._1 >= 0 && boxPre._1 > 0.25 * cores)
+      System.err.println(f"[bench] BOX NOT IDLE at start: load1=${boxPre._1}%.2f" +
+        f" (> 0.25 x $cores cores) — timings are not comparison-grade" +
+        " (tools/README idle rule)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // shuffle partitions default to the core count (right at sf<=1),
@@ -336,17 +365,21 @@ object Bench {
     // checkpoint, fresh state.
     def drive[T](name: String, rows: Seq[T],
         build: org.apache.spark.sql.Dataset[T] => org.apache.spark.sql.DataFrame,
-        outputMode: String = "append")(
+        outputMode: String = "append", chunkRows: Int = 0)(
         implicit enc: org.apache.spark.sql.Encoder[T]): StreamResult = {
-      val r1 = driveOnce(name, rows, build, outputMode)
+      val r1 = driveOnce(name, rows, build, outputMode, chunkRows)
       if (!r1.ok) return r1
-      val r2 = driveOnce(name, rows, build, outputMode)
+      val r2 = driveOnce(name, rows, build, outputMode, chunkRows)
       if (r2.ok && r2.rowsPerSec > r1.rowsPerSec) r2 else r1
     }
 
+    // chunkRows = 0 → the default 10-batch split (per-batch size scales
+    // with the feed); > 0 → a FIXED trigger size in rows (the
+    // production-trigger entries pin it, so the number measures
+    // amortized per-row cost at a stated cadence)
     def driveOnce[T](name: String, rows: Seq[T],
         build: org.apache.spark.sql.Dataset[T] => org.apache.spark.sql.DataFrame,
-        outputMode: String = "append")(
+        outputMode: String = "append", chunkRows: Int = 0)(
         implicit enc: org.apache.spark.sql.Encoder[T]): StreamResult = {
       // query handle outside the try: a failure mid-feed must STOP the
       // started query, or it keeps consuming scheduler threads and
@@ -362,7 +395,8 @@ object Bench {
           .option("checkpointLocation", ckpt)
           .outputMode(outputMode)
           .start()
-        val chunks = rows.grouped(math.max(1, rows.size / 10)).toSeq
+        val chunks = rows.grouped(
+          if (chunkRows > 0) chunkRows else math.max(1, rows.size / 10)).toSeq
         // first micro-batch runs UNTIMED: it bills whole-stage codegen
         // + state-store open for the job (the streaming twin of the
         // batch tier's untimed warmup run — the plan is input-
@@ -493,6 +527,14 @@ object Bench {
         ds => StreamingJobs.capPerSourceStream(ds, 200).toDF()),
       drive[StreamingJobs.CurateIn]("stream_curate", curateDocs,
         ds => StreamingJobs.curateStream(ds, 200)),
+      // amortized-trigger twin (VERDICT r16 #6): the SAME composed
+      // curate head at a pinned 2,500-row production trigger — the
+      // §18 cost model says the ~0.2-0.3 s/batch floor dominates small
+      // triggers (the entry above), so the artifact must also watch
+      // the amortized per-row number the cost model predicts (~6-10k
+      // rows/s); a regression in either term is now visible on its own
+      drive[StreamingJobs.CurateIn]("stream_curate_amortized", curateDocs,
+        ds => StreamingJobs.curateStream(ds, 200), chunkRows = 2500),
       // complete mode: the days-scale sketch state (2 × 4 KiB per
       // active window) makes full re-emission per batch cheap, and
       // the throughput number is input rows/s either way
@@ -624,6 +666,25 @@ object Bench {
         s""""${s.name}":{"rows":${s.rows},"sec":${"%.3f".format(s.sec)},"rows_per_sec":${"%.0f".format(s.rowsPerSec)},"state_rows":${s.stateRows},"batches":${s.batches}}"""
       else s""""${s.name}":{"failed":true}"""
     }.mkString("{", ",", "}")
+    // box state (VERDICT r16 #4): the evidence the drift policy
+    // assumes — pre/post 1-min load + MemAvailable, and the idle-rule
+    // verdict the comparison reader needs. Compact on stdout (the
+    // driver tail window is tight); the full snapshot goes to
+    // BENCH_DETAIL.json.
+    val boxPost = boxState()
+    val cores = Runtime.getRuntime.availableProcessors()
+    val idle = boxPre._1 >= 0 && boxPre._1 < 0.25 * cores
+    val boxShort = s""""box":{"load1_pre":${"%.1f".format(boxPre._1)},""" +
+      s""""load1_post":${"%.1f".format(boxPost._1)},"idle_start":$idle}"""
+    val boxFull = s""""box":{"cores":$cores,""" +
+      s""""load1_pre":${"%.2f".format(boxPre._1)},""" +
+      s""""load5_pre":${"%.2f".format(boxPre._2)},""" +
+      s""""mem_avail_pre_mib":${boxPre._3},""" +
+      s""""load1_post":${"%.2f".format(boxPost._1)},""" +
+      s""""load5_post":${"%.2f".format(boxPost._2)},""" +
+      s""""mem_avail_post_mib":${boxPost._3},""" +
+      s""""idle_start":$idle,""" +
+      s""""idle_rule":"comparison-grade iff load1_pre < 0.25 x cores (tools/README)"}"""
     val head = s""""metric":"total","value":${"%.3f".format(total)},"unit":"sec","policy":"$policy""""
     // measured same-process drift band (VERDICT r13 #6): every headline
     // query already runs twice warm, so the run-pair ratio max/min IS
@@ -660,7 +721,7 @@ object Bench {
     // stdout carries NO drift block (ADVICE r14: with drift the compact
     // line reconstructed to ~2120 chars — past the ~2000-char driver
     // tail window documented above; drift lives in BENCH_DETAIL.json)
-    val line = s"""{$head,"queries":$qs,$fastShort,"streaming":$streamShort,$tail}"""
+    val line = s"""{$head,$boxShort,"queries":$qs,$fastShort,"streaming":$streamShort,$tail}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: stdout line ${line.length} chars" +
         " — approaching the ~2000-char driver tail window")
@@ -719,7 +780,7 @@ object Bench {
       }
     }
     val detail =
-      s"""{$head,$drift,"queries":$qs,"runs":$runs,"fast":$fastFull,"streaming":$streamFull,"banding_probe":$banding,$graphFamily,$tail}"""
+      s"""{$head,$boxFull,$drift,"queries":$qs,"runs":$runs,"fast":$fastFull,"streaming":$streamFull,"banding_probe":$banding,$graphFamily,$tail}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => // detail file is best-effort; the

@@ -426,12 +426,62 @@ object Multimodal {
       .select(col("doc_id"), col("frame_no"), col("phash"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
 
+  /** The agree-2 subset postings over a 5-band split of the 64-bit
+    * phash (round 17 — VERDICT r16 #5, the band-WIDTH lever): any
+    * frame pair within hamming ≤ 3 has ≥ 5 − 3 = 2 exactly-matching
+    * bands, so the C(5,2) = 10 two-band subset keys (~25-26 bits
+    * each) have total recall to hamming 3 like the 4×16 single-band
+    * keys — but with 2²⁵⁺ buckets per key space instead of 2¹⁶, which
+    * is the lever against the band saturation the r16 calibration
+    * measured (hot df 1,664 → 15,398 across one decade, genuine
+    * pairs riding df-(504, 1024] bands). Explode trade: 10 postings
+    * per frame instead of 4. Key layout mirrors
+    * [[graft.operators.Dedup.bandedHammingPairsSubset]]; `sub` rides
+    * the `band` column, the packed two-band bits ride `bv`, so every
+    * (band, bv)-keyed consumer (capProfile, recallAtCaps,
+    * [[videoDupStats]]'s join) works on either posting set. */
+  private[graft] def frameBandPostingsWide(fh: DataFrame): DataFrame = {
+    val bound = IndexedSeq(0, 12, 25, 38, 51, 64)
+    def bandBits(b: Int) =
+      shiftrightunsigned(col("phash"), bound(b))
+        .bitwiseAND(lit((1L << (bound(b + 1) - bound(b))) - 1))
+    val subsets = (0 until 5).combinations(2).map(_.toSeq).toVector
+    fh.select(col("doc_id"), col("frame_no"), col("phash"),
+        explode(array(subsets.zipWithIndex.map { case (s, i) =>
+          struct(lit(i).as("band"),
+            s.foldLeft(lit(0L)) { (acc, b) =>
+              shiftleft(acc, bound(b + 1) - bound(b)).bitwiseOR(bandBits(b))
+            }.as("bv"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("frame_no"), col("phash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+  }
+
   def videoDupStats(hashes: Dataset[FrameHash], maxHamming: Int = 3,
       bandDfCap: Long = VideoBandDfCap): DataFrame = {
     require(maxHamming <= 3, "4x16-bit banding guarantees recall only to Hamming 3")
+    videoDupStatsOn(hashes, frameBandPostings, maxHamming, bandDfCap)
+  }
+
+  /** [[videoDupStats]] on the WIDE (5-band agree-2 subset) postings —
+    * same output contract, same hot-key cap semantics, 10 postings per
+    * frame for ~2²⁵-bucket keys. The r17 A/B (`graft.VideoBandProbe`,
+    * SCALING.md round-17 row) measures when the explode is worth the
+    * selectivity: on a corpus whose 16-bit bands saturate, the wide
+    * keys keep the genuine pairs a df cap would otherwise price in
+    * recall. */
+  def videoDupStatsWide(hashes: Dataset[FrameHash], maxHamming: Int = 3,
+      bandDfCap: Long = VideoBandDfCap): DataFrame = {
+    require(maxHamming <= 3, "5-band agree-2 subsets guarantee recall only to Hamming 3")
+    videoDupStatsOn(hashes, frameBandPostingsWide, maxHamming, bandDfCap)
+  }
+
+  private def videoDupStatsOn(hashes: Dataset[FrameHash],
+      postingsOf: DataFrame => DataFrame, maxHamming: Int,
+      bandDfCap: Long): DataFrame = {
     val fh = hashes.toDF("doc_id", "frame_no", "phash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = frameBandPostings(fh)
+    val bands = postingsOf(fh)
     val hot = bands.groupBy(col("band"), col("bv"))
       .agg(count(lit(1)).as("df")).filter(col("df") > bandDfCap)
       .select(col("band"), col("bv"))

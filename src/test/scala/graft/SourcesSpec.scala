@@ -495,6 +495,57 @@ class SourcesSpec extends SparkSpec {
     CacheHygiene.sweep(s)
   }
 
+  test("wide video banding: agree-2 subset keys match the narrow output and keep pigeonhole recall") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.RawMedia
+    def clip(id: Long, key: Long, size: Int) = RawMedia(id,
+      Multimodal.packFrames((0 until 3).map(f =>
+        Multimodal.blockFramePng(key, f, size))))
+    val corpus = (Seq(clip(0L, 10L, 16), clip(1L, 10L, 24), clip(2L, 99L, 16)) ++
+      (100L until 110L).map(id => clip(id, 1234L, 16))).toDS()
+    val hashes = Multimodal.demuxFrameHashes(corpus)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // same contract as the 4x16 path on the planted corpus — both
+    // posting sets are total-recall to hamming 3, so outputs agree
+    val narrow = asMap(Multimodal.videoDupStats(hashes))
+    val wide = asMap(Multimodal.videoDupStatsWide(hashes))
+    assert(wide == narrow, s"wide != narrow: $wide vs $narrow")
+    assert(wide(0L) == ((3L, 3L, 1.0)) && wide(2L) == ((3L, 0L, 0.0)), s"$wide")
+    CacheHygiene.sweep(s)
+    // pigeonhole on the raw keys: ANY 64-bit pair with hamming <= 3
+    // shares >= 1 of the 10 two-band subset keys (5 bands, <= 3 can
+    // differ => >= 2 match => their subset matches)
+    def mix(i: Long): Long = {
+      var z = i + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val pairs = (0L until 200L).map { i =>
+      val a = mix(i)
+      val flips = (i % 4).toInt
+      val b = (0 until flips).foldLeft(a)((acc, j) =>
+        acc ^ (1L << (mix(i * 31 + j) & 63).toInt))
+      (a, b)
+    }
+    val fhA = pairs.zipWithIndex.map { case ((a, _), i) => (i.toLong * 2, 0, a) }
+    val fhB = pairs.zipWithIndex.map { case ((_, b), i) => (i.toLong * 2 + 1, 0, b) }
+    val posted = Multimodal.frameBandPostingsWide(
+      (fhA ++ fhB).toDF("doc_id", "frame_no", "phash"))
+      .select(col("doc_id"), col("band"), col("bv"))
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (d, rows) => d -> rows.map(r => (r._2, r._3)).toSet }
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      if (java.lang.Long.bitCount(a ^ b) <= 3)
+        assert(posted(i.toLong * 2).intersect(posted(i.toLong * 2 + 1)).nonEmpty,
+          s"hamming<=3 pair $i must share a subset key")
+    }
+    CacheHygiene.sweep(s)
+  }
+
   test("codec seam: a custom FrameHasher drops into the video near-dup pipeline unchanged") {
     val s = spark
     import s.implicits._
