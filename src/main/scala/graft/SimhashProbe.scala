@@ -15,13 +15,14 @@ import org.apache.spark.sql.SparkSession
   *     (no memoization) and print one JSON line with the corpus size,
   *     each agree rung's measured (sample-rescaled) collision mass and
   *     modeled cost, and the chosen rung — the dispatch evidence.
-  *  2. `--time`: additionally run EACH feasible rung's kernel to a
+  *  2. `--time`: additionally run the CHOSEN rung's kernel to a
   *     `count()` (Catalyst elides the presentation sort under the
   *     aggregate, so this isolates signature build + join + filter
   *     from the output sort — the r16 decomposition's 518.6 s-style
-  *     number) and print one JSON line per rung with wall seconds and
-  *     the pair count (identical across rungs: every rung is
-  *     total-recall, which doubles as a cross-config output check).
+  *     number); `--time-all` times EVERY feasible rung (pair counts
+  *     are identical across rungs — every rung is total-recall — so
+  *     this doubles as a cross-config output check; at big SFs the
+  *     losing rungs cost real wall clock, hence the opt-in).
   *  3. `--cap N`: run the agree-2 capped kernel
   *     ([[graft.operators.Dedup.bandedHammingPairsSubsetCapped]]) at
   *     band-df cap N and print retained vs uncapped pair counts — the
@@ -38,7 +39,8 @@ object SimhashProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val doTime = args.contains("--time")
+    val timeAll = args.contains("--time-all")
+    val doTime = timeAll || args.contains("--time")
     val cap: Option[Long] = args.sliding(2).collectFirst {
       case Array("--cap", n) => n.toLong }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -74,7 +76,7 @@ object SimhashProbe {
         s""""chosen_agree":${c.agree},"by_agree":$byAgree,""" +
         s""""probe_sec":${"%.1f".format(probeSec)}}""")
 
-      if (doTime) rungs.foreach { k =>
+      if (doTime) rungs.filter(k => timeAll || k == c.agree).foreach { k =>
         val kernel =
           if (k == 1) operators.Dedup.bandedHammingPairs(
             sigs, Bits, MaxHamming + 1, MaxHamming)

@@ -1545,12 +1545,14 @@ object Dedup {
     * and price the loss with [[Calibration.recallAtCaps]] (minShared
     * = 1 matches this kernel's survival rule exactly) before choosing
     * it over the lossless agree-escalation of
-    * [[bandedHammingPairsAuto]]. MEASURED (r17, sf10 documents corpus,
-    * 60 bits / 6 bands / hamming ≤ 4, cap = p99.9 df): see SCALING.md
-    * round-17 section for the recall row. Pair dedup here is a
-    * groupBy on (doc_a, doc_b) — output-sized, not candidate-sized —
-    * because the lex-first surviving subset is cap-dependent, so the
-    * mask trick above cannot canonicalize. */
+    * [[bandedHammingPairsAuto]]. MEASURED (r17, `graft.SimhashProbe
+    * --cap 1024`, sf10 documents corpus, 60 bits / 6 bands / hamming
+    * ≤ 4): recall 1.0000 — 15,536,528 of 15,536,528 uncapped pairs
+    * retained; no (subset, bits) bucket exceeds df 1024 at that SF,
+    * so the cap is pure insurance there (SCALING.md round-17). Pair
+    * dedup here is a groupBy on (doc_a, doc_b) — output-sized, not
+    * candidate-sized — because the lex-first surviving subset is
+    * cap-dependent, so the mask trick above cannot canonicalize. */
   def bandedHammingPairsSubsetCapped(sigs: DataFrame, bits: Int, bands: Int,
       maxHamming: Int, bandDfCap: Long): DataFrame = {
     val agree = bands - maxHamming

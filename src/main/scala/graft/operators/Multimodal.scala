@@ -564,16 +564,29 @@ object Multimodal {
   }
 
   /** Registered video near-dup query: synthetic clip corpus →
-    * [[demuxFrameHashes]] → [[videoDupStats]] → per-doc duplicate-
+    * [[demuxFrameHashes]] → [[videoDupStatsWide]] → per-doc duplicate-
     * frame share, ordered. Rows-only by declared design (the
     * mm_feature_knn precedent: a DuckDB twin would have to
     * re-implement the PNG codec, bilinear thumbnail, and aHash bit
     * math — re-implementation, not verification); SourcesSpec plants
     * the contract instead: a re-encoded duplicate clip is found at
     * share 1.0, a distinct clip is not, and the hot-band cap drops
-    * boilerplate-frame blowups. */
+    * boilerplate-frame blowups.
+    *
+    * Round 17 — the registered path is the WIDE (5-band agree-2)
+    * banding, on the measured A/B (`graft.VideoBandProbe` at sf10,
+    * SCALING.md round-17 row): the 4×16 bands SATURATE on this corpus
+    * (total candidate-pair mass 2.465 B, max band df 15,398 — the
+    * quadratic regime r16's calibration flagged) where the ~25-bit
+    * subset keys carry 77.0 M (32× less) with max df 1,182, planted-
+    * pair recall 1.0 at EVERY cap probed (narrow needed the 1024 cap
+    * A/B to justify its recall), and the consumer costs the same wall
+    * time (0.79 vs 0.80 s min-of-2). Same output on any corpus where
+    * the cap bites neither side (both posting sets are total-recall
+    * to hamming 3); [[videoDupStats]] stays the explicit narrow
+    * variant. */
   def mmVideoNearDup(spark: SparkSession, dir: String): DataFrame =
-    videoDupStats(demuxFrameHashes(syntheticClips(spark, dir)))
+    videoDupStatsWide(demuxFrameHashes(syntheticClips(spark, dir)))
       .orderBy(col("doc_id"))
 
   /** Frame sampling over OPAQUE payloads: every `stride`-th fixed-size

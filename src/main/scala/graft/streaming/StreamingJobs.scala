@@ -197,7 +197,18 @@ object StreamingJobs {
     * per band (consumers distinct on (doc_id, frame_no), like the
     * batch side). On a batch frame the same code sees each bucket as
     * one complete group in (doc_id, frame_no) order — StreamingSpec
-    * proves streamed == batch == the planted re-encode expectation. */
+    * proves streamed == batch == the planted re-encode expectation.
+    *
+    * Banding note (r17): the BATCH path's registered default moved to
+    * the 5-band agree-2 subset keys (`videoDupStatsWide` — the
+    * measured 32× candidate-mass win on a saturated corpus,
+    * SCALING.md round-17). The stream head deliberately keeps 4×16:
+    * its per-bucket state is CAPPED (`bucketCap`) so saturation costs
+    * bounded matching work rather than quadratic candidates, and the
+    * wide keys would multiply state records 2.5× per frame — the
+    * ingest trade is state size, not join mass. Revisit with a
+    * measured state/recall A/B if a real corpus's hot buckets exhaust
+    * `bucketCap` in practice. */
   def videoDupStream(hashes: Dataset[graft.operators.Multimodal.FrameHash],
       maxHamming: Int = 3, bucketCap: Long = 4096L): Dataset[FrameDupOut] = {
     import hashes.sparkSession.implicits._
