@@ -532,8 +532,15 @@ object Bench {
       // §18 cost model says the ~0.2-0.3 s/batch floor dominates small
       // triggers (the entry above), so the artifact must also watch
       // the amortized per-row number the cost model predicts (~6-10k
-      // rows/s); a regression in either term is now visible on its own
-      drive[StreamingJobs.CurateIn]("stream_curate_amortized", curateDocs,
+      // rows/s); a regression in either term is now visible on its
+      // own. The feed is doubled with disjoint seq/doc ids so the
+      // timed region holds ≥ 3 full-size batches at sf0.1 (one timed
+      // batch is a single sample of the floor term; quota saturation
+      // after the early batches matches the floor-shape entry's own
+      // steady state)
+      drive[StreamingJobs.CurateIn]("stream_curate_amortized",
+        curateDocs ++ curateDocs.map(c => c.copy(
+          seq = c.seq + curateDocs.size, doc_id = c.doc_id + 10000000L)),
         ds => StreamingJobs.curateStream(ds, 200), chunkRows = 2500),
       // complete mode: the days-scale sketch state (2 × 4 KiB per
       // active window) makes full re-emission per batch cheap, and
