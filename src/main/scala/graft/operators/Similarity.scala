@@ -1090,6 +1090,14 @@ object Similarity {
     val k = math.max(NCentroids.toLong,
       math.ceil(ev.count() / DedupClusterRows.toDouble).toLong).toInt
     val (_, assigned) = kmeansTrainTwoLevel(ev, k, iters = 2)
+    // deliberately NOT persisted: the pair stage self-joins this frame
+    // and each side re-runs the final assign projection — but the
+    // assign is ~2√k codegen'd dot products per row against centroid
+    // LITERALS, and materializing the corpus-wide (v, cluster, nrm)
+    // frame costs more than computing it twice (measured r17, sf1
+    // isolated min-of-2: 12.2 s persisted vs 10.9 s recomputed — the
+    // sf1 time tracks the pair stage, not the assign; closes the r16
+    // "plan re-read" watch item on this query)
     val m = assigned.withColumn("nrm", VectorFunctions.norm(col("v")))
     val a = m.select(col("vec_id").as("vec_a"), col("cluster"),
       col("v").as("va"), col("nrm").as("na"))
