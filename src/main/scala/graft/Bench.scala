@@ -70,10 +70,13 @@ object Bench {
     * regressions. */
   private def boxState(): (Double, Double, Long) =
     try {
-      val la = scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")
-      val mem = scala.io.Source.fromFile("/proc/meminfo").getLines()
-        .collectFirst { case l if l.startsWith("MemAvailable:") =>
-          l.split("\\s+")(1).toLong / 1024 } // MiB
+      import scala.util.Using
+      val la = Using.resource(scala.io.Source.fromFile("/proc/loadavg"))(
+        _.mkString).split("\\s+")
+      val mem = Using.resource(scala.io.Source.fromFile("/proc/meminfo"))(
+        _.getLines().collectFirst {
+          case l if l.startsWith("MemAvailable:") =>
+            l.split("\\s+")(1).toLong / 1024 }) // MiB
       (la(0).toDouble, la(1).toDouble, mem.getOrElse(-1L))
     } catch { case _: Throwable => (-1.0, -1.0, -1L) }
 
@@ -750,15 +753,20 @@ object Bench {
           // keys are filesystem paths — escape \ and " so a path
           // containing either cannot produce invalid JSON
           val k = k0.replace("\\", "\\\\").replace("\"", "\\\"")
+          // costSubset is +Inf when no subset rung is feasible
+          // (ADVICE r17): "%.0f" would render the bare token Infinity
+          // — invalid JSON — so non-finite values serialize as null
+          def num(d: Double): String =
+            if (java.lang.Double.isFinite(d)) "%.0f".format(d) else "null"
           val byAgree = c.costByAgree.keys.toSeq.sorted.map { k2 =>
-            s""""$k2":{"cost":${"%.0f".format(c.costByAgree(k2))},""" +
-              s""""mass":${"%.0f".format(c.massByAgree.getOrElse(k2, 0.0))}}"""
+            s""""$k2":{"cost":${num(c.costByAgree(k2))},""" +
+              s""""mass":${num(c.massByAgree.getOrElse(k2, 0.0))}}"""
           }.mkString("{", ",", "}")
           s""""$k":{"use_subset":${c.useSubset},"agree":${c.agree},""" +
-            s""""cost_single":${"%.0f".format(c.costSingle)},""" +
-            s""""cost_subset":${"%.0f".format(c.costSubset)},""" +
-            s""""mass_single":${"%.0f".format(c.massSingle)},""" +
-            s""""mass_subset":${"%.0f".format(c.massSubset)},""" +
+            s""""cost_single":${num(c.costSingle)},""" +
+            s""""cost_subset":${num(c.costSubset)},""" +
+            s""""mass_single":${num(c.massSingle)},""" +
+            s""""mass_subset":${num(c.massSubset)},""" +
             s""""by_agree":$byAgree}"""
         }.mkString("{", ",", "}")
     }

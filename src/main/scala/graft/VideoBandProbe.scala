@@ -85,9 +85,18 @@ object VideoBandProbe {
     side("narrow_4x16", operators.Multimodal.frameBandPostings(fh))
     side("wide_5c2x25", operators.Multimodal.frameBandPostingsWide(fh))
 
-    // consumer wall time at the shipped cap, min-of-2 per side
+    // consumer wall time at the shipped cap, min-of-2 per side.
+    // ADVICE r17: the post-side sweep unpersists EVERYTHING including
+    // the shared `hashes` persist, so without re-materializing it the
+    // second side would re-pay the PNG demux/decode inside its timed
+    // runs (the r17 A/B was biased against wide by exactly that cost).
+    // Re-persist + count() after each sweep so both sides time the
+    // consumer over equally-warm frame hashes.
     def time(name: String,
         run: () => org.apache.spark.sql.DataFrame): Unit = {
+      if (hashes.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        hashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      hashes.count() // warm before the clock starts
       val secs = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
         val n = run().count()

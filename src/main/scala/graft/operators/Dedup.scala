@@ -1730,6 +1730,23 @@ object Dedup {
       best, costByAgree, massByAgree)
   }
 
+  /** Rebuild the full [[BandingChoice]] from its persisted core
+    * (chosen rung + per-rung cost/mass maps) — the same derivation of
+    * the summary fields as [[chooseBandingConfig]]'s tail, so a
+    * verdict loaded from disk is indistinguishable from a fresh
+    * probe's. */
+  private def choiceFromCore(best: Int, costByAgree: Map[Int, Double],
+      massByAgree: Map[Int, Double]): BandingChoice = {
+    val subsetAgrees = costByAgree.keys.filter(_ >= 2)
+    val bestSubset = if (subsetAgrees.isEmpty) -1
+      else subsetAgrees.minBy(k => (costByAgree(k), k))
+    BandingChoice(best >= 2, costByAgree(1),
+      if (bestSubset < 0) Double.PositiveInfinity else costByAgree(bestSubset),
+      massByAgree.getOrElse(1, 0.0),
+      if (bestSubset < 0) 0.0 else massByAgree.getOrElse(bestSubset, 0.0),
+      best, costByAgree, massByAgree)
+  }
+
   /** Probe verdicts recorded per (corpus root paths, bits, maxHamming)
     * for bench telemetry (VERDICT r10 #7, the containment
     * candidate-count precedent): the memoized dispatch means a flipped
@@ -1741,8 +1758,8 @@ object Dedup {
   val bandingProbeTelemetry =
     new java.util.concurrent.ConcurrentHashMap[String, BandingChoice]()
 
-  private def corpusLabel(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
-    val paths = plan.collectLeaves().flatMap {
+  private def corpusPaths(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] =
+    plan.collectLeaves().flatMap {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation match {
           case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -1751,6 +1768,9 @@ object Dedup {
         }
       case _ => Nil
     }.distinct
+
+  private def corpusLabel(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
+    val paths = corpusPaths(plan)
     if (paths.isEmpty) s"plan#${plan.semanticHash()}" else paths.mkString(",")
   }
 
@@ -1768,13 +1788,119 @@ object Dedup {
     * JVM, the unchanged plan serves the stale verdict. Cost-only
     * either way (both configs are total-recall), accepted for a
     * bench/ETL process where inputs are immutable per run. Bounded
-    * at [[BandingCacheMax]] entries (cleared wholesale on overflow —
-    * the key set is tiny in practice, and each entry retains a
-    * LogicalPlan graph, so unbounded growth would leak plans across
-    * a long-lived JVM probing many corpora). */
+    * at [[BandingCacheMax]] entries with access-ordered LRU eviction
+    * (VERDICT r17 wart #1: the former wholesale clear() meant one
+    * overflow evicted EVERY corpus's verdict and the next touch of
+    * each re-paid its probe — the same defect the r16 schema registry
+    * fixed; each entry retains a LogicalPlan graph, so the bound also
+    * caps plan retention across a long-lived JVM probing many
+    * corpora). Synchronized wrapper: access-ordered get() mutates the
+    * map, so even reads need the lock. */
   private val BandingCacheMax = 64
-  private val bandingChoiceCache =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), BandingChoice]()
+  private[graft] val bandingChoiceCache: java.util.Map[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), BandingChoice] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), BandingChoice](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), BandingChoice]): Boolean =
+          size() > BandingCacheMax
+      })
+
+  /** Count of actual probe passes (sampled count jobs) run by
+    * [[chooseBandingConfig]] via the auto dispatch — lets specs assert
+    * that the memo/verdict-file layers actually short-circuit the
+    * probe rather than re-running it. */
+  private[graft] val bandingProbeRuns = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Fingerprint of the corpus files behind a signature frame: per
+    * root path, recursive (file count, total bytes) — the
+    * [[graft.Tables.sourceFingerprint]] granularity (any rewrite of an
+    * immutable-write parquet dir changes sizes/counts; mtimes excluded
+    * so byte-identical copies match). Empty-path plans (in-memory
+    * frames) return None: no files → nothing to invalidate a persisted
+    * verdict against, so those stay JVM-memoized only. */
+  private def corpusFingerprint(spark: SparkSession,
+      paths: Seq[String]): Option[String] =
+    if (paths.isEmpty) None
+    else try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      Some(paths.sorted.map { p0 =>
+        val p = new org.apache.hadoop.fs.Path(p0)
+        val fs = p.getFileSystem(conf)
+        var n = 0L
+        var bytes = 0L
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile) { n += 1; bytes += st.getLen }
+        }
+        s"$n:$bytes"
+      }.mkString(";"))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def verdictFilePath(spark: SparkSession, label: String, bits: Int,
+      maxHamming: Int): org.apache.hadoop.fs.Path = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$label|bits=$bits|h=$maxHamming".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"graft_banding_$tag.verdict")
+  }
+
+  /** Load a persisted probe verdict if one exists AND its recorded
+    * corpus fingerprint still matches; best-effort (any IO/parse
+    * problem reads as "no verdict"). File format (one verdict per
+    * (corpus paths, bits, h), under the warehouse dir like the
+    * co-order layout manifest): line 1 fingerprint, line 2 chosen
+    * rung, lines 3/4 the per-rung cost/mass maps as k=v CSV. */
+  private[graft] def loadBandingVerdict(spark: SparkSession, label: String,
+      bits: Int, maxHamming: Int, fp: String): Option[BandingChoice] =
+    try {
+      val vf = verdictFilePath(spark, label, bits, maxHamming)
+      val fs = vf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(vf)) None
+      else {
+        val in = fs.open(vf)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            .split("\n").toSeq
+          finally in.close()
+        def parseMap(s: String): Map[Int, Double] =
+          s.split(",").filter(_.nonEmpty)
+            .map { kv => val Array(k, v) = kv.split("="); k.toInt -> v.toDouble }
+            .toMap
+        if (lines.size < 4 || lines.head.trim != fp) None // stale or malformed
+        else {
+          val cost = parseMap(lines(2).trim)
+          if (!cost.contains(1)) None
+          else Some(choiceFromCore(lines(1).trim.toInt, cost,
+            parseMap(lines(3).trim)))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Persist a probe verdict (best-effort): staged to a `.tmp` then
+    * renamed, so readers never see a torn file. Doubles round-trip via
+    * `Double.toString`. */
+  private[graft] def saveBandingVerdict(spark: SparkSession, label: String,
+      bits: Int, maxHamming: Int, fp: String, c: BandingChoice): Unit =
+    try {
+      val vf = verdictFilePath(spark, label, bits, maxHamming)
+      val fs = vf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(vf.getParent)) fs.mkdirs(vf.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(vf.getParent,
+        vf.getName + s".tmp.${java.util.UUID.randomUUID()}")
+      def fmt(m: Map[Int, Double]): String =
+        m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+      val out = fs.create(tmp, true)
+      try out.write(
+        s"$fp\n${c.agree}\n${fmt(c.costByAgree)}\n${fmt(c.massByAgree)}\n"
+          .getBytes("UTF-8"))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri,
+        spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, fs.makeQualified(vf),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** [[bandedHammingPairs]] with the config probe-chosen by
     * [[chooseBandingConfig]] instead of hand-fixed: same output
@@ -1782,14 +1908,36 @@ object Dedup {
     * hamming ≤ maxHamming and apply the same exact filter), so
     * oracles are untouched — only the candidate-generation cost
     * moves. The probe runs ONCE per (corpus frame, bits, maxHamming)
-    * per JVM ([[bandingChoiceCache]]); repeat invocations pay only
-    * the kernel. */
+    * per JVM ([[bandingChoiceCache]]) — and, for file-backed corpora,
+    * once per corpus LIFETIME across JVMs: the verdict is persisted
+    * under the warehouse dir keyed by the corpus fingerprint
+    * (VERDICT r17 missing #4 — a fresh session at sf100 used to
+    * re-pay a ~2-4 s three-rung probe that a previous session had
+    * already run; regenerated data changes the fingerprint and
+    * re-probes). Repeat invocations pay only the kernel. */
   def bandedHammingPairsAuto(sigs: DataFrame, bits: Int,
       maxHamming: Int): DataFrame = {
     val key = (sigs.queryExecution.analyzed.canonicalized, bits, maxHamming)
-    if (bandingChoiceCache.size() > BandingCacheMax) bandingChoiceCache.clear()
-    val choice = bandingChoiceCache.computeIfAbsent(key,
-      _ => chooseBandingConfig(sigs, bits, maxHamming))
+    // get-then-put rather than computeIfAbsent: the synchronized map's
+    // computeIfAbsent would hold the cache lock across the probe's
+    // multi-second Spark jobs, blocking every other query's cache read.
+    // The benign race (two first-callers both probe, same verdict, one
+    // duplicate cost) is the cheaper failure mode.
+    val cached = bandingChoiceCache.get(key)
+    val choice = if (cached != null) cached else {
+      val spark = sigs.sparkSession
+      val label = corpusLabel(sigs.queryExecution.analyzed)
+      val fp = corpusFingerprint(spark, corpusPaths(sigs.queryExecution.analyzed))
+      val fromDisk = fp.flatMap(loadBandingVerdict(spark, label, bits, maxHamming, _))
+      val c = fromDisk.getOrElse {
+        bandingProbeRuns.incrementAndGet()
+        val fresh = chooseBandingConfig(sigs, bits, maxHamming)
+        fp.foreach(saveBandingVerdict(spark, label, bits, maxHamming, _, fresh))
+        fresh
+      }
+      bandingChoiceCache.put(key, c)
+      c
+    }
     bandingProbeTelemetry.put(
       s"${corpusLabel(sigs.queryExecution.analyzed)}|bits=$bits|h=$maxHamming",
       choice)

@@ -180,14 +180,24 @@ object ManifestTable {
       }
       try {
         writeLease(fs, lf, writerId, exclusive = true)
-        // claim-time purge (ADVICE r16): any staged MANIFEST.tmp* is a
-        // displaced or crashed predecessor's — deleting it under our
-        // fresh lease removes the loser's rename source, so a writer
-        // that passed its fencing check before our claim and only then
-        // stalled cannot rename over our commit. Our own tmp (writer-
-        // suffixed, see [[publish]]) does not exist yet.
+        // claim-time purge (ADVICE r16): a staged writer-suffixed
+        // MANIFEST.tmp.<id> is a displaced or crashed LEASED
+        // predecessor's — deleting it under our fresh lease removes
+        // the loser's rename source, so a writer that passed its
+        // fencing check before our claim and only then stalled cannot
+        // rename over our commit. Our own tmp (writer-suffixed, see
+        // [[publish]]) does not exist yet. The UNSUFFIXED
+        // "MANIFEST.tmp" is deliberately spared (ADVICE r17): it
+        // belongs to an unleased publish(writerId=None) possibly in
+        // flight on the same table — that caller never took the lease,
+        // so the lease's fencing guarantees don't extend to it, and
+        // purging it would fail an otherwise-legal unleased commit on
+        // a missing rename source. Mixed leased/unleased use remains
+        // last-rename-wins for the unleased writer, as documented on
+        // [[publish]].
         fs.listStatus(root).foreach { st =>
-          if (st.getPath.getName.startsWith(s"$Manifest.tmp"))
+          val n = st.getPath.getName
+          if (n.startsWith(s"$Manifest.tmp") && n.length > s"$Manifest.tmp".length)
             fs.delete(st.getPath, false)
         }
         return
@@ -261,7 +271,14 @@ object ManifestTable {
     * readers; a larger `retain` is the time-travel window
     * [[readVersion]] reads from — the storage cost is `retain` full
     * copies, the price any snapshot-isolated table format pays for
-    * full-rewrite commits). */
+    * full-rewrite commits).
+    *
+    * Concurrency contract: pass `writerId` (with [[acquireLease]])
+    * whenever two publishers can overlap — the lease + claim-time
+    * purge then fence out displaced writers. `writerId = None` is the
+    * single-writer fast path: its unsuffixed tmp is NOT purged by a
+    * claimant (ADVICE r17) and carries no fencing, so concurrent
+    * unleased publishes are last-rename-wins by design. */
   def publish(spark: SparkSession, path: String, v: Long,
       retain: Int = 1, writerId: Option[String] = None): Unit = {
     val root = new Path(path)

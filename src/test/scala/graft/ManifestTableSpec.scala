@@ -219,4 +219,36 @@ class ManifestTableSpec extends SparkSpec {
     }
     ManifestTable.releaseLease(s, t, "writer-C")
   }
+
+  test("claim-time purge deletes only writer-suffixed tmps; an unleased publish in flight survives (ADVICE r17)") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable()
+    ManifestTable.upsertBatch(Seq((1L, "a0")).toDF("k", "v"), t, Seq("k"))
+    // an UNLEASED writer stages a version: its tmp is the unsuffixed
+    // MANIFEST.tmp, written just before publish's rename. Simulate the
+    // in-flight moment by creating the file directly.
+    val vU = ManifestTable.prepare(s, t) { dir =>
+      Seq((1L, "u1")).toDF("k", "v").write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+    val root = new java.io.File(t)
+    val unsuffixed = new java.io.File(root, "MANIFEST.tmp")
+    java.nio.file.Files.write(unsuffixed.toPath,
+      s"data-$vU".getBytes("UTF-8"))
+    // a stalled LEASED loser's staged tmp (writer-suffixed)
+    val suffixed = new java.io.File(root, "MANIFEST.tmp.writer-old")
+    java.nio.file.Files.write(suffixed.toPath, "data-99".getBytes("UTF-8"))
+    // a fresh claimant purges the leased loser's tmp but spares the
+    // unleased writer's — purging it would fail that writer's rename
+    // on a missing source even though it never participated in leasing
+    ManifestTable.acquireLease(s, t, "writer-new")
+    assert(!suffixed.exists(),
+      "a displaced leased writer's staged tmp must be purged at claim time")
+    assert(unsuffixed.exists(),
+      "an unleased publish's unsuffixed tmp must survive a claim-time purge")
+    ManifestTable.releaseLease(s, t, "writer-new")
+    // the unleased writer's commit completes normally
+    ManifestTable.publish(s, t, vU)
+    assert(stateOf(t) == Set((1L, "u1")))
+  }
 }

@@ -407,6 +407,84 @@ class PropertySpec extends SparkSpec {
       s"natural corpus must stay on the single-band kernel: $c")
   }
 
+  test("banding choice cache evicts LRU at the bound, not wholesale (VERDICT r17 wart #1)") {
+    val s = spark
+    import s.implicits._
+    val cache = graft.operators.Dedup.bandingChoiceCache
+    cache.clear()
+    // one tiny plan reused with distinct bits values: the key is
+    // (plan, bits, maxHamming), so bits enumerates cheap distinct keys
+    val plan = Seq((0L, "x", 1L)).toDF("doc_id", "block", "sh")
+      .queryExecution.analyzed.canonicalized
+    val dummy = graft.operators.Dedup.BandingChoice(false, 1.0, 2.0)
+    (1 to 64).foreach(b => cache.put((plan, b, 1), dummy))
+    assert(cache.size() == 64)
+    cache.get((plan, 1, 1)) // touch the eldest — access order must protect it
+    cache.put((plan, 65, 1), dummy)
+    assert(cache.size() == 64, "bound must hold by evicting ONE entry")
+    assert(cache.containsKey((plan, 1, 1)),
+      "recently-touched entry must survive the eviction")
+    assert(!cache.containsKey((plan, 2, 1)),
+      "the least-recently-used entry is the one evicted")
+    assert(cache.containsKey((plan, 65, 1)))
+    cache.clear()
+  }
+
+  test("banding probe verdict persists across cleared memo and invalidates on regenerated data (VERDICT r17 missing #4)") {
+    val s = spark
+    import s.implicits._
+    val dedup = graft.operators.Dedup
+    // clean slate: in-memory memo and any verdict files from prior runs
+    dedup.bandingChoiceCache.clear()
+    val wh = new java.io.File(new java.net.URI(
+      s.conf.get("spark.sql.warehouse.dir")).getPath)
+    def sweepVerdicts(): Unit =
+      Option(wh.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_banding_") &&
+          f.getName.endsWith(".verdict")).foreach(_.delete())
+    sweepVerdicts()
+    val dir = java.nio.file.Files.createTempDirectory("banding_verdict").toFile
+    val p = new java.io.File(dir, "sigs.parquet").getAbsolutePath
+    try {
+      def mix(i: Long): Long = {
+        var z = i + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      def write(n: Long): Unit = (0L until n)
+        .map(i => (i, "x", mix(i) & ((1L << 60) - 1)))
+        .toDF("doc_id", "block", "sh")
+        .repartition(1).write.mode("overwrite").parquet(p)
+      write(500L)
+      def fresh() = s.read.parquet(p) // new relation every call
+      val runs0 = dedup.bandingProbeRuns.get()
+      val out1 = dedup.bandedHammingPairsAuto(fresh(), 60, 4).count()
+      assert(dedup.bandingProbeRuns.get() == runs0 + 1,
+        "first touch of a corpus must run the probe")
+      // fresh JVM simulation: memo gone, verdict file still on disk
+      dedup.bandingChoiceCache.clear()
+      val out2 = dedup.bandedHammingPairsAuto(fresh(), 60, 4).count()
+      assert(dedup.bandingProbeRuns.get() == runs0 + 1,
+        "a persisted verdict with a matching fingerprint must short-circuit the probe")
+      assert(out1 == out2, "served verdict must not change the output")
+      // regenerated source (different size) must re-probe, not serve stale
+      write(800L)
+      dedup.bandingChoiceCache.clear()
+      dedup.bandedHammingPairsAuto(fresh(), 60, 4).count()
+      assert(dedup.bandingProbeRuns.get() == runs0 + 2,
+        "a fingerprint mismatch must invalidate the persisted verdict")
+    } finally {
+      dedup.bandingChoiceCache.clear()
+      sweepVerdicts()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("subset banding accepts the full-width agree==bands config (guard regression)") {
     val s = spark
     import s.implicits._
