@@ -571,9 +571,41 @@ object Bench {
           encode(col("text"), "UTF-8"))),
       drive[(Long, String)]("stream_winnow", docs,
         ds => StreamingJobs.winnowStream(ds.toDF("doc_id", "text"))),
+      // both banding widths pinned EXPLICITLY (VERDICT r17 #1): the
+      // r18 StreamVideoProbe A/B flipped the library default to wide
+      // (narrow recall 0.375 on the saturating corpus — canonical
+      // displacement, cap-independent), but this entry keeps the
+      // narrow form under its historical name for artifact
+      // continuity; the _wide twin's state_rows ride alongside so
+      // the 262,144-bucket ceiling vs distinct-signature growth is
+      // WATCHED, not estimated
       drive[graft.operators.Multimodal.FrameHash]("stream_videodup",
         frameHashes,
-        ds => StreamingJobs.videoDupStream(ds).toDF()))
+        ds => StreamingJobs.videoDupStream(ds, wide = false).toDF()),
+      drive[graft.operators.Multimodal.FrameHash]("stream_videodup_wide",
+        frameHashes,
+        ds => StreamingJobs.videoDupStream(ds, wide = true).toDF()),
+      // the 5 previously-unbenched heads (VERDICT r17 #4): a
+      // throughput regression in any of the 20 registered stream jobs
+      // is now visible in the artifact trail
+      drive[StreamingJobs.CdcEv]("stream_tumbling", cdcEvs,
+        ds => StreamingJobs.tumblingHourly(
+          ds.select(timestamp_micros(col("us")).as("ts"),
+            col("event_type"), col("value")))),
+      drive[StreamingJobs.CdcEv]("stream_dedup", cdcEvs,
+        ds => StreamingJobs.dedupStream(
+          ds.select(timestamp_micros(col("us")).as("ts"),
+            col("user_id"), col("event_type")))),
+      drive[StreamingJobs.CdcEv]("stream_interval_join", cdcEvs,
+        ds => StreamingJobs.purchaseViewJoin(
+          ds.select(timestamp_micros(col("us")).as("ts"),
+            col("user_id"), col("event_type")))),
+      drive[StreamingJobs.CapDoc]("stream_mixture_sample", capDocs,
+        ds => StreamingJobs.mixtureSampleStream(
+          ds.select(col("doc_id"), col("source")),
+          graft.operators.Pipelines.mixtureBp, "mix")),
+      drive[(Long, String)]("stream_shard_assign", docs,
+        ds => StreamingJobs.shardAssignStream(ds.toDF("doc_id", "text"))))
     evalNgrams.unpersist()
     parts
   }

@@ -93,8 +93,8 @@ object Calibrate {
             s""""total":${r.totalPairs},"recall":${"%.4f".format(r.recall)}}""")
         }
       } finally {
-        postings.unpersist(blocking = false)
-        CacheHygiene.sweep(spark, blocking = false)
+        postings.unpersist(blocking = true)
+        CacheHygiene.sweep(spark, blocking = true)
       }
     }
 
@@ -123,8 +123,8 @@ object Calibrate {
           s""""max_df":${prof.maxDf},"constant":$constant}""")
       }
     } finally {
-      postings.unpersist(blocking = false)
-      CacheHygiene.sweep(spark, blocking = false)
+      postings.unpersist(blocking = true)
+      CacheHygiene.sweep(spark, blocking = true)
     }
   }
 }

@@ -102,7 +102,7 @@ object SimhashProbe {
           s""""recall":${"%.4f".format(recall)},"capped_sec":${"%.1f".format(sec)}}""")
       }
     } finally {
-      sigs.unpersist(blocking = false)
+      sigs.unpersist(blocking = true)
     }
     spark.stop()
   }

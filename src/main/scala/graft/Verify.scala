@@ -49,9 +49,12 @@ object Verify {
       }
       // release each query's internal persists/checkpoints: a full
       // 100+-query dump would otherwise accumulate every kernel's
-      // cached frames in one block manager (non-blocking: the next
-      // query may start while stale blocks drain)
-      CacheHygiene.sweep(spark, blocking = false)
+      // cached frames in one block manager. BLOCKING (round 18): an
+      // async removal can land after the NEXT query's job was
+      // scheduled against a stale block-availability view — observed
+      // as CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND retry flurries; waiting
+      // here costs milliseconds per query and removes the race class
+      CacheHygiene.sweep(spark, blocking = true)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -79,7 +79,7 @@ object VideoBandProbe {
             s""""recall":${"%.4f".format(r.recall)}}""")
         }
       } finally {
-        postings.unpersist(blocking = false)
+        postings.unpersist(blocking = true)
       }
     }
     side("narrow_4x16", operators.Multimodal.frameBandPostings(fh))
@@ -112,7 +112,7 @@ object VideoBandProbe {
     time("wide_5c2x25",
       () => operators.Multimodal.videoDupStatsWide(hashes))
 
-    hashes.unpersist(blocking = false)
+    hashes.unpersist(blocking = true)
     spark.stop()
   }
 }

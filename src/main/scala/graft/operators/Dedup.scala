@@ -1166,7 +1166,15 @@ object Dedup {
 
   private[operators] def freeBlocks(spark: SparkSession, ids: Set[Int]): Unit = {
     val sc = spark.sparkContext
-    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    // BLOCKING removal (round 18): an async unpersist's removal can
+    // land after a later job was scheduled against a stale "block
+    // available" view — observed as CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    // task-retry flurries inside otherwise-green runs (a checkpoint
+    // block can never be recomputed, so a stale read is a task
+    // failure, not a cache miss). Waiting here makes the superseded
+    // round's blocks gone BEFORE the next round's job submits — the
+    // discipline Bench already applies between timed runs.
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
   }
 
   /** (doc_a, doc_b) pairs → src-partitioned persisted symmetric edges. */

@@ -302,7 +302,7 @@ object MrCore {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // bounded: one scalar
     if (n == 0) {
-      edges.unpersist(blocking = false); nodes.unpersist(blocking = false)
+      edges.unpersist(blocking = true); nodes.unpersist(blocking = true)
       return spark.range(0).select(col("id").as("node"), lit(0.0).as("rank"))
     }
     val tele = (1.0 - damping) / n
@@ -330,7 +330,7 @@ object MrCore {
       it += span
       converged = delta <= tol
     }
-    edges.unpersist(blocking = false); nodes.unpersist(blocking = false)
+    edges.unpersist(blocking = true); nodes.unpersist(blocking = true)
     ranks.orderBy(col("node"))
   }
 
@@ -372,7 +372,7 @@ object MrCore {
       // bounded scalar: did this level reach anything new?
       exhausted = merged.filter(col("dist") === k).limit(1).count() == 0
     }
-    edges.unpersist(blocking = false)
+    edges.unpersist(blocking = true)
     dist.orderBy(col("node"))
   }
 
@@ -992,7 +992,7 @@ object MrCore {
     }
     val out = layers
       .foldLeft(alive.select(col("node"), lit(0).as("layer")))(_ unionAll _)
-    edges.unpersist(blocking = false)
+    edges.unpersist(blocking = true)
     out.select(col("node"), col("layer").cast("int").as("layer"))
   }
 
@@ -1108,7 +1108,7 @@ object MrCore {
       Dedup.freeBlocks(spark, labelIds)
       labels = next; labelIds = nextIds
     }
-    edges.unpersist(blocking = false)
+    edges.unpersist(blocking = true)
     labels
   }
 

@@ -544,7 +544,7 @@ object Relational {
     val hot = counts.filter(col("_c") >= lit(mean * hotFactor))
       .orderBy(col("_c").desc, col(factKey)).limit(1000)
       .select(col(factKey)).collect().map(_.get(0)).toSeq
-    counts.unpersist()
+    counts.unpersist(blocking = true)
     if (hot.isEmpty) return fact.join(dim, col(factKey) === col(dimKey))
     val fSalted = fact.withColumn("_fsalt",
       when(col(factKey).isin(hot: _*),

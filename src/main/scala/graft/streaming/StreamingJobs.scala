@@ -199,29 +199,46 @@ object StreamingJobs {
     * one complete group in (doc_id, frame_no) order — StreamingSpec
     * proves streamed == batch == the planted re-encode expectation.
     *
-    * Banding note (r17): the BATCH path's registered default moved to
-    * the 5-band agree-2 subset keys (`videoDupStatsWide` — the
-    * measured 32× candidate-mass win on a saturated corpus,
-    * SCALING.md round-17). The stream head deliberately keeps 4×16:
-    * its per-bucket state is CAPPED (`bucketCap`) so saturation costs
-    * bounded matching work rather than quadratic candidates, and the
-    * wide keys would multiply state records 2.5× per frame — the
-    * ingest trade is state size, not join mass. Revisit with a
-    * measured state/recall A/B if a real corpus's hot buckets exhaust
-    * `bucketCap` in practice. */
+    * Banding note (r17 estimate REPLACED by the r18 measurement —
+    * `graft.StreamVideoProbe` on the saturating sf10 corpus, 1.5 M
+    * frames / 250 k planted re-encode pairs, SCALING.md round-18):
+    * the DEFAULT is now the same 5-band agree-2 subset postings as
+    * the batch `videoDupStatsWide` (10 keys/frame over ~2²⁵-bucket
+    * key spaces), because the narrow 4×16 head's recall collapse on
+    * a saturated corpus is structural, not cap-tunable — measured
+    * planted-pair recall 0.375 at the shipped cap AND bit-identical
+    * 0.375 uncapped: the loss is CANONICAL DISPLACEMENT (a 16-bit
+    * bucket retains one canonical hash; once the key space saturates
+    * the canonical is almost never the genuine partner), which no
+    * `bucketCap` setting recovers. The wide keys measured recall
+    * 249,999/250,000 (≈1.0; the one miss is the same displacement
+    * mechanism at 2²⁵ scale) on identical input. The price is the
+    * state model: narrow is bounded by construction at 4 × 2¹⁶ =
+    * 262,144 fixed-size records EVER (measured 158,888 rows /
+    * 63 MB), wide grows with distinct frame signatures (measured
+    * 5,000,705 rows / 1.67 GB — 31× here, NOT the r17 scaladoc's
+    * "2.5×/frame" estimate, which priced insertions and missed that
+    * narrow's TOTAL is key-space-capped). At ingest scale the wide
+    * head therefore needs the compaction path minhashDedupStream's
+    * scaladoc documents (periodic snapshot of the store into the
+    * batch index + restart against it); `wide = false` remains the
+    * bounded-state option for memory-pinned deployments that accept
+    * the measured recall price on saturating corpora (below
+    * saturation — e.g. the sf0.1 corpus — narrow recall is 1.0 and
+    * the ceiling is a feature). */
   def videoDupStream(hashes: Dataset[graft.operators.Multimodal.FrameHash],
-      maxHamming: Int = 3, bucketCap: Long = 4096L): Dataset[FrameDupOut] = {
+      maxHamming: Int = 3, bucketCap: Long = 4096L,
+      wide: Boolean = true): Dataset[FrameDupOut] = {
     import hashes.sparkSession.implicits._
-    require(maxHamming <= 3, "4x16-bit banding guarantees recall only to Hamming 3")
-    val bands = hashes.toDF("doc_id", "frame_no", "phash")
-      .select(col("doc_id"), col("frame_no"), col("phash"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("phash"), b * 16)
-              .bitwiseAND(lit(0xffffL)).as("bv"))): _*)).as("bb"))
-      .select(col("doc_id"), col("frame_no"), col("phash"),
-        col("bb.band").as("band"), col("bb.bv").as("bv"))
-      .as[FrameBandHit]
+    require(maxHamming <= 3, (if (wide) "5-band agree-2 subsets" else
+      "4x16-bit banding") + " guarantees recall only to Hamming 3")
+    val fh = hashes.toDF("doc_id", "frame_no", "phash")
+    // the SAME posting projections as the batch kernels — stateless
+    // narrow maps, so the stream and batch sides bucket identically
+    val bands =
+      (if (wide) graft.operators.Multimodal.frameBandPostingsWide(fh)
+       else graft.operators.Multimodal.frameBandPostings(fh))
+        .as[FrameBandHit]
     bands.groupByKey(b => (b.band, b.bv))
       .flatMapGroupsWithState[FrameBucketState, FrameDupOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {

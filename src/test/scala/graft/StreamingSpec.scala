@@ -612,7 +612,7 @@ class StreamingSpec extends SparkSpec {
     val hashes = Multimodal.demuxFrameHashes(clips.toDS()).collect().toSeq
     val hashDf = hashes.toDS()
     // batch run of the SAME job code: complete buckets, global order
-    val batch = StreamingJobs.videoDupStream(hashDf).collect()
+    val batch = StreamingJobs.videoDupStream(hashDf, wide = false).collect()
       .map(d => (d.doc_id, d.frame_no, d.dup_of, d.band, d.hamming)).toSet
     // planted expectation: every frame of doc 1 matches its doc-0
     // canonical at Hamming 0 on all 4 bands; doc 2 matches nothing
@@ -623,7 +623,7 @@ class StreamingSpec extends SparkSpec {
     hashDf.toDF().write.mode("overwrite").parquet(tmp)
     val src = s.readStream.schema(hashDf.toDF().schema).parquet(tmp)
       .as[FrameHash]
-    val q = StreamingJobs.videoDupStream(src)
+    val q = StreamingJobs.videoDupStream(src, wide = false)
       .writeStream.format("memory").queryName("vdup_out")
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -636,7 +636,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "ingest-time matches must equal the batch run")
     // bucket cap: with the cap at 1 every bucket admits only its
     // canonical and stops — no matches can be emitted
-    val capped = StreamingJobs.videoDupStream(hashDf, bucketCap = 1L).collect()
+    val capped = StreamingJobs.videoDupStream(hashDf, bucketCap = 1L,
+      wide = false).collect()
+    assert(capped.isEmpty, s"a cap-1 bucket must never match: ${capped.toSeq}")
+  }
+
+  test("stream video near-dup WIDE: streamed == batch, planted re-encode found on all 10 subset keys") {
+    // the 5-band agree-2 variant (VERDICT r17 #1): same state machine,
+    // wide posting keys — the planted re-encode must be found at
+    // hamming 0 on every C(5,2) = 10 subset key, and the streamed run
+    // must equal the batch frame bit-for-bit like the narrow head
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{FrameHash, RawMedia}
+    def clip(id: Long, key: Long, size: Int) = RawMedia(id,
+      Multimodal.packFrames((0 until 3).map(f =>
+        Multimodal.blockFramePng(key, f, size))))
+    val clips = Seq(clip(0L, 10L, 16), clip(1L, 10L, 24), clip(2L, 99L, 16))
+    val hashes = Multimodal.demuxFrameHashes(clips.toDS()).collect().toSeq
+    val hashDf = hashes.toDS()
+    val batch = StreamingJobs.videoDupStream(hashDf, wide = true).collect()
+      .map(d => (d.doc_id, d.frame_no, d.dup_of, d.band, d.hamming)).toSet
+    // identical hashes agree on every band, so all 10 subset keys match
+    assert(batch == (for (f <- 0 until 3; b <- 0 until 10)
+        yield (1L, f, 0L, b, 0)).toSet,
+      s"re-encoded frames must match on all 10 subset keys: $batch")
+    val tmp = java.nio.file.Files.createTempDirectory("vdupw-in").toString
+    hashDf.toDF().write.mode("overwrite").parquet(tmp)
+    val src = s.readStream.schema(hashDf.toDF().schema).parquet(tmp)
+      .as[FrameHash]
+    val q = StreamingJobs.videoDupStream(src, wide = true)
+      .writeStream.format("memory").queryName("vdupw_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s.sql("select * from vdupw_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4))).toSet
+    assert(streamed == batch, "wide ingest-time matches must equal the batch run")
+    // cap semantics are posting-set-independent: cap 1 admits only
+    // canonicals, so nothing can match on the wide keys either
+    val capped = StreamingJobs.videoDupStream(hashDf, bucketCap = 1L,
+      wide = true).collect()
     assert(capped.isEmpty, s"a cap-1 bucket must never match: ${capped.toSeq}")
   }
 
@@ -659,7 +703,7 @@ class StreamingSpec extends SparkSpec {
       Seq(clip(0L, 10L, 16), clip(1L, 10L, 24), clip(5L, 10L, 16)).toDS())
       .collect().toSeq
     val in = MemoryStream[FrameHash](s)
-    val q = StreamingJobs.videoDupStream(in.toDS()).writeStream
+    val q = StreamingJobs.videoDupStream(in.toDS(), wide = false).writeStream
       .format("memory").queryName("vdup2_out")
       .outputMode("append").start()
     in.addData(hashes.filter(h => h.doc_id == 1L || h.doc_id == 5L))
@@ -677,7 +721,7 @@ class StreamingSpec extends SparkSpec {
     // vs the single-batch run, where doc 0 is canonical from the start —
     // the attribution DIFFERENCE is the documented contract, while both
     // runs agree that exactly two of the three re-encodes are flagged
-    val single = StreamingJobs.videoDupStream(hashes.toDS()).collect()
+    val single = StreamingJobs.videoDupStream(hashes.toDS(), wide = false).collect()
       .map(d => (d.doc_id, d.dup_of)).toSet
     assert(single == Set((1L, 0L), (5L, 0L)))
     assert(single.map(_._1).size == byDoc.map(_._1).size)
