@@ -502,6 +502,96 @@ object Multimodal {
             / col("n_frames"), 6).as("dup_share"))
   }
 
+  // --------------------------------------------- frame index (compaction)
+  /** Video posting-bucket index: one canonical row per OCCUPIED
+    * (band, bv) bucket — the canonical (min (doc_id, frame_no)) frame
+    * and its FULL 64-bit hash, i.e. exactly the record
+    * [[graft.streaming.StreamingJobs.videoDupStream]] keeps per
+    * bucket in the state store. This is the compaction target the
+    * stream head's scaladoc promises: ∝ occupied buckets (≤ 10
+    * rows/frame before bucket collapse on the wide keys), never
+    * pixels, never corpus bytes. The stream's `bucketCap` does not
+    * affect the canonical under the monotone-ingest model (the min
+    * doc arrives first, so it is admitted before any cap can bind),
+    * so a batch-built index equals the capped stream's retained
+    * canonicals. */
+  def frameIndexFrame(hashes: Dataset[FrameHash], wide: Boolean = true): DataFrame = {
+    val fh = hashes.toDF("doc_id", "frame_no", "phash")
+    val postings = if (wide) frameBandPostingsWide(fh) else frameBandPostings(fh)
+    postings.groupBy(col("band"), col("bv"))
+      .agg(min(struct(col("doc_id"), col("frame_no"), col("phash"))).as("c"))
+      .select(col("band"), col("bv"), col("c.doc_id").as("canon_doc"),
+        col("c.frame_no").as("canon_frame"), col("c.phash").as("canon_phash"))
+  }
+
+  /** Build + atomically publish the frame index as a
+    * [[graft.sources.ManifestTable]] — the video twin of
+    * [[graft.operators.Dedup.writeMinhashIndex]]: readers during a
+    * rebuild see the old or the new complete index, never half. */
+  def writeFrameIndex(hashes: Dataset[FrameHash], path: String,
+      wide: Boolean = true): Unit = {
+    val spark = hashes.sparkSession
+    val idx = frameIndexFrame(hashes, wide)
+    val v = graft.sources.ManifestTable.prepare(spark, path)(dir =>
+      idx.write.parquet(dir))
+    graft.sources.ManifestTable.publish(spark, path, v)
+  }
+
+  /** Fold newly ingested frames into the index: min-merge each
+    * bucket's canonical struct with the current version, publish as
+    * the next version. Cost ∝ index + batch; the corpus is never
+    * re-scanned. (min on the (doc, frame, phash) STRUCT, not a
+    * key-replace upsert — last-writer-wins would be wrong.) */
+  def updateFrameIndex(newHashes: Dataset[FrameHash], path: String,
+      wide: Boolean = true): Unit = {
+    val spark = newHashes.sparkSession
+    val merged = graft.sources.ManifestTable.read(spark, path)
+      .unionByName(frameIndexFrame(newHashes, wide))
+      .groupBy(col("band"), col("bv"))
+      .agg(min(struct(col("canon_doc"), col("canon_frame"),
+        col("canon_phash"))).as("c"))
+      .select(col("band"), col("bv"), col("c.canon_doc").as("canon_doc"),
+        col("c.canon_frame").as("canon_frame"),
+        col("c.canon_phash").as("canon_phash"))
+    val v = graft.sources.ManifestTable.prepare(spark, path)(dir =>
+      merged.write.parquet(dir))
+    graft.sources.ManifestTable.publish(spark, path, v)
+  }
+
+  /** Near-dup an ingest batch of frames against a compacted index
+    * WITHOUT re-scanning the corpus — the batch form of the stream
+    * head's restart-against-snapshot, and the video twin of
+    * [[graft.operators.Dedup.dedupAgainstIndex]]: bucket canonicals
+    * are the min-merge of the index's canons and the batch's own
+    * postings (two new re-encodes of unseen content must flag each
+    * other), each batch posting popcount-verifies against its bucket
+    * canonical. Emits (doc_id, frame_no, dup_of, band, hamming) per
+    * matching band key, like the stream head. Scale shape: one
+    * equi-join on the bucket key; batch side ingest-sized, index side
+    * ∝ occupied buckets; pixels never in flight. */
+  def videoDupAgainstIndex(index: DataFrame, newHashes: Dataset[FrameHash],
+      maxHamming: Int = 3, wide: Boolean = true): DataFrame = {
+    require(maxHamming <= 3, (if (wide) "5-band agree-2 subsets" else
+      "4x16-bit banding") + " guarantees recall only to Hamming 3")
+    val fh = newHashes.toDF("doc_id", "frame_no", "phash")
+    val nb = if (wide) frameBandPostingsWide(fh) else frameBandPostings(fh)
+    val canon = index
+      .select(col("canon_doc").as("doc_id"), col("canon_frame").as("frame_no"),
+        col("canon_phash").as("phash"), col("band"), col("bv"))
+      .unionByName(nb)
+      .groupBy(col("band"), col("bv"))
+      .agg(min(struct(col("doc_id"), col("frame_no"), col("phash"))).as("c"))
+      .select(col("band"), col("bv"), col("c.doc_id").as("canon_doc"),
+        col("c.phash").as("canon_phash"))
+    nb.join(canon, Seq("band", "bv"))
+      .filter(col("doc_id") =!= col("canon_doc"))
+      .filter(bit_count(col("phash").bitwiseXOR(col("canon_phash"))) <= maxHamming)
+      .select(col("doc_id"), col("frame_no"), col("canon_doc").as("dup_of"),
+        col("band"),
+        bit_count(col("phash").bitwiseXOR(col("canon_phash")))
+          .cast("int").as("hamming"))
+  }
+
   /** Frame count and base resolution of the synthetic clips. */
   private val ClipFrames = 3
 

@@ -135,10 +135,11 @@ object StreamingJobs {
     * periodically snapshots the store into the manifest-committed
     * batch index (`Dedup.writeMinhashIndex` / `updateMinhashIndex`)
     * and restarts the stream fresh against it via
-    * `dedupAgainstIndex`-style probing: the stream then carries only
+    * [[minhashDedupStreamAgainstIndex]]: the stream then carries only
     * the SINCE-snapshot buckets while the corpus history lives in
     * compacted parquet, a bounded-state split proven equivalent by
-    * the incremental-dedup spec's write/update/probe path.
+    * StreamingSpec's snapshot-restart test and the incremental-dedup
+    * spec's write/update/probe path.
     *
     * On a batch frame the same code sees each bucket as one complete
     * group (processed in doc_id order), giving the identical
@@ -168,6 +169,64 @@ object StreamingJobs {
           }
           state.update(BucketState(canon))
           out.iterator
+      }
+  }
+
+  case class BandHitIdx(doc_id: Long, band: Int, h0: Long, h1: Long,
+    canon: Option[Long])
+
+  /** [[minhashDedupStream]] restarted AGAINST a compacted index — the
+    * stream half of the scaladoc's compaction path, now code: the
+    * history's bucket canonicals live in the manifest-committed
+    * parquet index (`Dedup.writeMinhashIndex`/`updateMinhashIndex`),
+    * joined in as a STREAM-STATIC equi-join on the bucket key (static
+    * side re-resolved per micro-batch, so a concurrent
+    * `updateMinhashIndex` publish is picked up at the next batch).
+    * Buckets present in the index never touch the state store — their
+    * canonical is fixed (under the monotone-ingest model every
+    * history doc_id < every new doc_id, so the min can't move), the
+    * arriving doc compares against it statelessly. Only buckets the
+    * snapshot has never seen fall through to the stateful machine,
+    * which is the bounded-state split: state ∝ SINCE-snapshot new
+    * signatures, history ∝ compacted parquet. Equivalence with the
+    * uninterrupted stream (same emissions for post-snapshot docs,
+    * state rows = new buckets only) is pinned by StreamingSpec. */
+  def minhashDedupStreamAgainstIndex(docs: DataFrame,
+      index: DataFrame): Dataset[DupOut] = {
+    import docs.sparkSession.implicits._
+    val bands = graft.operators.Dedup.minhashBandRows(docs)
+      .join(index.withColumnRenamed("canon", "idx_canon"),
+        Seq("band", "h0", "h1"), "left_outer")
+      .select(col("doc_id"), col("band"), col("h0"), col("h1"),
+        col("idx_canon").as("canon"))
+      .as[BandHitIdx]
+    bands
+      .groupByKey(b => (b.band, b.h0, b.h1))
+      .flatMapGroupsWithState[BucketState, DupOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long, Long), it: Iterator[BandHitIdx],
+            state: GroupState[BucketState]) =>
+          val hits = it.toArray
+          hits.headOption.flatMap(_.canon) match {
+            case Some(histCanon) =>
+              // history bucket: canonical is the snapshot's — stateless
+              // (state is never created, the bounded-state guarantee)
+              hits.iterator.map(_.doc_id).filter(_ != histCanon).toArray
+                .sorted.iterator.map(d => DupOut(d, histCanon, key._1))
+            case None =>
+              val ds = hits.map(_.doc_id).sorted
+              val out = scala.collection.mutable.ArrayBuffer.empty[DupOut]
+              var canon = state.getOption.map(_.minDoc).getOrElse(Long.MaxValue)
+              ds.foreach { d =>
+                if (canon == Long.MaxValue) canon = d
+                else if (d != canon) {
+                  out += DupOut(d, canon, key._1)
+                  canon = math.min(canon, d)
+                }
+              }
+              state.update(BucketState(canon))
+              out.iterator
+          }
       }
   }
 
@@ -278,6 +337,90 @@ object StreamingJobs {
           }
           state.update(st)
           out.iterator
+      }
+  }
+
+  case class FrameBandHitIdx(doc_id: Long, frame_no: Int, phash: Long,
+    band: Int, bv: Long, canon_doc: Option[Long], canon_phash: Option[Long])
+
+  /** [[videoDupStream]] restarted AGAINST a compacted frame index —
+    * the compaction path the wide head's state model needs at ingest
+    * scale (r18 measurement: wide state grows with distinct frame
+    * signatures, 5.0 M rows / 1.67 GB on the saturating sf10 corpus),
+    * now code instead of a scaladoc promise. The history's bucket
+    * canonicals (min (doc_id, frame_no) + full 64-bit hash — exactly
+    * one [[graft.operators.Multimodal.frameIndexFrame]] row, i.e. the
+    * state record) live in manifest-committed parquet
+    * (`Multimodal.writeFrameIndex`/`updateFrameIndex`); the stream
+    * joins them in as a STREAM-STATIC equi-join on (band, bv), static
+    * side re-resolved per micro-batch. A bucket present in the index
+    * never touches the state store: its canonical is fixed under the
+    * monotone-ingest model, the arriving frame popcount-verifies
+    * against the snapshot's canonical hash statelessly. Only
+    * never-snapshotted buckets fall through to the stateful machine —
+    * state ∝ SINCE-snapshot new signatures, so a periodic
+    * `updateFrameIndex` + restart bounds the store to the
+    * between-snapshot window. `bucketCap` applies only to the
+    * stateful (new-bucket) side: a history bucket costs one fixed
+    * popcount per arrival with no state growth, which is the work the
+    * cap existed to bound. Equivalence with the uninterrupted stream
+    * (same emissions for post-snapshot frames, state rows = new
+    * buckets only) is pinned by StreamingSpec. */
+  def videoDupStreamAgainstIndex(hashes: Dataset[graft.operators.Multimodal.FrameHash],
+      index: DataFrame, maxHamming: Int = 3, bucketCap: Long = 4096L,
+      wide: Boolean = true): Dataset[FrameDupOut] = {
+    import hashes.sparkSession.implicits._
+    require(maxHamming <= 3, (if (wide) "5-band agree-2 subsets" else
+      "4x16-bit banding") + " guarantees recall only to Hamming 3")
+    val fh = hashes.toDF("doc_id", "frame_no", "phash")
+    val bands =
+      (if (wide) graft.operators.Multimodal.frameBandPostingsWide(fh)
+       else graft.operators.Multimodal.frameBandPostings(fh))
+        .join(index.select(col("band"), col("bv"), col("canon_doc"),
+          col("canon_phash")), Seq("band", "bv"), "left_outer")
+        .as[FrameBandHitIdx]
+    bands.groupByKey(b => (b.band, b.bv))
+      .flatMapGroupsWithState[FrameBucketState, FrameDupOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), it: Iterator[FrameBandHitIdx],
+            state: GroupState[FrameBucketState]) =>
+          val hits = it.toArray.sortBy(h => (h.doc_id, h.frame_no))
+          hits.headOption.flatMap(h =>
+              h.canon_doc.zip(h.canon_phash)) match {
+            case Some((histDoc, histHash)) =>
+              // history bucket: verify against the snapshot canonical,
+              // stateless (state is never created — the bounded split)
+              hits.iterator.filter(_.doc_id != histDoc).flatMap { h =>
+                val ham = java.lang.Long.bitCount(h.phash ^ histHash)
+                if (ham <= maxHamming)
+                  Iterator.single(FrameDupOut(h.doc_id, h.frame_no,
+                    histDoc, key._1, ham))
+                else Iterator.empty
+              }
+            case None =>
+              val out = scala.collection.mutable.ArrayBuffer.empty[FrameDupOut]
+              var st = state.getOption
+                .getOrElse(FrameBucketState(Long.MaxValue, 0, 0L, 0L))
+              hits.foreach { h =>
+                if (st.seen < bucketCap) {
+                  if (st.minDoc == Long.MaxValue)
+                    st = st.copy(minDoc = h.doc_id, minFrame = h.frame_no,
+                      phash = h.phash)
+                  else if (h.doc_id != st.minDoc) {
+                    val ham = java.lang.Long.bitCount(h.phash ^ st.phash)
+                    if (ham <= maxHamming)
+                      out += FrameDupOut(h.doc_id, h.frame_no, st.minDoc,
+                        key._1, ham)
+                    if (h.doc_id < st.minDoc)
+                      st = st.copy(minDoc = h.doc_id, minFrame = h.frame_no,
+                        phash = h.phash)
+                  }
+                }
+                st = st.copy(seen = st.seen + 1)
+              }
+              state.update(st)
+              out.iterator
+          }
       }
   }
 

@@ -495,6 +495,69 @@ class SourcesSpec extends SparkSpec {
     CacheHygiene.sweep(s)
   }
 
+  test("video frame index: write/update/probe path equals the inline stream, manifest version advances") {
+    // the video twin of the minhash incremental-dedup spec: build the
+    // index from the history, probe an ingest batch against it, fold
+    // the batch in — all through the manifest-committed files
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.RawMedia
+    import graft.sources.ManifestTable
+    def clip(id: Long, key: Long, size: Int) = RawMedia(id,
+      Multimodal.packFrames((0 until 3).map(f =>
+        Multimodal.blockFramePng(key, f, size))))
+    // pairs inside history (0,1), crossing the split (2,3), and inside
+    // the ingest batch (4,5); the batch itself splits again at doc 5
+    val clips = Seq(clip(0L, 10L, 16), clip(1L, 10L, 24), clip(2L, 20L, 16),
+      clip(3L, 20L, 24), clip(4L, 30L, 16), clip(5L, 30L, 24))
+    val hashes = Multimodal.demuxFrameHashes(clips.toDS()).collect().toSeq
+    val hist = hashes.filter(_.doc_id < 3L).toDS()
+    val batch = hashes.filter(_.doc_id >= 3L).toDS()
+    // reference: the deterministic batch frame of the stream head
+    val inline = graft.streaming.StreamingJobs
+      .videoDupStream(hashes.toDS(), wide = true).collect()
+      .map(d => (d.doc_id, d.frame_no, d.dup_of, d.band, d.hamming))
+      .filter(_._1 >= 3L).toSet
+    assert(inline.exists(_._1 == 3L) && inline.exists(_._1 == 5L),
+      s"planted cross-split AND in-batch pairs expected: $inline")
+
+    val tmp = java.nio.file.Files.createTempDirectory("vf-index").toString
+    Multimodal.writeFrameIndex(hist, tmp, wide = true)
+    // one-shot probe of the whole ingest batch
+    val oneShot = Multimodal
+      .videoDupAgainstIndex(ManifestTable.read(s, tmp), batch, wide = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getInt(4))).toSet
+    assert(oneShot == inline, s"one-shot probe != inline: $oneShot vs $inline")
+
+    // two-step: probe docs {3,4}, fold them in, probe doc 5 — the
+    // in-batch pair (4,5) must now be found VIA THE FOLDED INDEX
+    val v0 = ManifestTable.current(s, tmp).get._1
+    val b1 = hashes.filter(h => h.doc_id >= 3L && h.doc_id < 5L).toDS()
+    val b2 = hashes.filter(_.doc_id == 5L).toDS()
+    val r1 = Multimodal
+      .videoDupAgainstIndex(ManifestTable.read(s, tmp), b1, wide = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getInt(4))).toSet
+    Multimodal.updateFrameIndex(b1, tmp, wide = true)
+    val r2 = Multimodal
+      .videoDupAgainstIndex(ManifestTable.read(s, tmp), b2, wide = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getInt(4))).toSet
+    assert((r1 union r2) == inline, s"two-step != inline: ${r1 union r2}")
+    assert(ManifestTable.current(s, tmp).map(_._1).contains(v0 + 1))
+    // the folded index equals a from-scratch build over history+b1
+    import org.apache.spark.sql.functions.col
+    val folded = ManifestTable.read(s, tmp).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))).toSet
+    val scratch = Multimodal.frameIndexFrame(
+        hashes.filter(_.doc_id < 5L).toDS(), wide = true).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))).toSet
+    assert(folded == scratch, "min-merge fold must equal a from-scratch index")
+    CacheHygiene.sweep(s)
+  }
+
   test("wide video banding: agree-2 subset keys match the narrow output and keep pigeonhole recall") {
     val s = spark
     import s.implicits._

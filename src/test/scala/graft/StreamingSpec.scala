@@ -727,6 +727,119 @@ class StreamingSpec extends SparkSpec {
     assert(single.map(_._1).size == byDoc.map(_._1).size)
   }
 
+  test("minhash dedup compaction: snapshot + restart-against-index == uninterrupted stream; state = since-snapshot buckets only") {
+    // the compaction path the minhashDedupStream scaladoc promises,
+    // end-to-end: history → manifest-committed index, stream restarted
+    // against it with a stream-static bucket join; post-snapshot
+    // emissions must be identical and the restarted store must hold
+    // ONLY buckets the snapshot has never seen (the bounded split)
+    val s = spark
+    import s.implicits._
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.functions.{col, max}
+    val docs = Tables.documents(s, sf)
+    val split = docs.agg(max("doc_id")).head.getLong(0) / 2
+    val full = StreamingJobs.minhashDedupStream(docs).collect()
+      .map(d => (d.doc_id, d.dup_of, d.band)).toSet
+    val fullTail = full.filter(_._1 >= split)
+    assert(fullTail.nonEmpty, "dup-dense corpus: post-split emissions expected")
+
+    val idxDir = java.nio.file.Files.createTempDirectory("mh-snap").toString
+    graft.operators.Dedup.writeMinhashIndex(
+      docs.filter(col("doc_id") < split), idxDir)
+    val index = ManifestTable.read(s, idxDir)
+    val tail = docs.filter(col("doc_id") >= split)
+
+    // batch frame first: complete buckets, deterministic order
+    val restartedBatch = StreamingJobs
+      .minhashDedupStreamAgainstIndex(tail, index).collect()
+      .map(d => (d.doc_id, d.dup_of, d.band)).toSet
+    assert(restartedBatch == fullTail,
+      "restart-against-snapshot must emit exactly the uninterrupted stream's post-split rows")
+
+    // streaming frame: same emissions AND the state-row bound
+    val inDir = java.nio.file.Files.createTempDirectory("mh-snap-in").toString
+    tail.write.mode("overwrite").parquet(inDir)
+    val src = s.readStream.schema(tail.schema).parquet(inDir)
+    val q = StreamingJobs.minhashDedupStreamAgainstIndex(src, index)
+      .writeStream.format("memory").queryName("mh_compact_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    val stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators).map(_.numRowsTotal).sum
+    q.stop()
+    val streamed = s.sql("select * from mh_compact_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == fullTail)
+    val newBuckets = graft.operators.Dedup.minhashBandRows(tail)
+      .select("band", "h0", "h1").distinct()
+      .join(index, Seq("band", "h0", "h1"), "left_anti").count()
+    assert(stateRows == newBuckets,
+      s"state must hold ONLY since-snapshot buckets: $stateRows vs $newBuckets")
+    // sanity: the bound actually bit — some buckets DID come from history
+    val histBuckets = graft.operators.Dedup.minhashBandRows(tail)
+      .select("band", "h0", "h1").distinct()
+      .join(index, Seq("band", "h0", "h1"), "left_semi").count()
+    assert(histBuckets > 0, "split must exercise the history branch")
+  }
+
+  test("video dup compaction: snapshot + restart-against-index == uninterrupted stream (wide keys); state = new buckets only") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{FrameHash, RawMedia}
+    import graft.sources.ManifestTable
+    def clip(id: Long, key: Long, size: Int) = RawMedia(id,
+      Multimodal.packFrames((0 until 3).map(f =>
+        Multimodal.blockFramePng(key, f, size))))
+    // re-encode pairs: (0,1) inside history, (2,3) CROSSING the
+    // snapshot split, (4,5) entirely post-snapshot; split at doc 3
+    val clips = Seq(clip(0L, 10L, 16), clip(1L, 10L, 24), clip(2L, 20L, 16),
+      clip(3L, 20L, 24), clip(4L, 30L, 16), clip(5L, 30L, 24))
+    val hashes = Multimodal.demuxFrameHashes(clips.toDS()).collect().toSeq
+    val full = StreamingJobs.videoDupStream(hashes.toDS(), wide = true)
+      .collect().map(d => (d.doc_id, d.frame_no, d.dup_of, d.band, d.hamming)).toSet
+    val fullTail = full.filter(_._1 >= 3L)
+    // the cross-split pair must be found via the history canonical
+    assert(fullTail.exists(t => t._1 == 3L && t._3 == 2L),
+      s"planted cross-split re-encode missing from the reference run: $fullTail")
+
+    val hist = hashes.filter(_.doc_id < 3L).toDS()
+    val tail = hashes.filter(_.doc_id >= 3L).toDS()
+    val idxDir = java.nio.file.Files.createTempDirectory("vf-snap").toString
+    Multimodal.writeFrameIndex(hist, idxDir, wide = true)
+    val index = ManifestTable.read(s, idxDir)
+
+    val restartedBatch = StreamingJobs
+      .videoDupStreamAgainstIndex(tail, index, wide = true).collect()
+      .map(d => (d.doc_id, d.frame_no, d.dup_of, d.band, d.hamming)).toSet
+    assert(restartedBatch == fullTail,
+      "restart-against-snapshot must equal the uninterrupted stream's post-split rows")
+
+    val inDir = java.nio.file.Files.createTempDirectory("vf-snap-in").toString
+    tail.toDF().write.mode("overwrite").parquet(inDir)
+    val src = s.readStream.schema(tail.toDF().schema).parquet(inDir).as[FrameHash]
+    val q = StreamingJobs.videoDupStreamAgainstIndex(src, index, wide = true)
+      .writeStream.format("memory").queryName("vf_compact_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    val stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators).map(_.numRowsTotal).sum
+    q.stop()
+    val streamed = s.sql("select * from vf_compact_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getInt(4))).toSet
+    assert(streamed == fullTail)
+    import org.apache.spark.sql.functions.col
+    val tailPostings = Multimodal.frameBandPostingsWide(
+      tail.toDF("doc_id", "frame_no", "phash")).select("band", "bv").distinct()
+    val newBuckets = tailPostings.join(index, Seq("band", "bv"), "left_anti").count()
+    val histBuckets = tailPostings.join(index, Seq("band", "bv"), "left_semi").count()
+    assert(stateRows == newBuckets,
+      s"state must hold ONLY since-snapshot buckets: $stateRows vs $newBuckets")
+    assert(histBuckets > 0, "the cross-split pair must ride history buckets")
+  }
+
   test("stream shard assign: routed shards equal the batch permutation's assignment") {
     val s = spark
     import s.implicits._
