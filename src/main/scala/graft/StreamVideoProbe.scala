@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
   *    warmup discipline).
   *
   * Sides: narrow at the shipped cap, narrow uncapped (isolates
-  * cap-loss from canonical displacement), wide at the shipped cap.
+  * cap-loss from canonical displacement), wide at the shipped cap,
+  * and wide RESTARTED AGAINST a half-corpus snapshot index
+  * ([[graft.streaming.StreamingJobs.videoDupStreamAgainstIndex]]) —
+  * the compaction path's state bound (store holds only
+  * since-snapshot buckets) and tail-pair recall, measured.
   *
   * Usage: `tools/run_main.sh graft.StreamVideoProbe <sfDir> [cap]` */
 object StreamVideoProbe {
@@ -120,6 +124,88 @@ object StreamVideoProbe {
     side("narrow_4x16", wide = false, bucketCap = cap)
     side("narrow_uncapped", wide = false, bucketCap = Long.MaxValue)
     side("wide_5c2x25", wide = true, bucketCap = cap)
+
+    // ---- wide + compaction: snapshot the history half into the frame
+    // index, restart the stream against it (videoDupStreamAgainstIndex).
+    // The claim under test is the state bound — the restarted store
+    // must hold ONLY since-snapshot buckets, so its row count should
+    // read as "wide minus history buckets", while recall on every pair
+    // the restarted stream is RESPONSIBLE for (later member in the
+    // tail; both-in-history pairs were emitted pre-snapshot) matches
+    // the uninterrupted wide head. The snapshot build itself is the
+    // amortized batch compaction and runs untimed.
+    {
+      val split = {
+        val ds = hashes.map(_.doc_id).distinct.sorted
+        ds(ds.size / 2)
+      }
+      val hist = hashes.filter(_.doc_id < split)
+      val tail = hashes.filter(_.doc_id >= split)
+      val plantedTail = planted.filter(_._2 >= split)
+      val plantedTailDf = plantedTail.toDF("a", "b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      plantedTailDf.count()
+      val idxDir = java.nio.file.Files.createTempDirectory("svp-idx").toString
+      operators.Multimodal.writeFrameIndex(hist.toDS(), idxDir, wide = true)
+      val index = sources.ManifestTable.read(spark, idxDir)
+      val idxRows = index.count()
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val outDir = java.nio.file.Files.createTempDirectory("svp-compact").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("svp-ck-compact").toString
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        val in = MemoryStream[operators.Multimodal.FrameHash](spark)
+        q = graft.streaming.StreamingJobs
+          .videoDupStreamAgainstIndex(in.toDS(), index, bucketCap = cap,
+            wide = true)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .start()
+        val chunks = tail.grouped(math.max(1, tail.size / 10)).toSeq
+        in.addData(chunks.head); q.processAllAvailable() // untimed warmup
+        val timed = chunks.tail
+        val t0 = System.nanoTime()
+        timed.foreach { c => in.addData(c); q.processAllAvailable() }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val prog = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+        val stateRows = prog.map(_.numRowsTotal).sum
+        val stateBytes = prog.map(_.memoryUsedBytes).sum
+        q.stop(); q = null
+        val out = spark.read.parquet(outDir)
+        val pairsFound = out
+          .select(least(col("doc_id"), col("dup_of")).as("a"),
+            greatest(col("doc_id"), col("dup_of")).as("b"))
+          .distinct()
+          .join(plantedTailDf, Seq("a", "b"), "left_semi")
+          .count()
+        val emitted = out.count()
+        val nTimed = timed.map(_.size).sum
+        println(s"""{"probe":"stream_video_ab","side":"wide_compacted",""" +
+          s""""cap":$cap,"split":$split,"index_rows":$idxRows,""" +
+          s""""state_rows":$stateRows,"state_bytes":$stateBytes,""" +
+          s""""emitted":$emitted,"pairs_found":$pairsFound,""" +
+          s""""pairs_total":${plantedTail.size},""" +
+          s""""recall":${"%.4f".format(
+            if (plantedTail.isEmpty) 1.0
+            else pairsFound.toDouble / plantedTail.size)},""" +
+          s""""sec":${"%.2f".format(dt)},""" +
+          s""""rows_per_sec":${"%.0f".format(if (dt > 0) nTimed / dt else 0.0)}}""")
+      } finally {
+        if (q != null) { try q.stop() catch { case _: Throwable => () } }
+        def rm(p: String): Unit = {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        rm(outDir); rm(ckpt); rm(idxDir)
+        plantedTailDf.unpersist(blocking = true)
+      }
+    }
     plantedDf.unpersist(blocking = true)
     spark.stop()
   }
