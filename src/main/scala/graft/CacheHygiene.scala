@@ -25,14 +25,43 @@ object CacheHygiene {
 
   /** Drop every cached plan and persistent RDD in the session.
     * `blocking = true` waits for block removal — use it when the next
-    * operation's measurement or memory headroom matters. */
+    * operation's measurement or memory headroom matters.
+    *
+    * Before dropping, wait (bounded) for the scheduler's active jobs
+    * to drain: AQE materializes query stages in background threads,
+    * and a broadcast-future job can outlive the action that triggered
+    * it. Unpersisting a localCheckpoint'd RDD under such a straggler
+    * makes its tasks throw CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (a
+    * truncated lineage cannot recompute) and abort a job nobody
+    * observes — green suite, ERROR noise that could mask a real
+    * lineage bug (r17 verdict watch item; blocking unpersist alone
+    * cannot close it, because blocking waits for removal, not for
+    * readers). The wait is bounded so a live streaming query cannot
+    * wedge the sweep; stragglers are millisecond-scale in practice. */
   def sweep(spark: SparkSession, blocking: Boolean = true): Unit = {
+    drainActiveJobs(spark)
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = blocking))
     // the dimHint size-estimate memo keys on canonicalized LogicalPlans
     // (which retain session refs) — drop it with the blocks (ADVICE r14)
     Tables.clearSizeEstimates()
+  }
+
+  /** Bounded wait for the scheduler's active jobs to drain — the
+    * guard both [[sweep]] and the iterative kernels' per-round block
+    * frees take before unpersisting a localCheckpoint. In a
+    * sequential caller any active job at release time IS a straggler
+    * (an AQE stage-materialization future that outlived its action),
+    * so waiting for it is correctness, not politeness; the bound
+    * keeps a live streaming query from wedging the caller. */
+  def drainActiveJobs(spark: SparkSession, timeoutMs: Long = 2000L): Unit = {
+    val tracker = spark.sparkContext.statusTracker
+    val deadline = System.nanoTime() + timeoutMs * 1000 * 1000
+    while (tracker.getActiveJobIds().nonEmpty &&
+        System.nanoTime() < deadline) {
+      Thread.sleep(10)
+    }
   }
 
   /** True when no catalog-cached plan and no persistent RDD remains —

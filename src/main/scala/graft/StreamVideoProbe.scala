@@ -121,10 +121,17 @@ object StreamVideoProbe {
       }
     }
 
-    side("narrow_4x16", wide = false, bucketCap = cap)
-    side("narrow_uncapped", wide = false, bucketCap = Long.MaxValue)
-    side("wide_5c2x25", wide = true, bucketCap = cap)
+    // optional side filter (arg 3, comma-separated side names) so a
+    // re-measurement of one side doesn't re-pay the others' feeds
+    val sides = args.lift(2).map(_.split(",").toSet)
+      .getOrElse(Set("narrow_4x16", "narrow_uncapped", "wide_5c2x25",
+        "wide_compacted"))
+    if (sides("narrow_4x16")) side("narrow_4x16", wide = false, bucketCap = cap)
+    if (sides("narrow_uncapped"))
+      side("narrow_uncapped", wide = false, bucketCap = Long.MaxValue)
+    if (sides("wide_5c2x25")) side("wide_5c2x25", wide = true, bucketCap = cap)
 
+    if (sides("wide_compacted")) {
     // ---- wide + compaction: snapshot the history half into the frame
     // index, restart the stream against it (videoDupStreamAgainstIndex).
     // The claim under test is the state bound — the restarted store
@@ -205,6 +212,7 @@ object StreamVideoProbe {
         rm(outDir); rm(ckpt); rm(idxDir)
         plantedTailDf.unpersist(blocking = true)
       }
+    }
     }
     plantedDf.unpersist(blocking = true)
     spark.stop()

@@ -1166,14 +1166,16 @@ object Dedup {
 
   private[operators] def freeBlocks(spark: SparkSession, ids: Set[Int]): Unit = {
     val sc = spark.sparkContext
-    // BLOCKING removal (round 18): an async unpersist's removal can
-    // land after a later job was scheduled against a stale "block
-    // available" view — observed as CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
-    // task-retry flurries inside otherwise-green runs (a checkpoint
-    // block can never be recomputed, so a stale read is a task
-    // failure, not a cache miss). Waiting here makes the superseded
-    // round's blocks gone BEFORE the next round's job submits — the
-    // discipline Bench already applies between timed runs.
+    // Two-part discipline (round 18): first wait (bounded) for active
+    // jobs to drain — an AQE stage-materialization future can outlive
+    // the action that triggered it, and unpersisting a checkpoint it
+    // still reads makes its tasks throw
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (truncated lineage cannot
+    // recompute; a stale read is a task failure, not a cache miss) —
+    // then BLOCKING removal, so the superseded round's blocks are
+    // gone before the next round's job submits (the discipline Bench
+    // applies between timed runs).
+    graft.CacheHygiene.drainActiveJobs(spark)
     ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
   }
 
