@@ -585,6 +585,27 @@ object Bench {
       drive[graft.operators.Multimodal.FrameHash]("stream_videodup_wide",
         frameHashes,
         ds => StreamingJobs.videoDupStream(ds, wide = true).toDF()),
+      // the against-index compaction head (round 18): the history
+      // half is snapshotted into the manifest-committed frame index
+      // OUTSIDE the timed region (batch compaction is the amortized
+      // cost), the stream drives only the tail — so this entry
+      // watches the steady-state per-row price of the stream-static
+      // bucket join + the stateless-history/stateful-new split, and
+      // its state_rows column shows the since-snapshot bound next to
+      // the _wide twin's full-corpus state
+      {
+        val vSplit = frameHashes.iterator.map(_.doc_id).max / 2
+        val idxDir =
+          java.nio.file.Files.createTempDirectory("bench-vfidx").toString
+        graft.operators.Multimodal.writeFrameIndex(
+          frameHashes.filter(_.doc_id < vSplit).toDS(), idxDir)
+        try drive[graft.operators.Multimodal.FrameHash](
+          "stream_videodup_compact",
+          frameHashes.filter(_.doc_id >= vSplit),
+          ds => StreamingJobs.videoDupStreamAgainstIndex(ds,
+            graft.sources.ManifestTable.read(spark, idxDir)).toDF())
+        finally rmTree(idxDir)
+      },
       // the 5 previously-unbenched heads (VERDICT r17 #4): a
       // throughput regression in any of the 20 registered stream jobs
       // is now visible in the artifact trail
