@@ -23,6 +23,17 @@ import graft.{QueryDef, Tables}
   */
 object Multimodal {
 
+  // ImageIO's stream factories default to a DISK-backed cache: every
+  // read(InputStream)/write(OutputStream) stages the image through a
+  // temp FILE (FileCache{Input,Output}Stream) — one create/write/read/
+  // delete cycle per frame, which for the clip corpus means tens of
+  // thousands of temp-file round trips per query run for images that
+  // are a few KB each. In-memory streams are strictly correct here
+  // (payloads are already whole byte arrays) and measurably faster.
+  // JVM-static; this initializer runs once per JVM that touches any
+  // Multimodal kernel, executors included.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: opaque payload + its id. */
   case class RawMedia(doc_id: Long, payload: Array[Byte])
 

@@ -632,10 +632,10 @@ object Pipelines {
     * the prior stage's survivors. */
   def pipelineCurateV3(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val keptIds = TextAnalysis.qualityRules(
-        docs.select(col("doc_id"), col("text")))
-      .filter(col("keep")).select(col("doc_id"))
-    val kept = docs.join(keptIds, Seq("doc_id"), "left_semi")
+    // gate inlined as a per-row filter (r18): qualityKeep is stateless,
+    // so the qualityRules→semi-join form paid a second corpus scan +
+    // one join for the same survivors (plan: 4 scans/1 join → 1 scan)
+    val kept = docs.filter(TextAnalysis.qualityKeep)
     val deduped = kept
       .groupBy(md5(col("text")).as("__h"))
       .agg(min_by(struct(col("doc_id"), col("n_chars")), col("doc_id"))
@@ -702,10 +702,8 @@ object Pipelines {
     * manifest and [[pipelineCurateV5]]'s weighted draw. */
   private def curateGatedDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val keptIds = TextAnalysis.qualityRules(
-        docs.select(col("doc_id"), col("text")))
-      .filter(col("keep")).select(col("doc_id"))
-    val kept = docs.join(keptIds, Seq("doc_id"), "left_semi")
+    // gate inlined as a filter — see pipelineCurateV3 (one scan, no join)
+    val kept = docs.filter(TextAnalysis.qualityKeep)
     val deduped = kept
       .groupBy(md5(col("text")).as("__h"))
       .agg(min_by(struct(col("doc_id"), col("text"), col("n_chars")),
@@ -884,10 +882,8 @@ object Pipelines {
     * ≤ splits × shards aggregate. */
   def pipelineCurateV6(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val keptIds = TextAnalysis.qualityRules(
-        docs.select(col("doc_id"), col("text")))
-      .filter(col("keep")).select(col("doc_id"))
-    val kept = docs.join(keptIds, Seq("doc_id"), "left_semi")
+    // gate inlined as a filter — see pipelineCurateV3 (one scan, no join)
+    val kept = docs.filter(TextAnalysis.qualityKeep)
     val deduped = kept
       .groupBy(md5(col("text")).as("__h"))
       .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id"))
@@ -902,10 +898,9 @@ object Pipelines {
     // the documented MEMORY_AND_DISK + block-manager LRU policy.
     val cleaned = Dedup.exciseDupSpans(deduped, Dedup.SubstrLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val regatedIds = TextAnalysis.qualityRules(
-        cleaned.select(col("doc_id"), col("cleaned_text").as("text")))
-      .filter(col("keep")).select(col("doc_id"))
-    cleaned.join(regatedIds, Seq("doc_id"), "left_semi")
+    // re-gate inlined on cleaned_text (r18): one pass over the persisted
+    // rebuild instead of a second read + semi-join for the same rows
+    cleaned.filter(TextAnalysis.qualityKeepOn(col("cleaned_text")))
       .withColumn("split", splitOf(col("doc_id")))
       .withColumn("shard", shardOf(col("doc_id")))
       .groupBy(col("split"), col("shard"))
@@ -959,10 +954,8 @@ object Pipelines {
     val all = Tables.documents(spark, dir)
     val evalDocs = all.filter(isEval).select(col("doc_id"), col("text"))
     val docs = all.filter(!isEval)
-    val keptIds = TextAnalysis.qualityRules(
-        docs.select(col("doc_id"), col("text")))
-      .filter(col("keep")).select(col("doc_id"))
-    val kept = docs.join(keptIds, Seq("doc_id"), "left_semi")
+    // gate inlined as a filter — see pipelineCurateV3 (one scan, no join)
+    val kept = docs.filter(TextAnalysis.qualityKeep)
     val deduped = kept
       .groupBy(md5(col("text")).as("__h"))
       .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id"))
@@ -974,10 +967,8 @@ object Pipelines {
     // the final manifest join in the returned lazy plan
     val cleaned = Dedup.exciseDupSpans(deduped, Dedup.SubstrLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val regatedIds = TextAnalysis.qualityRules(
-        cleaned.select(col("doc_id"), col("cleaned_text").as("text")))
-      .filter(col("keep")).select(col("doc_id"))
-    val regated = cleaned.join(regatedIds, Seq("doc_id"), "left_semi")
+    // re-gate inlined on cleaned_text — see pipelineCurateV6
+    val regated = cleaned.filter(TextAnalysis.qualityKeepOn(col("cleaned_text")))
     val cleanIds = decontaminateAgainst(
         regated.select(col("doc_id"), col("cleaned_text").as("text")), evalDocs)
       .filter(!col("contaminated")).select(col("doc_id"))

@@ -1055,10 +1055,16 @@ object TextAnalysis {
     def keep: Column = rWords && rMean && rDistinct && rStop && rTop
   }
 
-  private def gateCols(t: Column): GateCols = {
+  private def gateCols(t: Column): GateCols =
+    gateCols(t, length(regexp_replace(col("text"), "\\s+", "")))
+
+  /** `nonWsLen` = length of the text with all whitespace removed —
+    * passed in (rather than derived from a text column here) so the
+    * single-expression filter form can bind it once per row alongside
+    * the token array. */
+  private def gateCols(t: Column, nonWsLen: Column): GateCols = {
     val nW = size(t)
-    val meanLen = length(regexp_replace(col("text"), "\\s+", ""))
-      .cast("double") / nW
+    val meanLen = nonWsLen.cast("double") / nW
     val distinctRatio = size(array_distinct(t)).cast("double") / nW
     val stopHits = size(filter(t, x => x.isin(Stopwords: _*)))
     // Max token frequency as the longest run in the SORTED token array
@@ -1093,7 +1099,32 @@ object TextAnalysis {
     * semi-join back on doc_id (a stream cannot self-join). The token
     * array is inlined, so this is the same stateless per-row
     * predicate [[qualityRules]] projects as `keep`. */
-  def qualityKeep: Column = gateCols(toks).keep
+  def qualityKeep: Column = qualityKeepOn(col("text"))
+
+  /** [[qualityKeep]] over an ARBITRARY text column — for chains whose
+    * text no longer rides a column literally named `text` (the curate
+    * re-gate runs on `cleaned_text`). Same stateless per-row predicate;
+    * inlining it as a `.filter` instead of a build-side
+    * qualityRules→semi-join removes one full scan of the corpus and
+    * one join per gate application (guide §2.4: remove shuffles
+    * outright) without changing which rows survive.
+    *
+    * The token array and the non-whitespace length are BOUND ONCE per
+    * row through a single-element higher-order lambda: filter pushdown
+    * substitutes column aliases into the pushed predicate with no cost
+    * guard, and higher-order functions evaluate interpreted (no
+    * common-subexpression elimination), so the naive inline form
+    * re-tokenized the document once per rule reference — 9 split+filter
+    * evaluations per row in the measured plan. A lambda variable is
+    * evaluated exactly once no matter how many times the rules read
+    * it, and the optimizer cannot split the expression apart. */
+  def qualityKeepOn(text: Column): Column = {
+    val t = filter(split(text, "\\s+"), x => x =!= "")
+    val bound = struct(t.as("t"),
+      length(regexp_replace(text, "\\s+", "")).as("nc"))
+    forall(array(bound),
+      s => gateCols(s.getField("t"), s.getField("nc")).keep)
+  }
 
   // ---------------------------------------------------------------- gopher gate
   /** Gopher's published stopword list (Rae et al. 2021, A1.1): a doc
