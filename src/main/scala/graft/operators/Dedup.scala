@@ -929,7 +929,17 @@ object Dedup {
       .agg(expr("bit_or(shiftleft(1L, tid))").as("m"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dm = masks.select(col("m")).distinct()
-    val maskPairs = dm.select(col("m").as("ma"))
+    // the stream side is REPARTITIONED to the session's parallelism
+    // before the nested-loop: AQE coalesces the distinct-mask frame by
+    // BYTES (a few KB → 1 partition), but the work of this stage is
+    // |dm|² popcount pairs, so the coalesced plan ran the whole
+    // quadratic comparison in ONE task (measured sf0.1: a 3.3 s
+    // single-task stage inside an 8 s query). A keyless repartition of
+    // the ~|distinct sets| rows is noise next to the pair mass it
+    // parallelizes, and AQE leaves user-pinned partition counts alone.
+    val maskPairs = dm.repartition(
+        sets.sparkSession.sparkContext.defaultParallelism)
+      .select(col("m").as("ma"))
       .crossJoin(broadcast(dm.select(col("m").as("mb"))))
       .withColumn("c", expr("cast(bit_count(ma & mb) as int)"))
       .withColumn("sza", expr("cast(bit_count(ma) as int)"))
