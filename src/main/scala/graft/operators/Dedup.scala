@@ -2145,7 +2145,8 @@ object Dedup {
     import graft.functions.VectorFunctions
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        // codegen'd native array cast (see Similarity.vecs)
+        col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", VectorFunctions.norm(col("v")))
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
       col("v").as("va"), col("nrm").as("na"))

@@ -966,7 +966,8 @@ object Multimodal {
     featureBatch(asBinary(spark, dir))
       .filter(col("n_bytes") > 0)
       .select(col("doc_id").as("vec_id"),
-        transform(col("byte_hist"), x => x.cast("double")).as("v"))
+        // codegen'd native array cast (see Similarity.vecs)
+        col("byte_hist").cast("array<double>").as("v"))
       .withColumn("nrm", VectorFunctions.norm(col("v")))
   }
 

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.CrossEngine.{rnd, rndSql}
 import graft.functions.VectorFunctions
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Similarity search over the embedding column (SURVEY.md §2 F).
   *
@@ -43,7 +44,10 @@ object Similarity {
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        // native array cast, not transform(_.cast): Cast is whole-stage
+        // codegen'd; the per-element HOF lambda evaluates interpreted
+        // (same float→double widening, bit-exact either way)
+        col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", VectorFunctions.norm(col("v")))
 
   private def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
@@ -92,24 +96,18 @@ object Similarity {
     // old window form's graceful empty-input degradation
     if (cents.isEmpty) return lit(null).cast("int")
     val sorted = cents.sortBy(_._1)
-    def cos(cv: Column, cn: Column): Column =
-      try_divide(VectorFunctions.dot(cv, v), cn * nrm)
-    val seed = struct(
-      lit(sorted.head._1).as("c"),
-      cos(typedLit(sorted.head._2), lit(sorted.head._3)).as("s"))
-    if (sorted.sizeIs == 1) return seed.getField("c")
-    val arr = array(sorted.tail.map { case (id, cv, cn) =>
-      struct(lit(id).as("c"), typedLit(cv).as("cv"), lit(cn).as("cn"))
-    }: _*)
-    aggregate(
-      arr,
-      seed,
-      (acc, c) => {
-        val sc = cos(c.getField("cv"), c.getField("cn"))
-        when(sc > acc.getField("s")
-            || (acc.getField("s").isNull && sc.isNotNull),
-          struct(c.getField("c").as("c"), sc.as("s"))).otherwise(acc)
-      }).getField("c")
+    // native codegen'd kernel (r18, guide §4): the former
+    // aggregate-HOF fold has no codegen, so every corpus row paid
+    // interpreted lambda dispatch per centroid; NearestCentroidId
+    // replicates the fold's semantics bit-for-bit (scaladoc above and
+    // on the expression) in one whole-stage-codegen'd loop, with the
+    // centroid table riding as referenced objects — generated source
+    // is identical across Lloyd rounds, so janino caches hit.
+    ColumnBridge.column(VectorFunctions.NearestCentroidId(
+      sorted.map(_._1).toArray,
+      sorted.map(_._2.toArray).toArray,
+      sorted.map(_._3).toArray,
+      ColumnBridge.expression(v), ColumnBridge.expression(nrm)))
   }
 
   /** Driver-side centroid triples `(c_id, cv, cn)` for
@@ -1340,18 +1338,12 @@ object Similarity {
     // array would fail analysis on getField). Mirrors nearestCentroid.
     if (cb.isEmpty) return lit(null).cast("int")
     if (cb.sizeIs == 1) return lit(0)
-    def d2(cv: Column): Column =
-      aggregate(zip_with(cv, sub, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-    val seed = struct(lit(0).as("c"), d2(typedLit(cb.head)).as("d"))
-    val arr = array(cb.zipWithIndex.tail.map { case (cv, i) =>
-      struct(lit(i).as("c"), typedLit(cv).as("cv"))
-    }: _*)
-    aggregate(arr, seed, (acc, e) => {
-      val sd = d2(e.getField("cv"))
-      when(sd < acc.getField("d"),
-        struct(e.getField("c").as("c"), sd.as("d"))).otherwise(acc)
-    }).getField("c")
+    // native codegen'd kernel (r18, guide §4): replaces the
+    // aggregate(zip_with(...)) interpreted fold — PqArgMin replicates
+    // the d² order, strict-< tie rule, and the zip_with null-padding
+    // degradations bit-for-bit (see the expression's scaladoc).
+    ColumnBridge.column(VectorFunctions.PqArgMin(
+      cb.map(_.toArray).toArray, ColumnBridge.expression(sub)))
   }
 
   /** The stored form at scale: one code per subspace. Geometry
@@ -1524,11 +1516,11 @@ object Similarity {
     val withRes = ev
       .withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
       .join(centDf, col("cluster") === col("c_id"))
-      .withColumn("res", zip_with(col("v"), col("cv"), (a, b) => a - b))
+      .withColumn("res", VectorFunctions.vecSub(col("v"), col("cv")))
     val cb = pqCodebook(withRes.select(col("vec_id"), col("res").as("v")))
     val enc = withRes
       .withColumn("rhat",
-        zip_with(col("cv"), pqReconstruct(cb, col("res")), (a, b) => a + b))
+        VectorFunctions.vecAdd(col("cv"), pqReconstruct(cb, col("res"))))
       .withColumn("rn", VectorFunctions.norm(col("rhat")))
       .select(col("vec_id"), col("cluster"), col("rhat"), col("rn"))
     val q = ev.filter(col("vec_id") < NQueries)
@@ -1641,11 +1633,11 @@ object Similarity {
     val withRes = ev
       .withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
       .join(centDf, col("cluster") === col("c_id"))
-      .withColumn("res", zip_with(col("v"), col("cv"), (a, b) => a - b))
+      .withColumn("res", VectorFunctions.vecSub(col("v"), col("cv")))
     val (mns, mxs) = sqTrain(withRes.select(col("res").as("v")))
     val enc = withRes
       .withColumn("rhat",
-        zip_with(col("cv"), sqReconstruct(mns, mxs, col("res")), (a, b) => a + b))
+        VectorFunctions.vecAdd(col("cv"), sqReconstruct(mns, mxs, col("res"))))
       .withColumn("rn", VectorFunctions.norm(col("rhat")))
       .select(col("vec_id"), col("cluster"), col("rhat"), col("rn"))
     val q = ev.filter(col("vec_id") < NQueries)
@@ -1734,9 +1726,9 @@ object Similarity {
       // (subspace × code) distance term, so an inline residual
       // expression is re-evaluated O(M·K) times per row (measured
       // 11 s vs ~2 s for the same 20k-row encode at sf1)
-      .withColumn("res", zip_with(col("v"), col("cv"), (a, b) => a - b))
+      .withColumn("res", VectorFunctions.vecSub(col("v"), col("cv")))
       .withColumn("rhat",
-        zip_with(col("cv"), pqReconstruct(cb, col("res")), (a, b) => a + b))
+        VectorFunctions.vecAdd(col("cv"), pqReconstruct(cb, col("res"))))
       .withColumn("rn", VectorFunctions.norm(col("rhat")))
       .select(col("vec_id"), col("cluster"), col("rhat"), col("rn"))
     val wAdc = Window.partitionBy(col("q_id"))
@@ -1785,7 +1777,7 @@ object Similarity {
     val withRes = ev
       .withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
       .join(centDf, col("cluster") === col("c_id"))
-      .withColumn("res", zip_with(col("v"), col("cv"), (a, b) => a - b))
+      .withColumn("res", VectorFunctions.vecSub(col("v"), col("cv")))
     val cb = pqCodebook(withRes.select(col("vec_id"), col("res").as("v")))
     val q = ev.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -1893,7 +1885,7 @@ object Similarity {
       .withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
       .join(broadcast(cents.toDF("c_id", "cv", "cn")),
         col("cluster") === col("c_id"))
-      .withColumn("res", zip_with(col("v"), col("cv"), (a, b) => a - b))
+      .withColumn("res", VectorFunctions.vecSub(col("v"), col("cv")))
       .select(col("vec_id"), pqCodes(cb, col("res")).as("codes"), col("cluster"))
       .write.mode(mode).partitionBy("cluster").parquet(path)
   }
@@ -1937,7 +1929,7 @@ object Similarity {
       .join(broadcast(cents.toDF("c_id", "cv", "cn")),
         col("cluster") === col("c_id"))
       .withColumn("rhat",
-        zip_with(col("cv"), pqDecode(cb, col("codes")), (a, b) => a + b))
+        VectorFunctions.vecAdd(col("cv"), pqDecode(cb, col("codes"))))
       .withColumn("rn", VectorFunctions.norm(col("rhat")))
       .select(col("vec_id"), col("cluster"), col("rhat"), col("rn"))
     adcRankProbed(enc, broadcast(probeClusters(queries, cents, nprobe)), k)
@@ -1985,7 +1977,7 @@ object Similarity {
     val withRes = ev
       .withColumn("cluster", nearestCentroid(cents, col("v"), col("nrm")))
       .join(centDf, col("cluster") === col("c_id"))
-      .withColumn("res", zip_with(col("v"), col("cv"), (a, b) => a - b))
+      .withColumn("res", VectorFunctions.vecSub(col("v"), col("cv")))
     val cb = pqCodebook(withRes.select(col("vec_id"), col("res").as("v")))
     // each invocation writes a fresh index; the PREVIOUS invocation's
     // temp dir is deleted only after the new index is fully written
