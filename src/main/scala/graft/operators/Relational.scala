@@ -679,7 +679,18 @@ object Relational {
       spark: SparkSession, dir: String, minSupport: Long): DataFrame =
     basketTopPairs(
       Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct(),
+        .select(col("l_orderkey"), col("l_partkey"))
+        // ONE pinned order-keyed exchange (r18, guide §2.4/§2.5): the
+        // distinct's ClusteredDistribution(l_orderkey, l_partkey) is
+        // satisfied by hash(l_orderkey), so the dedup agg rides this
+        // exchange, the persisted frame comes out CO-PARTITIONED on the
+        // self-join key (the join plans zero exchanges from cache at
+        // any scale), and the pinned count stops AQE from coalescing
+        // the cache to ~1 partition by bytes — the pair-explosion
+        // stage's work is Σ basket² pairs, not its few-MB input, and it
+        // ran single-task here (0.57 s of a 0.58 s stage at sf0.1).
+        .repartition(spark.sparkContext.defaultParallelism, col("l_orderkey"))
+        .distinct(),
       minSupport)
 
   /** Shared 2-itemset kernel over a distinct (l_orderkey, l_partkey)
