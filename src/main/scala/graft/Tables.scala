@@ -219,4 +219,39 @@ object Tables {
       org.apache.spark.sql.functions.broadcast(df)
     else df
   }
+
+  /** Spread hint for scan-bound HEAVY-COMPUTE passes (r18, guide
+    * §2.5's "one huge unsplittable file" case generalized): when the
+    * frame's estimated bytes would yield fewer input splits than the
+    * session's parallelism, a keyless repartition to
+    * `defaultParallelism` spreads the downstream per-row work (shingle
+    * hashing, codec walks) across every core; a frame big enough to
+    * split naturally passes through UNTOUCHED, so at cluster scale
+    * this plans zero extra exchanges. The trigger condition bounds the
+    * repartition's own cost by construction: it only fires when the
+    * frame is under `cores × maxPartitionBytes` — data small in bytes
+    * whose WORK, not size, is the stage's cost (the same
+    * work-vs-bytes reasoning as the containment mask-pair fix).
+    * Results-neutral: only physical layout changes; callers are
+    * operators whose output is partitioning-independent (everything in
+    * the registry, per the §18 plan-independence sweeps). Size
+    * estimates ride the same memo as [[dimHint]]. */
+  def spreadHint(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+    val splitBytes =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      catch { case _: NumberFormatException => 134217728L }
+    val key = df.queryExecution.analyzed.canonicalized
+    val size = sizeEstimateCache.get(key) match {
+      case null =>
+        val s = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (sizeEstimateCache.size >= SizeCacheMax) sizeEstimateCache.clear()
+        sizeEstimateCache.put(key, s)
+        s
+      case hit => hit
+    }
+    if (size < BigInt(splitBytes) * cores) df.repartition(cores) else df
+  }
 }

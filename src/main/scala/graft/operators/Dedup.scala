@@ -2469,9 +2469,12 @@ object Dedup {
     val shArr = expr(
       s"""transform(sequence(0, size(t) - $k),
          |  j -> md5(concat_ws(' ', slice(t, j + 1, $k))))""".stripMargin)
-    val base = docs
+    val base = Tables.spreadHint(docs
       .select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= k)
+      .filter(size(col("t")) >= k))
+      // per-offset md5 over every token window: work ∝ tokens × k, so
+      // a byte-small corpus must still spread across cores (spreadHint
+      // is a no-op once the scan splits naturally)
       .select(col("doc_id"), posexplode(shArr).as(Seq("j", "sk")))
     val shingles = // occurrence counts + join probe share one pass
       if (cache) base.persist(StorageLevel.MEMORY_AND_DISK) else base
@@ -2536,8 +2539,11 @@ object Dedup {
     val shArr = expr(
       s"""transform(sequence(0, size(t) - $k),
          |  j -> md5(concat_ws(' ', slice(t, j + 1, $k))))""".stripMargin)
-    val toked = docs
-      .select(col("doc_id"), toks.as("t"))
+    val toked = Tables.spreadHint(docs
+      .select(col("doc_id"), toks.as("t")))
+      // see duplicatedOffsets: the shingle pass below is work-heavy on
+      // byte-small inputs; the hint also spreads the cached partitions
+      // every downstream consumer reads
       .persist(StorageLevel.MEMORY_AND_DISK)
     val occ = toked
       .filter(size(col("t")) >= k)
