@@ -254,4 +254,17 @@ object Tables {
     }
     if (size < BigInt(splitBytes) * cores) df.repartition(cores) else df
   }
+
+  /** Keyed repartition PINNED to the session's shuffle partition count
+    * (r18): a bare `repartition(col)` leaves AQE free to coalesce the
+    * exchange by BYTES, which serializes operators whose post-shuffle
+    * per-row work (window folds, explodes, hashing) is the real cost
+    * on byte-small inputs. Pinning to `numShufflePartitions` is
+    * exactly the pre-AQE layout — where data is big AQE would not have
+    * coalesced, so nothing changes; where it is small the work keeps
+    * its parallelism. The count follows the session conf, so the §18
+    * sizing rule (`SPARK_GRAFT_SHUFFLE_PARTITIONS`) still governs the
+    * big-SF sweeps. */
+  def spreadByKey(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*)
 }

@@ -468,7 +468,7 @@ object Dedup {
     // filter: explode of an empty array emits nothing, and a filter on
     // a derived array column gets pushed below the project where the
     // whole shingle pipeline would be recomputed inside the scan.
-    val sets = Tables.documents(spark, dir)
+    val sets = Tables.spreadHint(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), toks.as("t"))
       .withColumn("s", array_distinct(expr(shingleExpr)))
       .withColumn("sz", size(col("s")))
@@ -1056,7 +1056,7 @@ object Dedup {
     * can measure the prefix filter's candidate count on exactly the
     * frame the registered query runs. */
   def containmentNgramSets(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spreadHint(Tables.documents(spark, dir))
       .select(col("doc_id"), toks.as("t"))
       .withColumn("s",
         transform(array_distinct(expr(shingleExpr)), g => xxhash64(g)))
@@ -1392,7 +1392,9 @@ object Dedup {
       .select(col("doc_id"), col("lang"), expr(simhashSigExpr(16)).as("sh"))
 
   private def simhashSigs(spark: SparkSession, dir: String): DataFrame =
-    simhashSignatures(Tables.documents(spark, dir))
+    // spreadHint: per-token md5 + the 16-bit sig fold are work-heavy on
+    // byte-small scans (0.6 s serial at sf0.1); no-op once scans split
+    simhashSignatures(Tables.spreadHint(Tables.documents(spark, dir)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Near-dups = hamming ≤ 3 within a lang block, via per-lang
@@ -2846,7 +2848,10 @@ object Dedup {
   }
 
   def dedupWinnowing(spark: SparkSession, dir: String): DataFrame =
-    winnowPairs(winnowFingerprintHashes(Tables.documents(spark, dir)))
+    // spreadHint: the in-row gram-hash + window folds are the cost, not
+    // the bytes (four concurrent ~1 s single-task stages at sf0.1)
+    winnowPairs(winnowFingerprintHashes(
+      Tables.spreadHint(Tables.documents(spark, dir))))
 
   /** Pair report over a (doc_id, fp_h) fingerprint frame, with the
     * [[WinnowMaxDf]] hot-fingerprint drop ACTIVE: one wordcount-shaped

@@ -333,8 +333,7 @@ object TextAnalysis {
     * tokens have no bigram and drop out, matching the oracle. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    Tables.documents(spark, dir)
-      .repartition(col("doc_id"))
+    Tables.spreadByKey(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
       .withColumn("bigram", concat(col("tok"), lit(" "), lead(col("tok"), 1).over(w)))
       .filter(col("bigram").isNotNull)
@@ -489,7 +488,7 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
     val tf = docs
       .select(col("doc_id"), toks.as("t"))
-      .repartition(col("doc_id")) // compact arrays through the shuffle
+      .transform(Tables.spreadByKey(_, col("doc_id"))) // compact arrays through the shuffle; pinned count (Tables.spreadByKey) so AQE cannot serialize the explode
       .select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -1036,7 +1035,11 @@ object TextAnalysis {
     * the hard gate with named causes. All comparisons are on raw
     * integer-derived doubles (exact on both engines). */
   def textFilterQuality(spark: SparkSession, dir: String): DataFrame =
-    qualityRules(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    // spreadHint: the gate's tokenize + per-rule metrics are per-row
+    // work on a byte-small scan (two 0.63 s single-task stages at
+    // sf0.1); no-op once the scan splits naturally
+    qualityRules(Tables.spreadHint(Tables.documents(spark, dir)))
+      .orderBy(col("doc_id"))
 
   /** The rule projection over any frame with (doc_id, text) — shared
     * by the registered query and the streaming twin
