@@ -657,11 +657,15 @@ object Multimodal {
 
   private[graft] def syntheticClips(spark: SparkSession, dir: String): Dataset[RawMedia] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { id =>
-      val size = if (id % 2 == 0) 16 else 24 // odd partner = the re-encode
-      RawMedia(id, packFrames(
-        (0 until ClipFrames).map(f => blockFramePng(id / 2, f, size))))
-    }
+    // spreadHint: the per-clip PNG encode (and the demux/decode every
+    // consumer runs next) is work ∝ frames × pixels on a byte-small
+    // id scan — five concurrent 1.2 s single-task stages at sf0.1
+    Tables.spreadHint(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long].map { id =>
+        val size = if (id % 2 == 0) 16 else 24 // odd partner = the re-encode
+        RawMedia(id, packFrames(
+          (0 until ClipFrames).map(f => blockFramePng(id / 2, f, size))))
+      }
   }
 
   /** Registered video near-dup query: synthetic clip corpus →
