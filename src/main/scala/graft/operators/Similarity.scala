@@ -815,12 +815,14 @@ object Similarity {
          nearestCentroid(cents, col("v"), col("nrm"))))
         .select(col("vec_id"), col("v"), col("cluster"))
 
-    // dim probe: one row off the (already persisted) corpus — the
-    // per-dimension aggregate below needs a static width. Width 1 on
-    // an empty corpus: no rows ever flow, it just keeps the plan
-    // resolvable (EmptyInputSpec).
-    val dim = e.select(size(col("v"))).head(1).headOption
-      .map(_.getInt(0)).getOrElse(1)
+    // dim comes from the seed-centroid collect below (r18: the old
+    // head(1) probe was one more SEQUENTIAL driver job per trainer
+    // call, ~10 registered consumers) — the seed rows are corpus rows,
+    // so on any fixed-width corpus the value is identical; width 1 on
+    // an empty corpus keeps the plan resolvable (EmptyInputSpec).
+    def dimOf(cents: Seq[(Int, Seq[Double], Double)]): Int =
+      cents.headOption.flatMap(c => Option(c._2).map(_.length))
+        .filter(_ > 0).getOrElse(1)
 
     // centroid update: ONE groupBy(cluster) carrying `dim` decimal
     // sums (map-side combined: 32 partitions × k clusters × dim
@@ -836,7 +838,7 @@ object Similarity {
     // — and `element_at` past a short vector errors under ANSI. Such
     // rows still appear in `assigned` (with whatever cluster the
     // null-propagating argmax yields); they just don't train.
-    def update(assigned: DataFrame): DataFrame =
+    def update(assigned: DataFrame, dim: Int): DataFrame =
       assigned
         .filter(col("v").isNotNull && size(col("v")) === dim)
         .groupBy(col("cluster"))
@@ -850,10 +852,11 @@ object Similarity {
     // the in-engine L2Norm fold), so each round's plan stays flat
     var cents = collectCentroids(e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("c_id"), col("v").as("cv")))
+    val dim = dimOf(cents)
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       assigned = assign(cents)
-      cents = collectCentroids(update(assigned))
+      cents = collectCentroids(update(assigned, dim))
     }
     import spark.implicits._
     val centDf = cents.map { case (id, cv, _) => (id, cv) }.toDF("c_id", "cv")
