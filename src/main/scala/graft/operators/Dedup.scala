@@ -880,7 +880,7 @@ object Dedup {
     * full recall (the banded operator stays the cheap probabilistic
     * path). */
   def dedupContainmentExact(spark: SparkSession, dir: String): DataFrame =
-    containmentPairsExact(Tables.documents(spark, dir))
+    containmentPairsExact(Tables.spreadHint(Tables.documents(spark, dir)))
 
   /** The prefix-filter kernel over an ARBITRARY documents frame
     * (needs `doc_id`, `text`) — see [[dedupContainmentExact]]. */
@@ -2394,7 +2394,10 @@ object Dedup {
   }
 
   def dedupCdcChunks(spark: SparkSession, dir: String): DataFrame =
-    cdcChunkStats(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    // spreadHint: the rolling-hash chunk pass serializes on the
+    // byte-small scan (two 0.5 s single-task stages at sf0.1)
+    cdcChunkStats(Tables.spreadHint(Tables.documents(spark, dir)))
+      .orderBy(col("doc_id"))
 
   private val dedupCdcChunksSql =
     s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

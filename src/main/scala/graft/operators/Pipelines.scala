@@ -222,7 +222,9 @@ object Pipelines {
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     val isEval =
       pmod(md5Long(concat(lit("decon:"), col("doc_id").cast("string"))), lit(20)) === 0
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // spreadHint: the fivegram passes serialize on the byte-small scan
+    val docs = Tables.spreadHint(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
     decontaminateBloomAgainst(docs.filter(!isEval), docs.filter(isEval))
       .orderBy(col("doc_id"))
   }
@@ -631,7 +633,7 @@ object Pipelines {
     * aggregate over ≤ splits × shards cells. No stage sees more than
     * the prior stage's survivors. */
   def pipelineCurateV3(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir) // no spreadHint — see curateGatedDocs
     // gate inlined as a per-row filter (r18): qualityKeep is stateless,
     // so the qualityRules→semi-join form paid a second corpus scan +
     // one join for the same survivors (plan: 4 scans/1 join → 1 scan)
@@ -701,6 +703,10 @@ object Pipelines {
     * (doc_id, text, n_chars) — shared by [[pipelineCurateV4]]'s
     * manifest and [[pipelineCurateV5]]'s weighted draw. */
   private def curateGatedDocs(spark: SparkSession, dir: String): DataFrame = {
+    // NO spreadHint here (r18, measured): the gate filter pushes below
+    // a repartition, so the hint would add a survivors-text shuffle
+    // while the gate work stays scan-side; the chain's md5 groupBy
+    // re-exchanges immediately anyway
     val docs = Tables.documents(spark, dir)
     // gate inlined as a filter — see pipelineCurateV3 (one scan, no join)
     val kept = docs.filter(TextAnalysis.qualityKeep)
@@ -881,7 +887,7 @@ object Pipelines {
     * per-row expressions + one semi-join; the manifest is the usual
     * ≤ splits × shards aggregate. */
   def pipelineCurateV6(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir) // no spreadHint — see curateGatedDocs
     // gate inlined as a filter — see pipelineCurateV3 (one scan, no join)
     val kept = docs.filter(TextAnalysis.qualityKeep)
     val deduped = kept
@@ -951,7 +957,7 @@ object Pipelines {
   def pipelineCurateV7(spark: SparkSession, dir: String): DataFrame = {
     val isEval =
       pmod(md5Long(concat(lit("decon:"), col("doc_id").cast("string"))), lit(20)) === 0
-    val all = Tables.documents(spark, dir)
+    val all = Tables.documents(spark, dir) // no spreadHint — see curateGatedDocs
     val evalDocs = all.filter(isEval).select(col("doc_id"), col("text"))
     val docs = all.filter(!isEval)
     // gate inlined as a filter — see pipelineCurateV3 (one scan, no join)

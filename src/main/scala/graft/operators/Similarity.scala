@@ -42,7 +42,10 @@ object Similarity {
     * via the native codegen'd expressions in VectorFunctions (same
     * sequential fold as the HOF form, no per-pair allocation). */
   private def vecs(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    // spreadHint: the family's per-row vector math (assign folds, PQ
+    // encode, cosine scans) serializes on the byte-small embeddings
+    // scan; no-op once the scan splits naturally
+    Tables.spreadHint(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("label"),
         // native array cast, not transform(_.cast): Cast is whole-stage
         // codegen'd; the per-element HOF lambda evaluates interpreted
