@@ -975,7 +975,10 @@ object Events {
   }
 
   def qAnomalyMad(spark: SparkSession, dir: String): DataFrame =
-    anomalyMad(Tables.events(spark, dir)).orderBy(col("event_id"))
+    // spreadByKey: the per-user median/MAD windows reuse this pinned
+    // user exchange (subset rule) — AQE coalesced it to ~1 task by bytes
+    anomalyMad(Tables.spreadByKey(Tables.events(spark, dir), col("user_id")))
+      .orderBy(col("event_id"))
 
   private val qAnomalyMadSql =
     """WITH ev AS (

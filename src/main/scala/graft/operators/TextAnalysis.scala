@@ -193,7 +193,10 @@ object TextAnalysis {
         i => struct(element_at(col("t"), i + 1).as("w1"),
           element_at(col("t"), i + d + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    val docs = Tables.documents(spark, dir).withColumn("t", toks)
+    // spreadHint: each consumer's explode ran serially on the 1-split
+    // scan; the hinted exchange carries raw text once per consumer and
+    // stays a no-op at natural splits
+    val docs = Tables.spreadHint(Tables.documents(spark, dir)).withColumn("t", toks)
     // the corpus IS scanned+exploded by each consumer (pair aggregate,
     // unigram aggregate, totals) — deliberately: persisting the two
     // exploded frames was tried and MEASURED SLOWER (8.0 s vs 5.4 s
@@ -272,7 +275,9 @@ object TextAnalysis {
     * score row (documented; the corpus's 20-90-word docs all score).
     */
   def textLmScore(spark: SparkSession, dir: String): DataFrame =
-    lmScore(Tables.documents(spark, dir))
+    // spreadHint: the bigram explode + persist materialization ran
+    // serially on the 1-split scan (three blocked 0.9 s stages)
+    lmScore(Tables.spreadHint(Tables.documents(spark, dir)))
 
   /** The corpus-LM scoring kernel over an ARBITRARY documents frame
     * (needs `doc_id`, `text`) — see [[textLmScore]]. */
