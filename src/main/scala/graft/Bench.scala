@@ -106,6 +106,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // see GraftSession: keep bounded-buffer object aggregates
+      // (BoundedTopK) on the hash path across many groups; the 128
+      // default sort-falls-back on group COUNT irrespective of memory
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       // the sf dirs are single ~MB-scale parquet files; split them so
       // scans parallelize across all local cores (at cluster scale the
       // default 128m is right — many files/row groups per table)

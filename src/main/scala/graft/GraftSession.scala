@@ -17,6 +17,17 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // ObjectHashAggregate falls back to SORT-BASED aggregation after
+      // this many distinct groups per task (default 128) regardless of
+      // memory — for a bounded-buffer aggregate over many groups
+      // (BoundedTopK: every corpus vector is a group in ann_knn_join)
+      // that sorts the full input for no reason; measured 2.3x the
+      // whole query at sf1. 64k × the library's object-agg buffers
+      // (BoundedTopK ≤ k ids+scores ~200 B; ewma collect ≤ 32 structs
+      // ~1 KB; dedup member lists ~ cluster size) is tens of MB per
+      // task — while truly huge group counts (e.g. per-doc groups at
+      // the decade SFs) still fall back exactly as before.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); read nanos as long
       // (Tables.events rebuilds micros) instead of failing the scan

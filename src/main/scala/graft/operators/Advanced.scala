@@ -616,20 +616,16 @@ object Advanced {
       .orderBy(col("c_mktsegment"))
 
   // ---------------------------------------------------------------- group topk
-  /** Top-3 customers per segment via the typed bounded
-    * `TopKAggregator` — map-side combine ships ≤k rows per partition
+  /** Top-3 customers per segment via the bounded
+    * native `BoundedTopK` aggregate — map-side combine ships ≤k rows per partition
     * per group instead of window-sorting whole groups. The window
     * formulation is the oracle. */
   def qGroupTopk(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val topk = new graft.functions.TopKAggregator(3).toColumn
     Tables.customer(spark, dir)
       .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
-      .as[(String, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3))
-      .agg(topk.name("topk"))
-      .toDF("c_mktsegment", "topk")
+      .groupBy(col("c_mktsegment"))
+      .agg(graft.functions.BoundedTopK
+        .topK(3, col("c_custkey"), col("c_acctbal")).as("topk"))
       .select(col("c_mktsegment"),
         posexplode(arrays_zip(col("topk.ids"), col("topk.scores"))).as(Seq("pos", "e")))
       .select(

@@ -421,7 +421,7 @@ object Similarity {
   // ---------------------------------------------------------------- bounded topk kernel
   /** PUBLIC scalable exact top-k kernel: cosine top-k of `vectors`
     * for each row of broadcast `queries`, ranked through the BOUNDED
-    * `TopKAggregator` — ≤ k rows per partition per query cross the
+    * native `BoundedTopK` aggregate — ≤ k rows per partition per query cross the
     * wire — instead of a per-query window that sorts the whole
     * corpus. THIS is the brute-force form that holds at 100 TB with
     * a broadcast-sized query set; `ann_bruteforce`'s window form
@@ -429,20 +429,14 @@ object Similarity {
     * both). `vectors`: (vec_id, v array<double>); `queries`:
     * (q_id, qv). Self-matches (vec_id == q_id) are excluded. */
   def cosineTopKExact(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    val topk = new graft.functions.TopKAggregator(k).toColumn
     val q = broadcast(queries.withColumn("qn", VectorFunctions.norm(col("qv"))))
     vectors
       .withColumn("nrm", VectorFunctions.norm(col("v")))
       .join(q, col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .select(col("q_id"), col("vec_id"), col("cos"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3))
-      .agg(topk.name("topk"))
-      .toDF("q_id", "topk")
+      .groupBy(col("q_id"))
+      .agg(graft.functions.BoundedTopK.topK(k, col("vec_id"), col("cos")).as("topk"))
       .select(col("q_id"),
         posexplode(arrays_zip(col("topk.ids"), col("topk.scores"))).as(Seq("pos", "e")))
       .select(col("q_id"), col("e.ids").as("neighbor_id"),
@@ -1226,7 +1220,7 @@ object Similarity {
     * rounds, corpus-scaled k = ⌈n / [[DedupClusterRows]]⌉ — blocks
     * stay ~2.5k rows), assign with the zero-shuffle two-level probe,
     * then ONE hash equi-join on cluster id scores each vector
-    * against its cluster-mates and the BOUNDED `TopKAggregator`
+    * against its cluster-mates and the BOUNDED native `BoundedTopK`
     * ranks per query (≤ k rows per partition per query cross the
     * wire — never a corpus-sized window sort). Total pair work is
     * ∝ n · [[DedupClusterRows]] (linear), shuffle = the one cluster
@@ -1257,8 +1251,6 @@ object Similarity {
   def knnJoin(e0: DataFrame, topK: Int, kFloor: Int,
       clusterRows: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val spark = e0.sparkSession
-    import spark.implicits._
     val e = e0.persist(StorageLevel.MEMORY_AND_DISK)
     val k = math.max(kFloor.toLong,
       math.ceil(e.count() / clusterRows.toDouble).toLong).toInt
@@ -1268,15 +1260,11 @@ object Similarity {
       col("v").as("qv"), col("nrm").as("qn"))
     val b = m.select(col("vec_id"), col("cluster").as("cluster_b"),
       col("v"), col("nrm"))
-    val topk = new graft.functions.TopKAggregator(topK).toColumn
     a.join(b, col("cluster") === col("cluster_b") && col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .select(col("q_id"), col("vec_id"), col("cos"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3))
-      .agg(topk.name("topk"))
-      .toDF("q_id", "topk")
+      .groupBy(col("q_id"))
+      .agg(graft.functions.BoundedTopK.topK(topK, col("vec_id"), col("cos")).as("topk"))
       .select(col("q_id"),
         posexplode(arrays_zip(col("topk.ids"), col("topk.scores"))).as(Seq("pos", "e")))
       .select(col("q_id"), col("e.ids").as("neighbor_id"),

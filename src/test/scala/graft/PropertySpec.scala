@@ -79,6 +79,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: BoundedTopK buffer equals sort-take (with merge halves)") {
+    // the native TypedImperativeAggregate that replaced the typed
+    // TopKAggregator on the query paths (round 19) — same ordering
+    // contract, exercised through the same property
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(-100.0, 100.0)))) {
+      (pairs: List[(Long, Double)]) =>
+        val buf = new graft.functions.TopKBuffer(3)
+        pairs.foreach { case (id, s) => buf.insert(id, s) }
+        val expect = pairs.sortBy(t => (-t._2, t._1)).take(3)
+        assert(buf.ids.take(buf.n).zip(buf.scores.take(buf.n)).toList == expect)
+        val (h1, h2) = pairs.splitAt(pairs.length / 2)
+        val b1 = new graft.functions.TopKBuffer(3)
+        h1.foreach { case (id, s) => b1.insert(id, s) }
+        val b2 = new graft.functions.TopKBuffer(3)
+        h2.foreach { case (id, s) => b2.insert(id, s) }
+        b1.mergeIn(b2)
+        assert(b1.ids.take(b1.n).zip(b1.scores.take(b1.n)).toList == expect)
+    }
+  }
+
+  test("BoundedTopK aggregate equals row_number window (ties, NaN, partitions)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 20000).map { i =>
+      val g = rnd.nextInt(500).toLong
+      val score = if (rnd.nextInt(400) == 0) Double.NaN else rnd.nextInt(16) / 4.0
+      (g, i.toLong, score)
+    }
+    val df = rows.toDF("g", "id", "sc").repartition(13)
+    val k = 5
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.BoundedTopK.topK(k, col("id"), col("sc")).as("topk"))
+      .select(col("g"), posexplode(arrays_zip(col("topk.ids"), col("topk.scores")))
+        .as(Seq("pos", "e")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rank"), col("e.ids").as("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("sc").desc, col("id"))
+    val expect = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .collect().map(r => (r.getLong(0), r.getInt(3).toLong) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   test("property: stateful sessionizer equals brute-force gap split") {
     val s = spark
     import s.implicits._
