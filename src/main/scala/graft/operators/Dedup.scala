@@ -1208,26 +1208,43 @@ object Dedup {
     * Long overflow at billion-node scale and could in principle alias
     * two distinct label states. Returns None when the round cap is
     * hit before the fixpoint (labels would be only partially
-    * propagated — callers must NOT use them). */
+    * propagated — callers must NOT use them).
+    *
+    * One driver action per round (r19): the fingerprint rides the
+    * checkpoint materialization as an accumulator over the SAME
+    * xxhash64(node, lab) column the old separate agg job hashed —
+    * count and XOR are order-independent, so the accumulated pair is
+    * bit-identical to the agg's (and the round count, hence the
+    * labels, unchanged). The hash column is burned into the
+    * checkpoint (8 B/row/round, freed with the round) and selected
+    * away before the frame is used, so downstream schema and the
+    * per-round join/agg plan are untouched. */
   private def propagateMinLabels(sym: DataFrame, nodes: DataFrame,
       maxRounds: Int): Option[DataFrame] = {
-    def fp(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("node"), col("lab"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // checkpoint df and return (node, lab) + the (count, xor-of-hash)
+    // fingerprint accumulated DURING the checkpoint's one job. The
+    // identity UDF is nondeterministic so the optimizer can neither
+    // collapse nor duplicate it; accumulator updates ride result-task
+    // completions, which the scheduler applies exactly once per
+    // partition (failed/duplicate attempts are dropped).
+    def fpCheckpoint(df: DataFrame): (DataFrame, Set[Int], (Long, Long)) = {
+      val acc = new graft.functions.XorCountAcc
+      df.sparkSession.sparkContext.register(acc, "cc_fp")
+      val tick = udf((h: Long) => { acc.add(h); h }).asNondeterministic()
+      val (cp, ids) = checkpointTracked(
+        df.withColumn("__fp", tick(xxhash64(col("node"), col("lab")))))
+      (cp.select(col("node"), col("lab")), ids, acc.value)
     }
-    var (labels, labelIds) = checkpointTracked(
+    var (labels, labelIds, prev) = fpCheckpoint(
       nodes.select(col("node"), col("node").as("lab")))
-    var prev = fp(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val (next, nextIds) = checkpointTracked(
+      val (next, nextIds, cur) = fpCheckpoint(
         sym.join(labels, col("src") === col("node"))
           .select(col("dst").as("node"), col("lab"))
           .unionAll(labels)
           .groupBy(col("node")).agg(min(col("lab")).as("lab")))
-      val cur = fp(next)
       converged = cur == prev
       prev = cur
       // next is materialized (eager checkpoint): the superseded

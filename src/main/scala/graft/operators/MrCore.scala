@@ -364,13 +364,25 @@ object MrCore {
       val frontier = dist.filter(col("dist") === k - 1)
       val next = frontier.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), lit(k).as("dist"))
+      // the did-this-level-reach-anything scalar rides the checkpoint
+      // materialization as an accumulator (one driver action per
+      // level, r19): the identity UDF is nondeterministic so the
+      // optimizer neither collapses nor duplicates it, and result-task
+      // accumulator updates are applied exactly once per partition —
+      // the count matches the old separate filter-count job exactly
+      val level = k
+      val reached = spark.sparkContext.longAccumulator("bfs_frontier")
+      val tick = udf((d: Int) => { if (d == level) reached.add(1L); d })
+        .asNondeterministic()
       val (merged, mergedIds) = Dedup.checkpointTracked(
-        dist.unionAll(next).groupBy(col("node")).agg(min(col("dist")).as("dist")))
+        dist.unionAll(next).groupBy(col("node"))
+          .agg(min(col("dist")).as("dist"))
+          .withColumn("dist", tick(col("dist"))))
       Dedup.freeBlocks(spark, distIds)
       dist = merged
       distIds = mergedIds
       // bounded scalar: did this level reach anything new?
-      exhausted = merged.filter(col("dist") === k).limit(1).count() == 0
+      exhausted = reached.value == 0L
     }
     edges.unpersist(blocking = true)
     dist.orderBy(col("node"))
@@ -980,15 +992,20 @@ object MrCore {
         .groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select(col("src").as("node"))
+      // the did-anything-peel scalar rides the peeled checkpoint's
+      // materialization as an accumulator (the bfs/cc discipline,
+      // r19) — one fewer driver action per round, same exact count
+      val peelCnt = spark.sparkContext.longAccumulator("kcore_peeled")
+      val tick = udf((n: Long) => { peelCnt.add(1L); n }).asNondeterministic()
       val (peeled, peeledIds) = Dedup.checkpointTracked(
         alive.join(next.select(col("node").as("kept")),
             col("node") === col("kept"), "left_anti")
-          .select(col("node"), lit(r).as("layer")))
+          .select(tick(col("node")).as("node"), lit(r).as("layer")))
       val (nextCp, nextIds) = Dedup.checkpointTracked(next)
       Dedup.freeBlocks(spark, aliveIds)
       alive = nextCp; aliveIds = nextIds
       layers ::= peeled; layerIds ++= peeledIds
-      fixed = peeled.limit(1).count() == 0 // bounded scalar per round
+      fixed = peelCnt.value == 0L // bounded scalar per round
     }
     val out = layers
       .foldLeft(alive.select(col("node"), lit(0).as("layer")))(_ unionAll _)
