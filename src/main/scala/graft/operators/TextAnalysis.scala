@@ -806,16 +806,16 @@ object TextAnalysis {
   /** Engine kernel: merge table from a (word, freq) frame. Symbols
     * must not contain the control chars U+0001/U+0002 (the bracket encoding) —
     * true of whitespace tokens by construction. The merge table is
-    * driver-materialized, so this wrapper FREES the final vocab's
-    * checkpoint blocks before returning (callers who need the vocab
-    * use [[bpeTrainFull]], which transfers block ownership instead —
-    * without this split, every merge-only call would leak one
-    * vocab-sized block set into the session). */
+    * driver-materialized and the final vocab is never touched here
+    * (r19: the training loop keeps the vocab as LAZY native merges
+    * over one base checkpoint, so a merge-only call materializes no
+    * final vocab at all — callers who need the vocab use
+    * [[bpeTrainFull]], which checkpoints it and hands ownership out). */
   def bpeTrainMerges(words: DataFrame, nMerges: Int): DataFrame = {
-    val (merges, vocab, ids) = bpeTrainCore(words, nMerges)
-    // force the (tiny, driver-built) merge table before dropping the
-    // vocab blocks it no longer depends on
-    Dedup.freeBlocks(vocab.sparkSession, ids)
+    val (merges, base, baseIds, _) = bpeTrainCore(words, nMerges)
+    // the merge table is driver-built rows — independent of the base
+    // checkpoint, whose blocks can go immediately
+    Dedup.freeBlocks(base.sparkSession, baseIds)
     merges
   }
 
@@ -829,19 +829,37 @@ object TextAnalysis {
     * this call, and its blocks are session-owned like the other
     * persisted kernels'. */
   def bpeTrainFull(words: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
-    val (merges, vocab, _) = bpeTrainCore(words, nMerges)
+    val (merges, base, baseIds, syms) = bpeTrainCore(words, nMerges)
+    // materialize the final vocab once (the artifact this entry point
+    // exists for), then drop the base it no longer depends on
+    val (vocab, _) = Dedup.checkpointTracked(
+      base.select(col("word"), col("freq"), syms.as("syms")))
+    Dedup.freeBlocks(base.sparkSession, baseIds)
     (merges, vocab)
   }
 
   private def bpeTrainCore(words: DataFrame, nMerges: Int)
-      : (DataFrame, DataFrame, Set[Int]) = {
+      : (DataFrame, DataFrame, Set[Int], Column) = {
     val spark = words.sparkSession
     val charSplit = expr(
       "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-    var (vocab, vocabIds) = Dedup.checkpointTracked(
+    // ONE vocabulary-sized checkpoint for the whole training loop
+    // (r19): each round's merge is a NATIVE codegen'd rewrite
+    // ([[graft.functions.BpeMergeSyms]] — same greedy left-to-right
+    // non-overlapping semantics as the interpreted `aggregate` fold
+    // it replaces, see its doc), cheap enough that round k just
+    // re-applies merges 1..k-1 lazily over the base scan instead of
+    // materializing a fresh vocab checkpoint per round. Per round
+    // that removes one full vocab write + its driver action + the
+    // superseded-block drain, and kills the per-row interpreted
+    // lambda dispatch (guide §4 / §1.2 step 1); the re-applied
+    // merges are ~ns/symbol loops over vocabulary-sized (never
+    // corpus-sized) data, bounded by nMerges × |vocab| total.
+    val (base, baseIds) = Dedup.checkpointTracked(
       words.filter(length(col("word")) > 0)
         .select(col("word"), col("freq"), charSplit.as("syms")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var syms: Column = col("syms") // merges 1..k-1 nested over the base
     var k = 1
     var exhausted = false
     while (k <= nMerges && !exhausted) {
@@ -850,7 +868,8 @@ object TextAnalysis {
       // an index-arithmetic transform, whose element_at can trip ANSI
       // bounds checks on single-symbol rows however the plan is
       // reordered around a guard filter
-      val top = vocab
+      val top = base
+        .select(col("freq"), syms.as("syms"))
         .select(col("freq"), arrays_zip(
           slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
           slice(col("syms"), lit(2), size(col("syms")) - 1).as("r")).as("ps"))
@@ -863,23 +882,7 @@ object TextAnalysis {
       else {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((k, l, r, cnt))
-        // greedy left-to-right non-overlapping merge: replace the
-        // accumulator's last element when it is `l` and the current
-        // element is `r`; the merged symbol l+r can itself be the
-        // left side of a LATER round's pair, never re-matched within
-        // this fold (l+r != l for non-empty r)
-        val mergedSyms = aggregate(col("syms"),
-          array().cast("array<string>"),
-          (acc, x) =>
-            when(size(acc) > 0 && element_at(acc, lit(-1)) === lit(l)
-                && x === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-              .otherwise(concat(acc, array(x))))
-        val (next, nextIds) = Dedup.checkpointTracked(
-          vocab.withColumn("syms", mergedSyms))
-        Dedup.freeBlocks(spark, vocabIds)
-        vocab = next
-        vocabIds = nextIds
+        syms = graft.functions.BpeFunctions.bpeMerge(syms, l, r)
       }
       k += 1
     }
@@ -888,10 +891,10 @@ object TextAnalysis {
       .select(col("merge_rank"), col("lft"), col("rgt"),
         concat(col("lft"), col("rgt")).as("merged"), col("pair_count"))
       .orderBy(col("merge_rank"))
-    // the final vocab's blocks stay live here — ownership passes to
-    // the caller (bpeTrainMerges frees them; bpeTrainFull hands the
-    // vocab out as an artifact)
-    (mergeTable, vocab, vocabIds)
+    // the final vocab stays LAZY (base checkpoint + nested native
+    // merges): merge-only callers never materialize it, vocab
+    // consumers (bpeTrainFull) checkpoint it once
+    (mergeTable, base, baseIds, syms)
   }
 
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =

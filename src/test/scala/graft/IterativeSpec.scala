@@ -388,4 +388,56 @@ class IterativeSpec extends SparkSpec {
         s"round $round: got ${got.toSeq} vs ref ${ref.toSeq}")
     }
   }
+
+  test("fused convergence scalar: accumulated (count, xor) fingerprint " +
+      "equals the aggregate fingerprint under eager localCheckpoint") {
+    // the r19 loop fusion relies on accumulator updates riding the
+    // checkpoint materialization exactly once per row — assert the
+    // accumulated pair is bit-identical to the separate agg job it
+    // replaced, over several trials (task scheduling varies)
+    for (trial <- 1 to 3) {
+      val df = spark.range(50000 + trial)
+        .select(col("id").as("node"), (col("id") % 97).as("lab"))
+        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+      val acc = new graft.functions.XorCountAcc
+      spark.sparkContext.register(acc, "spec_fp")
+      val tick = udf((h: Long) => { acc.add(h); h }).asNondeterministic()
+      val cp = df.withColumn("__fp", tick(xxhash64(col("node"), col("lab"))))
+        .localCheckpoint()
+      val accVal = acc.value
+      val r = cp.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("node"), col("lab"))), lit(0L))).head()
+      assert(accVal == ((r.getLong(0), r.getLong(1))),
+        s"trial $trial: accumulated $accVal vs agg " +
+          s"(${r.getLong(0)}, ${r.getLong(1)})")
+      cp.unpersist(blocking = true)
+    }
+  }
+
+  test("BpeMergeSyms: greedy left-to-right non-overlapping merge with " +
+      "null elements passing through unmatched") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(
+      (1L, Seq[String]("a", "a", "a")),          // no rematch of the merged symbol
+      (2L, Seq[String]("a", "b", "a", "a", "b")),
+      (3L, Seq[String]("x")),
+      (4L, Seq[String]())
+    ).toDF("id", "syms")
+      .union(Seq((5L, null.asInstanceOf[Seq[String]])).toDF("id", "syms"))
+    val merged = df.select(col("id"),
+      graft.functions.BpeFunctions.bpeMerge(col("syms"), "a", "a").as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1).toList)).toMap
+    assert(merged(1L) == List("aa", "a")) // second merge blocked: last is "aa", not "a"
+    assert(merged(2L) == List("a", "b", "aa", "b"))
+    assert(merged(3L) == List("x"))
+    assert(merged(4L) == Nil)
+    assert(merged(5L) == null) // null array propagates
+    // null ELEMENTS pass through and never match
+    val withNulls = Seq((6L, Seq("a", null, "a", "a"))).toDF("id", "syms")
+      .select(graft.functions.BpeFunctions.bpeMerge(col("syms"), "a", "a").as("m"))
+      .head().getSeq[String](0).toList
+    assert(withNulls == List("a", null, "aa"))
+  }
 }
