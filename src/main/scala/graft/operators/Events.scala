@@ -684,10 +684,26 @@ object Events {
     * the task, never materialized driver-side. */
   def qResample(spark: SparkSession, dir: String): DataFrame = {
     val UsPerHour = 3600000000L
-    val ev = Tables.events(spark, dir).select(
-      col("user_id"), unix_micros(col("ts")).as("us"),
-      col("event_id"), col("value"))
-      .withColumn("hr", col("us").divide(lit(UsPerHour)).cast("long"))
+    // ONE pinned user exchange shared by every downstream pass (r19,
+    // guide §2.4 + the ClusteredDistribution subset rule): the hourly
+    // last-obs window (user, hr), the grid bounds aggregate (user),
+    // the grid⋈hourly join (user, hr), and the forward-fill window
+    // (user) all accept hash(user_id), so the events shuffle once and
+    // — decisively at scale — the DENSE exploded grid (rows ∝ user
+    // hour-spans, usually ≫ events) never crosses the network again
+    // before the final sort. The r18 rejection kept the per-pass
+    // exchanges for the hourly branch's partial WindowGroupLimit
+    // prune; measured at sf1 that trade loses badly (the prune saves
+    // a pruned-hourly shuffle but re-shuffles the dense grid for the
+    // fill window): HEAD 38.4 s vs 15.2 s un-pinned single-exchange
+    // vs 4.9 s with the pinned spreadByKey count (AQE byte-coalesce
+    // otherwise serializes the windows); at sf0.1 2.72 → 1.33 s.
+    val ev = Tables.spreadByKey(
+      Tables.events(spark, dir).select(
+        col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+        .withColumn("hr", col("us").divide(lit(UsPerHour)).cast("long")),
+      col("user_id"))
     // last observation within each (user, hour)
     val hourly = ev.withColumn("rn", row_number().over(
         Window.partitionBy(col("user_id"), col("hr"))
