@@ -1870,12 +1870,24 @@ object Dedup {
         val fs = p.getFileSystem(conf)
         var n = 0L
         var bytes = 0L
+        // xor of per-file (len, mtime) hashes: a corpus regenerated
+        // in-place to the same file count and total bytes but
+        // different content no longer reads as unchanged (VERDICT r18
+        // item 7 — the stale verdict only mis-costs, never
+        // mis-answers, but it defeats the probe's purpose). mtime is
+        // the cheap content proxy the FileStatus already carries;
+        // order-independent xor keeps the walk order irrelevant.
+        var mix = 0L
         val it = fs.listFiles(p, true)
         while (it.hasNext) {
           val st = it.next()
-          if (st.isFile) { n += 1; bytes += st.getLen }
+          if (st.isFile) {
+            n += 1; bytes += st.getLen
+            mix ^= scala.util.hashing.MurmurHash3.stringHash(
+              s"${st.getLen}@${st.getModificationTime}").toLong
+          }
         }
-        s"$n:$bytes"
+        s"$n:$bytes:$mix"
       }.mkString(";"))
     } catch { case scala.util.control.NonFatal(_) => None }
 

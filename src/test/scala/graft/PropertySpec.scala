@@ -555,6 +555,16 @@ class PropertySpec extends SparkSpec {
       dedup.bandedHammingPairsAuto(fresh(), 60, 4).count()
       assert(dedup.bandingProbeRuns.get() == runs0 + 2,
         "a fingerprint mismatch must invalidate the persisted verdict")
+      // in-place rewrite to the SAME file count and byte sizes must
+      // also re-probe (VERDICT r18 item 7): the fingerprint now mixes
+      // per-file mtime, so count+bytes alone can no longer alias a
+      // regenerated corpus to a stale verdict
+      Thread.sleep(1100) // cover coarse mtime granularity
+      write(800L) // identical data -> identical count and bytes
+      dedup.bandingChoiceCache.clear()
+      dedup.bandedHammingPairsAuto(fresh(), 60, 4).count()
+      assert(dedup.bandingProbeRuns.get() == runs0 + 3,
+        "a same-size in-place rewrite must invalidate the persisted verdict")
     } finally {
       dedup.bandingChoiceCache.clear()
       sweepVerdicts()
