@@ -45,6 +45,15 @@ object GraftSession {
     }
     val s = withMaster.getOrCreate()
     graft.plans.AsOf.register(s)
+    // Documented JVM-global startup decision (ADVICE r18): image
+    // decode streams stay in memory instead of cycling temp files —
+    // payloads are already whole byte arrays, so the disk-backed
+    // cache is pure overhead (measured 4.5 → 2.4 s on
+    // mm_video_neardup). This mutates javax.imageio state for any
+    // co-resident code in the driver JVM; the Multimodal object's
+    // initializer applies the same setting on every executor JVM
+    // that touches a media kernel.
+    javax.imageio.ImageIO.setUseCache(false)
     s
   }
 }

@@ -177,6 +177,23 @@ object VectorFunctions {
         newLeft: Expression, newRight: Expression): Expression =
       copy(v = newLeft, nrm = newRight)
 
+    // Array fields compare by reference under case-class equality,
+    // which defeats semanticEquals/CSE/exchange-reuse for structurally
+    // identical expressions built from separate collects (ADVICE r18)
+    // — compare contents instead.
+    override def equals(other: Any): Boolean = other match {
+      case o: NearestCentroidId =>
+        java.util.Arrays.equals(ids, o.ids) &&
+        java.util.Arrays.deepEquals(
+          cvs.asInstanceOf[Array[AnyRef]], o.cvs.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(cns, o.cns) && v == o.v && nrm == o.nrm
+      case _ => false
+    }
+    override def hashCode(): Int = java.util.Objects.hash(
+      Int.box(java.util.Arrays.hashCode(ids)),
+      Int.box(java.util.Arrays.deepHashCode(cvs.asInstanceOf[Array[AnyRef]])),
+      Int.box(java.util.Arrays.hashCode(cns)), v, nrm)
+
     override def prettyName: String = "nearest_centroid_id"
   }
 
@@ -246,6 +263,17 @@ object VectorFunctions {
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(sub = newChild)
+
+    // content equality for the codebook (see NearestCentroidId)
+    override def equals(other: Any): Boolean = other match {
+      case o: PqArgMin =>
+        java.util.Arrays.deepEquals(
+          cb.asInstanceOf[Array[AnyRef]], o.cb.asInstanceOf[Array[AnyRef]]) &&
+        sub == o.sub
+      case _ => false
+    }
+    override def hashCode(): Int = java.util.Objects.hash(
+      Int.box(java.util.Arrays.deepHashCode(cb.asInstanceOf[Array[AnyRef]])), sub)
 
     override def prettyName: String = "pq_argmin"
   }

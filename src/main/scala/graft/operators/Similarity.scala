@@ -822,9 +822,12 @@ object Similarity {
     // call, ~10 registered consumers) — the seed rows are corpus rows,
     // so on any fixed-width corpus the value is identical; width 1 on
     // an empty corpus keeps the plan resolvable (EmptyInputSpec).
+    // ADVICE r19: scan ALL seeds, not just the first — a null or
+    // zero-width first seed among valid ones would otherwise probe
+    // dim 1 and silently exclude every row from training.
     def dimOf(cents: Seq[(Int, Seq[Double], Double)]): Int =
-      cents.headOption.flatMap(c => Option(c._2).map(_.length))
-        .filter(_ > 0).getOrElse(1)
+      cents.iterator.flatMap(c => Option(c._2)).map(_.length)
+        .find(_ > 0).getOrElse(1)
 
     // centroid update: ONE groupBy(cluster) carrying `dim` decimal
     // sums (map-side combined: 32 partitions × k clusters × dim
