@@ -76,19 +76,16 @@ object Pipelines {
     * per-doc aggregate on doc_id. 5-grams are per-row array
     * expressions (same no-explode-before-distinct shape as the
     * minhash shingles). */
-  private val fivegramExpr =
-    """filter(
-      |  transform(t, (x, i) -> CASE WHEN i + 4 < size(t)
-      |    THEN concat_ws(' ', x, element_at(t, i + 2), element_at(t, i + 3),
-      |                   element_at(t, i + 4), element_at(t, i + 5))
-      |    END),
-      |  s -> s IS NOT NULL)""".stripMargin
-
   /** Per-doc distinct 5-grams, exploded: (doc_id, s). `docs` needs
-    * (doc_id, text). */
+    * (doc_id, text). r19: the token compaction + gram fold run as ONE
+    * native codegen'd expression ([[graft.functions.FivegramArray]] —
+    * identical gram strings to the former filter/transform HOF chain,
+    * see its doc) instead of three interpreted lambda passes per row
+    * (guide §4); distinct/explode stay the native built-ins. */
   def fivegrams(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"), filter(split(col("text"), "\\s+"), x => x =!= "").as("t"))
-    .select(col("doc_id"), explode(array_distinct(expr(fivegramExpr))).as("s"))
+    .select(col("doc_id"), explode(array_distinct(
+      graft.functions.NgramFunctions.fivegramArr(
+        split(col("text"), "\\s+")))).as("s"))
 
   /** PUBLIC decontamination API against an EXTERNAL eval corpus —
     * the production form (the registered query below derives its eval
