@@ -1033,9 +1033,15 @@ object StreamingJobs {
     * batch on the full composition. */
   def curateStream(docs: Dataset[CurateIn], cap: Int): DataFrame = {
     import docs.sparkSession.implicits._
+    // relational projection, not a typed .map (r19): the map
+    // deserialized every gated row into a CurateIn OBJECT — full text
+    // string materialized per doc — just to drop the text; the select
+    // stays codegen and prunes text before the quota shuffle, so only
+    // the state op's own deserializer touches objects (narrow CapDoc
+    // rows). Same rows, same schema — streamed == batch spec-pinned.
     val gated = docs
       .filter(graft.operators.TextAnalysis.qualityKeep)
-      .map(d => CapDoc(d.source, d.seq, d.doc_id))
+      .select(col("source"), col("seq"), col("doc_id")).as[CapDoc]
     val admitted = capPerSourceStream(gated, cap)
     mixtureSampleStream(admitted.toDF(),
         graft.operators.Pipelines.mixtureBp, "mix")
