@@ -185,8 +185,15 @@ object MrCore {
     // outdeg rides ON the persisted edge frame (a src-partitioned
     // window count — exchange-free over the repartition), so no
     // per-iteration edges⋈deg join exists at all
-    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
+    // pinned count (r19): the unpinned repartition AQE-coalesced the
+    // persisted edge frame to ~3 partitions by BYTES, so all 3 rounds'
+    // join+agg work ran at parallelism ~3 with one straggler task
+    // owning each round (JobProbe: maxTask 5.5 s of a 5.6 s stage).
+    // Work, not bytes, decides the count (guide §2.5); spreadByKey
+    // pins the session's shuffle partitions, env-governed at scale.
+    val edges = Tables.spreadByKey(
+      fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"))),
+      col("src"))
       .withColumn("outdeg", count(lit(1)).over(Window.partitionBy(col("src"))))
       .sortWithinPartitions(col("src")) // each round's merge join reuses this order
       .persist(StorageLevel.MEMORY_AND_DISK)
