@@ -516,8 +516,17 @@ object MrCore {
     * against the distinct+self-join reference in IterativeSpec). */
   private[graft] def coOrderTopEdges(li: DataFrame,
       topK: Int = CoOrderTopEdges): DataFrame =
-    li.groupBy(col("l_orderkey"))
-      .agg(expr("array_sort(collect_set(l_suppkey))").as("sa"))
+    // size-gated spread between the set aggregate and the pair
+    // explosion (r19, guide §2.5): unpinned, AQE byte-coalesced the
+    // set-building exchange to ~4 partitions while the stage's real
+    // work is the DOWNSTREAM pair explosion (Σ |suppliers|² per order
+    // — 897k pairs from 147k rows at sf0.1, one 3.0 s task owned the
+    // stage). spreadHint keeps the map-side collect_set partial dedup
+    // (a keyed pre-repartition would ship every raw row) and is a
+    // structural no-op once the sets frame splits naturally at scale.
+    Tables.spreadHint(
+      li.groupBy(col("l_orderkey"))
+        .agg(expr("array_sort(collect_set(l_suppkey))").as("sa")))
       .select(explode(expr(
         """flatten(transform(sa, (x, i) ->
           |  transform(slice(sa, i + 2, size(sa) - i - 1),
